@@ -1,0 +1,453 @@
+"""Relational operator surface (SURVEY.md §2.3, §2.5, §2.8-2.10) expressed
+on the driver testdata star schema, each with a DuckDB oracle.
+
+Reference parity notes (cites into /root/reference):
+- substring search F1  → src/neo4j/importer.rs:322-376 (CONTAINS predicate,
+  hard LIMIT 100); here over ``part.p_name``.
+- lookup-limit-1 F2    → src/neo4j/importer.rs:431-469; over ``customer``.
+- scope semi-join J1   → src/neo4j/importer.rs:329-331; EXISTS filter J2 →
+  importer.rs:482.
+- unresolved anti-join E8 → src/api/session.rs:494-510 (skip+count).
+- counts A1/A2         → src/neo4j/importer.rs:27-80, connection.rs:55-81.
+- distinct-count A3    → src/neo4j/importer.rs:389-397.
+- ordered top-k K1/K5  → importer.rs:390-391; query.rs:454-458.
+- union/distinct U1-U3 → importer.rs:561, 569.
+- row-number counters O1/O2 → call_path_analyzer.rs:230-247.
+
+The reference's `LIMIT` carries no ORDER BY (Neo4j picks an arbitrary
+subset); we add a deterministic tie-broken ORDER BY — documented
+divergence so results are reproducible and oracle-checkable.
+
+All money math uses exact integer cents (see functions/exact.py): the
+product ``price × (1-disc)`` is computed as ``cents(price) ×
+cents(1-disc)`` (an exact int64) on BOTH sides, so sums are
+order-independent and bit-identical between Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.exact import cents, dollars, sql_sum_cents
+from ..model import load_table
+from ..registry import register
+
+# DuckDB twins of the cents-product expressions.
+_SQL_PRICE_C = "CAST(round(l_extendedprice*100) AS BIGINT)"
+_SQL_DISC_C = "CAST(round((1-l_discount)*100) AS BIGINT)"
+_SQL_TAX_C = "CAST(round((1+l_tax)*100) AS BIGINT)"
+_SQL_REVENUE = f"CAST(sum({_SQL_PRICE_C} * {_SQL_DISC_C}) AS BIGINT) / 10000.0"
+
+
+def _disc_price_c():
+    return cents("l_extendedprice") * F.round((1 - F.col("l_discount")) * 100).cast("long")
+
+
+# --------------------------------------------------------------------------
+# Headline aggregation (TPC-H Q1 shape): scan → filter → groupBy → 8 aggs →
+# sort.  Exercises partial+final agg, shipdate filter pushdown, and
+# whole-stage codegen.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS DOUBLE) AS sum_qty,
+      {sql_sum_cents('l_extendedprice')} / 100.0 AS sum_base_price,
+      {_SQL_REVENUE} AS sum_disc_price,
+      CAST(sum({_SQL_PRICE_C} * {_SQL_DISC_C} * {_SQL_TAX_C}) AS BIGINT) / 1000000.0 AS sum_charge,
+      CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) / CAST(count(*) AS DOUBLE) AS avg_qty,
+      {sql_sum_cents('l_extendedprice')} / (count(*) * 100.0) AS avg_price,
+      {sql_sum_cents('l_discount')} / (count(*) * 100.0) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "headline"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary over lineitem (A-class aggregations, K-class sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    price_c = cents("l_extendedprice")
+    disc_c = F.round((1 - F.col("l_discount")) * 100).cast("long")
+    tax_c = F.round((1 + F.col("l_tax")) * 100).cast("long")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            dollars(F.sum(price_c)).alias("sum_base_price"),
+            (F.sum(price_c * disc_c) / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(price_c * disc_c * tax_c) / F.lit(1000000.0)).alias("sum_charge"),
+            (F.sum(qty) / n.cast("double")).alias("avg_qty"),
+            (F.sum(price_c) / (n * F.lit(100.0))).alias("avg_price"),
+            (F.sum(cents("l_discount")) / (n * F.lit(100.0))).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT
+      l_orderkey,
+      {_SQL_REVENUE} AS revenue,
+      strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      o_orderpriority
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "headline"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-k.
+
+    ``customer`` is dimension-sized → explicit broadcast (no shuffle for
+    that side); lineitem↔orders co-shuffle on the order key once.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg((F.sum(_disc_price_c()) / F.lit(10000.0)).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle=f"""
+    SELECT n_name, {_SQL_REVENUE} AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("join", "agg", "headline"),
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join (local-supplier volume, TPC-H Q5 shape).
+
+    All dimensions (region, nation, customer, supplier) broadcast; the
+    only shuffle is lineitem↔orders on the order key.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(_disc_price_c()) / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# F-class: substring search / lookup (reference flagship filters)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "substring_search",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type
+    FROM part
+    WHERE p_name LIKE '%red%' OR p_type LIKE '%PROMO%'
+    ORDER BY p_partkey
+    LIMIT 100
+    """,
+    tags=("filter",),
+)
+def substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: `name CONTAINS p OR uid CONTAINS p`, capped at 100 rows.
+
+    Reference: src/neo4j/importer.rs:322-376 (hard LIMIT 100 in Cypher);
+    deterministic ORDER BY added (divergence documented in module doc).
+    """
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").contains("red") | F.col("p_type").contains("PROMO"))
+        .select("p_partkey", "p_name", "p_brand", "p_type")
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "lookup_first_match",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_name LIKE '%#00000042%' OR c_custkey = 42
+    ORDER BY c_custkey
+    LIMIT 1
+    """,
+    tags=("filter",),
+)
+def lookup_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: binary lookup by `hash = x OR filename CONTAINS x`, LIMIT 1.
+
+    Reference: src/neo4j/importer.rs:431-469.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.filter(F.col("c_name").contains("#00000042") | (F.col("c_custkey") == 42))
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+        .limit(1)
+    )
+
+
+# --------------------------------------------------------------------------
+# J-class: semi/anti joins (binary-scope filters, unresolved-edge skip)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scope_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE c_mktsegment = 'MACHINERY'
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    ORDER BY c_custkey
+    """,
+    tags=("join",),
+)
+def scope_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2: membership (EXISTS) semi-join — the reference's binary-scope
+    filter `(b)-[:CONTAINS|IMPORTS]->(f)` (src/neo4j/importer.rs:329-331)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "unresolved_anti_join",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_unmatched
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("join",),
+)
+def unresolved_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: unresolved-reference skip + count (src/api/session.rs:494-510) —
+    rows whose key finds no match are excluded and tallied."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_unmatched"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# A-class: counts & statistics
+# --------------------------------------------------------------------------
+
+
+@register(
+    "table_stats",
+    oracle="""
+    SELECT 'customer' AS table_name, count(*) AS n FROM customer
+    UNION ALL SELECT 'events', count(*) FROM events
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'nation', count(*) FROM nation
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'part', count(*) FROM part
+    UNION ALL SELECT 'region', count(*) FROM region
+    UNION ALL SELECT 'supplier', count(*) FROM supplier
+    ORDER BY table_name
+    """,
+    tags=("agg",),
+)
+def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2: per-label node counts + global stats
+    (src/neo4j/importer.rs:27-80, src/neo4j/connection.rs:55-81)."""
+    frames = []
+    for name in ["customer", "events", "lineitem", "nation", "orders", "part", "region", "supplier"]:
+        df = load_table(spark, sf_dir, name)
+        frames.append(df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(name).alias("table_name"), "n"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("table_name")
+
+
+@register(
+    "distinct_users_per_type",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("agg",),
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: `count(DISTINCT b) AS sample_count` per group
+    (src/neo4j/importer.rs:389-397)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# K-class: sorts / limits / top-k
+# --------------------------------------------------------------------------
+
+
+@register(
+    "topk_events_by_value",
+    oracle="""
+    SELECT event_id, event_type, user_id, value
+    FROM events
+    ORDER BY value DESC, event_id
+    LIMIT 20
+    """,
+    tags=("sort",),
+)
+def topk_events_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1: ORDER BY score DESC LIMIT n (src/neo4j/importer.rs:390-391)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "event_type", "user_id", "value")
+        .orderBy(F.desc("value"), "event_id")
+        .limit(20)
+    )
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    )
+    WHERE rk <= 3
+    ORDER BY o_custkey, rk
+    """,
+    tags=("window",),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5-analog: top-k per group via row_number window (the reference's
+    client-side top-10-longest-paths, src/commands/query.rs:454-458)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("o_custkey", "rk")
+    )
+
+
+@register(
+    "event_sequences",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+    FROM events
+    WHERE user_id % 100 = 7
+    ORDER BY user_id, seq
+    """,
+    tags=("window",),
+)
+def event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2: execution-order sequences — ordered 1-hop edges with a
+    monotonically increasing order counter
+    (src/neo4j/call_path_analyzer.rs:196-251, counter at
+    src/commands/query.rs:230-247)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 100 == 7)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "event_id", "event_type", F.row_number().over(w).alias("seq"))
+        .orderBy("user_id", "seq")
+    )
+
+
+# --------------------------------------------------------------------------
+# U-class: set operations
+# --------------------------------------------------------------------------
+
+
+@register(
+    "union_distinct_arms",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    ORDER BY user_id
+    """,
+    tags=("setop",),
+)
+def union_distinct_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2: UNION of query arms + DISTINCT (src/neo4j/importer.rs:561-569)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return a.unionByName(b).distinct().orderBy("user_id")
