@@ -1,0 +1,83 @@
+"""Hand-built micro-graph fixture (FIXTURES.md §3): two binaries covering
+every traversal shape, mixed address forms, NUL-trim, shared imports."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+HASH_A = "a" * 64
+HASH_B = "b" * 64
+
+# Binary A addresses in mixed input forms (0x-hex / decimal) to exercise
+# normalization (src/utils/uid.rs:8-46). NOTE: digit-only strings parse
+# as DECIMAL first (reference branch order) — a "bare hex" form must
+# contain a letter, covered in tests/test_scalars.py.
+#   main   0x401000  → "0x401000"
+#   helper 0x401100  → "4198656"  (decimal)
+#   worker 0x401200  → "4198912"  (decimal)
+DOC_A = {
+    "binary_info": {
+        "name": "mal_a.exe",
+        "file_path": "/samples/mal_a.exe",
+        "file_size": 4096,
+        "file_type": {"type": "PE32", "architecture": "x86"},
+        "hashes": {"sha256": HASH_A},
+    },
+    "functions": [
+        {"name": "main", "address": "0x401000", "size": 256},
+        {"name": "helper", "address": "4198656", "size": 128},
+        {"name": "worker", "address": "4198912"},
+    ],
+    "strings": [
+        {"value": "Pay Bitcoin", "address": "0x403000"},
+        {"value": "hello\x00"},
+        "barestr",
+    ],
+    "imports": [
+        {"name": "CreateFileA", "address": "0x405000", "library": "KERNEL32"},
+    ],
+    "exports": [
+        {"name": "exported_fn", "address": "0x401300"},
+        {"name": "main", "address": "0x401000"},  # address taken → no new node
+    ],
+    "calls": [
+        {"from_address": "0x401000", "to_address": "4198656", "offset": "0x401010", "type": "direct"},
+        {"from_address": "0x401000", "to_address": "0x405000", "offset": "0x401020", "type": "INDIRECT"},
+        {"from_address": "0x401100", "to_address": "4198912", "offset": "0x401110"},
+        {"from_address": "4198912", "to_address": "0x401100", "offset": "0x401210", "type": "bogus"},
+        {"from_address": "0x401200", "to_address": "0x401200", "offset": "0x401220", "type": "tail"},
+        {"from_address": "0x999999", "to_address": "0x401000", "offset": "0x1", "type": "direct"},  # unresolved from
+    ],
+}
+
+DOC_B = {
+    "binary_info": {
+        "name": "mal_b.elf",
+        "file_path": "/samples/mal_b.elf",
+        "file_size": 2048,
+        "file_type": {"type": "ELF64", "architecture": "x86_64"},
+        "hashes": {"SHA256": HASH_B},  # upper-key coalescing branch
+    },
+    "functions": [{"name": "main", "address": "0x401000", "size": 64}],
+    "strings": [{"value": "Pay Bitcoin", "address": "0x2000"}],
+    "imports": [{"name": "CreateFileA", "address": "0x404000", "library": "kernel32"}],
+    "exports": [],
+    "calls": [],
+}
+
+
+def write_fixture(tmpdir: str | Path) -> str:
+    d = Path(tmpdir) / "analysis_json"
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "a.json").write_text(json.dumps(DOC_A))
+    (d / "b.json").write_text(json.dumps(DOC_B))
+    return str(d)
+
+
+UID_MAIN_A = f"{HASH_A}:0x401000"
+UID_HELPER_A = f"{HASH_A}:0x401100"
+UID_WORKER_A = f"{HASH_A}:0x401200"
+UID_EXPORTED_A = f"{HASH_A}:0x401300"
+UID_MAIN_B = f"{HASH_B}:0x401000"
+UID_CREATEFILE = "imp:kernel32:CreateFileA"

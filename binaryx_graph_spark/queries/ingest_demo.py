@@ -1,0 +1,101 @@
+"""Oracle-checked ingest ETL (SURVEY.md §2.2): run the full JSON →
+graph-warehouse pipeline on the deterministic micro-graph fixture and
+compare the resulting node/edge tables against hand-computed expected rows
+(static VALUES oracles).
+
+The Spark side genuinely executes the whole E1-E12 dataflow — JSON scan,
+permissive projection, UID generation, address-map resolution, MERGE
+dedup — so any regression in those operators breaks the value hash.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures.micro_graph import (
+    HASH_A,
+    HASH_B,
+    UID_CREATEFILE,
+    UID_EXPORTED_A,
+    UID_HELPER_A,
+    UID_MAIN_A,
+    UID_MAIN_B,
+    UID_WORKER_A,
+    write_fixture,
+)
+from ..operators.ingest import build_graph_tables
+from ..registry import register
+from ..sources.json_source import read_analysis_json
+
+_CACHE: dict[str, dict[str, DataFrame]] = {}
+
+
+def graph_tables(spark: SparkSession) -> dict[str, DataFrame]:
+    """Ingest the micro-graph fixture once per session (cached)."""
+    key = str(id(spark))
+    if key not in _CACHE:
+        d = write_fixture(Path(tempfile.mkdtemp(prefix="bxg_fixture_")))
+        docs = read_analysis_json(spark, d)
+        _CACHE[key] = {k: v.cache() for k, v in build_graph_tables(docs).items()}
+    return _CACHE[key]
+
+
+@register(
+    "ingest_function_nodes",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      ('{UID_MAIN_A}',     'main',        'Internal', '0x401000', CAST(256 AS BIGINT)),
+      ('{UID_HELPER_A}',   'helper',      'Internal', '0x401100', CAST(128 AS BIGINT)),
+      ('{UID_WORKER_A}',   'worker',      'Internal', '0x401200', CAST(-1  AS BIGINT)),
+      ('{UID_EXPORTED_A}', 'exported_fn', 'Export',   '0x401300', CAST(-1  AS BIGINT)),
+      ('{UID_MAIN_B}',     'main',        'Internal', '0x401000', CAST(64  AS BIGINT)),
+      ('{UID_CREATEFILE}', 'CreateFileA', 'Import',   '',         CAST(-1  AS BIGINT))
+    ) AS t(uid, name, type, address, size)
+    ORDER BY uid
+    """,
+    tags=("ingest",),
+)
+def ingest_function_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E5/E6/E9: function-node upsert across Internal ∪ Import ∪ Export
+    with per-binary and global UID scopes."""
+    return graph_tables(spark)["functions"].orderBy("uid")
+
+
+@register(
+    "ingest_call_edges",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      ('{UID_MAIN_A}',   '{UID_HELPER_A}',   '0x401010', 'Direct'),
+      ('{UID_MAIN_A}',   '{UID_CREATEFILE}', '0x401020', 'Indirect'),
+      ('{UID_HELPER_A}', '{UID_WORKER_A}',   '0x401110', 'Direct'),
+      ('{UID_WORKER_A}', '{UID_HELPER_A}',   '0x401210', 'Direct'),
+      ('{UID_WORKER_A}', '{UID_WORKER_A}',   '0x401220', 'Tail')
+    ) AS t(src_uid, dst_uid, "offset", call_type)
+    ORDER BY src_uid, dst_uid
+    """,
+    tags=("ingest",),
+)
+def ingest_call_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7/E8: address-map resolution (imports>functions>exports precedence,
+    normalized-then-raw fallback) + CALLS pair-collapse MERGE; unresolved
+    rows skipped."""
+    return graph_tables(spark)["calls"].orderBy("src_uid", "dst_uid")
+
+
+@register(
+    "ingest_string_nodes",
+    oracle="""
+    SELECT 'str:' || sha256(v) AS uid, v AS value
+    FROM (VALUES ('Pay Bitcoin'), ('hello'), ('barestr')) AS t(v)
+    ORDER BY uid
+    """,
+    tags=("ingest",),
+)
+def ingest_string_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/E11: NUL-trim + sha256 string UIDs, object-or-bare-string items,
+    global dedup across binaries."""
+    return graph_tables(spark)["strings"].orderBy("uid")

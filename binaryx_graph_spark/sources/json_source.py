@@ -1,0 +1,112 @@
+"""Analysis-JSON source (reference S1-S3: /root/reference/src/api/client.rs:29-81,
+src/commands/import.rs:106-233).
+
+One JSON document per analyzed binary (format: FIXTURES.md §1,
+/root/reference/README.md:228-280). The reference reads one file per Bolt
+round-trip; here a whole directory is one distributed ``spark.read.json``
+scan — batching (E12) is subsumed by Spark's file partitioning.
+
+Permissive-coalescing quirks reproduced from the reference parser:
+- ``sha256`` or ``SHA256`` key (session.rs:266-269)
+- ``name`` or ``filename`` (session.rs:271-275)
+- ``strings`` items may be objects or bare strings (session.rs:360-366) —
+  read as raw-JSON strings and re-parsed with ``from_json`` so both shapes
+  survive one schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Arrays are read as raw-JSON element strings (strings may be bare scalars;
+# object elements are re-parsed in ingest) — this keeps one permissive
+# schema for heterogeneous inputs.
+ANALYSIS_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "binary_info",
+            T.StructType(
+                [
+                    T.StructField("name", T.StringType()),
+                    T.StructField("filename", T.StringType()),
+                    T.StructField("file_path", T.StringType()),
+                    T.StructField("file_size", T.LongType()),
+                    T.StructField(
+                        "file_type",
+                        T.StructType(
+                            [
+                                T.StructField("type", T.StringType()),
+                                T.StructField("architecture", T.StringType()),
+                            ]
+                        ),
+                    ),
+                    # map, not struct: JSON field resolution is
+                    # case-insensitive, so sha256/SHA256 struct fields
+                    # collide; the map keeps whichever spelling appears
+                    T.StructField("hashes", T.MapType(T.StringType(), T.StringType())),
+                ]
+            ),
+        ),
+        T.StructField("functions", T.ArrayType(T.StringType())),
+        T.StructField("strings", T.ArrayType(T.StringType())),
+        T.StructField("imports", T.ArrayType(T.StringType())),
+        T.StructField("exports", T.ArrayType(T.StringType())),
+        T.StructField("calls", T.ArrayType(T.StringType())),
+    ]
+)
+
+FUNCTION_ITEM = "name STRING, address STRING, size BIGINT"
+STRING_ITEM = "value STRING, address STRING"
+IMPORT_ITEM = "name STRING, address STRING, library STRING"
+EXPORT_ITEM = "name STRING, address STRING"
+CALL_ITEM = "from_address STRING, to_address STRING, offset STRING, type STRING"
+
+
+def read_analysis_json(spark: SparkSession, path: str) -> DataFrame:
+    """Scan analysis JSON (file, directory, or glob) → one row per document,
+    with ``source_file`` and a deterministic ``ingest_seq``.
+
+    ``ingest_seq`` reproduces the reference's file-iteration order for
+    last-write-wins MERGE semantics (SURVEY.md §7.3 #2): dense rank over
+    the lexicographic file name. Scales: computed with a window over
+    file names only (no data shuffle of document bodies — the frame is
+    one row per file).
+    """
+    from pyspark.sql.window import Window
+
+    df = spark.read.json(path, schema=ANALYSIS_SCHEMA, multiLine=True)
+    df = df.withColumn("source_file", F.input_file_name())
+    # Rank only the DISTINCT file names (a narrow frame: one short string
+    # per file), then broadcast the tiny rank map back onto the wide
+    # document rows — avoids a single-partition global sort of full
+    # documents, which would not survive millions of files.
+    w = Window.orderBy("source_file")
+    seq = df.select("source_file").distinct().withColumn("ingest_seq", F.dense_rank().over(w))
+    return df.join(F.broadcast(seq), "source_file")
+
+
+def validate_documents(docs: DataFrame) -> DataFrame:
+    """S3: input validation — collect per-document error arrays
+    (reference: src/api/client.rs:42-81). Returns (source_file, errors)."""
+    checks = [
+        (F.col("binary_info").isNull(), "missing binary_info"),
+        (
+            F.col("binary_info").isNotNull()
+            & F.coalesce(
+                F.col("binary_info.hashes").getItem("sha256"),
+                F.col("binary_info.hashes").getItem("SHA256"),
+            ).isNull(),
+            "missing binary_info.hashes.sha256",
+        ),
+        (
+            F.col("binary_info").isNotNull()
+            & F.coalesce(F.col("binary_info.name"), F.col("binary_info.filename")).isNull(),
+            "missing binary_info.name",
+        ),
+    ]
+    errs = F.array_compact(
+        F.array(*[F.when(cond, F.lit(msg)) for cond, msg in checks])
+    )
+    return docs.select("source_file", errs.alias("errors")).filter(F.size("errors") > 0)

@@ -1,0 +1,130 @@
+"""Parquet warehouse (reference S4-S6: schema init, export, clear —
+/root/reference/src/neo4j/schema.rs:13-76, src/api/client.rs:97-105,
+src/neo4j/connection.rs:169-174).
+
+Layout: one parquet dataset per node/edge table under a root directory.
+Unique constraints (schema.rs:20-29) are dedup invariants enforced by
+:func:`merge_batch`; b-tree indexes are unnecessary (Catalyst pushdown);
+the Lucene fulltext index becomes a derived posting table
+(operators/search.py).
+
+Scale posture: node/edge tables are hash-distributed on their key at
+write time (``repartition(key)``) so later joins/merges co-locate; on a
+real cluster the same code writes bucketed tables.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..model import EDGE_TABLES, NODE_TABLES
+
+ALL_TABLES = {**NODE_TABLES, **EDGE_TABLES}
+
+#: MERGE key per table (FIXTURES.md §2). Tables whose key is the full row
+#: use plain dropDuplicates; keyed tables are last-write-wins.
+MERGE_KEYS = {
+    "binaries": ["hash"],
+    "functions": ["uid"],
+    "strings": ["uid"],
+    "libraries": ["name"],
+    "contains": ["binary_hash", "function_uid"],
+    "imports": ["binary_hash", "function_uid"],
+    "imports_library": ["binary_hash", "library_name"],
+    "belongs_to": ["function_uid", "library_name"],
+    "calls": ["src_uid", "dst_uid"],
+    "contains_string": ["binary_hash", "string_uid", "address"],
+}
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = Path(root)
+
+    def _path(self, table: str) -> str:
+        return str(self.root / table)
+
+    # ------------------------------------------------------------- S6 init
+    def initialize(self) -> None:
+        """Create empty typed tables (the reference's schema init)."""
+        self.root.mkdir(parents=True, exist_ok=True)
+        for name, (schema, _key) in ALL_TABLES.items():
+            if not (self.root / name).exists():
+                empty = self.spark.createDataFrame([], schema)
+                empty.write.mode("overwrite").parquet(self._path(name))
+
+    # ------------------------------------------------------------- S5 clear
+    def clear(self) -> None:
+        """DETACH DELETE everything → drop and recreate empty tables."""
+        if self.root.exists():
+            shutil.rmtree(self.root)
+        self.initialize()
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(table))
+
+    # ------------------------------------------------------ E9/E10 upsert
+    def merge_batch(self, tables: dict[str, DataFrame], batch_seq: int = 1) -> None:
+        """MERGE-upsert a batch into the warehouse: stored rows are seq 0,
+        batch rows seq ``batch_seq``; last-write-wins per MERGE key.
+
+        At scale the window dedup shuffles on the merge key once — the
+        same shuffle MERGE INTO would need; no driver-side loop.
+        """
+        for name, df in tables.items():
+            if name not in MERGE_KEYS:
+                continue
+            keys = MERGE_KEYS[name]
+            path = self._path(name)
+            if Path(path).exists():
+                stored = self.spark.read.parquet(path).withColumn("_seq", F.lit(0))
+                merged = stored.unionByName(df.withColumn("_seq", F.lit(batch_seq)))
+                w = Window.partitionBy(*keys).orderBy(F.desc("_seq"))
+                merged = (
+                    merged.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn", "_seq")
+                )
+            else:
+                merged = df.dropDuplicates(keys)
+            # parquet can't overwrite in place while reading — stage then move
+            tmp = str(self.root / f"_{name}_staging")
+            merged.repartition(*keys).write.mode("overwrite").parquet(tmp)
+            final = Path(path)
+            if final.exists():
+                shutil.rmtree(final)
+            Path(tmp).rename(final)
+
+    # ------------------------------------------------------------ S4 export
+    def export_graph(self, out_path: str) -> DataFrame:
+        """Full-graph export: every node with its outgoing typed edges
+        (the reference's `MATCH (n) OPTIONAL MATCH (n)-[r]->(m)`)."""
+        frames = []
+        edge_ends = {
+            "contains": ("binaries", "hash", "binary_hash", "functions", "uid", "function_uid"),
+            "imports": ("binaries", "hash", "binary_hash", "functions", "uid", "function_uid"),
+            "imports_library": ("binaries", "hash", "binary_hash", "libraries", "name", "library_name"),
+            "belongs_to": ("functions", "uid", "function_uid", "libraries", "name", "library_name"),
+            "calls": ("functions", "uid", "src_uid", "functions", "uid", "dst_uid"),
+            "contains_string": ("binaries", "hash", "binary_hash", "strings", "uid", "string_uid"),
+        }
+        for edge, (_st, _sk, src_col, _dt, _dk, dst_col) in edge_ends.items():
+            e = self.read(edge)
+            frames.append(
+                e.select(
+                    F.col(src_col).alias("src"),
+                    F.lit(edge.upper()).alias("rel_type"),
+                    F.col(dst_col).alias("dst"),
+                )
+            )
+        edges = frames[0]
+        for f in frames[1:]:
+            edges = edges.unionByName(f)
+        edges.write.mode("overwrite").json(out_path)
+        return edges

@@ -1,0 +1,135 @@
+"""Ingest ETL (E1-E12) against the micro-graph fixture — asserts the
+reference's merge/dedup/resolution semantics (SURVEY.md §2.2)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from binaryx_graph_spark.operators.ingest import build_graph_tables
+from binaryx_graph_spark.sources.json_source import read_analysis_json, validate_documents
+from binaryx_graph_spark.sources.warehouse import Warehouse
+
+from .fixtures import (
+    HASH_A,
+    HASH_B,
+    UID_CREATEFILE,
+    UID_EXPORTED_A,
+    UID_HELPER_A,
+    UID_MAIN_A,
+    UID_MAIN_B,
+    UID_WORKER_A,
+    write_fixture,
+)
+
+
+@pytest.fixture(scope="module")
+def tables(spark, tmp_path_factory):
+    d = write_fixture(tmp_path_factory.mktemp("ingest"))
+    docs = read_analysis_json(spark, d)
+    t = build_graph_tables(docs)
+    return {k: v.cache() for k, v in t.items()}
+
+
+def test_validation_passes_fixture(spark, tmp_path_factory):
+    d = write_fixture(tmp_path_factory.mktemp("val"))
+    docs = read_analysis_json(spark, d)
+    assert validate_documents(docs).count() == 0
+
+
+def test_binaries(tables):
+    rows = {r["hash"]: r for r in tables["binaries"].collect()}
+    assert set(rows) == {HASH_A, HASH_B}
+    assert rows[HASH_A]["format"] == "PE"
+    assert rows[HASH_A]["filename"] == "mal_a.exe"
+    assert rows[HASH_B]["format"] == "Elf"  # SHA256 upper-key coalesced too
+    assert rows[HASH_B]["arch"] == "x86_64"
+
+
+def test_function_nodes_and_uids(tables):
+    rows = {r["uid"]: r for r in tables["functions"].collect()}
+    assert set(rows) == {
+        UID_MAIN_A, UID_HELPER_A, UID_WORKER_A, UID_EXPORTED_A, UID_MAIN_B, UID_CREATEFILE,
+    }
+    assert rows[UID_HELPER_A]["address"] == "0x401100"  # bare hex normalized
+    assert rows[UID_WORKER_A]["address"] == "0x401200"  # decimal normalized
+    assert rows[UID_WORKER_A]["size"] == -1  # missing-size sentinel
+    assert rows[UID_CREATEFILE]["type"] == "Import"
+    assert rows[UID_EXPORTED_A]["type"] == "Export"
+    # export at an already-mapped address must NOT clobber the internal node
+    assert rows[UID_MAIN_A]["type"] == "Internal"
+    # same name+address in two binaries → distinct per-binary uids
+    assert UID_MAIN_A != UID_MAIN_B
+
+
+def test_contains_edges(tables):
+    pairs = {(r["binary_hash"], r["function_uid"]) for r in tables["contains"].collect()}
+    assert (HASH_A, UID_MAIN_A) in pairs
+    assert (HASH_B, UID_MAIN_B) in pairs
+    assert len(pairs) == 4  # 3 internal A + 1 internal B
+
+
+def test_import_edges_shared_global_node(tables):
+    imp = {(r["binary_hash"], r["function_uid"]): r["address"] for r in tables["imports"].collect()}
+    # both binaries import the SAME global node, different IAT addresses
+    assert imp[(HASH_A, UID_CREATEFILE)] == "0x405000"
+    assert imp[(HASH_B, UID_CREATEFILE)] == "0x404000"
+    libs = {r["name"] for r in tables["libraries"].collect()}
+    assert libs == {"kernel32"}  # lowercased, deduped across binaries
+    bt = {(r["function_uid"], r["library_name"]) for r in tables["belongs_to"].collect()}
+    assert bt == {(UID_CREATEFILE, "kernel32")}
+
+
+def test_strings_nul_trim_and_bare(tables):
+    vals = {r["value"] for r in tables["strings"].collect()}
+    assert vals == {"Pay Bitcoin", "hello", "barestr"}  # NUL trimmed, bare kept
+    cs = tables["contains_string"].collect()
+    assert len(cs) == 4  # A: bitcoin+hello+barestr, B: bitcoin
+    by_hash = {}
+    for r in cs:
+        by_hash.setdefault(r["binary_hash"], set()).add(r["string_uid"])
+    # "Pay Bitcoin" is one global node contained by both binaries
+    shared = by_hash[HASH_A] & by_hash[HASH_B]
+    assert len(shared) == 1
+
+
+def test_call_resolution(tables):
+    edges = {(r["src_uid"], r["dst_uid"]): r for r in tables["calls"].collect()}
+    assert set(edges) == {
+        (UID_MAIN_A, UID_HELPER_A),
+        (UID_MAIN_A, UID_CREATEFILE),  # resolved through IAT address
+        (UID_HELPER_A, UID_WORKER_A),
+        (UID_WORKER_A, UID_HELPER_A),
+        (UID_WORKER_A, UID_WORKER_A),  # direct recursion self-loop
+    }
+    assert edges[(UID_MAIN_A, UID_CREATEFILE)]["call_type"] == "Indirect"  # case-folded
+    assert edges[(UID_WORKER_A, UID_HELPER_A)]["call_type"] == "Direct"  # bogus → default
+    assert edges[(UID_WORKER_A, UID_WORKER_A)]["call_type"] == "Tail"
+    assert edges[(UID_HELPER_A, UID_WORKER_A)]["call_type"] == "Direct"  # missing → default
+    # offsets stored raw
+    assert edges[(UID_MAIN_A, UID_HELPER_A)]["offset"] == "0x401010"
+
+
+def test_unresolved_calls_skipped_and_counted(tables):
+    stats = {r["binary_hash"]: r for r in tables["import_stats"].collect()}
+    assert stats[HASH_A]["calls_total"] == 6
+    assert stats[HASH_A]["calls_skipped"] == 1  # 0x999999 source unmapped
+
+
+def test_warehouse_merge_idempotent(spark, tables, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("wh") / "warehouse")
+    wh = Warehouse(spark, root)
+    wh.initialize()
+    core = {k: v for k, v in tables.items() if k != "import_stats"}
+    wh.merge_batch(core, batch_seq=1)
+    n1 = {t: wh.read(t).count() for t in core}
+    # re-merge the same batch → MERGE semantics keep counts identical
+    wh.merge_batch(core, batch_seq=2)
+    n2 = {t: wh.read(t).count() for t in core}
+    assert n1 == n2
+    assert n1["functions"] == 6
+    assert n1["calls"] == 5
