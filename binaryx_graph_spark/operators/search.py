@@ -1,0 +1,258 @@
+"""Search operators (SURVEY.md §2.3 F1-F4 + §2.4 T1-T5).
+
+The reference's string search is a Lucene fulltext index inside Neo4j
+(`db.index.fulltext.queryNodes`, /root/reference/src/neo4j/importer.rs:378-429)
+fed by a driver-side query builder (/root/reference/src/commands/query.rs:98-136).
+Here the index is unnecessary for correctness — predicates push down to the
+parquet scan — and a derived posting table covers index-style workloads.
+
+Scoring: Lucene's BM25 is not reproducible bit-for-bit (SURVEY.md §7.3 #6);
+we define a deterministic, SQL-expressible score:
+
+    score(value, tokens) = Σ_tok occurrences(lower(value), tok)
+
+(total case-insensitive substring occurrence count — a pure-TF proxy;
+ordering is the observable, and ties break on the sort key.)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ T1 + T2
+
+LUCENE_SPECIALS = set('+-&|!(){}[]^"~*?:\\/')
+
+
+def escape_lucene(term: str) -> str:
+    """T1: escape Lucene specials (query.rs:98-111). Driver-side."""
+    return "".join(("\\" + ch) if ch in LUCENE_SPECIALS else ch for ch in term)
+
+
+def default_query_tokens(pattern: str) -> list[str]:
+    """T2: trim + whitespace-split; each token is matched `*tok*` and all
+    tokens are ANDed; empty pattern → match-all (query.rs:113-136)."""
+    return [t for t in pattern.strip().split() if t]
+
+
+def tokens_predicate(col: Column, tokens: list[str]) -> Column:
+    """Every token must appear as a case-insensitive substring.
+    Empty token list → match-all (F3 semantics, query.rs:115-117)."""
+    pred = F.lit(True)
+    for tok in tokens:
+        pred = pred & F.lower(col).contains(tok.lower())
+    return pred
+
+
+def occurrences(col: Column, token: str) -> Column:
+    """Case-insensitive substring occurrence count — pure Column math:
+    (len(v) - len(remove(v, tok))) / len(tok)."""
+    lv = F.lower(col)
+    lt = token.lower()
+    return (F.length(lv) - F.length(F.replace(lv, F.lit(lt), F.lit("")))) / F.lit(len(lt))
+
+
+def score_expr(col: Column, tokens: list[str]) -> Column:
+    """Deterministic relevance: total occurrence count over all tokens."""
+    if not tokens:
+        return F.lit(0.0)
+    s = occurrences(col, tokens[0])
+    for tok in tokens[1:]:
+        s = s + occurrences(col, tok)
+    return s.cast("double")
+
+
+def sql_score(expr: str, tokens: list[str]) -> str:
+    """DuckDB twin of :func:`score_expr` — keep in sync."""
+    if not tokens:
+        return "0.0"
+    parts = [
+        f"(length(lower({expr})) - length(replace(lower({expr}), '{t.lower()}', '')))"
+        f" / {len(t)}"
+        for t in tokens
+    ]
+    return "CAST(" + " + ".join(parts) + " AS DOUBLE)"
+
+
+# ----------------------------------------------------------------------- T3
+
+_TOKEN_RE = re.compile(r'\s*(\(|\)|AND\b|OR\b|NOT\b|"[^"]*"|[^\s()]+)', re.IGNORECASE)
+
+
+class RawQueryParser:
+    """T3: minimal Lucene-subset parser for ``--raw`` mode
+    (query.rs:206-210; README.md:89). Supported subset (documented
+    divergence — full Lucene is out of scope):
+
+    - ``AND`` / ``OR`` / ``NOT`` (left-assoc; AND binds tighter than OR)
+    - parentheses
+    - ``"quoted phrase"`` → case-insensitive substring
+    - ``term`` → case-insensitive substring; ``*`` wildcards inside a term
+      map to SQL ``LIKE %``
+    - implicit adjacency = AND
+
+    Divergence from Lucene: ``NOT`` binds to the following clause within
+    its AND-chain (``a OR b NOT c`` = ``a OR (b AND NOT c)``), whereas a
+    Lucene BooleanQuery applies MUST_NOT at the whole-query level
+    (``(a OR b) AND NOT c``). Parenthesize to force either reading.
+    """
+
+    def __init__(self, pattern: str):
+        self.tokens = [m.group(1) for m in _TOKEN_RE.finditer(pattern)]
+        self.pos = 0
+
+    def _peek(self) -> str | None:
+        return self.tokens[self.pos] if self.pos < len(self.tokens) else None
+
+    def _next(self) -> str:
+        tok = self.tokens[self.pos]
+        self.pos += 1
+        return tok
+
+    def parse(self, col: Column) -> Column:
+        if not self.tokens:
+            return F.lit(True)
+        out = self._or(col)
+        return out
+
+    def _or(self, col: Column) -> Column:
+        left = self._and(col)
+        while self._peek() and self._peek().upper() == "OR":
+            self._next()
+            left = left | self._and(col)
+        return left
+
+    def _and(self, col: Column) -> Column:
+        left = self._unary(col)
+        while True:
+            nxt = self._peek()
+            if nxt is None or nxt.upper() == "OR" or nxt == ")":
+                return left
+            if nxt.upper() == "AND":
+                self._next()
+                nxt = self._peek()
+                if nxt is None:
+                    return left
+            left = left & self._unary(col)
+
+    def _unary(self, col: Column) -> Column:
+        tok = self._peek()
+        if tok is not None and tok.upper() == "NOT":
+            self._next()
+            return ~self._unary(col)
+        return self._primary(col)
+
+    def _primary(self, col: Column) -> Column:
+        tok = self._next()
+        if tok == "(":
+            inner = self._or(col)
+            if self._peek() == ")":
+                self._next()
+            return inner
+        if tok.startswith('"') and tok.endswith('"'):
+            return F.lower(col).contains(tok[1:-1].lower())
+        if "*" in tok:
+            # wildcard term → LIKE with % (escape SQL specials first)
+            body = tok.lower().replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+            return F.lower(col).like("%" + body.replace("*", "%") + "%")
+        return F.lower(col).contains(tok.lower())
+
+
+def raw_query_predicate(col: Column, pattern: str) -> Column:
+    return RawQueryParser(pattern).parse(col)
+
+
+# ----------------------------------------------------------------------- T4
+
+def search_strings(
+    strings: DataFrame,
+    contains_string: DataFrame,
+    pattern: str,
+    *,
+    raw: bool = False,
+    binary_filter: str | None = None,
+    binaries: DataFrame | None = None,
+    limit: int = 100,
+) -> DataFrame:
+    """T4: fulltext search + relevance + per-string distinct-binary count
+    (importer.rs:378-429). Returns (uid, value, score, sample_count).
+
+    ``binary_filter`` restricts to binaries whose filename contains it or
+    whose hash equals it (needs ``binaries``).
+    """
+    if raw:
+        pred = raw_query_predicate(F.col("value"), pattern)
+        tokens = [t.strip('"') for t in default_query_tokens(pattern) if t.upper() not in ("AND", "OR", "NOT") and t not in ("(", ")")]
+    else:
+        tokens = default_query_tokens(pattern)
+        pred = tokens_predicate(F.col("value"), tokens)
+
+    hits = strings.filter(pred)
+    cs = contains_string
+    if binary_filter is not None and binaries is not None:
+        b = binaries.filter(
+            F.col("filename").contains(binary_filter) | (F.col("hash") == binary_filter)
+        ).select(F.col("hash").alias("binary_hash"))
+        cs = cs.join(F.broadcast(b), "binary_hash", "left_semi")
+
+    joined = hits.join(cs, hits.uid == cs.string_uid)
+    return (
+        joined.groupBy("uid", "value")
+        .agg(F.countDistinct("binary_hash").alias("sample_count"))
+        .withColumn("score", score_expr(F.col("value"), tokens))
+        .select("uid", "value", "score", "sample_count")
+        .orderBy(F.desc("score"), "uid")
+        .limit(limit)
+    )
+
+
+# ----------------------------------------------------------------------- F1
+
+def search_functions(
+    functions: DataFrame,
+    contains: DataFrame,
+    imports: DataFrame,
+    pattern: str,
+    *,
+    binary_filter: str | None = None,
+    binaries: DataFrame | None = None,
+    limit: int = 100,
+) -> DataFrame:
+    """F1: `name CONTAINS p OR uid CONTAINS p`, optional binary scope,
+    effective limit = min(100, limit) — the reference hard-codes LIMIT 100
+    in Cypher and takes `limit` client-side (importer.rs:322-376,
+    query.rs:155). Empty pattern matches everything (F3)."""
+    pred = (
+        F.lit(True)
+        if pattern == ""
+        else F.col("name").contains(pattern) | F.col("uid").contains(pattern)
+    )
+    out = functions.filter(pred)
+    if binary_filter is not None and binaries is not None:
+        b = binaries.filter(
+            F.col("filename").contains(binary_filter) | (F.col("hash") == binary_filter)
+        ).select(F.col("hash").alias("binary_hash"))
+        membership = (
+            contains.select("binary_hash", "function_uid")
+            .unionByName(imports.select("binary_hash", "function_uid"))
+            .join(F.broadcast(b), "binary_hash", "left_semi")
+            .select(F.col("function_uid").alias("uid"))
+        )
+        out = out.join(membership, "uid", "left_semi")
+    return out.orderBy("uid").limit(min(100, limit))
+
+
+# ---------------------------------------------------- posting table (index)
+
+def build_posting_table(text_df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Derived inverted index: (term, id, tf) — whitespace-tokenized,
+    lowercased (the engine's stand-in for the reference's Lucene index,
+    schema.rs:51). Distributed build: explode + groupBy, no driver data."""
+    toks = text_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    return toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))

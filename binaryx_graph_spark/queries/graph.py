@@ -1,1 +1,285 @@
-"""Placeholder — queries land in a later milestone."""
+"""Graph traversal queries (SURVEY.md §2.6-2.7) for the correctness gate.
+
+Two oracle strategies:
+- micro-graph fixture → static VALUES oracles (exact reference invariants
+  from FIXTURES.md §3)
+- derived testdata graph → DuckDB **recursive CTE** oracles, so BFS /
+  path enumeration / cycle detection are independently recomputed by the
+  oracle engine at every scale factor
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.traverse import (
+    call_sequences,
+    direct_recursion,
+    enumerate_paths,
+    indirect_recursion,
+    reachable,
+)
+from ..plans.graph_project import SQL_EDGES, as_call_tables, derived_edges
+from ..registry import register
+from .ingest_demo import graph_tables
+from ..fixtures.micro_graph import (
+    HASH_A,
+    UID_CREATEFILE,
+    UID_HELPER_A,
+    UID_MAIN_A,
+    UID_WORKER_A,
+)
+
+
+def _members_of(tables, binary_hash: str) -> DataFrame:
+    """J2 member set: functions CONTAINed by or IMPORTed into a binary
+    (the `[:CONTAINS|IMPORTS]` union, importer.rs:329/479)."""
+    c = tables["contains"].filter(F.col("binary_hash") == binary_hash).select(
+        F.col("function_uid").alias("uid")
+    )
+    i = tables["imports"].filter(F.col("binary_hash") == binary_hash).select(
+        F.col("function_uid").alias("uid")
+    )
+    return c.unionByName(i).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Micro-graph: exact reference invariants (VALUES oracles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mg_callgraph_callees",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      ('{UID_HELPER_A}',   1),
+      ('{UID_CREATEFILE}', 1),
+      ('{UID_WORKER_A}',   2)
+    ) AS t(uid, depth) ORDER BY depth, uid
+    """,
+    tags=("graph",),
+)
+def mg_callgraph_callees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: callees of main(A) to depth 3, scoped to binary A
+    (importer.rs:471-511)."""
+    t = graph_tables(spark)
+    seeds = t["functions"].filter(F.col("uid") == UID_MAIN_A).select("uid")
+    return reachable(
+        t["calls"], seeds, direction="out", max_depth=3, members=_members_of(t, HASH_A)
+    ).orderBy("depth", "uid")
+
+
+@register(
+    "mg_callgraph_callers",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      ('{UID_MAIN_A}',   1),
+      ('{UID_WORKER_A}', 1),
+      ('{UID_HELPER_A}', 2)
+    ) AS t(uid, depth) ORDER BY depth, uid
+    """,
+    tags=("graph",),
+)
+def mg_callgraph_callers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: callers reaching helper(A) within 2 hops — includes helper
+    itself via the helper→worker→helper cycle (importer.rs:513-549)."""
+    t = graph_tables(spark)
+    seeds = t["functions"].filter(F.col("uid") == UID_HELPER_A).select("uid")
+    return reachable(t["calls"], seeds, direction="in", max_depth=2).orderBy("depth", "uid")
+
+
+@register(
+    "mg_paths_from_main",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('main→helper',               1),
+      ('main→CreateFileA',          1),
+      ('main→helper→worker',        2),
+      ('main→helper→worker→helper', 3),
+      ('main→helper→worker→worker', 3)
+    ) AS t(path, path_length) ORDER BY path_length, path
+    """,
+    tags=("graph",),
+)
+def mg_paths_from_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: ALL paths 1..3 from main(A) — prefixes included, no repeated
+    relationship, cycles revisit nodes (call_path_analyzer.rs:20-110)."""
+    t = graph_tables(spark)
+    seeds = t["functions"].filter(F.col("uid") == UID_MAIN_A).select("uid")
+    paths = enumerate_paths(t["calls"], t["functions"], seeds, direction="out", max_depth=3)
+    return paths.select(
+        F.concat_ws("→", "node_names").alias("path"), "path_length"
+    ).orderBy("path_length", "path")
+
+
+@register(
+    "mg_upward_chains",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('main→helper',          1),
+      ('worker→helper',        1),
+      ('helper→worker→helper', 2),
+      ('worker→worker→helper', 2)
+    ) AS t(chain, chain_length) ORDER BY chain_length, chain
+    """,
+    tags=("graph",),
+)
+def mg_upward_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: upward call chains INTO helper(A), depth ≤2, displayed
+    caller-first (call_path_analyzer.rs:334-430)."""
+    t = graph_tables(spark)
+    seeds = t["functions"].filter(F.col("uid") == UID_HELPER_A).select("uid")
+    paths = enumerate_paths(t["calls"], t["functions"], seeds, direction="in", max_depth=2)
+    return paths.select(
+        F.concat_ws("→", F.reverse("node_names")).alias("chain"),
+        F.col("path_length").alias("chain_length"),
+    ).orderBy("chain_length", "chain")
+
+
+@register(
+    "mg_direct_recursion",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      ('{UID_WORKER_A}', 'worker', '0x401220', 'Tail')
+    ) AS t(uid, name, "offset", call_type)
+    """,
+    tags=("graph",),
+)
+def mg_direct_recursion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: direct self-loop recursion (call_path_analyzer.rs:253-290)."""
+    t = graph_tables(spark)
+    return direct_recursion(t["calls"], t["functions"])
+
+
+@register(
+    "mg_indirect_recursion",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      ('{UID_HELPER_A}', 2),
+      ('{UID_WORKER_A}', 2)
+    ) AS t(uid, cycle_length) ORDER BY uid
+    """,
+    tags=("graph",),
+)
+def mg_indirect_recursion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: shortest cycle ≥2 per function, bound 10
+    (call_path_analyzer.rs:292-331)."""
+    t = graph_tables(spark)
+    seeds = t["functions"].filter(F.col("type") == "Internal").select("uid")
+    return indirect_recursion(t["calls"], seeds, max_depth=10).orderBy("uid")
+
+
+@register(
+    "mg_call_sequences",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      ('{UID_MAIN_A}', '{UID_HELPER_A}',   'helper',      '0x401010', 'Direct',   1),
+      ('{UID_MAIN_A}', '{UID_CREATEFILE}', 'CreateFileA', '0x401020', 'Indirect', 2)
+    ) AS t(function_uid, peer_uid, peer_name, "offset", call_type, "order")
+    ORDER BY "order"
+    """,
+    tags=("graph",),
+)
+def mg_call_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: execution-order call sequence of main(A) — lexicographic RAW
+    offset sort + order counter (call_path_analyzer.rs:196-251)."""
+    t = graph_tables(spark)
+    return call_sequences(
+        t["calls"], t["functions"], F.col("uid") == UID_MAIN_A, direction="out"
+    ).orderBy("order")
+
+
+# ---------------------------------------------------------------------------
+# Derived testdata graph: recursive-CTE oracles (scale with sf)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_reachability",
+    oracle=f"""
+    WITH RECURSIVE
+    edges AS ({SQL_EDGES}),
+    walk(uid, depth) AS (
+      SELECT CAST(35 AS BIGINT), 0
+      UNION
+      SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.uid
+      WHERE w.depth < 4
+    )
+    SELECT uid, CAST(min(depth) AS INTEGER) AS depth
+    FROM walk WHERE depth > 0 GROUP BY uid
+    ORDER BY depth, uid
+    """,
+    tags=("graph", "headline"),
+)
+def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 at scale: min-hop BFS to depth 4 over the derived graph; the
+    oracle recomputes it with a recursive CTE."""
+    calls, nodes = as_call_tables(derived_edges(spark, sf_dir))
+    seeds = spark.createDataFrame([("35",)], "uid string")
+    out = reachable(calls, seeds, direction="out", max_depth=4)
+    return out.select(F.col("uid").cast("long").alias("uid"), "depth").orderBy("depth", "uid")
+
+
+@register(
+    "graph_path_enumeration",
+    oracle=f"""
+    WITH RECURSIVE
+    edges AS ({SQL_EDGES}),
+    paths(end_uid, path, eids, len) AS (
+      SELECT CAST(35 AS BIGINT), '35', CAST([] AS VARCHAR[]), 0
+      UNION ALL
+      SELECT e.dst,
+             p.path || '→' || CAST(e.dst AS VARCHAR),
+             list_append(p.eids, CAST(e.src AS VARCHAR) || '→' || CAST(e.dst AS VARCHAR)),
+             p.len + 1
+      FROM paths p JOIN edges e ON e.src = p.end_uid
+      WHERE p.len < 3
+        AND NOT list_contains(p.eids, CAST(e.src AS VARCHAR) || '→' || CAST(e.dst AS VARCHAR))
+    )
+    SELECT path, CAST(len AS INTEGER) AS path_length
+    FROM paths WHERE len > 0
+    ORDER BY path
+    """,
+    tags=("graph",),
+)
+def graph_path_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 at scale: all relationship-unique paths 1..3 from node 35; the
+    oracle re-enumerates them with a recursive CTE carrying edge lists."""
+    calls, nodes = as_call_tables(derived_edges(spark, sf_dir))
+    seeds = spark.createDataFrame([("35",)], "uid string")
+    paths = enumerate_paths(calls, nodes, seeds, direction="out", max_depth=3)
+    return paths.select(
+        F.concat_ws("→", "node_names").alias("path"), "path_length"
+    ).orderBy("path")
+
+
+@register(
+    "graph_cycle_detection",
+    oracle=f"""
+    WITH RECURSIVE
+    edges AS ({SQL_EDGES}),
+    walk(origin, cur, depth) AS (
+      SELECT src, src, 0 FROM (SELECT DISTINCT src FROM edges WHERE src % 20 = 0)
+      UNION
+      SELECT w.origin, e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.cur
+      WHERE w.depth < 6
+    )
+    SELECT origin AS uid, CAST(min(depth) AS INTEGER) AS cycle_length
+    FROM walk WHERE cur = origin AND depth >= 2
+    GROUP BY origin
+    ORDER BY uid
+    """,
+    tags=("graph",),
+)
+def graph_cycle_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 at scale: shortest cycle (2..6) back to each seed node; oracle
+    via recursive CTE over (origin, current) pairs."""
+    edges = derived_edges(spark, sf_dir)
+    calls, _nodes = as_call_tables(edges)
+    seeds = (
+        edges.select("src").distinct().filter(F.col("src") % 20 == 0)
+        .select(F.col("src").cast("string").alias("uid"))
+    )
+    out = indirect_recursion(calls, seeds, max_depth=6)
+    return out.select(F.col("uid").cast("long").alias("uid"), "cycle_length").orderBy("uid")
