@@ -1,0 +1,238 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram Jaccard, MinHash+LSH, SimHash. (North-star surface; each has a
+DuckDB twin for the correctness gate.)
+
+Scale design (100 TB posture):
+- exact dedup: one hash-groupBy — the cheapest possible shuffle (64-hex
+  key), partial agg map-side
+- Jaccard: shingle explode + self-join — pair blowup bounded by shingle
+  selectivity (word n-grams, not unigrams); at real scale ALWAYS behind
+  the MinHash/LSH prefilter
+- MinHash/LSH: K signature mins in ONE aggregation pass (no K-way
+  explode), banding → candidate pairs via band-equality join (shuffle on
+  band hash), exact Jaccard verify only on candidates
+- SimHash: B bit-sums in one pass, near-dup via banded hamming join
+
+Hash functions are sha256-based so Spark and DuckDB agree bit-for-bit:
+  minhash_k(doc)  = MIN over shingles of sha256(k || ':' || shingle)
+  simhash bit b   = sign of Σ_tokens tf · (2·parity(hex digit b of
+                    sha256(token)) - 1)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import SQL_TOKENS, shingles, sql_shingles, tokens
+
+# ------------------------------------------------------------------- exact
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, key: Column) -> DataFrame:
+    """Group documents by a content hash; returns
+    (content_hash, n_docs, canonical_id=min id)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.sha2(key, 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+    )
+
+
+# ----------------------------------------------------------- n-gram Jaccard
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All document pairs with shingle-set Jaccard ≥ threshold →
+    (doc_a, doc_b, n_common, n_a, n_b, jaccard), doc_a < doc_b.
+
+    Exact: |A∩B| via shingle join, |A∪B| = |A|+|B|-|A∩B| — all integer
+    counts, one final division (bit-identical to the SQL twin)."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+
+
+def sql_jaccard_pairs(table: str, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.5) -> str:
+    sh = sql_shingles(text_col, n)
+    return f"""
+    WITH sh AS (
+      SELECT {id_col} AS doc_id, u.sh AS sh
+      FROM {table}, unnest(list_distinct({sh})) AS u(sh)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+    """
+
+
+# ------------------------------------------------------------- MinHash/LSH
+
+N_HASHES = 12
+N_BANDS = 4  # 3 rows per band
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *, n: int = 3) -> DataFrame:
+    """K MinHash signature values per document, computed in ONE
+    aggregation pass over the exploded shingles (no K-fold data blowup):
+    sig_k = min(sha256(k:shingle)). → (doc_id, sig_0 … sig_{K-1})"""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+    )
+    aggs = [
+        F.min(F.sha2(F.concat(F.lit(f"{k}:"), F.col("sh")), 256)).alias(f"sig_{k}")
+        for k in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame) -> DataFrame:
+    """Band hashes: band_b = sha256(sig_{3b} ‖ sig_{3b+1} ‖ sig_{3b+2}).
+    → (doc_id, band_id, band_hash)"""
+    rows_per_band = N_HASHES // N_BANDS
+    bands = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_id"), F.sha2(F.concat(*cols), 256).alias("band_hash"))
+        )
+    return sigs.select("doc_id", F.explode(F.array(*bands)).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_hash"
+    )
+
+
+def minhash_near_dup(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: candidate pairs share ≥1 band;
+    candidates are verified with exact Jaccard. At scale only candidates
+    (a tiny fraction of all pairs) pay the verify join."""
+    sigs = minhash_signatures(df, id_col, text_col, n=n)
+    bands = lsh_bands(sigs)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_id", "band_hash"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    return exact.join(cand, ["doc_a", "doc_b"], "left_semi")
+
+
+def sql_minhash_near_dup(table: str, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.5) -> str:
+    sh = sql_shingles(text_col, n)
+    sig_cols = ",\n        ".join(
+        f"min(sha256('{k}:' || u.sh)) AS sig_{k}" for k in range(N_HASHES)
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, sha256({concat}) AS band_hash FROM sigs".format(
+            b=b,
+            concat=" || ".join(f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT {id_col} AS doc_id, u.sh AS sh
+      FROM {table}, unnest(list_distinct({sh})) AS u(sh)
+    ),
+    sigs AS (SELECT doc_id, {sig_cols} FROM sh u GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a AS doc_a, i.doc_b AS doc_b, i.n_common AS n_common,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
+    FROM inter i
+      JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_common) >= {threshold}
+    """
+
+
+# ----------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 32
+_HEXPOS = "0123456789abcdef"
+
+
+def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash as a '0'/'1' bitstring column (string avoids 64-bit
+    unsigned pitfalls across engines). One expression per bit over the
+    token multiset — a single projection, no shuffle.
+
+    Bit b's ±1 contribution per token is the parity of hex digit b of
+    sha256(token): Spark computes it via base conversion, DuckDB via
+    strpos over the hex alphabet — same value (sha256 hex is lowercase
+    in both engines)."""
+    toks = tokens(col)
+    def bit_contrib(b: int):
+        def fold(acc, t):
+            parity = F.conv(F.substring(F.sha2(t, 256), b, 1), 16, 10).cast("int") % 2
+            return acc + (2 * parity - 1)
+
+        return fold
+
+    bit_exprs = []
+    for b in range(1, bits + 1):
+        contrib = F.aggregate(toks, F.lit(0).cast("long"), bit_contrib(b))
+        bit_exprs.append(F.when(contrib > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bit_exprs)
+
+
+def sql_simhash(col: str, bits: int = SIMHASH_BITS) -> str:
+    toks = SQL_TOKENS.format(col=col)
+    parts = []
+    for b in range(1, bits + 1):
+        contrib = (
+            f"list_sum(list_transform({toks}, t -> "
+            f"2 * ((strpos('{_HEXPOS}', substr(sha256(t), {b}, 1)) - 1) % 2) - 1))"
+        )
+        parts.append(f"CASE WHEN {contrib} > 0 THEN '1' ELSE '0' END")
+    return " || ".join(parts)

@@ -1,0 +1,138 @@
+"""Multimodal-column plumbing (north-star surface): image/audio/video as
+opaque ``binary`` columns with typed metadata, processed through
+Arrow-batched ``mapInPandas`` — the shape a 100 TB media pipeline needs.
+
+The container has no image/audio codecs, so the DECODE KERNEL IS A
+DETERMINISTIC FAKE (clearly marked below): it derives plausible metadata
+from a sha256 of the bytes. Everything around it — schema, binary
+encoding, Arrow batch transfer, per-partition batching, feature-vector
+output shape — is real and tested; swapping in PIL/ffmpeg touches only
+the marked lines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media", T.BinaryType(), True),  # opaque payload
+        T.StructField("mime", T.StringType(), True),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize a media table: document text bytes as the opaque
+    payload (binary column plumbing is identical for real media)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """=== DETERMINISTIC FAKE DECODE (no codecs in this container) ===
+    Real impl: PIL.Image.open / soundfile / ffprobe on ``payload``.
+    Fake: metadata from the payload's sha256 so tests are reproducible
+    and the oracle can recompute it."""
+    h = hashlib.sha256(payload).hexdigest()
+    width = 1 + int(h[0:4], 16) % 2048
+    height = 1 + int(h[4:8], 16) % 2048
+    channels = 1 + int(h[8], 16) % 4
+    return width, height, channels
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode over ``mapInPandas``: one pandas batch per
+    partition slice, vectorized columns out — the real pipeline shape."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = [_fake_decode(bytes(b)) for b in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "channels": [m[2] for m in meta],
+                    "n_bytes": [len(bytes(b)) for b in pdf["media"]],
+                }
+            )
+
+    return media.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Deterministic feature vectors (FEATURE_DIM floats from the payload
+    hash) via mapInPandas — stands in for a CLIP/audio embedding model;
+    batch shape and array<float> output schema are the real contract."""
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("features", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for b in pdf["media"]:
+                h = hashlib.sha256(bytes(b)).digest()
+                feats.append([h[i] / 255.0 for i in range(FEATURE_DIM)])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    return media.mapInPandas(batches, schema)
+
+
+def sample_frames(media: DataFrame, *, n_frames: int = 4) -> DataFrame:
+    """Frame sampling for video payloads: split the byte stream into
+    n equal 'frames' (real impl: ffmpeg keyframe extraction) — the
+    explode/one-row-per-frame dataflow is the contract."""
+    video = media.filter(F.col("mime").startswith("video/"))
+    size = F.length("media")
+    idx = F.sequence(F.lit(0), F.lit(n_frames - 1))
+    return (
+        video.select(
+            "media_id",
+            F.explode(idx).alias("frame_no"),
+            size.alias("_sz"),
+            F.col("media"),
+        )
+        .select(
+            "media_id",
+            "frame_no",
+            F.substring(
+                F.col("media"),
+                (F.col("frame_no") * (F.col("_sz") / n_frames).cast("int") + 1),
+                (F.col("_sz") / n_frames).cast("int"),
+            ).alias("frame_bytes"),
+        )
+    )

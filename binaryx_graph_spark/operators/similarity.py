@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (north-star surface):
+brute-force cosine top-k as the exact baseline, sign-LSH bucketing as
+the scale path, all-pairs cosine near-dup for dedup.
+
+Numerical determinism: embeddings are float32; both engines first cast
+to float64 and compute the dot/norm as an IN-ORDER fold over the array
+(Spark ``F.aggregate``, DuckDB ``list_sum∘list_transform∘list_zip``) —
+identical IEEE operation order → bit-identical scores, no rounding
+fudge needed for the oracle hash.
+
+Scale posture (100 TB):
+- brute force is O(N·Q) dots: fine for one query vector, the baseline
+  for recall measurement
+- sign-LSH: bucket = sign-bit string of the first B dimensions (a valid
+  random-hyperplane family for roughly-isotropic embeddings); candidate
+  set = same-bucket rows → the dot-product join touches ~N/2^B rows.
+  On a cluster: repartition by bucket, broadcast the query side.
+- all-pairs near-dup at scale would use the same bucketing as a
+  prefilter (identical shape to MinHash-LSH banding in dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- kernels
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """In-order fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_sq(a: Column) -> Column:
+    return dot(a, a)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return (dot(a, b) / (F.sqrt(norm_sq(a)) * F.sqrt(norm_sq(b)))).cast("double")
+
+
+SQL_DOT = (
+    "list_sum(list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]), x -> x[1] * x[2]))"
+)
+
+
+def sql_cosine(a: str, b: str) -> str:
+    d = SQL_DOT.format(a=a, b=b)
+    na = SQL_DOT.format(a=a, b=a)
+    nb = SQL_DOT.format(a=b, b=b)
+    return f"CAST({d} / (sqrt({na}) * sqrt({nb})) AS DOUBLE)"
+
+
+# ------------------------------------------------------------- operators
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_id: int, *, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Brute-force cosine top-k against one stored vector →
+    (vec_id, cos_sim), excluding the query row, ties broken on id."""
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_id)
+        .select(id_col, cosine(F.col(vec_col), F.col("_qvec")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def sign_bucket(vec_col: Column, bits: int = 8) -> Column:
+    """Sign-LSH bucket id: '1'/'0' per leading dimension's sign."""
+    parts = [
+        F.when(F.element_at(vec_col, i + 1) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(bits)
+    ]
+    return F.concat(*parts)
+
+
+def sql_sign_bucket(vec: str, bits: int = 8) -> str:
+    parts = [f"CASE WHEN {vec}[{i + 1}] > 0 THEN '1' ELSE '0' END" for i in range(bits)]
+    return " || ".join(parts)
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    query_id: int,
+    *,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN variant: only rows in the query's sign-LSH bucket are scored.
+    Approximate by construction — recall vs :func:`cosine_topk` is
+    measured in tests; the candidate-set reduction is the point."""
+    with_bucket = embeddings.withColumn("_bkt", sign_bucket(F.col(vec_col), bits))
+    q = with_bucket.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec"), F.col("_bkt").alias("_qbkt")
+    )
+    return (
+        with_bucket.join(F.broadcast(q), F.col("_bkt") == F.col("_qbkt"))
+        .filter(F.col(id_col) != query_id)
+        .select(id_col, cosine(F.col(vec_col), F.col("_qvec")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine near-duplicates → (id_a, id_b, cos_sim ≥ thr).
+
+    O(N²) dots — correct at test scale; the documented scale path applies
+    :func:`sign_bucket` to both sides first (bucket-equality prefilter)."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

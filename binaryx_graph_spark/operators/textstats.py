@@ -1,0 +1,143 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting. (Beyond the reference surface — BASELINE.json north
+star; designed for 100 TB: every op is a pure Column expression over
+one scan, no UDFs, no shuffles except the final aggregations.)
+
+Every op has an exact DuckDB SQL twin (``sql_*``) kept in sync for the
+correctness gate — integer counts and single in-order divisions, so
+values hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# whitespace tokenization, lowercased — the engine-wide convention
+_TOKEN_SPLIT = r"\s+"
+SQL_TOKENS = "list_filter(regexp_split_to_array(lower({col}), '\\s+'), t -> t <> '')"
+
+#: small English stopword list for the ratio heuristic (public knowledge)
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+
+def tokens(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), _TOKEN_SPLIT), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def unique_token_count(col: Column) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def stopword_count(col: Column) -> Column:
+    toks = tokens(col)
+    return F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+
+
+def sql_token_count(col: str) -> str:
+    return f"len({SQL_TOKENS.format(col=col)})"
+
+
+def sql_unique_token_count(col: str) -> str:
+    return f"len(list_distinct({SQL_TOKENS.format(col=col)}))"
+
+
+def sql_stopword_count(col: str) -> str:
+    in_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"len(list_filter({SQL_TOKENS.format(col=col)}, t -> list_contains([{in_list}], t)))"
+
+
+def quality_metrics(col: Column) -> dict[str, Column]:
+    """Per-document quality signals (all exact-integer based):
+
+    - n_tokens, n_unique
+    - type_token_ratio  = n_unique / n_tokens        (lexical diversity)
+    - stopword_ratio    = stopwords / n_tokens       (naturalness)
+    - mean_token_len    = (chars - spaces) / n_tokens
+    """
+    n = token_count(col).cast("long")
+    u = unique_token_count(col).cast("long")
+    sw = stopword_count(col).cast("long")
+    charlen = F.aggregate(
+        tokens(col), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return {
+        "n_tokens": n,
+        "n_unique": u,
+        "type_token_ratio": (u / n).cast("double"),
+        "stopword_ratio": (sw / n).cast("double"),
+        "mean_token_len": (charlen / n).cast("double"),
+    }
+
+
+def sql_quality_metrics(col: str) -> dict[str, str]:
+    toks = SQL_TOKENS.format(col=col)
+    n = f"CAST(len({toks}) AS BIGINT)"
+    u = f"CAST(len(list_distinct({toks})) AS BIGINT)"
+    sw = f"CAST({sql_stopword_count(col)} AS BIGINT)"
+    charlen = f"CAST(list_sum(list_transform({toks}, t -> len(t))) AS BIGINT)"
+    return {
+        "n_tokens": n,
+        "n_unique": u,
+        "type_token_ratio": f"CAST({u} AS DOUBLE) / {n}",
+        "stopword_ratio": f"CAST({sw} AS DOUBLE) / {n}",
+        "mean_token_len": f"CAST({charlen} AS DOUBLE) / {n}",
+    }
+
+
+def language_id(col: Column) -> Column:
+    """N-gram-free language heuristic: classify 'en' when the English
+    stopword ratio clears a threshold, else 'und' (ISO 639-3 undetermined).
+    Deterministic; a production pipeline would swap in a trained n-gram
+    profile per language — the dataflow (one scan, one expression) holds."""
+    ratio = stopword_count(col) / token_count(col)
+    return F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("und"))
+
+
+def sql_language_id(col: str) -> str:
+    return (
+        f"CASE WHEN CAST({sql_stopword_count(col)} AS DOUBLE) / {sql_token_count(col)} >= 0.05 "
+        "THEN 'en' ELSE 'und' END"
+    )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined). Empty when fewer than n tokens."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    mk = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
+    return F.when(F.size(toks) >= n, F.transform(idx, mk)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def sql_shingles(col: str, n: int = 3) -> str:
+    # No correlated subquery (DuckDB 1.0 internal-errors on scalar
+    # subqueries inside join conditions): inline the token expression.
+    toks = SQL_TOKENS.format(col=col)
+    parts = " || ' ' || ".join(f"({toks})[i+{j}]" for j in range(n))
+    return f"list_transform(generate_series(1, len({toks})-{n-1}), i -> {parts})"
+
+
+def fingerprint(col: Column, n: int = 3) -> Column:
+    """Winnowing-style document fingerprint: the lexicographic MIN of
+    sha256 over word n-gram shingles (a 1-element MinHash). Documents
+    sharing any minimal shingle collide → cheap near-dup prefilter.
+    Falls back to the full-text hash for very short docs."""
+    sh = shingles(col, n)
+    return F.coalesce(
+        F.array_min(F.transform(sh, lambda s: F.sha2(s, 256))),
+        F.sha2(F.lower(col), 256),
+    )
+
+
+def sql_fingerprint(col: str, n: int = 3) -> str:
+    sh = sql_shingles(col, n)
+    return (
+        f"coalesce(list_min(list_transform({sh}, s -> sha256(s))), sha256(lower({col})))"
+    )

@@ -1,1 +1,245 @@
-"""Placeholder — queries land in a later milestone."""
+"""North-star pipeline queries (beyond the reference surface; BASELINE.json):
+dedup, similarity search, text analysis over documents/embeddings —
+each oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import load_table
+from ..operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_near_dup,
+    simhash,
+    sql_jaccard_pairs,
+    sql_minhash_near_dup,
+    sql_simhash,
+)
+from ..operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    embedding_near_dup,
+    sql_cosine,
+    sql_sign_bucket,
+)
+from ..operators.textstats import (
+    fingerprint,
+    language_id,
+    quality_metrics,
+    sql_fingerprint,
+    sql_language_id,
+    sql_quality_metrics,
+    tokens,
+)
+from ..registry import register
+
+# ------------------------------------------------------------------ dedup
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT content_hash, n_docs, canonical_id
+    FROM (
+      SELECT sha256(list_aggregate(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                               t -> t <> '')[1:5], 'string_agg', ' ')) AS content_hash,
+             count(*) AS n_docs,
+             min(doc_id) AS canonical_id
+      FROM documents
+      GROUP BY 1
+    )
+    WHERE n_docs > 1
+    ORDER BY content_hash
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content-key hash (here: the first-5-token prefix so
+    the synthetic corpus actually has collisions). One hash-groupBy —
+    the minimal-shuffle dedup primitive."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 5))
+    out = exact_dedup_groups(docs, "doc_id", key)
+    return out.filter(F.col("n_docs") > 1).orderBy("content_hash")
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=sql_jaccard_pairs("documents", "doc_id", "text", n=3, threshold=0.5)
+    + " ORDER BY doc_a, doc_b",
+    tags=("dedup", "headline"),
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (word 3-shingle) Jaccard near-dup pairs ≥ 0.5 — exact
+    set-overlap join; the verify stage of any LSH pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=sql_minhash_near_dup("documents", "doc_id", "text", n=3, threshold=0.3)
+    + " ORDER BY doc_a, doc_b",
+    tags=("dedup",),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12) → LSH(4 bands × 3 rows) → exact-Jaccard verify ≥ 0.3.
+    The oracle recomputes the identical sha256-based signature/banding
+    pipeline in SQL — banding false-negatives and all."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup(docs, "doc_id", "text", n=3, threshold=0.3).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_id, {sql_simhash('text')} AS simhash
+    FROM documents
+    WHERE doc_id % 5 = 0
+    ORDER BY doc_id
+    """,
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32) signatures as bitstrings — hamming-banded near-dup is
+    built on these (tests); the signature computation is the hash-heavy
+    part and is verified bit-for-bit here."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return docs.select("doc_id", simhash(F.col("text")).alias("simhash")).orderBy("doc_id")
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {sql_cosine('a.embedding', 'b.embedding')} >= 0.45
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup",),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: the semantic-dedup primitive.
+    In-order float64 folds → bit-identical scores. (Threshold 0.45 —
+    the synthetic embeddings are near-orthogonal, max pairwise ≈ 0.51.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.45).orderBy("id_a", "id_b")
+
+
+# ------------------------------------------------------------- similarity
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    SELECT e.vec_id, {sql_cosine('e.embedding', 'q.embedding')} AS cos_sim
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+    WHERE e.vec_id <> 7
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "headline"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for one stored query vector — the exact
+    ANN baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, 7, k=10)
+
+
+@register(
+    "ann_cosine_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {sql_sign_bucket('embedding', 8)} AS bkt
+      FROM embeddings
+    )
+    SELECT e.vec_id, {sql_cosine('e.embedding', 'q.embedding')} AS cos_sim
+    FROM b e JOIN (SELECT embedding, bkt FROM b WHERE vec_id = 7) q ON e.bkt = q.bkt
+    WHERE e.vec_id <> 7
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("similarity",),
+)
+def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH-bucketed ANN (8 bits → ~1/256 of rows scored). The oracle
+    reproduces the identical bucketing, so the approximation itself is
+    verified; recall vs the exact baseline is measured in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(emb, 7, k=10, bits=8)
+
+
+# ------------------------------------------------------------ text analysis
+
+_QM = sql_quality_metrics("text")
+
+
+@register(
+    "text_quality_metrics",
+    oracle=f"""
+    SELECT doc_id,
+           {_QM['n_tokens']} AS n_tokens,
+           {_QM['n_unique']} AS n_unique,
+           {_QM['type_token_ratio']} AS type_token_ratio,
+           {_QM['stopword_ratio']} AS stopword_ratio,
+           {_QM['mean_token_len']} AS mean_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "headline"),
+)
+def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: token counts, lexical diversity,
+    stopword ratio, mean token length — one scan, pure Column math."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    return docs.select("doc_id", *[v.alias(k) for k, v in m.items()]).orderBy("doc_id")
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    SELECT {sql_language_id('text')} AS lang_pred, count(*) AS n_docs
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("text",),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language heuristic, aggregated."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(language_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+@register(
+    "text_fingerprints",
+    oracle=f"""
+    SELECT fp, count(*) AS n_docs, min(doc_id) AS canonical_id
+    FROM (SELECT doc_id, {sql_fingerprint('text', 3)} AS fp FROM documents)
+    GROUP BY fp
+    HAVING count(*) > 1
+    ORDER BY fp
+    """,
+    tags=("text",),
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprints (min-sha256 over 3-shingles) grouped
+    to find colliding documents — the cheap near-dup prefilter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint(F.col("text"), 3).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fp")
+    )

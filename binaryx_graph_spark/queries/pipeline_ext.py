@@ -1,0 +1,121 @@
+"""Pipeline-extension queries: streaming window aggregation, multimodal
+decode plumbing, sessionization — each oracle-checked (the streaming one
+against its batch-equivalent SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..model import load_table
+from ..operators.multimodal import decode_media, media_from_documents
+from ..registry import register
+from ..streaming.ingest_stream import windowed_event_counts
+
+_HEX = "0123456789abcdef"
+
+
+def _sql_hexval(expr: str, pos: int) -> str:
+    return f"(strpos('{_HEX}', substr({expr}, {pos}, 1)) - 1)"
+
+
+@register(
+    "streaming_window_counts",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("streaming", "headline"),
+)
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: watermarked 1-hour tumbling windows over the
+    events stream, drained with availableNow — the oracle is the batch
+    equivalent, proving stream/batch agreement (north-star §2.12)."""
+    return windowed_event_counts(spark, sf_dir).orderBy("window_start", "event_type")
+
+
+@register(
+    "multimodal_decode",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                           ELSE 'video/mp4' END AS mime,
+           CAST(1 + ({_sql_hexval('h', 1)} * 4096 + {_sql_hexval('h', 2)} * 256
+                     + {_sql_hexval('h', 3)} * 16 + {_sql_hexval('h', 4)}) % 2048 AS INTEGER) AS width,
+           CAST(1 + ({_sql_hexval('h', 5)} * 4096 + {_sql_hexval('h', 6)} * 256
+                     + {_sql_hexval('h', 7)} * 16 + {_sql_hexval('h', 8)}) % 2048 AS INTEGER) AS height,
+           CAST(1 + {_sql_hexval('h', 9)} % 4 AS INTEGER) AS channels,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM (SELECT doc_id, text, sha256(text) AS h FROM documents)
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column media pipeline: encode → Arrow-batched mapInPandas
+    decode (deterministic fake kernel, real plumbing) → typed metadata.
+    The oracle recomputes the fake decode from sha256 in SQL, so the
+    whole binary/Arrow/batching path is hash-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    return decode_media(media).orderBy("media_id")
+
+
+@register(
+    "event_sessionization",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WHERE user_id % 50 = 7
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    tags=("window",),
+)
+def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions via lag + running sum windows
+    (the batch twin of streaming session_window)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 7)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1800 * 1_000_000
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > gap_us, 1
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -50,6 +50,14 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 def load_all() -> dict[str, Query]:
     """Import every query-defining module (side effect: registration)."""
-    from .queries import graph, ingest_demo, north_star, relational, scalars, search  # noqa: F401
+    from .queries import (  # noqa: F401
+        graph,
+        ingest_demo,
+        north_star,
+        pipeline_ext,
+        relational,
+        scalars,
+        search,
+    )
 
     return REGISTRY

@@ -1,0 +1,108 @@
+"""Structured Streaming surface (SURVEY.md §2.12 notes the reference has
+none — its directory batch import, src/commands/import.rs:106-233, is the
+closest analog; north star adds real streaming ops).
+
+Two entry points:
+- :func:`stream_analysis_json` — streaming version of the batch ingest:
+  ``readStream.json(dir)`` → per-micro-batch graph merge via
+  ``foreachBatch`` (exactly-once into the parquet warehouse)
+- :func:`windowed_event_counts` — watermarked tumbling-window aggregation
+  over the events table, runnable to completion on a static directory
+  (memory sink + processAllAvailable) for deterministic testing
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.ingest import build_graph_tables
+from ..sources.json_source import ANALYSIS_SCHEMA
+from ..sources.warehouse import Warehouse
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_analysis_json(spark: SparkSession, input_dir: str, warehouse_root: str):
+    """Streaming graph ingest: each micro-batch runs the SAME batch ETL
+    (build_graph_tables) and MERGEs into the warehouse — foreachBatch
+    gives exactly-once upsert semantics over the idempotent merge."""
+    wh = Warehouse(spark, warehouse_root)
+    wh.initialize()
+
+    docs = (
+        spark.readStream.schema(ANALYSIS_SCHEMA)
+        .option("multiLine", "true")
+        .json(input_dir)
+        .withColumn("source_file", F.input_file_name())
+        .withColumn("ingest_seq", F.lit(1))
+    )
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        tables = build_graph_tables(batch_df)
+        wh.merge_batch(
+            {k: v for k, v in tables.items() if k != "import_stats"},
+            batch_seq=epoch_id + 1,
+        )
+
+    return docs.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
+
+
+def windowed_event_counts(
+    spark: SparkSession, sf_dir: str, *, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type, driven to
+    completion over the static events parquet. Returns a STATIC frame
+    (window_start, event_type, n_events, sum_value_cents) — comparable
+    against a batch oracle.
+
+    The watermark + append sink is the real late-data configuration;
+    ``availableNow`` drains the directory then stops.
+    """
+    sink = f"win_counts_{uuid.uuid4().hex[:8]}"
+    # The streaming file source requires a DIRECTORY; stage the single
+    # parquet file behind a symlink dir (testdata is read-only).
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="bxg_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value_cents",
+    )

@@ -1,0 +1,81 @@
+"""North-star operator behaviors not covered by the SQL oracles:
+LSH recall vs exact baseline, multimodal feature/frame plumbing,
+streaming graph ingest end-to-end."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from binaryx_graph_spark.model import load_table
+from binaryx_graph_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_media,
+    extract_features,
+    media_from_documents,
+    sample_frames,
+)
+from binaryx_graph_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from binaryx_graph_spark.sources.warehouse import Warehouse
+from binaryx_graph_spark.streaming.ingest_stream import stream_analysis_json
+
+from .fixtures import write_fixture
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lsh_candidates_subset_of_brute_force_order(spark):
+    """LSH top-k must be a subset of the full ranking restricted to the
+    bucket — and nonempty on this data."""
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    exact = {r["vec_id"]: r["cos_sim"] for r in cosine_topk(emb, 7, k=n).collect()}
+    approx = cosine_topk_lsh(emb, 7, k=10, bits=4).collect()
+    assert approx, "bucket should contain neighbors at 4 bits"
+    for r in approx:
+        assert r["vec_id"] in exact
+        assert abs(exact[r["vec_id"]] - r["cos_sim"]) < 1e-12
+
+
+def test_multimodal_features_shape(spark):
+    docs = load_table(spark, SF, "documents").limit(20)
+    media = media_from_documents(docs)
+    feats = extract_features(media).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r["features"]) == FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in r["features"])
+
+
+def test_multimodal_decode_deterministic(spark):
+    docs = load_table(spark, SF, "documents").limit(10)
+    media = media_from_documents(docs)
+    a = sorted(map(tuple, decode_media(media).collect()))
+    b = sorted(map(tuple, decode_media(media).collect()))
+    assert a == b
+    for row in a:
+        _id, _mime, w, h, c, n = row
+        assert 1 <= w <= 2048 and 1 <= h <= 2048 and 1 <= c <= 4 and n > 0
+
+
+def test_frame_sampling_covers_payload(spark):
+    docs = load_table(spark, SF, "documents").limit(30)
+    media = media_from_documents(docs)
+    frames = sample_frames(media, n_frames=4)
+    per_media = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert per_media and all(r["n"] == 4 for r in per_media)
+
+
+def test_streaming_graph_ingest_matches_batch(spark, tmp_path_factory):
+    d = write_fixture(tmp_path_factory.mktemp("stream_in"))
+    root = str(tmp_path_factory.mktemp("stream_wh") / "wh")
+    q = stream_analysis_json(spark, d, root)
+    q.awaitTermination()
+    wh = Warehouse(spark, root)
+    assert wh.read("functions").count() == 6
+    assert wh.read("calls").count() == 5
+    assert wh.read("binaries").count() == 2
