@@ -19,14 +19,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from binaryx_graph_spark.registry import load_all
 from binaryx_graph_spark.session import get_spark
 
-# Headline set: chosen to exercise scan+agg, multi-join, window, search,
-# traversal, and the north-star pipeline ops as they land.
+# Headline set: scan+agg, multi-join, window, search, traversal, and the
+# north-star pipeline ops — one per operator family.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
     "window_topk_per_group",
     "distinct_users_per_type",
+    "graph_reachability",
+    "fulltext_search_default",
+    "dedup_jaccard_pairs",
+    "ann_cosine_topk",
+    "text_quality_metrics",
+    "streaming_window_counts",
 ]
 
 

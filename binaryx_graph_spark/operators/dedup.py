@@ -139,9 +139,21 @@ def minhash_near_dup(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: candidate pairs share ≥1 band;
-    candidates are verified with exact Jaccard. At scale only candidates
-    (a tiny fraction of all pairs) pay the verify join."""
-    sigs = minhash_signatures(df, id_col, text_col, n=n)
+    ONLY candidates pay the exact-Jaccard verify join — the all-pairs
+    shingle self-join never happens, which is the entire point of LSH
+    at scale (all-pairs is O(Σ df(shingle)²); candidates are ~linear)."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+    )
+    sh = sh.localCheckpoint(eager=True)  # reused by sigs, sizes, and verify
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    aggs = [
+        F.min(F.sha2(F.concat(F.lit(f"{k}:"), F.col("sh")), 256)).alias(f"sig_{k}")
+        for k in range(N_HASHES)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
     bands = lsh_bands(sigs)
     cand = (
         bands.alias("x")
@@ -150,8 +162,26 @@ def minhash_near_dup(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
-    return exact.join(cand, ["doc_a", "doc_b"], "left_semi")
+    # verify: shingle intersection counted per CANDIDATE pair only —
+    # second join keys on (doc_b, sh) so only matching shingles survive
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
 
 
 def sql_minhash_near_dup(table: str, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.5) -> str:
@@ -212,18 +242,29 @@ def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
     strpos over the hex alphabet — same value (sha256 hex is lowercase
     in both engines)."""
     toks = tokens(col)
-    def bit_contrib(b: int):
-        def fold(acc, t):
-            parity = F.conv(F.substring(F.sha2(t, 256), b, 1), 16, 10).cast("int") % 2
-            return acc + (2 * parity - 1)
+    # One pass, vector-valued fold. HOF lambdas are interpreted (no CSE
+    # across or within lambda bodies), so the layering matters:
+    #   1. hashes:   token → sha256            (1 hash per token, total)
+    #   2. contribs: hash (a BOUND lambda var, not a recomputed expr)
+    #      → array of ±1 per bit
+    #   3. one aggregate folds the contrib vectors with element-wise add
+    # B separate scalar folds would re-hash every token B times.
+    hashes = F.transform(toks, lambda t: F.sha2(t, 256))
 
-        return fold
+    def contrib_vec(h):
+        return F.array(
+            *[
+                2 * (F.conv(F.substring(h, b, 1), 16, 10).cast("int") % 2) - 1
+                for b in range(1, bits + 1)
+            ]
+        )
 
-    bit_exprs = []
-    for b in range(1, bits + 1):
-        contrib = F.aggregate(toks, F.lit(0).cast("long"), bit_contrib(b))
-        bit_exprs.append(F.when(contrib > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bit_exprs)
+    contribs = F.transform(hashes, contrib_vec)
+    zero = F.array_repeat(F.lit(0), bits)
+    sums = F.aggregate(contribs, zero, lambda acc, c: F.zip_with(acc, c, lambda a, b: a + b))
+    return F.array_join(
+        F.transform(sums, lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))), ""
+    )
 
 
 def sql_simhash(col: str, bits: int = SIMHASH_BITS) -> str:

@@ -107,13 +107,19 @@ def sql_language_id(col: str) -> str:
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (space-joined). Empty when fewer than n tokens."""
+    """Word n-gram shingles (space-joined). Empty when fewer than n tokens.
+
+    Built as a zip of n shifted slices rather than per-index
+    ``element_at`` lambdas: higher-order-function lambdas re-evaluate
+    captured expressions per element (no CSE across the lambda
+    boundary), so the element_at formulation re-tokenizes the document
+    O(tokens·n) times — measured 10× slower at sf0.1."""
     toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    mk = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
-    return F.when(F.size(toks) >= n, F.transform(idx, mk)).otherwise(
-        F.array().cast("array<string>")
-    )
+    cnt = F.size(toks) - (n - 1)
+    z = F.slice(toks, 1, cnt)
+    for j in range(1, n):
+        z = F.zip_with(z, F.slice(toks, j + 1, cnt), lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(F.size(toks) >= n, z).otherwise(F.array().cast("array<string>"))
 
 
 def sql_shingles(col: str, n: int = 3) -> str:

@@ -283,3 +283,160 @@ def graph_cycle_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = indirect_recursion(calls, seeds, max_depth=6)
     return out.select(F.col("uid").cast("long").alias("uid"), "cycle_length").orderBy("uid")
+
+
+# ---------------------------------------------------------------------------
+# Remaining reference shapes: G4/G8/G9, O2, F4, A4/A5, fallback rows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mg_caller_sequences",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      ('{UID_HELPER_A}', '{UID_MAIN_A}',   'main',   '0x401010', 'Direct', 1),
+      ('{UID_HELPER_A}', '{UID_WORKER_A}', 'worker', '0x401210', 'Direct', 2)
+    ) AS t(function_uid, peer_uid, peer_name, "offset", call_type, "order")
+    ORDER BY "order"
+    """,
+    tags=("graph",),
+)
+def mg_caller_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: caller sequences — in-edges of helper(A) ordered by raw offset
+    string with an order counter (call_path_analyzer.rs:433-500)."""
+    t = graph_tables(spark)
+    return call_sequences(
+        t["calls"], t["functions"], F.col("uid") == UID_HELPER_A, direction="in"
+    ).orderBy("order")
+
+
+@register(
+    "mg_path_histogram",
+    oracle="""
+    SELECT * FROM (VALUES (1, CAST(2 AS BIGINT)), (2, CAST(1 AS BIGINT)), (3, CAST(2 AS BIGINT)))
+    AS t(path_length, n_paths) ORDER BY path_length
+    """,
+    tags=("graph",),
+)
+def mg_path_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4/A5: depth histogram of enumerated paths (the reference's
+    client-side HashMap count, src/commands/query.rs:442-452)."""
+    t = graph_tables(spark)
+    seeds = t["functions"].filter(F.col("uid") == UID_MAIN_A).select("uid")
+    paths = enumerate_paths(t["calls"], t["functions"], seeds, direction="out", max_depth=3)
+    return (
+        paths.groupBy("path_length")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy("path_length")
+    )
+
+
+@register(
+    "mg_longest_paths_top10",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('main→helper→worker→helper', 3),
+      ('main→helper→worker→worker', 3),
+      ('main→helper→worker',        2),
+      ('main→CreateFileA',          1),
+      ('main→helper',               1)
+    ) AS t(path, path_length) ORDER BY path_length DESC, path
+    """,
+    tags=("graph",),
+)
+def mg_longest_paths_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4/K5: top-10 longest paths, sorted by length desc
+    (src/commands/query.rs:454-458)."""
+    t = graph_tables(spark)
+    seeds = t["functions"].filter(F.col("uid") == UID_MAIN_A).select("uid")
+    paths = enumerate_paths(t["calls"], t["functions"], seeds, direction="out", max_depth=3)
+    return (
+        paths.select(F.concat_ws("→", "node_names").alias("path"), "path_length")
+        .orderBy(F.desc("path_length"), "path")
+        .limit(10)
+    )
+
+
+@register(
+    "mg_enhanced_callgraph",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      ('CreateFileA', CAST(1 AS BIGINT)),
+      ('helper',      CAST(1 AS BIGINT))
+    ) AS t(callee_name, n_calls) ORDER BY callee_name
+    """,
+    tags=("graph",),
+)
+def mg_enhanced_callgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8/A4: call-frequency aggregation per callee of main(A)
+    (call_path_analyzer.rs:166-174). After the pair-collapsing CALLS
+    MERGE the count is per distinct callee (SURVEY.md §7.3 #7 —
+    parallel-edge modeling intentionally not enabled)."""
+    t = graph_tables(spark)
+    callees = t["calls"].filter(F.col("src_uid") == UID_MAIN_A)
+    fn = t["functions"].select(F.col("uid").alias("dst_uid"), F.col("name").alias("callee_name"))
+    return (
+        callees.join(fn, "dst_uid")
+        .groupBy("callee_name")
+        .agg(F.count(F.lit(1)).alias("n_calls"))
+        .orderBy("callee_name")
+    )
+
+
+@register(
+    "mg_paths_fallback",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('CreateFileA', '0x1000', 'Entry', 0)
+    ) AS t(path, address, call_type, path_length)
+    """,
+    tags=("graph",),
+)
+def mg_paths_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 quirk: a function with NO outgoing paths yields one synthetic
+    single-node path with address '0x1000' and call_type 'Entry'
+    (call_path_analyzer.rs:96-107) — replicated exactly."""
+    t = graph_tables(spark)
+    seeds = t["functions"].filter(F.col("uid") == UID_CREATEFILE).select("uid")
+    paths = enumerate_paths(t["calls"], t["functions"], seeds, direction="out", max_depth=3)
+    real = paths.select(
+        F.concat_ws("→", "node_names").alias("path"),
+        F.element_at("node_addresses", -1).alias("address"),
+        F.lit("Call").alias("call_type"),
+        "path_length",
+    )
+    fallback = (
+        seeds.join(paths.select("start_uid").distinct(),
+                   seeds.uid == F.col("start_uid"), "left_anti")
+        .join(t["functions"].select("uid", "name"), "uid")
+        .select(
+            F.col("name").alias("path"),
+            F.lit("0x1000").alias("address"),
+            F.lit("Entry").alias("call_type"),
+            F.lit(0).alias("path_length"),
+        )
+    )
+    return real.unionByName(fallback)
+
+
+@register(
+    "mg_display_projection",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      ('{UID_MAIN_A}', 'aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa'),
+      ('{UID_CREATEFILE}', 'shared')
+    ) AS t(uid, binary_display) ORDER BY uid
+    """,
+    tags=("graph",),
+)
+def mg_display_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: uid → binary-prefix display ('imp:*' → 'shared', else substring
+    to the first ':', src/commands/query.rs:248-257)."""
+    t = graph_tables(spark)
+    fns = t["functions"].filter(F.col("uid").isin(UID_MAIN_A, UID_CREATEFILE))
+    return fns.select(
+        "uid",
+        F.when(F.col("uid").startswith("imp:"), F.lit("shared"))
+        .otherwise(F.substring_index("uid", ":", 1))
+        .alias("binary_display"),
+    ).orderBy("uid")
