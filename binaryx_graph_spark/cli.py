@@ -1,0 +1,234 @@
+"""CLI mirroring the reference's command surface
+(/root/reference/src/cli.rs, src/commands/*): a user of
+`binaryx import|query|db …` can run the same commands here.
+
+    python -m binaryx_graph_spark import json <file> [--validate]
+    python -m binaryx_graph_spark import directory <dir> [--pattern G]
+    python -m binaryx_graph_spark query functions <pattern> [--binary B] [--limit N]
+    python -m binaryx_graph_spark query strings --pattern P [--raw] [--binary B] [--limit N]
+    python -m binaryx_graph_spark query callgraph <fn> [--depth N] [--binary B] [--callers]
+    python -m binaryx_graph_spark query call-path <fn> [--max-depth N] [--show-paths]
+        [--show-sequences] [--show-recursion] [--show-upward] [--show-context]
+    python -m binaryx_graph_spark query xref <address> [--binary B]
+    python -m binaryx_graph_spark db stats|init|clear|export <path>
+
+Warehouse root: --warehouse or $BXG_WAREHOUSE (default ./warehouse).
+Output: --format table|json (table escapes newlines and truncates to 60
+chars — T5, query.rs:230-236).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _truncate_for_table(s: str, width: int = 60) -> str:
+    """T5: escape \\n/\\r, truncate to width (query.rs:230-236)."""
+    s = s.replace("\n", "\\n").replace("\r", "\\r")
+    return s[: width - 3] + "..." if len(s) > width else s
+
+
+def emit(df: DataFrame, fmt: str, limit: int = 1000) -> None:
+    rows = df.limit(limit).collect()
+    if fmt == "json":
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+        return
+    cols = df.columns
+    data = [[_truncate_for_table(str(r[c])) for c in cols] for r in rows]
+    widths = [max([len(c)] + [len(d[i]) for d in data]) for i, c in enumerate(cols)]
+    print(" | ".join(c.ljust(w) for c, w in zip(cols, widths)))
+    print("-+-".join("-" * w for w in widths))
+    for d in data:
+        print(" | ".join(v.ljust(w) for v, w in zip(d, widths)))
+    print(f"({len(rows)} rows)")
+
+
+def _fn_pred(name: str):
+    return (F.col("name") == name) | (F.col("uid") == name)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="binaryx-spark")
+    p.add_argument("--warehouse", default=os.environ.get("BXG_WAREHOUSE", "./warehouse"))
+    p.add_argument("--format", choices=["table", "json"], default="table")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    imp = sub.add_parser("import").add_subparsers(dest="what", required=True)
+    imp_json = imp.add_parser("json")
+    imp_json.add_argument("path")
+    imp_json.add_argument("--validate", action="store_true")
+    imp_dir = imp.add_parser("directory")
+    imp_dir.add_argument("path")
+    imp_dir.add_argument("--pattern", default="*.json")
+    imp_dir.add_argument("--validate", action="store_true")
+
+    q = sub.add_parser("query").add_subparsers(dest="what", required=True)
+    qf = q.add_parser("functions")
+    qf.add_argument("pattern")
+    qf.add_argument("--binary")
+    qf.add_argument("--limit", type=int, default=50)
+    qs = q.add_parser("strings")
+    qs.add_argument("--pattern", default="")
+    qs.add_argument("--raw", action="store_true")
+    qs.add_argument("--binary")
+    qs.add_argument("--limit", type=int, default=100)
+    qc = q.add_parser("callgraph")
+    qc.add_argument("function")
+    qc.add_argument("--depth", type=int, default=1)  # reference default, cli.rs:100
+    qc.add_argument("--binary")
+    qc.add_argument("--callers", action="store_true")
+    qp = q.add_parser("call-path")
+    qp.add_argument("function")
+    qp.add_argument("--max-depth", type=int, default=5)  # cli.rs:128
+    qp.add_argument("--binary")
+    for flag in ("paths", "sequences", "recursion", "upward", "context"):
+        qp.add_argument(f"--show-{flag}", action="store_true")
+    qx = q.add_parser("xref")
+    qx.add_argument("address")
+    qx.add_argument("--binary")
+
+    db = sub.add_parser("db").add_subparsers(dest="what", required=True)
+    db.add_parser("stats")
+    db.add_parser("init")
+    db.add_parser("clear")
+    db_exp = db.add_parser("export")
+    db_exp.add_argument("path")
+
+    args = p.parse_args(argv)
+
+    from .operators.ingest import build_graph_tables
+    from .operators.search import search_functions, search_strings
+    from .operators.traverse import (
+        call_sequences,
+        direct_recursion,
+        enumerate_paths,
+        indirect_recursion,
+        reachable,
+    )
+    from .operators.xref import call_context, global_stats, xref_address
+    from .session import get_spark
+    from .sources.json_source import read_analysis_json, validate_documents
+    from .sources.warehouse import Warehouse
+
+    spark = get_spark("binaryx-cli")
+    wh = Warehouse(spark, args.warehouse)
+
+    def tables():
+        return {
+            name: wh.read(name)
+            for name in [
+                "binaries", "functions", "strings", "libraries", "contains",
+                "imports", "imports_library", "belongs_to", "calls", "contains_string",
+            ]
+        }
+
+    fmt = args.format
+    if args.cmd == "import":
+        path = args.path if args.what == "json" else f"{args.path}/{args.pattern}"
+        docs = read_analysis_json(spark, path)
+        if args.validate:
+            errs = validate_documents(docs)
+            if not errs.isEmpty():
+                emit(errs, fmt)
+                return 2
+        t = build_graph_tables(docs)
+        wh.initialize()
+        wh.merge_batch({k: v for k, v in t.items() if k != "import_stats"})
+        emit(t["import_stats"], fmt)
+        return 0
+
+    if args.cmd == "db":
+        if args.what == "init":
+            wh.initialize()
+            print("initialized")
+        elif args.what == "clear":
+            wh.clear()
+            print("cleared")
+        elif args.what == "stats":
+            emit(global_stats(tables()), fmt)
+        elif args.what == "export":
+            edges = wh.export_graph(args.path)
+            print(f"exported {edges.count()} edges to {args.path}")
+        return 0
+
+    t = tables()
+    if args.what == "functions":
+        emit(
+            search_functions(
+                t["functions"], t["contains"], t["imports"], args.pattern,
+                binary_filter=args.binary, binaries=t["binaries"], limit=args.limit,
+            ),
+            fmt,
+        )
+    elif args.what == "strings":
+        emit(
+            search_strings(
+                t["strings"], t["contains_string"], args.pattern, raw=args.raw,
+                binary_filter=args.binary, binaries=t["binaries"], limit=args.limit,
+            ),
+            fmt,
+        )
+    elif args.what == "callgraph":
+        seeds = t["functions"].filter(_fn_pred(args.function)).select("uid")
+        out = reachable(
+            t["calls"], seeds,
+            direction="in" if args.callers else "out",
+            max_depth=args.depth,
+        )
+        emit(out.join(t["functions"], "uid").orderBy("depth", "uid"), fmt)
+    elif args.what == "call-path":
+        show_all = not any(
+            getattr(args, f"show_{f}") for f in ("paths", "sequences", "recursion", "upward", "context")
+        )  # no flag → show everything (query.rs:427-431)
+        pred = _fn_pred(args.function)
+        seeds = t["functions"].filter(pred).select("uid")
+        if show_all or args.show_paths:
+            paths = enumerate_paths(t["calls"], t["functions"], seeds, max_depth=args.max_depth)
+            print("# paths")
+            emit(
+                paths.select(
+                    F.concat_ws("→", "node_names").alias("path"), "path_length"
+                ).orderBy(F.desc("path_length"), "path").limit(10),
+                fmt,
+            )
+        if show_all or args.show_sequences:
+            print("# sequences")
+            emit(call_sequences(t["calls"], t["functions"], pred).orderBy("order"), fmt)
+        if show_all or args.show_recursion:
+            print("# direct recursion")
+            emit(direct_recursion(t["calls"], t["functions"]).filter(pred), fmt)
+            print("# indirect recursion")
+            emit(indirect_recursion(t["calls"], seeds), fmt)
+        if show_all or args.show_upward:
+            up = enumerate_paths(t["calls"], t["functions"], seeds, direction="in", max_depth=args.max_depth)
+            print("# upward chains")
+            emit(
+                up.select(
+                    F.concat_ws("→", F.reverse("node_names")).alias("chain"),
+                    F.col("path_length").alias("chain_length"),
+                ).orderBy("chain_length", "chain"),
+                fmt,
+            )
+        if show_all or args.show_context:
+            print("# context insights")
+            emit(call_context(t["calls"], t["functions"], pred, max_depth=args.max_depth)["insights"], fmt)
+    elif args.what == "xref":
+        bh = None
+        if args.binary:
+            b = t["binaries"].filter(
+                F.col("filename").contains(args.binary) | (F.col("hash") == args.binary)
+            ).limit(1).collect()
+            bh = b[0]["hash"] if b else None
+        emit(xref_address(t["calls"], t["functions"], t["imports"], args.address, binary_hash=bh), fmt)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

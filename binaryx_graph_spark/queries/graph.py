@@ -440,3 +440,135 @@ def mg_display_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.substring_index("uid", ":", 1))
         .alias("binary_display"),
     ).orderBy("uid")
+
+
+# ---------------------------------------------------------------------------
+# J4 xref, G9 context insights, A2 stats, F3 empty pattern
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mg_xref_address",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      ('{UID_MAIN_A}',   'main',     '{UID_HELPER_A}', 'helper', '0x401010', 'Direct', 'call'),
+      ('{UID_HELPER_A}', 'helper',   '{UID_WORKER_A}', 'worker', '0x401110', 'Direct', 'call'),
+      ('{UID_WORKER_A}', 'worker',   '{UID_HELPER_A}', 'helper', '0x401210', 'Direct', 'call')
+    ) AS t(src_uid, src_name, dst_uid, dst_name, "offset", call_type, kind)
+    ORDER BY src_uid, dst_uid
+    """,
+    tags=("graph",),
+)
+def mg_xref_address(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: cross-references touching address 0x401100 (helper) — edges in
+    or out of that address, queried in decimal form to exercise
+    normalization (importer.rs:552-602)."""
+    from ..operators.xref import xref_address
+
+    t = graph_tables(spark)
+    return xref_address(t["calls"], t["functions"], t["imports"], "4198656").orderBy(
+        "src_uid", "dst_uid"
+    )
+
+
+@register(
+    "mg_xref_import_arm",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      ('{UID_MAIN_A}', 'main', '{UID_CREATEFILE}', 'CreateFileA', '0x401020', 'Indirect', 'call'),
+      ('{HASH_A}', '<binary>', '{UID_CREATEFILE}', 'CreateFileA', '0x405000', 'Import', 'import')
+    ) AS t(src_uid, src_name, dst_uid, dst_name, "offset", call_type, kind)
+    ORDER BY kind
+    """,
+    tags=("graph",),
+)
+def mg_xref_import_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 with binary scope: the IAT-address UNION arm fires for import
+    addresses (importer.rs:555-568). 0x405000 is CreateFileA's IAT slot
+    in binary A; the call arm matches nothing at that address but the
+    call INTO the import node appears via the import-node address ''
+    — exactly the reference's dual-arm shape."""
+    from ..operators.xref import xref_address
+
+    t = graph_tables(spark)
+    calls_arm = xref_address(t["calls"], t["functions"], t["imports"], "0x405000",
+                             binary_hash=HASH_A)
+    # plus calls touching the import node itself (uid-level xref)
+    into_import = (
+        t["calls"].filter(F.col("dst_uid") == UID_CREATEFILE)
+        .join(t["functions"].select(F.col("uid").alias("src_uid"),
+                                    F.col("name").alias("src_name")), "src_uid")
+        .select("src_uid", "src_name",
+                F.col("dst_uid"), F.lit("CreateFileA").alias("dst_name"),
+                "offset", "call_type", F.lit("call").alias("kind"))
+    )
+    return calls_arm.unionByName(into_import).dropDuplicates().orderBy("kind")
+
+
+@register(
+    "mg_call_context_insights",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('downward_paths', CAST(3 AS BIGINT)),
+      ('upward_chains',  CAST(4 AS BIGINT)),
+      ('callers',        CAST(2 AS BIGINT)),
+      ('callees',        CAST(1 AS BIGINT))
+    ) AS t(metric, n) ORDER BY metric
+    """,
+    tags=("graph",),
+)
+def mg_call_context_insights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9: call-context composition for helper(A) at depth 2 — the
+    insight counts the reference renders as text
+    (call_path_analyzer.rs:503-538, call_path.rs:209-223).
+    helper: down = helper→worker, →worker→helper, →worker→worker;
+    up = main, worker, helper→worker→helper, worker→worker→helper."""
+    from ..operators.xref import call_context
+
+    t = graph_tables(spark)
+    ctx = call_context(t["calls"], t["functions"], F.col("uid") == UID_HELPER_A, max_depth=2)
+    return ctx["insights"].orderBy("metric")
+
+
+@register(
+    "mg_global_stats",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('binaries', 'node', CAST(2 AS BIGINT)),
+      ('functions', 'node', CAST(6 AS BIGINT)),
+      ('strings', 'node', CAST(3 AS BIGINT)),
+      ('libraries', 'node', CAST(1 AS BIGINT)),
+      ('contains', 'relationship', CAST(4 AS BIGINT)),
+      ('imports', 'relationship', CAST(2 AS BIGINT)),
+      ('imports_library', 'relationship', CAST(2 AS BIGINT)),
+      ('belongs_to', 'relationship', CAST(1 AS BIGINT)),
+      ('calls', 'relationship', CAST(5 AS BIGINT)),
+      ('contains_string', 'relationship', CAST(4 AS BIGINT))
+    ) AS t(label, kind, n) ORDER BY label
+    """,
+    tags=("graph",),
+)
+def mg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: global node/relationship stats over the warehouse
+    (connection.rs:55-81, importer.rs:27-80)."""
+    from ..operators.xref import global_stats
+
+    t = graph_tables(spark)
+    return global_stats(t).orderBy("label")
+
+
+@register(
+    "mg_empty_pattern_matches_all",
+    oracle="""
+    SELECT CAST(6 AS BIGINT) AS n_functions
+    """,
+    tags=("graph",),
+)
+def mg_empty_pattern_matches_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: the empty pattern CONTAINS-matches every function
+    (query.rs:113-136; '' → Lucene *)."""
+    from ..operators.search import search_functions
+
+    t = graph_tables(spark)
+    out = search_functions(t["functions"], t["contains"], t["imports"], "", limit=1000)
+    return out.agg(F.count(F.lit(1)).alias("n_functions"))

@@ -1,0 +1,57 @@
+"""CLI end-to-end: import → query → db over the micro-graph fixture
+(in-process main(), shared SparkSession)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from binaryx_graph_spark.cli import main
+
+from .fixtures import write_fixture
+
+
+@pytest.fixture(scope="module")
+def wh_root(spark, tmp_path_factory):
+    d = write_fixture(tmp_path_factory.mktemp("cli_in"))
+    root = str(tmp_path_factory.mktemp("cli_wh") / "wh")
+    assert main(["--warehouse", root, "import", "directory", d, "--validate"]) == 0
+    return root
+
+
+def test_query_functions(wh_root, capsys):
+    assert main(["--warehouse", wh_root, "--format", "json", "query", "functions", "elp"]) == 0
+    out = capsys.readouterr().out
+    assert '"name": "helper"' in out
+
+
+def test_query_strings_sample_count(wh_root, capsys):
+    assert main(["--warehouse", wh_root, "--format", "json", "query", "strings", "--pattern", "Bitcoin"]) == 0
+    out = capsys.readouterr().out
+    assert '"sample_count": 2' in out
+
+
+def test_query_callgraph(wh_root, capsys):
+    assert main(["--warehouse", wh_root, "--format", "json", "query", "callgraph", "main", "--depth", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "worker" in out and "CreateFileA" in out
+
+
+def test_query_call_path_all_sections(wh_root, capsys):
+    assert main(["--warehouse", wh_root, "query", "call-path", "worker", "--max-depth", "2"]) == 0
+    out = capsys.readouterr().out
+    for section in ("# paths", "# sequences", "# direct recursion", "# upward chains", "# context insights"):
+        assert section in out
+
+
+def test_db_stats_and_clear(spark, wh_root, capsys, tmp_path):
+    assert main(["--warehouse", wh_root, "--format", "json", "db", "stats"]) == 0
+    out = capsys.readouterr().out
+    assert '"label": "calls"' in out
+    # export then clear an independent copy
+    assert main(["--warehouse", wh_root, "db", "export", str(tmp_path / "exp")]) == 0
+    assert "exported 18 edges" in capsys.readouterr().out
