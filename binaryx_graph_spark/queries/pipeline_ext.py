@@ -119,3 +119,47 @@ def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "streaming_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           epoch_us(max(ts)) AS last_ts_us
+    FROM events
+    WHERE user_id % 25 = 3
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming",),
+)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals with keyed state; final snapshot must equal
+    the batch aggregation — the oracle IS that batch aggregation."""
+    from ..streaming.stateful import stateful_user_totals
+
+    out = stateful_user_totals(spark, sf_dir)
+    return out.filter(F.col("user_id") % 25 == 3).orderBy("user_id")
+
+
+@register(
+    "stats_approx_distinct",
+    oracle=None,  # approximate by design → driver records rows-only check
+    tags=("agg", "approx"),
+)
+def stats_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 at scale: approx_count_distinct (HLL) per event type — the
+    100 TB substitute for exact distinct counts (rsd 2%); accuracy vs
+    exact is asserted in tests/test_approx.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+        )
+        .orderBy("event_type")
+    )
