@@ -40,6 +40,8 @@ def get_spark(app_name: str = "binaryx-graph-spark", master: str | None = None) 
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # managed (bucketed) tables land outside the repo; static conf
+        .config("spark.sql.warehouse.dir", os.environ.get("BXG_SPARK_WAREHOUSE", "/tmp/bxg_spark_warehouse"))
     )
     return builder.getOrCreate()
 
