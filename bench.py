@@ -51,8 +51,12 @@ def main() -> None:
             continue
         q = reg[name]
         t0 = time.time()
-        df = q.fn(spark, sf_dir)
-        n = df.count()  # full execution; driver-side result fetch excluded
+        try:
+            df = q.fn(spark, sf_dir)
+            n = df.count()  # full execution; driver-side result fetch excluded
+        except Exception as e:  # a failed query must not kill the bench line
+            print(f"# {name}: FAILED {e}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 

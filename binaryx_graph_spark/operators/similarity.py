@@ -138,3 +138,79 @@ def embedding_near_dup(
         .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ------------------------------------------------------------- IVF variant
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    *,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization with FIXED centroids: the first
+    ``n_centroids`` stored vectors (by id) act as the coarse codebook —
+    deterministic, so the oracle can reproduce the assignment. A
+    production build would k-means the codebook; the partition/probe
+    dataflow is identical. → (vec_id, embedding, centroid_id)"""
+    from pyspark.sql.window import Window
+
+    cents = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cvec"))
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        cosine(F.col(vec_col), F.col("_cvec")).alias("_csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), "centroid_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    query_id: int,
+    *,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: score only vectors whose centroid is among the
+    query's ``n_probe`` nearest centroids. At scale the lists are
+    ``repartition(centroid_id)``-ed parquet partitions and a probe
+    touches n_probe/n_centroids of the data."""
+    from pyspark.sql.window import Window
+
+    assigned = ivf_assign(embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col)
+    cents = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cvec"))
+    )
+    q = embeddings.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qvec"))
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select("centroid_id", cosine(F.col("_cvec"), F.col("_qvec")).alias("_csim"))
+        .orderBy(F.desc("_csim"), "centroid_id")
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    return (
+        assigned.join(F.broadcast(probe), "centroid_id", "left_semi")
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(id_col, cosine(F.col(vec_col), F.col("_qvec")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )

@@ -243,3 +243,45 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("fp")
     )
+
+
+@register(
+    "ann_cosine_ivf",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {sql_cosine('e.embedding', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT centroid_id FROM (
+        SELECT c.centroid_id, {sql_cosine('c.cvec', 'q.embedding')} AS s
+        FROM cents c, (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+        ORDER BY s DESC, c.centroid_id LIMIT 2
+      )
+    )
+    SELECT a.vec_id, {sql_cosine('a.embedding', 'q.embedding')} AS cos_sim
+    FROM assigned a
+      JOIN probe p ON a.centroid_id = p.centroid_id,
+      (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+    WHERE a.vec_id <> 7
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 10
+    """,
+    tags=("similarity",),
+)
+def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (8 fixed coarse centroids, 2 probes): the inverted-
+    list partition/probe dataflow with a deterministic codebook so the
+    oracle reproduces assignment, probe selection, and scoring."""
+    from ..operators.similarity import cosine_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(emb, 7, k=10, n_centroids=8, n_probe=2)

@@ -103,9 +103,25 @@ class Warehouse:
 
     # ------------------------------------------------------------ S4 export
     def export_graph(self, out_path: str) -> DataFrame:
-        """Full-graph export: every node with its outgoing typed edges
-        (the reference's `MATCH (n) OPTIONAL MATCH (n)-[r]->(m)`)."""
+        """Full-graph export (the reference's
+        `MATCH (n) OPTIONAL MATCH (n)-[r]->(m) RETURN n, type(r), m`,
+        src/api/client.rs:97-105): every edge as (src, rel_type, dst)
+        plus every node as (src=key, rel_type='NODE:<label>', dst=null)
+        so isolated nodes survive the round trip."""
         frames = []
+        for label, key in [
+            ("binaries", "hash"),
+            ("functions", "uid"),
+            ("strings", "uid"),
+            ("libraries", "name"),
+        ]:
+            frames.append(
+                self.read(label).select(
+                    F.col(key).alias("src"),
+                    F.lit(f"NODE:{label}").alias("rel_type"),
+                    F.lit(None).cast("string").alias("dst"),
+                )
+            )
         edge_ends = {
             "contains": ("binaries", "hash", "binary_hash", "functions", "uid", "function_uid"),
             "imports": ("binaries", "hash", "binary_hash", "functions", "uid", "function_uid"),

@@ -54,4 +54,5 @@ def test_db_stats_and_clear(spark, wh_root, capsys, tmp_path):
     assert '"label": "calls"' in out
     # export then clear an independent copy
     assert main(["--warehouse", wh_root, "db", "export", str(tmp_path / "exp")]) == 0
-    assert "exported 18 edges" in capsys.readouterr().out
+    # 18 edges + 12 node rows (2 binaries, 6 functions, 3 strings, 1 library)
+    assert "exported 30 edges" in capsys.readouterr().out
