@@ -59,6 +59,9 @@ def reachable(
         edges = edges.join(
             members.select(F.col("uid").alias("_to")), "_to", "left_semi"
         )
+    # materialize the (filtered) edge list ONCE — otherwise every BFS
+    # level re-executes the full edge lineage (scan + distinct + joins)
+    edges = _ckpt(edges)
 
     frontier = _ckpt(seeds.select("uid").distinct())
     # visited starts EMPTY: Cypher `*1..N` reports the seed itself when a
@@ -130,6 +133,7 @@ def enumerate_paths(
     e = e.withColumn("_eid", F.concat_ws("→", "_from", "_to"))
     if members is not None:
         e = e.join(members.select(F.col("uid").alias("_to")), "_to", "left_semi")
+    e = _ckpt(e)  # one materialization; levels re-join this, not the lineage
 
     seed_nodes = seeds.select("uid").distinct().join(fn, F.col("uid") == fn._fuid).select(
         F.col("uid").alias("start_uid"),
@@ -205,7 +209,7 @@ def indirect_recursion(
     all cycle paths; we return one row per origin+length — the shape its
     client dedupes to anyway).
     """
-    edges = _edges(calls, "out")
+    edges = _ckpt(_edges(calls, "out"))
     pairs = seeds.select(F.col("uid").alias("origin"), F.col("uid").alias("cur"))
     pairs = _ckpt(pairs)
     hits: list[DataFrame] = []
