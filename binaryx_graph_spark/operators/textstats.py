@@ -147,3 +147,19 @@ def sql_fingerprint(col: str, n: int = 3) -> str:
     return (
         f"coalesce(list_min(list_transform({sh}, s -> sha256(s))), sha256(lower({col})))"
     )
+
+
+# BPE-ish pre-tokenizer (GPT-2-style lite): letter runs, digit runs,
+# single punctuation marks. The real BPE merge table is model-specific;
+# the pre-tokenization split is the scale-relevant part (one regex pass).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_count(col: Column) -> Column:
+    """Subword-ish token count via the pre-tokenizer regex."""
+    # idx=0 → the whole match (Spark defaults to capture group 1)
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def sql_bpe_ish_count(col: str) -> str:
+    return f"len(regexp_extract_all({col}, '{BPE_ISH_PATTERN}'))"

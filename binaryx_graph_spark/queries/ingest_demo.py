@@ -99,3 +99,53 @@ def ingest_string_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3/E11: NUL-trim + sha256 string UIDs, object-or-bare-string items,
     global dedup across binaries."""
     return graph_tables(spark)["strings"].orderBy("uid")
+
+
+@register(
+    "ingest_merge_last_write_wins",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      ('{HASH_A}', 'mal_a_v2.exe', CAST(8192 AS BIGINT)),
+      ('{HASH_B}', 'mal_b.elf',    CAST(2048 AS BIGINT))
+    ) AS t(hash, filename, file_size)
+    ORDER BY hash
+    """,
+    tags=("ingest",),
+)
+def ingest_merge_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9/S6: warehouse MERGE across two batches — re-importing binary A
+    with a changed filename/size must overwrite (last write wins,
+    importer.rs:86-138) while binary B is untouched. Runs the REAL
+    parquet warehouse merge path, not just the in-batch dedup."""
+    import copy
+    import json
+    import tempfile
+    from pathlib import Path
+
+    from ..fixtures.micro_graph import DOC_A
+    from ..sources.warehouse import Warehouse
+
+    _NODE_TABLES = ["binaries", "functions", "strings", "libraries"]
+    key = f"merge_{id(spark)}"
+    if key not in _CACHE:
+        root = Path(tempfile.mkdtemp(prefix="bxg_merge_")) / "wh"
+        wh = Warehouse(spark, str(root))
+        # no initialize(): merge_batch creates tables on first write,
+        # skipping 10 empty-table write jobs
+        batch1 = graph_tables(spark)
+        wh.merge_batch({k: batch1[k] for k in _NODE_TABLES}, batch_seq=1)
+
+        doc_a2 = copy.deepcopy(DOC_A)
+        doc_a2["binary_info"]["name"] = "mal_a_v2.exe"
+        doc_a2["binary_info"]["file_size"] = 8192
+        d2 = Path(tempfile.mkdtemp(prefix="bxg_merge_in2_"))
+        (d2 / "a2.json").write_text(json.dumps(doc_a2))
+        docs2 = read_analysis_json(spark, str(d2))
+        batch2 = build_graph_tables(docs2)
+        wh.merge_batch({k: batch2[k] for k in _NODE_TABLES}, batch_seq=2)
+        _CACHE[key] = {"binaries": wh.read("binaries").cache()}
+    return (
+        _CACHE[key]["binaries"]
+        .select("hash", "filename", "file_size")
+        .orderBy("hash")
+    )

@@ -285,3 +285,33 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_ivf(emb, 7, k=10, n_centroids=8, n_probe=2)
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           {{ws}} AS ws_tokens,
+           {{bpe}} AS bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    ORDER BY doc_id
+    """.format(
+        ws="CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS BIGINT)",
+        bpe="CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)",
+    ),
+    tags=("text",),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish
+    pre-tokenizer regex (letter runs / digit runs / punctuation) — the
+    per-document length accounting a training pipeline budgets with."""
+    from ..operators.textstats import bpe_ish_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_ish_count(F.col("text")).cast("long").alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
