@@ -40,3 +40,10 @@ def sql_sum_cents(expr: str) -> str:
     """DuckDB ``sum`` of cents cast back to BIGINT (DuckDB sums BIGINT into
     HUGEINT, which would mismatch Spark's long schema)."""
     return f"CAST(sum({sql_cents(expr)}) AS BIGINT)"
+
+
+# Scale note (SCALE.md "known ceilings"): int64 cents sums overflow near
+# 9.2e18. A q1-style triple product (price_c × disc_c × tax_c ≈ 1e11 per
+# row) caps a single group at ~9e7 rows; beyond that switch the sum to
+# decimal(38,0):  F.sum(expr.cast("decimal(38,0)")) — still exact, still
+# order-independent, ~2× slower.
