@@ -163,3 +163,52 @@ def bpe_ish_count(col: Column) -> Column:
 
 def sql_bpe_ish_count(col: str) -> str:
     return f"len(regexp_extract_all({col}, '{BPE_ISH_PATTERN}'))"
+
+
+# Character-trigram language profiles (tiny, public-knowledge samples of
+# the most frequent trigrams incl. space-padding, per language).
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "he ", " th", "ing", "and", " an", "ion", " of", "of ", "ed "],
+    "de": ["der", "ein", "sch", "ich", "nde", "die", "und", "den", "ung", "cht"],
+    "fr": ["es ", "de ", " de", "ent", "le ", "nt ", "la ", "ion", " le", "que"],
+}
+
+
+def _profile_hits(col: Column, trigrams: list[str]) -> Column:
+    """Total occurrences of the profile trigrams in lower(text)."""
+    lv = F.lower(col)
+    total = F.lit(0)
+    for t in trigrams:
+        total = total + (F.length(lv) - F.length(F.replace(lv, F.lit(t), F.lit("")))) / F.lit(3)
+    return total.cast("long")
+
+
+def language_id_ngram(col: Column) -> Column:
+    """N-gram language heuristic: the language whose trigram profile
+    scores the most occurrences wins; ties and zero-score docs → 'und'.
+    Deterministic tie order = profile dict order."""
+    scores = {lang: _profile_hits(col, tri) for lang, tri in LANG_PROFILES.items()}
+    best = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for lang, s in LANG_PROFILES.items():
+        sc = scores[lang]
+        win = sc > best_score
+        best = F.when(win, F.lit(lang)).otherwise(best)
+        best_score = F.when(win, sc).otherwise(best_score)
+    return best
+
+
+def sql_language_id_ngram(col: str) -> str:
+    def hits(trigrams: list[str]) -> str:
+        parts = [
+            f"(length(lower({col})) - length(replace(lower({col}), '{t}', ''))) / 3"
+            for t in trigrams
+        ]
+        return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+    exprs = {lang: hits(tri) for lang, tri in LANG_PROFILES.items()}
+    best, best_score = "'und'", "CAST(0 AS BIGINT)"
+    for lang, sc in exprs.items():
+        best = f"CASE WHEN {sc} > {best_score} THEN '{lang}' ELSE {best} END"
+        best_score = f"CASE WHEN {sc} > {best_score} THEN {sc} ELSE {best_score} END"
+    return best

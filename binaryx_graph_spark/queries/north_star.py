@@ -315,3 +315,34 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_ish_count(F.col("text")).cast("long").alias("bpe_tokens"),
         F.length("text").cast("long").alias("n_chars"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_language_id_ngram",
+    oracle=None,  # set below after import-time generation
+    tags=("text",),
+)
+def text_language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via character-trigram profiles (en/de/fr), argmax with
+    deterministic tie order — the n-gram heuristic the stopword variant
+    approximates."""
+    from ..operators.textstats import language_id_ngram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(language_id_ngram(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+# attach the generated oracle (built from the same profile constants)
+from ..operators.textstats import sql_language_id_ngram as _slin  # noqa: E402
+from ..registry import REGISTRY as _REG  # noqa: E402
+
+_REG["text_language_id_ngram"].oracle = f"""
+    SELECT {_slin('text')} AS lang_pred, count(*) AS n_docs
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """
