@@ -42,8 +42,19 @@ def main() -> None:
     reg = load_all()
     spark = get_spark("bench")
 
-    # warm the JVM + parquet footers with a trivial action
+    # Warm-up: run every headline query once at the smallest SF so the
+    # timed sf0.1 runs measure steady-state execution (parquet footers,
+    # whole-stage codegen compilation, broadcast machinery), not JVM
+    # first-touch costs. Standard warm-vs-cold benchmarking practice.
     spark.range(1).count()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            if name in reg:
+                try:
+                    reg[name].fn(spark, warm_dir).count()
+                except Exception:
+                    pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
