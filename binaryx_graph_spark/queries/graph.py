@@ -572,3 +572,33 @@ def mg_empty_pattern_matches_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = graph_tables(spark)
     out = search_functions(t["functions"], t["contains"], t["imports"], "", limit=1000)
     return out.agg(F.count(F.lit(1)).alias("n_functions"))
+
+
+@register(
+    "mg_paths_scoped",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('main→helper',               1),
+      ('main→helper→worker',        2),
+      ('main→helper→worker→helper', 3),
+      ('main→helper→worker→worker', 3)
+    ) AS t(path, path_length) ORDER BY path_length, path
+    """,
+    tags=("graph",),
+)
+def mg_paths_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 per-binary variant: every path node must belong to the binary
+    (`ALL(n IN nodes(path)) …`, call_path_analyzer.rs:34). Scoped to
+    CONTAINS-members only, the import-node branch (main→CreateFileA)
+    disappears while the internal paths survive."""
+    t = graph_tables(spark)
+    seeds = t["functions"].filter(F.col("uid") == UID_MAIN_A).select("uid")
+    members = t["contains"].filter(F.col("binary_hash") == HASH_A).select(
+        F.col("function_uid").alias("uid")
+    )
+    paths = enumerate_paths(
+        t["calls"], t["functions"], seeds, direction="out", max_depth=3, members=members
+    )
+    return paths.select(
+        F.concat_ws("→", "node_names").alias("path"), "path_length"
+    ).orderBy("path_length", "path")

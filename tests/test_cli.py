@@ -56,3 +56,15 @@ def test_db_stats_and_clear(spark, wh_root, capsys, tmp_path):
     assert main(["--warehouse", wh_root, "db", "export", str(tmp_path / "exp")]) == 0
     # 18 edges + 12 node rows (2 binaries, 6 functions, 3 strings, 1 library)
     assert "exported 30 edges" in capsys.readouterr().out
+
+
+def test_import_validation_failure_exit_code(spark, tmp_path, capsys):
+    import json
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "broken.json").write_text(json.dumps({"functions": []}))  # no binary_info
+    rc = main(["--warehouse", str(tmp_path / "wh"), "import", "directory", str(bad), "--validate"])
+    assert rc == 2
+    out = capsys.readouterr().out
+    assert "missing binary_info" in out
