@@ -30,8 +30,12 @@ HEADLINE = [
     "graph_reachability",
     "fulltext_search_default",
     "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "ann_cosine_ivf",
     "text_quality_metrics",
+    "multimodal_decode",
+    "event_sessionization",
     "streaming_window_counts",
 ]
 

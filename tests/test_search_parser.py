@@ -1,0 +1,71 @@
+"""Raw-query parser robustness (T3) + escaping (T1) unit cases."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from binaryx_graph_spark.operators.search import (
+    default_query_tokens,
+    escape_lucene,
+    raw_query_predicate,
+)
+
+
+def _matches(spark, pattern: str, values: list[str]) -> set[str]:
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    return {r["v"] for r in df.filter(raw_query_predicate(F.col("v"), pattern)).collect()}
+
+
+VALUES = ["alpha beta", "alpha", "beta gamma", "delta", "ALPHA BETA GAMMA"]
+
+
+def test_escape_lucene_specials():
+    assert escape_lucene("a+b") == "a\\+b"
+    assert escape_lucene('q"x"') == 'q\\"x\\"'
+    assert escape_lucene("plain") == "plain"
+
+
+def test_default_tokens():
+    assert default_query_tokens("  foo   bar ") == ["foo", "bar"]
+    assert default_query_tokens("") == []
+
+
+def test_parser_and_or_precedence(spark):
+    # AND binds tighter: alpha OR beta AND gamma == alpha OR (beta AND gamma)
+    got = _matches(spark, "alpha OR beta AND gamma", VALUES)
+    assert got == {"alpha beta", "alpha", "beta gamma", "ALPHA BETA GAMMA"}
+
+
+def test_parser_not(spark):
+    got = _matches(spark, "alpha NOT beta", VALUES)
+    assert got == {"alpha"}
+
+
+def test_parser_phrase_case_insensitive(spark):
+    got = _matches(spark, '"alpha beta"', VALUES)
+    assert got == {"alpha beta", "ALPHA BETA GAMMA"}
+
+
+def test_parser_wildcard(spark):
+    got = _matches(spark, "al*a", VALUES)
+    assert {"alpha beta", "alpha", "ALPHA BETA GAMMA"} <= got
+
+
+def test_parser_unbalanced_paren_is_tolerated(spark):
+    # missing close paren: parser consumes what it can, no crash
+    got = _matches(spark, "(alpha OR beta", VALUES)
+    assert "delta" not in got and "alpha" in got
+
+
+def test_parser_empty_matches_all(spark):
+    assert _matches(spark, "", VALUES) == set(VALUES)
+
+
+def test_parser_only_not(spark):
+    got = _matches(spark, "NOT alpha", VALUES)
+    assert got == {"beta gamma", "delta"}
