@@ -163,3 +163,112 @@ def stats_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "asof_join_last_purchase",
+    oracle="""
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+                    AND user_id % 20 = 3),
+    purchases AS (
+      SELECT user_id, ts, max(event_id) AS purchase_id,
+             max(CAST(round(value*100) AS BIGINT)) AS purchase_cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT c.event_id,
+           c.user_id,
+           p.purchase_id,
+           p.purchase_cents
+    FROM clicks c
+    ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY c.event_id
+    """,
+    tags=("join", "temporal"),
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): each click gets the user's
+    latest purchase at-or-before it. The oracle is DuckDB's NATIVE
+    ASOF LEFT JOIN — an independent implementation of the semantics."""
+    from ..operators.temporal import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter((F.col("event_type") == "click") & (F.col("user_id") % 20 == 3)).select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("purchase_id"),
+            F.max(F.round(F.col("value") * 100).cast("long")).alias("purchase_cents"),
+        )
+    )
+    out = as_of_join(
+        clicks, purchases, on="user_id", left_id="event_id",
+        right_cols=["purchase_id", "purchase_cents"], suffix="",
+    )
+    return out.select("event_id", "user_id", "purchase_id", "purchase_cents").orderBy("event_id")
+
+
+@register(
+    "rollup_daily_events",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    WHERE user_id % 10 = 1
+    GROUP BY ROLLUP(event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
+    ORDER BY event_type NULLS FIRST, day NULLS FIRST
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (event_type → day hierarchy with subtotals and
+    a grand total) — Catalyst expands grouping sets; DuckDB recomputes."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 1)
+    return (
+        ev.select(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "value",
+        )
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .orderBy(F.asc_nulls_first("event_type"), F.asc_nulls_first("day"))
+    )
+
+
+@register(
+    "vectorized_udf_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS BIGINT)
+             AS n_tokens_udf
+    FROM documents
+    WHERE doc_id % 4 = 2
+    ORDER BY doc_id
+    """,
+    tags=("text", "udf"),
+)
+def vectorized_udf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas_udf computing token counts — must
+    agree with the pure-Column implementation AND the oracle. Exists to
+    pin the @pandas_udf Arrow path (the sanctioned Python escape hatch);
+    the Column version remains the hot path."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type annotations: `from __future__ import annotations` turns them
+    # into strings pyspark can't resolve against function-local imports
+    @pandas_udf("long")
+    def n_tokens_udf(texts):
+        return texts.str.lower().str.split().map(len).astype("int64")
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 2)
+    return docs.select("doc_id", n_tokens_udf(F.col("text")).alias("n_tokens_udf")).orderBy("doc_id")
