@@ -562,3 +562,126 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(qty).alias("total_qty"))
         .orderBy(F.desc("total_qty"), "o_orderkey")
     )
+
+
+@register(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event-type columns per user bucket (`.pivot()` compiles to
+    conditional aggregation — the oracle IS that conditional form)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("user_bucket")
+    )
+
+
+@register(
+    "setops_intersect_except",
+    oracle="""
+    SELECT 'intersect' AS op, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'error'
+    )
+    UNION ALL
+    SELECT 'except', user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'signup'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    ORDER BY op, user_id
+    """,
+    tags=("setop",),
+)
+def setops_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (beyond the reference's UNION-only surface)."""
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id")
+    inter = buyers.intersect(erroring).select(F.lit("intersect").alias("op"), "user_id")
+    # subtract == SQL EXCEPT (set semantics); exceptAll would keep users
+    # whose signup multiplicity exceeds their purchase multiplicity
+    exc = signups.subtract(buyers).select(F.lit("except").alias("op"), "user_id")
+    return inter.unionByName(exc).orderBy("op", "user_id")
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH part_avg AS (
+      SELECT l_partkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+             count(*) AS nq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum({_SQL_PRICE_C}) AS BIGINT) / 100.0 AS small_qty_revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part_avg a ON l.l_partkey = a.l_partkey
+    WHERE CAST(round(l.l_quantity) AS BIGINT) * a.nq * 5 < a.sq
+    """,
+    tags=("join", "agg"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average via a self-grouped
+    join; the avg comparison is done in exact integer cross-multiplied
+    form (qty < 0.2·avg ⟺ qty·n·5 < sum) so no float threshold wobble."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    part_avg = li.groupBy("l_partkey").agg(
+        F.sum(qty).alias("sq"), F.count(F.lit(1)).alias("nq")
+    )
+    return (
+        li.join(part_avg, "l_partkey")
+        .filter(qty * F.col("nq") * 5 < F.col("sq"))
+        .agg(
+            (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "median_price_per_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           quantile_cont(o_totalprice, 0.5) AS median_order_price,
+           count(*) AS n_orders
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("agg",),
+)
+def median_price_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median (continuous interpolation) — Spark
+    `percentile` vs DuckDB `quantile_cont`, identical linear-interp
+    arithmetic over the same sorted doubles."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.percentile("o_totalprice", 0.5).alias("median_order_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
