@@ -33,14 +33,55 @@ from ..sources.json_source import read_analysis_json
 
 _CACHE: dict[str, dict[str, DataFrame]] = {}
 
+_FIXTURE_TABLES = [
+    "binaries", "functions", "strings", "libraries", "contains", "imports",
+    "imports_library", "belongs_to", "calls", "contains_string", "import_stats",
+]
+
+
+def _fixture_version() -> str:
+    """Content hash of the fixture + ingest implementation — the ETL
+    output is a pure function of these, so a disk cache keyed by this
+    hash is always coherent."""
+    import hashlib
+
+    import binaryx_graph_spark.fixtures.micro_graph as mg
+    import binaryx_graph_spark.operators.ingest as ing
+    import binaryx_graph_spark.sources.json_source as js
+
+    h = hashlib.sha256()
+    for mod in (mg, ing, js):
+        h.update(Path(mod.__file__).read_bytes())
+    return h.hexdigest()[:16]
+
 
 def graph_tables(spark: SparkSession) -> dict[str, DataFrame]:
-    """Ingest the micro-graph fixture once per session (cached)."""
+    """Micro-graph fixture as warehouse tables. First build per MACHINE
+    runs the real JSON→ETL pipeline and persists parquet to a
+    content-addressed /tmp cache; later sessions (e.g. the driver
+    running each gate query in a fresh session) reload in ~0.5s instead
+    of re-running the multi-job ingest."""
     key = str(id(spark))
-    if key not in _CACHE:
+    if key in _CACHE:
+        return _CACHE[key]
+
+    import os
+
+    root = Path(tempfile.gettempdir()) / f"bxg_fixture_wh_{_fixture_version()}"
+    if not root.exists():
         d = write_fixture(Path(tempfile.mkdtemp(prefix="bxg_fixture_")))
         docs = read_analysis_json(spark, d)
-        _CACHE[key] = {k: v.cache() for k, v in build_graph_tables(docs).items()}
+        tables = build_graph_tables(docs)
+        stage = Path(tempfile.mkdtemp(prefix="bxg_fixture_stage_"))
+        for name in _FIXTURE_TABLES:
+            tables[name].coalesce(1).write.mode("overwrite").parquet(str(stage / name))
+        try:
+            os.rename(stage, root)  # atomic publish; loser of a race keeps its stage
+        except OSError:
+            pass
+    _CACHE[key] = {
+        name: spark.read.parquet(str(root / name)).cache() for name in _FIXTURE_TABLES
+    }
     return _CACHE[key]
 
 
