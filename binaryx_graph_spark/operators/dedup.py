@@ -344,3 +344,55 @@ def jaccard_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
     )
+
+
+# ------------------------------------------------- near-dup clustering
+
+def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """Connected components over an undirected pair graph → (doc_id,
+    cluster_id) where cluster_id is the MINIMUM member id — the
+    canonicalization step after near-dup pair generation (keep one doc
+    per cluster).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds with per-round localCheckpoint.
+    Near-dup components are tiny/star-shaped in practice → 2-3 rounds.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+        .unionByName(pairs.select(F.col(b).alias("x"), F.col(a).alias("y")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("x").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.y == labels.doc_id)
+            .groupBy(F.col("x").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("_nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("_nmin"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .isEmpty()
+        )
+        labels = updated
+        if changed:
+            return labels

@@ -366,3 +366,44 @@ _REG["text_language_id_ngram"].oracle = f"""
     FROM documents
     GROUP BY 1 ORDER BY 1
     """
+
+
+@register(
+    "dedup_clusters",
+    oracle=None,  # assigned below (needs the generated pairs SQL)
+    tags=("dedup",),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the Jaccard≥0.5
+    pair graph; cluster_id = min member (the canonical doc). Oracle:
+    recursive CTE computing min reachable id over the same pairs."""
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return connected_components(pairs).orderBy("doc_id")
+
+
+from ..registry import REGISTRY as _REG2  # noqa: E402
+from ..operators.dedup import sql_jaccard_pairs as _sjp  # noqa: E402
+
+_pairs_sql = _sjp("documents", "doc_id", "text", n=3, threshold=0.5)
+_REG2["dedup_clusters"].oracle = f"""
+    WITH RECURSIVE
+    pairs AS ({_pairs_sql}),
+    edges AS (
+      SELECT doc_a AS x, doc_b AS y FROM pairs
+      UNION
+      SELECT doc_b AS x, doc_a AS y FROM pairs
+    ),
+    reach(x, y) AS (
+      SELECT x, y FROM edges
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON e.x = r.y
+    )
+    SELECT x AS doc_id,
+           least(x, min(y)) AS cluster_id
+    FROM reach
+    GROUP BY x
+    ORDER BY doc_id
+    """
