@@ -56,8 +56,13 @@ def _fn_pred(name: str):
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="binaryx-spark")
-    p.add_argument("--warehouse", default=os.environ.get("BXG_WAREHOUSE", "./warehouse"))
-    p.add_argument("--format", choices=["table", "json"], default="table")
+    p.add_argument(
+        "--config",
+        help="JSON config file with {'warehouse': ..., 'format': ...} defaults "
+        "(the reference's config.json analog, src/config.rs:27-48)",
+    )
+    p.add_argument("--warehouse", default=None)
+    p.add_argument("--format", choices=["table", "json"], default=None)
     sub = p.add_subparsers(dest="cmd", required=True)
 
     imp = sub.add_parser("import").add_subparsers(dest="what", required=True)
@@ -102,6 +107,16 @@ def main(argv: list[str] | None = None) -> int:
     db_exp.add_argument("path")
 
     args = p.parse_args(argv)
+
+    # resolution order: CLI flag > config file > env > default
+    cfg = {}
+    if args.config:
+        with open(args.config) as f:
+            cfg = json.load(f)
+    args.warehouse = (
+        args.warehouse or cfg.get("warehouse") or os.environ.get("BXG_WAREHOUSE", "./warehouse")
+    )
+    args.format = args.format or cfg.get("format") or "table"
 
     from .operators.ingest import build_graph_tables
     from .operators.search import search_functions, search_strings

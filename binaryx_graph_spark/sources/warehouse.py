@@ -67,6 +67,11 @@ class Warehouse:
         self.initialize()
 
     def read(self, table: str) -> DataFrame:
+        if not (self.root / table).exists():
+            raise FileNotFoundError(
+                f"warehouse table '{table}' not found under {self.root} — "
+                f"run `import` (or `db init`) against this warehouse first"
+            )
         return self.spark.read.parquet(self._path(table))
 
     # ------------------------------------------------------ E9/E10 upsert

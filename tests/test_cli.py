@@ -68,3 +68,20 @@ def test_import_validation_failure_exit_code(spark, tmp_path, capsys):
     assert rc == 2
     out = capsys.readouterr().out
     assert "missing binary_info" in out
+
+
+def test_config_file_resolution(spark, wh_root, tmp_path, capsys):
+    import json as _json
+
+    cfg = tmp_path / "config.json"
+    cfg.write_text(_json.dumps({"warehouse": wh_root, "format": "json"}))
+    assert main(["--config", str(cfg), "query", "functions", "elp"]) == 0
+    out = capsys.readouterr().out
+    assert '"name": "helper"' in out  # json format came from the config file
+
+
+def test_missing_warehouse_friendly_error(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="db init"):
+        main(["--warehouse", str(tmp_path / "nope"), "query", "functions", "x"])

@@ -79,3 +79,18 @@ def test_streaming_graph_ingest_matches_batch(spark, tmp_path_factory):
     assert wh.read("functions").count() == 6
     assert wh.read("calls").count() == 5
     assert wh.read("binaries").count() == 2
+
+
+def test_streaming_graph_ingest_rerun_is_idempotent(spark, tmp_path_factory):
+    """Exactly-once claim: replaying the same input through the streaming
+    ingest leaves the warehouse unchanged (idempotent merge)."""
+    d = write_fixture(tmp_path_factory.mktemp("stream_in2"))
+    root = str(tmp_path_factory.mktemp("stream_wh2") / "wh")
+    q1 = stream_analysis_json(spark, d, root)
+    q1.awaitTermination()
+    wh = Warehouse(spark, root)
+    before = {t: wh.read(t).count() for t in ("functions", "calls", "binaries", "strings")}
+    q2 = stream_analysis_json(spark, d, root)  # fresh query, same input
+    q2.awaitTermination()
+    after = {t: wh.read(t).count() for t in ("functions", "calls", "binaries", "strings")}
+    assert before == after
