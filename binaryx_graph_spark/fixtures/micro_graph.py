@@ -39,7 +39,11 @@ DOC_A = {
     ],
     "exports": [
         {"name": "exported_fn", "address": "0x401300"},
-        {"name": "main", "address": "0x401000"},  # address taken → no new node
+        # address already mapped: the MAP entry stays (only-if-absent,
+        # session.rs:217-224) but the NODE is re-MERGEd with Export
+        # type/size (import_function always runs, session.rs:226)
+        {"name": "main", "address": "0x401000"},
+        {"name": "bogus_export", "address": "xyz"},  # unparseable → skipped
     ],
     "calls": [
         {"from_address": "0x401000", "to_address": "4198656", "offset": "0x401010", "type": "direct"},

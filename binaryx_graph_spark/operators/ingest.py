@@ -193,7 +193,12 @@ def build_graph_tables(docs_raw: DataFrame) -> dict[str, DataFrame]:
         "pos",
         "name",
         library_uid("library").alias("library"),
-        F.coalesce(normalize_address("address"), F.lit("0x0")).alias("iat_address"),
+        F.coalesce(F.col("address"), F.lit("0x0")).alias("raw_iat"),
+    ).withColumn(
+        # normalized-or-RAW, exactly session.rs:163-165 — an unparseable
+        # IAT address is kept verbatim, not defaulted
+        "iat_address",
+        F.coalesce(normalize_address("raw_iat"), F.col("raw_iat")),
     ).withColumn("uid", import_uid("library", "name"))
 
     functions_import = imp_items.select(
@@ -224,23 +229,24 @@ def build_graph_tables(docs_raw: DataFrame) -> dict[str, DataFrame]:
     ).select("binary_hash", "function_uid", "address")
 
     # ---------------------------------------------------------------- E6
+    # exports with unparseable addresses are SKIPPED (error-collected),
+    # not defaulted — session.rs:207-213
     exp_items = _explode_items(docs, "exports", EXPORT_ITEM).filter(
-        F.col("name").isNotNull() & F.col("address").isNotNull()
+        F.col("name").isNotNull()
+        & F.col("address").isNotNull()
+        & normalize_address("address").isNotNull()
     )
     exp_items = exp_items.select(
         "binary_hash",
         "ingest_seq",
         "pos",
         "name",
-        F.coalesce(normalize_address("address"), F.lit("0x0")).alias("norm_address"),
+        normalize_address("address").alias("norm_address"),
     ).withColumn("uid", function_uid("binary_hash", "norm_address"))
-    # only exports whose address is not already an internal function's
-    exp_new = exp_items.join(
-        fn_items.select("binary_hash", "norm_address").dropDuplicates(),
-        ["binary_hash", "norm_address"],
-        "left_anti",
-    )
-    functions_export = exp_new.select(
+    # EVERY parseable export node is MERGEd (import_function always runs,
+    # session.rs:226) — an Export at an internal function's address
+    # OVERWRITES that node's name/type/size via last-write-wins below.
+    functions_export = exp_items.select(
         "uid",
         "name",
         F.lit("Export").alias("type"),
@@ -250,6 +256,16 @@ def build_graph_tables(docs_raw: DataFrame) -> dict[str, DataFrame]:
         "ingest_seq",
         "pos",
     )
+    # the address→uid MAP entry, however, is only-if-absent
+    # (session.rs:217-224): absent from every earlier key form
+    prior_keys = (
+        fn_items.select("binary_hash", F.col("raw_address").alias("norm_address"))
+        .unionByName(fn_items.select("binary_hash", F.col("norm_address")))
+        .unionByName(imp_items.select("binary_hash", F.col("raw_iat").alias("norm_address")))
+        .unionByName(imp_items.select("binary_hash", F.col("iat_address").alias("norm_address")))
+        .dropDuplicates()
+    )
+    exp_new = exp_items.join(prior_keys, ["binary_hash", "norm_address"], "left_anti")
 
     # function node upsert across Internal ∪ Import ∪ Export (E9):
     # precedence is pure last-write-wins in stage order — the reference
@@ -271,6 +287,11 @@ def build_graph_tables(docs_raw: DataFrame) -> dict[str, DataFrame]:
         fn_items.select("binary_hash", F.col("raw_address").alias("addr"), "uid", F.lit(2).alias("prio"), "pos")
         .unionByName(
             fn_items.select("binary_hash", F.col("norm_address").alias("addr"), "uid", F.lit(2).alias("prio"), "pos")
+        )
+        # imports insert BOTH the raw and normalized key forms
+        # (session.rs:166-169), overwriting earlier function entries
+        .unionByName(
+            imp_items.select("binary_hash", F.col("raw_iat").alias("addr"), "uid", F.lit(3).alias("prio"), "pos")
         )
         .unionByName(
             imp_items.select("binary_hash", F.col("iat_address").alias("addr"), "uid", F.lit(3).alias("prio"), "pos")

@@ -89,7 +89,7 @@ def graph_tables(spark: SparkSession) -> dict[str, DataFrame]:
     "ingest_function_nodes",
     oracle=f"""
     SELECT * FROM (VALUES
-      ('{UID_MAIN_A}',     'main',        'Internal', '0x401000', CAST(256 AS BIGINT)),
+      ('{UID_MAIN_A}',     'main',        'Export',   '0x401000', CAST(-1  AS BIGINT)),
       ('{UID_HELPER_A}',   'helper',      'Internal', '0x401100', CAST(128 AS BIGINT)),
       ('{UID_WORKER_A}',   'worker',      'Internal', '0x401200', CAST(-1  AS BIGINT)),
       ('{UID_EXPORTED_A}', 'exported_fn', 'Export',   '0x401300', CAST(-1  AS BIGINT)),

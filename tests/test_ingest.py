@@ -60,8 +60,11 @@ def test_function_nodes_and_uids(tables):
     assert rows[UID_WORKER_A]["size"] == -1  # missing-size sentinel
     assert rows[UID_CREATEFILE]["type"] == "Import"
     assert rows[UID_EXPORTED_A]["type"] == "Export"
-    # export at an already-mapped address must NOT clobber the internal node
-    assert rows[UID_MAIN_A]["type"] == "Internal"
+    # export at an already-mapped address RE-MERGEs the node: type/size
+    # overwritten (MERGE…SET, importer.rs:115-121 via session.rs:226);
+    # the unparseable 'bogus_export' was skipped (no extra node)
+    assert rows[UID_MAIN_A]["type"] == "Export"
+    assert rows[UID_MAIN_A]["size"] == -1
     # same name+address in two binaries → distinct per-binary uids
     assert UID_MAIN_A != UID_MAIN_B
 
