@@ -45,12 +45,14 @@ _CALL_TYPES = {"direct": "Direct", "indirect": "Indirect", "virtual": "Virtual",
 
 
 def classify_format(col):
-    """BinaryFormat by substring match, default PE (session.rs:296-305)."""
+    """BinaryFormat by substring match — PE is checked FIRST and is also
+    the default (session.rs:296-305), so e.g. an "ELF PIE" type string
+    classifies as PE exactly like the reference."""
     u = F.upper(col)
     return (
-        F.when(u.contains("ELF"), "Elf")
+        F.when(u.contains("PE"), "PE")
+        .when(u.contains("ELF"), "Elf")
         .when(u.contains("MACH"), "MachO")
-        .when(u.contains("PE"), "PE")
         .otherwise("PE")
     )
 
@@ -180,7 +182,9 @@ def build_graph_tables(docs_raw: DataFrame) -> dict[str, DataFrame]:
     contains_string = str_items.select(
         "binary_hash",
         F.col("uid").alias("string_uid"),
-        F.coalesce(normalize_address("address"), F.lit("")).alias("address"),
+        # normalized-or-RAW (session.rs:368-371); missing → '' sentinel
+        # at the MERGE (importer.rs:227)
+        F.coalesce(normalize_address("address"), F.col("address"), F.lit("")).alias("address"),
     ).dropDuplicates()  # triple key: occurrences at distinct addresses kept
 
     # ---------------------------------------------------------------- E5
