@@ -65,14 +65,23 @@ def main() -> None:
         if name not in reg:
             continue
         q = reg[name]
-        t0 = time.time()
-        try:
-            df = q.fn(spark, sf_dir)
-            n = df.count()  # full execution; driver-side result fetch excluded
-        except Exception as e:  # a failed query must not kill the bench line
-            print(f"# {name}: FAILED {e}", file=sys.stderr)
+        # best of 2 runs: steady-state latency, damps JVM/GC noise
+        best, n = None, 0
+        failed = False
+        for _attempt in range(2):
+            t0 = time.time()
+            try:
+                df = q.fn(spark, sf_dir)
+                n = df.count()  # full execution; driver-side fetch excluded
+            except Exception as e:  # a failed query must not kill the bench line
+                print(f"# {name}: FAILED {e}", file=sys.stderr)
+                failed = True
+                break
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        if failed:
             continue
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -272,3 +272,81 @@ def vectorized_udf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 2)
     return docs.select("doc_id", n_tokens_udf(F.col("text")).alias("n_tokens_udf")).orderBy("doc_id")
+
+
+@register(
+    "session_window_builtin",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WHERE user_id % 40 = 11
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("window", "streaming"),
+)
+def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN session_window (30-min gap) vs a hand-rolled
+    lag+cumsum sessionization in SQL — two independent formulations of
+    session semantics must produce identical sessions."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 40 == 11)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "sliding_window_counts",
+    oracle="""
+    WITH contrib AS (
+      SELECT date_trunc('hour', ts) AS w, event_type FROM events WHERE user_id % 15 = 4
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type
+      FROM events WHERE user_id % 15 = 4
+    )
+    SELECT strftime(w, '%Y-%m-%d %H:%M') AS window_start,
+           event_type,
+           count(*) AS n
+    FROM contrib
+    GROUP BY w, event_type
+    ORDER BY window_start, event_type
+    """,
+    tags=("window", "streaming"),
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h width, 1h slide): every event lands in two
+    windows; the oracle materializes the same assignment as a two-arm
+    UNION. Batch mode here — identical semantics stream with a
+    watermark."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 15 == 4)
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n",
+        )
+        .orderBy("window_start", "event_type")
+    )
