@@ -136,3 +136,42 @@ def sample_frames(media: DataFrame, *, n_frames: int = 4) -> DataFrame:
             ).alias("frame_bytes"),
         )
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("resized", T.BinaryType(), True),
+        T.StructField("n_bytes_out", T.LongType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, *, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize kernel over mapInPandas. === DETERMINISTIC FAKE RESIZE ===
+    (real impl: PIL `Image.resize((width, height))` on the decoded
+    payload). The fake produces a payload of exactly width·height·3
+    bytes by cycling the source bytes — deterministic, size-correct, so
+    downstream batch-shape/size accounting is real."""
+    target = width * height * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for b in pdf["media"]:
+                src = bytes(b) or b"\x00"
+                reps = target // len(src) + 1
+                out.append((src * reps)[:target])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "resized": out,
+                    "n_bytes_out": [len(x) for x in out],
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)

@@ -94,3 +94,15 @@ def test_streaming_graph_ingest_rerun_is_idempotent(spark, tmp_path_factory):
     q2.awaitTermination()
     after = {t: wh.read(t).count() for t in ("functions", "calls", "binaries", "strings")}
     assert before == after
+
+
+def test_multimodal_resize_shapes(spark):
+    from binaryx_graph_spark.operators.multimodal import resize_media
+
+    docs = load_table(spark, SF, "documents").limit(10)
+    media = media_from_documents(docs)
+    out = resize_media(media, width=32, height=16).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["n_bytes_out"] == 32 * 16 * 3
+        assert len(bytes(r["resized"])) == 32 * 16 * 3
