@@ -1,0 +1,65 @@
+"""End-to-end training-data curation pipeline: the north-star operators
+composed the way a real 100 TB corpus pass would run them.
+
+    raw documents
+      → quality gate        (token/diversity thresholds, one scan)
+      → exact dedup         (content-key hash, keep min doc per group)
+      → near-dup dedup      (shingle Jaccard ≥ t → connected components,
+                             keep each cluster's canonical = min id)
+      → curated set + per-stage retention stats
+
+Each stage is an existing verified operator; the composition itself is
+oracle-checked end-to-end (queries/pipeline_demo.py) — stage counts must
+match a DuckDB reimplementation of the whole flow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .model import load_table
+from .operators.dedup import connected_components, jaccard_pairs
+from .operators.textstats import quality_metrics, tokens
+
+#: curation thresholds (documented knobs)
+MIN_TOKENS = 40
+MIN_TTR = 0.10
+JACCARD_T = 0.5
+
+
+def curate_documents(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Run the full curation flow; returns {'curated': df, 'stats': df}.
+
+    ``stats`` is one row: (n_input, n_quality, n_exact, n_curated).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    m = quality_metrics(F.col("text"))
+    scored = docs.select("doc_id", "text", m["n_tokens"].alias("n_tokens"),
+                         m["type_token_ratio"].alias("ttr"))
+    quality = scored.filter(
+        (F.col("n_tokens") >= MIN_TOKENS) & (F.col("ttr") >= MIN_TTR)
+    ).select("doc_id", "text")
+
+    # exact dedup on the full normalized text (prefix-key variants exist
+    # as dedup_exact; full-text here so the NEAR-dup stage downstream
+    # handles the paraphrase-level duplicates)
+    key = F.sha2(F.concat_ws(" ", tokens(F.col("text"))), 256)
+    keyed = quality.withColumn("_k", key)
+    canonical = keyed.groupBy("_k").agg(F.min("doc_id").alias("doc_id"))
+    exact = keyed.join(canonical, ["_k", "doc_id"], "left_semi").select("doc_id", "text")
+    exact = exact.localCheckpoint(eager=True)
+
+    pairs = jaccard_pairs(exact, "doc_id", "text", n=3, threshold=JACCARD_T)
+    clusters = connected_components(pairs)
+    dropped = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    curated = exact.join(dropped, "doc_id", "left_anti")
+
+    stats = (
+        docs.agg(F.count(F.lit(1)).alias("n_input"))
+        .crossJoin(quality.agg(F.count(F.lit(1)).alias("n_quality")))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+        .crossJoin(curated.agg(F.count(F.lit(1)).alias("n_curated")))
+    )
+    return {"curated": curated, "stats": stats}

@@ -54,6 +54,7 @@ def load_all() -> dict[str, Query]:
         graph,
         ingest_demo,
         north_star,
+        pipeline_demo,
         pipeline_ext,
         relational,
         scalars,
