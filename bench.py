@@ -37,6 +37,7 @@ HEADLINE = [
     "multimodal_decode",
     "event_sessionization",
     "streaming_window_counts",
+    "pipeline_curation_stats",
 ]
 
 
