@@ -56,10 +56,18 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     dropped = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
     curated = exact.join(dropped, "doc_id", "left_anti")
 
+    # tall (stage, n) layout: plain union of single-row aggregates —
+    # no 1×1 cross joins (which plan as BroadcastNestedLoopJoin and
+    # trip the plan audit even though they'd be harmless here)
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("stage"), "n"
+        )
+
     stats = (
-        docs.agg(F.count(F.lit(1)).alias("n_input"))
-        .crossJoin(quality.agg(F.count(F.lit(1)).alias("n_quality")))
-        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
-        .crossJoin(curated.agg(F.count(F.lit(1)).alias("n_curated")))
+        stage("1_input", docs)
+        .unionByName(stage("2_quality", quality))
+        .unionByName(stage("3_exact", exact))
+        .unionByName(stage("4_curated", curated))
     )
     return {"curated": curated, "stats": stats}

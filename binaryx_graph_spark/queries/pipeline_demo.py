@@ -43,10 +43,12 @@ _ORACLE = f"""
     dropped AS (
       SELECT x AS doc_id FROM reach GROUP BY x HAVING min(y) < x
     )
-    SELECT (SELECT count(*) FROM documents) AS n_input,
-           (SELECT count(*) FROM quality)   AS n_quality,
-           (SELECT count(*) FROM exact)     AS n_exact,
-           (SELECT count(*) FROM exact) - (SELECT count(*) FROM dropped) AS n_curated
+    SELECT '1_input' AS stage, count(*) AS n FROM documents
+    UNION ALL SELECT '2_quality', count(*) FROM quality
+    UNION ALL SELECT '3_exact', count(*) FROM exact
+    UNION ALL SELECT '4_curated',
+              (SELECT count(*) FROM exact) - (SELECT count(*) FROM dropped)
+    ORDER BY stage
     """
 
 
@@ -55,4 +57,4 @@ def pipeline_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pipeline's per-stage retention counts —
     quality gate, exact dedup, near-dup clustering — all recomputed by
     one independent SQL flow. A regression in ANY stage breaks this."""
-    return curate_documents(spark, sf_dir)["stats"]
+    return curate_documents(spark, sf_dir)["stats"].orderBy("stage")
