@@ -188,3 +188,25 @@ def mg_function_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         binary_filter="mal_a", binaries=t["binaries"], limit=50,
     )
     return out.select("uid", "name", "type")
+
+
+@register(
+    "mg_string_search_scoped",
+    oracle="""
+    SELECT 'str:' || sha256('Pay Bitcoin') AS uid,
+           'Pay Bitcoin' AS value,
+           CAST(1.0 AS DOUBLE) AS score,
+           CAST(1 AS BIGINT) AS sample_count
+    """,
+    tags=("search",),
+)
+def mg_string_search_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 with the binary filter arm: scoping the search to binary B
+    (filename contains 'mal_b') drops the sample_count from 2 to 1 —
+    the ownership semi-join through the scoped CONTAINS_STRING edges
+    (importer.rs:392-397)."""
+    t = graph_tables(spark)
+    return search_strings(
+        t["strings"], t["contains_string"], "Bitcoin",
+        binary_filter="mal_b", binaries=t["binaries"], limit=10,
+    )
