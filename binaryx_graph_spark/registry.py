@@ -53,6 +53,7 @@ def load_all() -> dict[str, Query]:
     from .queries import (  # noqa: F401
         graph,
         ingest_demo,
+        ingest_scaled,
         north_star,
         pipeline_demo,
         pipeline_ext,
