@@ -114,11 +114,16 @@ def project_documents(docs: DataFrame) -> DataFrame:
     ).filter(F.col("binary_hash").isNotNull())
 
 
-def build_graph_tables(docs_raw: DataFrame) -> dict[str, DataFrame]:
+def build_graph_tables(docs_raw: DataFrame, *, parallel_calls: bool = False) -> dict[str, DataFrame]:
     """Full batch ETL: documents → the 4 node + 6 edge tables + stats.
 
     Returns dict with keys: binaries functions strings libraries contains
     imports imports_library belongs_to calls contains_string import_stats.
+
+    ``parallel_calls=True`` keys CALLS by (src, dst, offset) instead of
+    the reference's pair-collapse — preserving one edge per call SITE so
+    call-frequency aggregations (G8/A4) count real call sites. Richer
+    than the reference; off by default for parity (SURVEY.md §7.3 #7).
     """
     docs = project_documents(docs_raw)
     # The per-binary arrays are re-visited by several branches below —
@@ -351,7 +356,8 @@ def build_graph_tables(docs_raw: DataFrame) -> dict[str, DataFrame]:
     resolved = resolve(resolved, "to_norm", "to_address", "dst_uid")
 
     ok = resolved.filter(F.col("src_uid").isNotNull() & F.col("dst_uid").isNotNull())
-    calls = _last_wins(ok, ["src_uid", "dst_uid"], order).select(
+    call_key = ["src_uid", "dst_uid", "offset"] if parallel_calls else ["src_uid", "dst_uid"]
+    calls = _last_wins(ok, call_key, order).select(
         "src_uid", "dst_uid", "offset", "call_type"
     )
 

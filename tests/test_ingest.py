@@ -10,6 +10,7 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F
 from binaryx_graph_spark.operators.ingest import build_graph_tables
 from binaryx_graph_spark.sources.json_source import read_analysis_json, validate_documents
 from binaryx_graph_spark.sources.warehouse import Warehouse
@@ -136,3 +137,30 @@ def test_warehouse_merge_idempotent(spark, tables, tmp_path_factory):
     assert n1 == n2
     assert n1["functions"] == 6
     assert n1["calls"] == 5
+
+
+def test_parallel_calls_mode_keeps_call_sites(spark, tmp_path_factory):
+    """parallel_calls=True preserves one edge per call SITE: add a second
+    main→helper call at a different offset and check both modes."""
+    import copy
+    import json
+
+    from binaryx_graph_spark.fixtures.micro_graph import DOC_A, DOC_B
+
+    doc = copy.deepcopy(DOC_A)
+    doc["calls"].append(
+        {"from_address": "0x401000", "to_address": "4198656", "offset": "0x401044", "type": "direct"}
+    )
+    d = tmp_path_factory.mktemp("par") / "in"
+    d.mkdir()
+    (d / "a.json").write_text(json.dumps(doc))
+    (d / "b.json").write_text(json.dumps(DOC_B))
+
+    docs = read_analysis_json(spark, str(d))
+    collapsed = build_graph_tables(docs)["calls"]
+    parallel = build_graph_tables(docs, parallel_calls=True)["calls"]
+
+    pair = (F.col("src_uid") == UID_MAIN_A) & (F.col("dst_uid") == UID_HELPER_A)
+    assert collapsed.filter(pair).count() == 1  # reference pair-collapse
+    rows = parallel.filter(pair).collect()
+    assert {r["offset"] for r in rows} == {"0x401010", "0x401044"}  # both sites
