@@ -42,8 +42,38 @@ def sql_sum_cents(expr: str) -> str:
     return f"CAST(sum({sql_cents(expr)}) AS BIGINT)"
 
 
-# Scale note (SCALE.md "known ceilings"): int64 cents sums overflow near
+# Scale knob (SCALE.md "known ceilings"): int64 cents sums overflow near
 # 9.2e18. A q1-style triple product (price_c × disc_c × tax_c ≈ 1e11 per
-# row) caps a single group at ~9e7 rows; beyond that switch the sum to
-# decimal(38,0):  F.sum(expr.cast("decimal(38,0)")) — still exact, still
-# order-independent, ~2× slower.
+# row) caps a single group at ~9e7 rows; beyond that the sum switches to
+# decimal(38,0) — still exact, still order-independent, ~2× slower. The
+# switch is a session conf so a 100 TB deployment flips ONE setting:
+#
+#     spark.conf.set("spark.graft.cents.wide", "true")
+#
+# The per-row cents PRODUCTS stay int64 (≤ ~1e11, comfortably in range);
+# only the group SUM widens.
+
+WIDE_CENTS_CONF = "spark.graft.cents.wide"
+
+
+def wide_cents_enabled(spark) -> bool:
+    """Read the decimal(38,0) cents-sum knob from the session conf."""
+    try:
+        return str(spark.conf.get(WIDE_CENTS_CONF, "false")).lower() == "true"
+    except Exception:
+        return False
+
+
+def sum_cents_exact(expr: Column, *, wide: bool = False) -> Column:
+    """Overflow-proof exact sum of an integer-cents expression.
+
+    ``wide=False``: plain ``sum(long)`` — exact to ±9.2e18 (sufficient for
+    every test SF and the DuckDB-oracle parity path).
+    ``wide=True``: ``sum(decimal(38,0))`` — exact to 1e38, no int64
+    ceiling at 1e9-row-per-group scale. Downstream ``/ 100.0`` divisions
+    produce the same double either way (exact integer → nearest double is
+    representation-independent).
+    """
+    if wide:
+        return F.sum(expr.cast("decimal(38,0)"))
+    return F.sum(expr)

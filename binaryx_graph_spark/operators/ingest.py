@@ -266,15 +266,20 @@ def build_graph_tables(docs_raw: DataFrame, *, parallel_calls: bool = False) -> 
         "pos",
     )
     # the address→uid MAP entry, however, is only-if-absent
-    # (session.rs:217-224): absent from every earlier key form
+    # (session.rs:217-224): absent from every earlier key form OF THE
+    # SAME FILE's map (the map is per-file — see addr_map below)
     prior_keys = (
-        fn_items.select("binary_hash", F.col("raw_address").alias("norm_address"))
-        .unionByName(fn_items.select("binary_hash", F.col("norm_address")))
-        .unionByName(imp_items.select("binary_hash", F.col("raw_iat").alias("norm_address")))
-        .unionByName(imp_items.select("binary_hash", F.col("iat_address").alias("norm_address")))
+        fn_items.select("binary_hash", "ingest_seq", F.col("raw_address").alias("norm_address"))
+        .unionByName(fn_items.select("binary_hash", "ingest_seq", F.col("norm_address")))
+        .unionByName(
+            imp_items.select("binary_hash", "ingest_seq", F.col("raw_iat").alias("norm_address"))
+        )
+        .unionByName(
+            imp_items.select("binary_hash", "ingest_seq", F.col("iat_address").alias("norm_address"))
+        )
         .dropDuplicates()
     )
-    exp_new = exp_items.join(prior_keys, ["binary_hash", "norm_address"], "left_anti")
+    exp_new = exp_items.join(prior_keys, ["binary_hash", "ingest_seq", "norm_address"], "left_anti")
 
     # function node upsert across Internal ∪ Import ∪ Export (E9):
     # precedence is pure last-write-wins in stage order — the reference
@@ -292,25 +297,32 @@ def build_graph_tables(docs_raw: DataFrame, *, parallel_calls: bool = False) -> 
     # address→uid map per binary; precedence imports > functions > exports
     # (imports overwrite, exports only-if-absent). Both raw and normalized
     # key forms for functions (session.rs:66-72).
-    addr_map = (
-        fn_items.select("binary_hash", F.col("raw_address").alias("addr"), "uid", F.lit(2).alias("prio"), "pos")
-        .unionByName(
-            fn_items.select("binary_hash", F.col("norm_address").alias("addr"), "uid", F.lit(2).alias("prio"), "pos")
+    # The reference builds the map PER FILE being imported (session.rs:66-72:
+    # a fresh session map per document) — so the map is scoped by
+    # (binary_hash, ingest_seq): a duplicate binary_hash appearing in two
+    # files of one batch resolves each file's calls against that file's OWN
+    # entries, never an interleaved mix (ADVICE r1).
+    def _arm(df: DataFrame, addr_col: str, prio: int) -> DataFrame:
+        return df.select(
+            "binary_hash",
+            "ingest_seq",
+            F.col(addr_col).alias("addr"),
+            "uid",
+            F.lit(prio).alias("prio"),
+            "pos",
         )
+
+    addr_map = (
+        _arm(fn_items, "raw_address", 2)
+        .unionByName(_arm(fn_items, "norm_address", 2))
         # imports insert BOTH the raw and normalized key forms
         # (session.rs:166-169), overwriting earlier function entries
-        .unionByName(
-            imp_items.select("binary_hash", F.col("raw_iat").alias("addr"), "uid", F.lit(3).alias("prio"), "pos")
-        )
-        .unionByName(
-            imp_items.select("binary_hash", F.col("iat_address").alias("addr"), "uid", F.lit(3).alias("prio"), "pos")
-        )
-        .unionByName(
-            exp_new.select("binary_hash", F.col("norm_address").alias("addr"), "uid", F.lit(1).alias("prio"), "pos")
-        )
+        .unionByName(_arm(imp_items, "raw_iat", 3))
+        .unionByName(_arm(imp_items, "iat_address", 3))
+        .unionByName(_arm(exp_new, "norm_address", 1))
     )
-    addr_map = _last_wins(addr_map, ["binary_hash", "addr"], ["prio", "pos"]).select(
-        "binary_hash", "addr", "uid"
+    addr_map = _last_wins(addr_map, ["binary_hash", "ingest_seq", "addr"], ["prio", "pos"]).select(
+        "binary_hash", "ingest_seq", "addr", "uid"
     )
 
     # ---------------------------------------------------------------- E8
@@ -333,23 +345,34 @@ def build_graph_tables(docs_raw: DataFrame, *, parallel_calls: bool = False) -> 
 
     def resolve(df: DataFrame, norm_col: str, raw_col: str, out: str) -> DataFrame:
         m_norm = addr_map.select(
-            F.col("binary_hash").alias("_mb"), F.col("addr").alias("_ma"), F.col("uid").alias("_mu")
+            F.col("binary_hash").alias("_mb"),
+            F.col("ingest_seq").alias("_ms"),
+            F.col("addr").alias("_ma"),
+            F.col("uid").alias("_mu"),
         )
         m_raw = addr_map.select(
-            F.col("binary_hash").alias("_rb"), F.col("addr").alias("_ra"), F.col("uid").alias("_ru")
+            F.col("binary_hash").alias("_rb"),
+            F.col("ingest_seq").alias("_rs"),
+            F.col("addr").alias("_ra"),
+            F.col("uid").alias("_ru"),
         )
-        # normalized form first, raw fallback (session.rs:487-492);
+        # normalized form first, raw fallback (session.rs:487-492); each
+        # call resolves against its OWN file's map (ingest_seq equality);
         # the map is dimension-sized per batch → broadcast both probes
         df = df.join(
             F.broadcast(m_norm),
-            (F.col("binary_hash") == F.col("_mb")) & (F.col(norm_col) == F.col("_ma")),
+            (F.col("binary_hash") == F.col("_mb"))
+            & (F.col("ingest_seq") == F.col("_ms"))
+            & (F.col(norm_col) == F.col("_ma")),
             "left",
-        ).drop("_mb", "_ma")
+        ).drop("_mb", "_ms", "_ma")
         df = df.join(
             F.broadcast(m_raw),
-            (F.col("binary_hash") == F.col("_rb")) & (F.col(raw_col) == F.col("_ra")),
+            (F.col("binary_hash") == F.col("_rb"))
+            & (F.col("ingest_seq") == F.col("_rs"))
+            & (F.col(raw_col) == F.col("_ra")),
             "left",
-        ).drop("_rb", "_ra")
+        ).drop("_rb", "_rs", "_ra")
         return df.withColumn(out, F.coalesce("_mu", "_ru")).drop("_mu", "_ru")
 
     resolved = resolve(call_items, "from_norm", "from_address", "src_uid")

@@ -94,14 +94,42 @@ class RawQueryParser:
       map to SQL ``LIKE %``
     - implicit adjacency = AND
 
+    UNSUPPORTED Lucene constructs (the reference passes ``--raw`` straight
+    to Neo4j's Lucene index, query.rs:206-210; we implement a subset and
+    REJECT the rest loudly rather than silently degrading):
+
+    - fuzzy ``term~`` / ``term~2``        → ValueError
+    - ranges ``[a TO b]`` / ``{a TO b}``  → ValueError
+    - boosts ``term^4``                   → ValueError
+    - field queries ``field:term`` are NOT treated as field queries:
+      this domain's identifiers contain colons (``imp:kernel32:CreateFileA``),
+      so a ``:`` term is matched as a literal substring — documented
+      divergence (Lucene would search a field named ``field``).
+
     Divergence from Lucene: ``NOT`` binds to the following clause within
     its AND-chain (``a OR b NOT c`` = ``a OR (b AND NOT c)``), whereas a
     Lucene BooleanQuery applies MUST_NOT at the whole-query level
     (``(a OR b) AND NOT c``). Parenthesize to force either reading.
     """
 
+    _FUZZY_RE = re.compile(r".+~(\d+(\.\d+)?)?$")
+    _RANGE_RE = re.compile(r"[\[{][^\]}]*\sTO\s[^\]}]*[\]}]")
+    _BOOST_RE = re.compile(r".+\^\d+(\.\d+)?$")
+
     def __init__(self, pattern: str):
+        if self._RANGE_RE.search(pattern):
+            raise ValueError(
+                f"unsupported Lucene range syntax in raw query: {pattern!r} "
+                "(supported subset: AND/OR/NOT, parentheses, phrases, * wildcards)"
+            )
         self.tokens = [m.group(1) for m in _TOKEN_RE.finditer(pattern)]
+        for tok in self.tokens:
+            if tok.startswith('"'):
+                continue  # quoted phrases are literal
+            if self._FUZZY_RE.match(tok):
+                raise ValueError(f"unsupported Lucene fuzzy term in raw query: {tok!r}")
+            if self._BOOST_RE.match(tok):
+                raise ValueError(f"unsupported Lucene boost in raw query: {tok!r}")
         self.pos = 0
 
     def _peek(self) -> str | None:

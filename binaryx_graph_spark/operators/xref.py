@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.addr import normalize_address
+from ..functions.addr import normalize_address_py
 from .traverse import call_sequences, enumerate_paths
 
 
@@ -33,10 +33,12 @@ def xref_address(
     kind ∈ {'call', 'import'}; the 'import' arm only joins when a binary
     scope is given (the reference's `CALL { … UNION … }`,
     importer.rs:555-568); final DISTINCT (importer.rs:569)."""
-    # normalize the queried address the same way stored addresses were
-    norm = functions.sparkSession.range(1).select(
-        F.coalesce(normalize_address(F.lit(address)), F.lit(address)).alias("a")
-    ).collect()[0]["a"]
+    # normalize the queried address the same way stored addresses were —
+    # a pure-Python scalar transform (twin of the Column kernel, pinned by
+    # tests); launching a Spark job for one string would be wasteful
+    norm = normalize_address_py(address)
+    if norm is None:
+        norm = address
 
     fn = functions.select(
         F.col("uid"), F.col("name"), F.col("address").alias("_faddr")

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .model import load_table
-from .operators.dedup import connected_components, jaccard_pairs
+from .operators.dedup import connected_components, jaccard_pairs_prefix
 from .operators.textstats import quality_metrics, tokens
 
 #: curation thresholds (documented knobs)
@@ -51,7 +51,12 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     exact = keyed.join(canonical, ["_k", "doc_id"], "left_semi").select("doc_id", "text")
     exact = exact.localCheckpoint(eager=True)
 
-    pairs = jaccard_pairs(exact, "doc_id", "text", n=3, threshold=JACCARD_T)
+    # PPJoin-style prefix-filtered exact Jaccard: provably the same pair
+    # set as the naive all-pairs shingle self-join above the threshold
+    # (gate-verified equal in dedup_jaccard_prefix_filtered), but the
+    # candidate join touches only each doc's rarest-shingle prefix — the
+    # scale path for the real 100 TB corpus pass (VERDICT r1 #3).
+    pairs = jaccard_pairs_prefix(exact, "doc_id", "text", n=3, threshold=JACCARD_T)
     clusters = connected_components(pairs)
     dropped = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
     curated = exact.join(dropped, "doc_id", "left_anti")

@@ -23,6 +23,7 @@ from ..operators.similarity import (
     cosine_topk_lsh,
     embedding_near_dup,
     sql_cosine,
+    sql_embedding_near_dup,
     sql_sign_bucket,
 )
 from ..operators.textstats import (
@@ -133,19 +134,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine",
-    oracle=f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {sql_cosine('a.embedding', 'b.embedding')} >= 0.45
-    ORDER BY id_a, id_b
-    """,
+    oracle=sql_embedding_near_dup("embeddings", threshold=0.45) + " ORDER BY id_a, id_b",
     tags=("dedup",),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: the semantic-dedup primitive.
-    In-order float64 folds → bit-identical scores. (Threshold 0.45 —
-    the synthetic embeddings are near-orthogonal, max pairwise ≈ 0.51.)"""
+    """Embedding-cosine near-dup pairs: the semantic-dedup primitive,
+    banded sign-LSH (4 bands × 4 bits) — candidate pairs come from
+    band-equality equi-joins, NEVER an unconditioned crossJoin; exact
+    cosine verifies candidates only. The oracle applies the identical
+    banding, so the hash pins the bucketed contract. In-order float64
+    folds → bit-identical scores. (Threshold 0.45 — the synthetic
+    embeddings are near-orthogonal, max pairwise ≈ 0.51.)"""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup(emb, threshold=0.45).orderBy("id_a", "id_b")
 

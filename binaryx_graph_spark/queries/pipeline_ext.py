@@ -155,11 +155,16 @@ def stats_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB substitute for exact distinct counts (rsd 2%); accuracy vs
     exact is asserted in tests/test_approx.py."""
     ev = load_table(spark, sf_dir, "events")
+    q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
     return (
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+            # scalar columns, not array<double> — the driver canonicalizer
+            # sorts a pandas frame and list cells are unhashable (r1 red row)
+            F.element_at(q, 1).alias("p50"),
+            F.element_at(q, 2).alias("p95"),
+            F.element_at(q, 3).alias("p99"),
         )
         .orderBy("event_type")
     )

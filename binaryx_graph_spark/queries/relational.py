@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.exact import cents, dollars, sql_sum_cents
+from ..functions.exact import cents, dollars, sql_sum_cents, sum_cents_exact, wide_cents_enabled
 from ..model import load_table
 from ..registry import register
 
@@ -81,17 +81,26 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_c = F.round((1 - F.col("l_discount")) * 100).cast("long")
     tax_c = F.round((1 + F.col("l_tax")) * 100).cast("long")
     n = F.count(F.lit(1))
+
+    # overflow-proof cents sums: spark.graft.cents.wide=true switches the
+    # group sums to decimal(38,0) for 1e9-row-per-group scale (identical
+    # doubles after the /100 divisions; see functions/exact.py)
+    wide = wide_cents_enabled(spark)
+
+    def s(e):
+        return sum_cents_exact(e, wide=wide)
+
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty).cast("double").alias("sum_qty"),
-            dollars(F.sum(price_c)).alias("sum_base_price"),
-            (F.sum(price_c * disc_c) / F.lit(10000.0)).alias("sum_disc_price"),
-            (F.sum(price_c * disc_c * tax_c) / F.lit(1000000.0)).alias("sum_charge"),
+            dollars(s(price_c)).alias("sum_base_price"),
+            (s(price_c * disc_c) / F.lit(10000.0)).alias("sum_disc_price"),
+            (s(price_c * disc_c * tax_c) / F.lit(1000000.0)).alias("sum_charge"),
             (F.sum(qty) / n.cast("double")).alias("avg_qty"),
-            (F.sum(price_c) / (n * F.lit(100.0))).alias("avg_price"),
-            (F.sum(cents("l_discount")) / (n * F.lit(100.0))).alias("avg_disc"),
+            (s(price_c) / (n * F.lit(100.0))).alias("avg_price"),
+            (s(cents("l_discount")) / (n * F.lit(100.0))).alias("avg_disc"),
             n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -47,11 +47,23 @@ def stream_analysis_json(spark: SparkSession, input_dir: str, warehouse_root: st
         .option("multiLine", "true")
         .json(input_dir)
         .withColumn("source_file", F.input_file_name())
-        .withColumn("ingest_seq", F.lit(1))
     )
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
-        tables = build_graph_tables(batch_df)
+        from pyspark.sql.window import Window
+
+        # Per-batch ingest_seq = dense rank over source_file — the SAME
+        # derivation as the batch path (read_analysis_json), so two files
+        # carrying the same merge key inside one micro-batch resolve by
+        # deterministic file order, not a row_number tie-break (ADVICE r1:
+        # a constant lit(1) made _last_wins nondeterministic here).
+        w = Window.orderBy("source_file")
+        seq = (
+            batch_df.select("source_file")
+            .distinct()
+            .withColumn("ingest_seq", F.dense_rank().over(w))
+        )
+        tables = build_graph_tables(batch_df.join(F.broadcast(seq), "source_file"))
         wh.merge_batch(
             {k: v for k, v in tables.items() if k != "import_stats"},
             batch_seq=epoch_id + 1,

@@ -12,6 +12,7 @@ into — no single-batch assumption.
 
 from __future__ import annotations
 
+import math
 import os
 import tempfile
 import uuid
@@ -49,8 +50,13 @@ def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd
     n, cents, last_us = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        # exact integer cents (same convention as the batch engine)
-        cents += sum(int(round(v * 100)) for v in pdf["value"])
+        # exact integer cents, HALF-UP away from zero — the same convention
+        # as the batch engine's F.round and the DuckDB oracle. Python's
+        # built-in round() is banker's (half-to-even: round(0.125*100)=12,
+        # F.round gives 13) — ADVICE r1.
+        cents += sum(
+            int(math.floor(abs(v) * 100 + 0.5)) * (1 if v >= 0 else -1) for v in pdf["value"]
+        )
         last_us = max(last_us, int(pdf["ts"].max()) // 1000)
     state.update((n, cents, last_us))
     yield pd.DataFrame(

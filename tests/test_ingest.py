@@ -164,3 +164,52 @@ def test_parallel_calls_mode_keeps_call_sites(spark, tmp_path_factory):
     assert collapsed.filter(pair).count() == 1  # reference pair-collapse
     rows = parallel.filter(pair).collect()
     assert {r["offset"] for r in rows} == {"0x401010", "0x401044"}  # both sites
+
+
+def test_duplicate_binary_batch_per_file_map(spark, tmp_path_factory):
+    """Per-file address-map scoping (ADVICE r1): when the SAME binary_hash
+    arrives in two files of one batch, each file's calls resolve only
+    against its OWN map — a call targeting an address defined solely in
+    the OTHER file stays unresolved (skip-counted), exactly as the
+    reference's fresh per-file session map behaves."""
+    import json
+
+    h = "f" * 64
+    doc1 = {
+        "binary_info": {"name": "dup_v1.exe", "hashes": {"sha256": h}, "file_size": 100,
+                        "format": "PE", "arch": "x86"},
+        "functions": [{"name": "alpha", "address": "0x1000", "size": 10}],
+        # 0x2000 is defined ONLY in file 2 → must NOT resolve here
+        "calls": [{"from_address": "0x1000", "to_address": "0x2000", "offset": "0x1004",
+                   "type": "direct"}],
+        "strings": [], "imports": [], "exports": [],
+    }
+    doc2 = {
+        "binary_info": {"name": "dup_v2.exe", "hashes": {"sha256": h}, "file_size": 200,
+                        "format": "PE", "arch": "x86"},
+        "functions": [
+            {"name": "alpha2", "address": "0x1000", "size": 11},
+            {"name": "beta", "address": "0x2000", "size": 12},
+        ],
+        "calls": [{"from_address": "0x1000", "to_address": "0x1000", "offset": "0x1008",
+                   "type": "tail"}],
+        "strings": [], "imports": [], "exports": [],
+    }
+    d = tmp_path_factory.mktemp("dupbin") / "in"
+    d.mkdir()
+    (d / "f1.json").write_text(json.dumps(doc1))
+    (d / "f2.json").write_text(json.dumps(doc2))
+
+    t = build_graph_tables(read_analysis_json(spark, str(d)))
+
+    # last file wins the binary node and the shared function node's name
+    b = t["binaries"].collect()
+    assert len(b) == 1 and b[0]["filename"] == "dup_v2.exe" and b[0]["file_size"] == 200
+    fn = {r["uid"]: r["name"] for r in t["functions"].collect()}
+    assert fn[f"{h}:0x1000"] == "alpha2"
+
+    # file 1's cross-file call is skipped; file 2's self-call resolves
+    calls = [(r["src_uid"], r["dst_uid"], r["call_type"]) for r in t["calls"].collect()]
+    assert calls == [(f"{h}:0x1000", f"{h}:0x1000", "Tail")]
+    stats = t["import_stats"].collect()[0]
+    assert stats["calls_total"] == 2 and stats["calls_skipped"] == 1

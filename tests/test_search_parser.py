@@ -69,3 +69,18 @@ def test_parser_empty_matches_all(spark):
 def test_parser_only_not(spark):
     got = _matches(spark, "NOT alpha", VALUES)
     assert got == {"beta gamma", "delta"}
+
+
+def test_raw_query_rejects_unsupported_lucene(spark):
+    """Lucene-only constructs fail loudly (documented divergence), never
+    silently degrade to substring matches."""
+    import pytest
+    from pyspark.sql import functions as F
+    from binaryx_graph_spark.operators.search import raw_query_predicate
+
+    col = F.col("x")
+    for bad in ["roam~", "roam~2", "price~0.8", "[alpha TO omega]", "{a TO b}", "term^4"]:
+        with pytest.raises(ValueError):
+            raw_query_predicate(col, bad)
+    # quoted phrases keep these characters literal; colon terms are literal substrings
+    raw_query_predicate(col, '"version~2" AND imp:kernel32')
