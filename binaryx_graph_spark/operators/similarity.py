@@ -194,37 +194,117 @@ def sql_embedding_near_dup(
 
 # ------------------------------------------------------------- IVF variant
 
+#: fixed-point quantum for exact k-means centroid sums: components are
+#: snapped to a 2^-20 grid as int64, so partial sums are exact and
+#: order-independent and BOTH engines derive bit-identical centroids.
+KMEANS_SCALE = 1 << 20
 
-def ivf_assign(
+
+def _quantize(vec_col: Column) -> Column:
+    """array<float> → array<long> on the 2^-20 grid (half-up)."""
+    return F.transform(
+        vec_col,
+        lambda x: F.floor(x.cast("double") * F.lit(float(KMEANS_SCALE)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+
+
+def _centroid_frame(spark, cents: dict[int, list[float]]) -> DataFrame:
+    """{centroid_id: [double]} → broadcastable (centroid_id, _cvec) frame."""
+    rows = [(int(cid), [float(x) for x in vec]) for cid, vec in sorted(cents.items())]
+    return spark.createDataFrame(rows, "centroid_id long, _cvec array<double>")
+
+
+def _assign(base: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (argmax cosine, ties → min centroid_id)
+    → (_id, centroid_id)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_id").orderBy(F.desc("_csim"), "centroid_id")
+    return (
+        base.crossJoin(F.broadcast(cdf))
+        .select("_id", "centroid_id", cosine(F.col("_v"), F.col("_cvec")).alias("_csim"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_id", "centroid_id")
+    )
+
+
+def kmeans_codebook(
     embeddings: DataFrame,
     *,
     n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, list[float]]:
+    """Deterministic Lloyd k-means codebook → {centroid_id: [double]}.
+
+    Seeds = the first ``n_centroids`` vectors by id; each iteration
+    assigns (argmax cosine, tie → min centroid_id) then recomputes
+    centroids as EXACT int64 sums of 2^-20-quantized components divided
+    once in double: ``float(sum[d]) / float(n * KMEANS_SCALE)``. Every
+    step is order-independent integer math or a single IEEE-754 op, so
+    the DuckDB oracle (:func:`sql_ivf_kmeans`) replays the exact same
+    centroids bit-for-bit. Empty clusters keep their previous centroid.
+
+    The driver collects only k×(dim+1) aggregated values per iteration —
+    the canonical distributed k-means shape (Spark MLlib likewise
+    collects centers each round); the per-row work stays executor-side.
+    """
+    spark = embeddings.sparkSession
+    base = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _quantize(F.col(vec_col)).alias("_vq"),
+    ).localCheckpoint(eager=True)  # 2-3 passes over the corpus; scan once
+
+    seeds = base.orderBy("_id").limit(n_centroids).select("_id", "_vq").collect()
+    dim = len(seeds[0]["_vq"])
+    cents: dict[int, tuple[list[int], int]] = {
+        int(r["_id"]): (list(r["_vq"]), 1) for r in seeds
+    }
+
+    def doubles(c: dict[int, tuple[list[int], int]]) -> dict[int, list[float]]:
+        return {
+            cid: [float(s) / float(n * KMEANS_SCALE) for s in sums]
+            for cid, (sums, n) in c.items()
+        }
+
+    for _ in range(iters):
+        assigned = _assign(base, _centroid_frame(spark, doubles(cents)))
+        upd = (
+            assigned.join(base.select("_id", "_vq"), "_id")
+            .groupBy("centroid_id")
+            .agg(
+                *[F.sum(F.element_at("_vq", d + 1)).alias(f"s{d}") for d in range(dim)],
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = dict(cents)  # empty clusters keep their previous centroid
+        for r in upd:
+            new[int(r["centroid_id"])] = ([int(r[f"s{d}"]) for d in range(dim)], int(r["n"]))
+        cents = new
+    return doubles(cents)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    codebook: dict[int, list[float]],
+    *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF coarse quantization with FIXED centroids: the first
-    ``n_centroids`` stored vectors (by id) act as the coarse codebook —
-    deterministic, so the oracle can reproduce the assignment. A
-    production build would k-means the codebook; the partition/probe
-    dataflow is identical. → (vec_id, embedding, centroid_id)"""
-    from pyspark.sql.window import Window
-
-    cents = (
-        embeddings.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cvec"))
-    )
-    scored = embeddings.crossJoin(F.broadcast(cents)).select(
-        id_col,
-        vec_col,
-        "centroid_id",
-        cosine(F.col(vec_col), F.col("_cvec")).alias("_csim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_csim"), "centroid_id")
+    """IVF coarse quantization against a trained codebook
+    → (vec_id, embedding, centroid_id)."""
+    spark = embeddings.sparkSession
+    base = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, "centroid_id")
+        _assign(base, _centroid_frame(spark, codebook))
+        .join(base, "_id")
+        .select(F.col("_id").alias(id_col), F.col("_v").alias(vec_col), "centroid_id")
     )
 
 
@@ -235,24 +315,24 @@ def cosine_topk_ivf(
     k: int = 10,
     n_centroids: int = 8,
     n_probe: int = 2,
+    kmeans_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-flat ANN: score only vectors whose centroid is among the
-    query's ``n_probe`` nearest centroids. At scale the lists are
-    ``repartition(centroid_id)``-ed parquet partitions and a probe
-    touches n_probe/n_centroids of the data."""
-    from pyspark.sql.window import Window
-
-    assigned = ivf_assign(embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col)
-    cents = (
-        embeddings.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cvec"))
+    """IVF-flat ANN with a real k-means codebook: score only vectors
+    whose centroid is among the query's ``n_probe`` nearest centroids.
+    At scale the lists are ``repartition(centroid_id)``-ed parquet
+    partitions and a probe touches n_probe/n_centroids of the data;
+    codebook training runs on a sample there."""
+    spark = embeddings.sparkSession
+    codebook = kmeans_codebook(
+        embeddings, n_centroids=n_centroids, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
     )
+    assigned = ivf_assign(embeddings, codebook, id_col=id_col, vec_col=vec_col)
+    cdf = _centroid_frame(spark, codebook)
     q = embeddings.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qvec"))
     probe = (
-        cents.crossJoin(F.broadcast(q))
+        cdf.crossJoin(F.broadcast(q))
         .select("centroid_id", cosine(F.col("_cvec"), F.col("_qvec")).alias("_csim"))
         .orderBy(F.desc("_csim"), "centroid_id")
         .limit(n_probe)
@@ -266,3 +346,80 @@ def cosine_topk_ivf(
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
     )
+
+
+def sql_ivf_kmeans(
+    table: str,
+    query_id: int,
+    *,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of k-means codebook + IVF probe + scoring: the same
+    quantized integer sums, the same single-division centroid doubles,
+    the same argmax/tie-break — so the oracle pins the WHOLE IVF path
+    including codebook training, not just the probe."""
+    s = KMEANS_SCALE
+    sums = ", ".join(f"CAST(sum(q.vq[{d + 1}]) AS BIGINT)" for d in range(dim))
+    cd = f"list_transform(csum, s -> CAST(s AS DOUBLE) / CAST(n * {s} AS DOUBLE))"
+    ctes = [
+        f"e AS (SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table})",
+        f"q AS (SELECT vec_id, v, list_transform(v, x -> CAST(floor(x * {float(s)} + 0.5) AS BIGINT)) AS vq FROM e)",
+        f"c0 AS (SELECT vec_id AS centroid_id, vq AS csum, CAST(1 AS BIGINT) AS n FROM q ORDER BY vec_id LIMIT {n_centroids})",
+    ]
+    for i in range(iters):
+        ctes += [
+            f"d{i} AS (SELECT centroid_id, {cd} AS cd FROM c{i})",
+            f"""a{i} AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT q.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {sql_cosine('q.v', 'c.cd')} DESC, c.centroid_id) AS rn
+        FROM q CROSS JOIN d{i} c
+      ) WHERE rn = 1
+    )""",
+            f"""u{i} AS (
+      SELECT a.centroid_id, list_value({sums}) AS csum, count(*) AS n
+      FROM a{i} a JOIN q ON a.vec_id = q.vec_id
+      GROUP BY a.centroid_id
+    )""",
+            f"""c{i + 1} AS (
+      SELECT c.centroid_id, COALESCE(u.csum, c.csum) AS csum, COALESCE(u.n, c.n) AS n
+      FROM c{i} c LEFT JOIN u{i} u ON c.centroid_id = u.centroid_id
+    )""",
+        ]
+    ctes += [
+        f"df AS (SELECT centroid_id, {cd} AS cd FROM c{iters})",
+        f"""af AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT q.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {sql_cosine('q.v', 'c.cd')} DESC, c.centroid_id) AS rn
+        FROM q CROSS JOIN df c
+      ) WHERE rn = 1
+    )""",
+        f"""probe AS (
+      SELECT centroid_id FROM (
+        SELECT c.centroid_id, {sql_cosine('c.cd', 'qq.v')} AS s
+        FROM df c, (SELECT v FROM e WHERE vec_id = {query_id}) qq
+        ORDER BY s DESC, c.centroid_id LIMIT {n_probe}
+      )
+    )""",
+    ]
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT ev.vec_id, {sql_cosine('ev.v', 'qq.v')} AS cos_sim
+    FROM af a
+      JOIN probe p ON a.centroid_id = p.centroid_id
+      JOIN e ev ON ev.vec_id = a.vec_id,
+      (SELECT v FROM e WHERE vec_id = {query_id}) qq
+    WHERE ev.vec_id <> {query_id}
+    ORDER BY cos_sim DESC, ev.vec_id
+    LIMIT {k}
+    """

@@ -24,6 +24,7 @@ from ..operators.similarity import (
     embedding_near_dup,
     sql_cosine,
     sql_embedding_near_dup,
+    sql_ivf_kmeans,
     sql_sign_bucket,
 )
 from ..operators.textstats import (
@@ -266,44 +267,21 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_cosine_ivf",
-    oracle=f"""
-    WITH cents AS (
-      SELECT vec_id AS centroid_id, embedding AS cvec
-      FROM embeddings ORDER BY vec_id LIMIT 8
+    oracle=sql_ivf_kmeans(
+        "embeddings", 7, k=10, n_centroids=8, n_probe=2, iters=2, dim=64
     ),
-    assigned AS (
-      SELECT vec_id, embedding, centroid_id FROM (
-        SELECT e.vec_id, e.embedding, c.centroid_id,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {sql_cosine('e.embedding', 'c.cvec')} DESC, c.centroid_id) AS rn
-        FROM embeddings e CROSS JOIN cents c
-      ) WHERE rn = 1
-    ),
-    probe AS (
-      SELECT centroid_id FROM (
-        SELECT c.centroid_id, {sql_cosine('c.cvec', 'q.embedding')} AS s
-        FROM cents c, (SELECT embedding FROM embeddings WHERE vec_id = 7) q
-        ORDER BY s DESC, c.centroid_id LIMIT 2
-      )
-    )
-    SELECT a.vec_id, {sql_cosine('a.embedding', 'q.embedding')} AS cos_sim
-    FROM assigned a
-      JOIN probe p ON a.centroid_id = p.centroid_id,
-      (SELECT embedding FROM embeddings WHERE vec_id = 7) q
-    WHERE a.vec_id <> 7
-    ORDER BY cos_sim DESC, a.vec_id
-    LIMIT 10
-    """,
     tags=("similarity",),
 )
 def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN (8 fixed coarse centroids, 2 probes): the inverted-
-    list partition/probe dataflow with a deterministic codebook so the
-    oracle reproduces assignment, probe selection, and scoring."""
+    """IVF-flat ANN with a REAL k-means codebook (2 deterministic Lloyd
+    iterations over fixed-point int64 sums, seeds = first-8 by id): the
+    oracle replays codebook training, assignment, probe selection, and
+    scoring bit-for-bit. Recall vs brute force asserted in
+    tests/test_north_star.py."""
     from ..operators.similarity import cosine_topk_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk_ivf(emb, 7, k=10, n_centroids=8, n_probe=2)
+    return cosine_topk_ivf(emb, 7, k=10, n_centroids=8, n_probe=2, kmeans_iters=2)
 
 
 @register(

@@ -106,3 +106,38 @@ def test_multimodal_resize_shapes(spark):
     for r in out:
         assert r["n_bytes_out"] == 32 * 16 * 3
         assert len(bytes(r["resized"])) == 32 * 16 * 3
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark):
+    """The k-means IVF probe must rank the true neighbors well: with 8
+    centroids / 2 probes over the sf0.001 corpus, the probed top-10 must
+    contain at least half of the exact brute-force top-10, and its top
+    hit must be the true nearest neighbor's cosine or better within the
+    probed partition (sanity: IVF returns real similarities, not noise)."""
+    from binaryx_graph_spark.operators.similarity import cosine_topk_ivf
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = [r["vec_id"] for r in cosine_topk(emb, 7, k=10).collect()]
+    ivf_rows = cosine_topk_ivf(emb, 7, k=10, n_centroids=8, n_probe=2).collect()
+    ivf = [r["vec_id"] for r in ivf_rows]
+    overlap = len(set(exact) & set(ivf))
+    assert overlap >= 5, f"IVF recall too low: {overlap}/10 ({ivf} vs {exact})"
+    # scores must be genuine cosines (bounded, sorted descending)
+    sims = [r["cos_sim"] for r in ivf_rows]
+    assert sims == sorted(sims, reverse=True) and all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_kmeans_codebook_deterministic_and_moves(spark):
+    """Two runs produce identical centroids (bit-for-bit), and the
+    trained codebook differs from the raw seeds (the iterations really
+    move the centroids)."""
+    from binaryx_graph_spark.operators.similarity import kmeans_codebook
+
+    emb = load_table(spark, SF, "embeddings")
+    cb1 = kmeans_codebook(emb, n_centroids=8, iters=2)
+    cb2 = kmeans_codebook(emb, n_centroids=8, iters=2)
+    assert cb1 == cb2  # exact equality of doubles — determinism
+    seeds = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in emb.orderBy("vec_id").limit(8).collect()}
+    moved = sum(1 for cid in cb1 if cb1[cid] != seeds[cid])
+    assert moved >= 6  # nearly all centroids moved off their seed
