@@ -66,8 +66,8 @@ def jaccard_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     out = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .withColumn(
             "jaccard",
             (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).cast("double"),
@@ -173,8 +173,8 @@ def minhash_near_dup(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .withColumn(
             "jaccard",
             (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).cast("double"),
@@ -308,7 +308,7 @@ def jaccard_pairs_prefix(
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     ranked = (
         sh.join(dfreq, "sh")
-        .join(sizes, "doc_id")
+        .join(F.broadcast(sizes), "doc_id")  # one row per doc — dimension-sized
         .withColumn(
             "_rk",
             F.row_number().over(Window.partitionBy("doc_id").orderBy("_df", "sh")),
@@ -335,8 +335,8 @@ def jaccard_pairs_prefix(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .withColumn(
             "jaccard",
             (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).cast("double"),
@@ -348,16 +348,29 @@ def jaccard_pairs_prefix(
 
 # ------------------------------------------------- near-dup clustering
 
-def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+def connected_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    *,
+    local_max_edges: int = 1_000_000,
+) -> DataFrame:
     """Connected components over an undirected pair graph → (doc_id,
     cluster_id) where cluster_id is the MINIMUM member id — the
     canonicalization step after near-dup pair generation (keep one doc
     per cluster).
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors; converges in
-    O(component diameter) rounds with per-round localCheckpoint.
-    Near-dup components are tiny/star-shaped in practice → 2-3 rounds.
+    Two physical strategies, one contract:
+
+    - **small graphs** (≤ ``local_max_edges`` directed edges after
+      dedup): exact union-find on the driver — near-dup pair sets are a
+      tiny fraction of the corpus, and a driver pass beats 2-3 rounds of
+      distributed jobs by an order of magnitude at test scale. The edge
+      list is already the POST-threshold pair set, not the corpus.
+    - **large graphs**: iterative min-label propagation with pointer
+      jumping (label-of-label), O(log diameter) rounds, per-round
+      localCheckpoint — the 100 TB path; flip ``local_max_edges=0`` to
+      force it (tests pin both strategies equal).
     """
     edges = (
         pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
@@ -365,6 +378,32 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if edges.count() <= local_max_edges:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(v):
+            r = v
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(v, v) != v:  # path compression
+                parent[v], v = r, parent[v]
+            return r
+
+        verts = set()
+        for r in rows:
+            x, y = r["x"], r["y"]
+            verts.add(x)
+            verts.add(y)
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                # union by MIN root so cluster_id = min member id
+                lo, hi = (rx, ry) if rx < ry else (ry, rx)
+                parent[hi] = lo
+        out = sorted((v, find(v)) for v in verts)
+        spark = pairs.sparkSession
+        schema = pairs.select(F.col(a).alias("doc_id"), F.col(a).alias("cluster_id")).schema
+        return spark.createDataFrame([(v, c) for v, c in out], schema)
     labels = (
         edges.select(F.col("x").alias("doc_id"))
         .distinct()
@@ -377,22 +416,29 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -
             .groupBy(F.col("x").alias("doc_id"))
             .agg(F.min("cluster_id").alias("_nmin"))
         )
+        # pointer jump: also adopt the label OF the current label —
+        # convergence in O(log diameter) rounds instead of O(diameter)
+        ptr = labels.select(
+            F.col("doc_id").alias("_pid"), F.col("cluster_id").alias("_pcl")
+        )
         updated = (
             labels.join(neighbor_min, "doc_id", "left")
+            .join(ptr, F.col("cluster_id") == F.col("_pid"), "left")
             .select(
                 "doc_id",
-                F.least(F.col("cluster_id"), F.coalesce(F.col("_nmin"), F.col("cluster_id"))).alias(
-                    "cluster_id"
-                ),
+                F.col("cluster_id").alias("_old"),
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("_nmin"), F.col("cluster_id")),
+                    F.coalesce(F.col("_pcl"), F.col("cluster_id")),
+                ).alias("cluster_id"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .isEmpty()
-        )
-        labels = updated
-        if changed:
+        # the old label rides along in the checkpoint, so the
+        # convergence check is a filter on materialized data — no
+        # second join job per round
+        changed = not updated.filter(F.col("cluster_id") != F.col("_old")).isEmpty()
+        labels = updated.select("doc_id", "cluster_id")
+        if not changed:
             return labels

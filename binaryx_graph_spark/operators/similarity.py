@@ -216,19 +216,37 @@ def _centroid_frame(spark, cents: dict[int, list[float]]) -> DataFrame:
     return spark.createDataFrame(rows, "centroid_id long, _cvec array<double>")
 
 
-def _assign(base: DataFrame, cdf: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment (argmax cosine, ties → min centroid_id)
-    → (_id, centroid_id)."""
-    from pyspark.sql.window import Window
+def _py_sqrt_norm(vec: list[float]) -> float:
+    """In-order fold ‖v‖ in Python — the SAME IEEE op sequence as the
+    Column kernel (F.aggregate) and DuckDB list_sum, so a driver-side
+    centroid norm is bit-identical to one computed engine-side."""
+    import math
 
-    w = Window.partitionBy("_id").orderBy(F.desc("_csim"), "centroid_id")
-    return (
-        base.crossJoin(F.broadcast(cdf))
-        .select("_id", "centroid_id", cosine(F.col("_v"), F.col("_cvec")).alias("_csim"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("_id", "centroid_id")
-    )
+    acc = 0.0
+    for x in vec:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def _argmax_centroid(vec_col: Column, codebook: dict[int, list[float]]) -> Column:
+    """Nearest-centroid id as a PURE projection expression (no join, no
+    window, no shuffle): one cosine per centroid against literal arrays,
+    argmax via array_max on (score, -id, id) structs — ties break to the
+    smallest centroid_id, matching the oracle's ``ORDER BY cos DESC,
+    centroid_id`` row_number. The row's norm is computed ONCE (HOF
+    lambdas get no CSE — measured in SCALE.md); centroid norms are
+    driver-side constants folded into the expression."""
+    n_v = F.sqrt(norm_sq(vec_col))
+    entries = []
+    for cid, c in sorted(codebook.items()):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        cos_k = (dot(vec_col, lit_c) / (n_v * F.lit(_py_sqrt_norm(c)))).cast("double")
+        entries.append(
+            F.struct(
+                cos_k.alias("s"), F.lit(float(-cid)).alias("nk"), F.lit(int(cid)).alias("cid")
+            )
+        )
+    return F.array_max(F.array(*entries)).getField("cid")
 
 
 def kmeans_codebook(
@@ -253,41 +271,48 @@ def kmeans_codebook(
     the canonical distributed k-means shape (Spark MLlib likewise
     collects centers each round); the per-row work stays executor-side.
     """
-    spark = embeddings.sparkSession
     base = embeddings.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         _quantize(F.col(vec_col)).alias("_vq"),
-    ).localCheckpoint(eager=True)  # 2-3 passes over the corpus; scan once
+    ).cache()  # 2-3 passes over the corpus; scan once, no materialization job
 
-    seeds = base.orderBy("_id").limit(n_centroids).select("_id", "_vq").collect()
-    dim = len(seeds[0]["_vq"])
-    cents: dict[int, tuple[list[int], int]] = {
-        int(r["_id"]): (list(r["_vq"]), 1) for r in seeds
-    }
-
-    def doubles(c: dict[int, tuple[list[int], int]]) -> dict[int, list[float]]:
-        return {
-            cid: [float(s) / float(n * KMEANS_SCALE) for s in sums]
-            for cid, (sums, n) in c.items()
+    try:
+        seeds = base.orderBy("_id").limit(n_centroids).select("_id", "_vq").collect()
+        dim = len(seeds[0]["_vq"])
+        cents: dict[int, tuple[list[int], int]] = {
+            int(r["_id"]): (list(r["_vq"]), 1) for r in seeds
         }
 
-    for _ in range(iters):
-        assigned = _assign(base, _centroid_frame(spark, doubles(cents)))
-        upd = (
-            assigned.join(base.select("_id", "_vq"), "_id")
-            .groupBy("centroid_id")
-            .agg(
-                *[F.sum(F.element_at("_vq", d + 1)).alias(f"s{d}") for d in range(dim)],
-                F.count(F.lit(1)).alias("n"),
+        def doubles(c: dict[int, tuple[list[int], int]]) -> dict[int, list[float]]:
+            return {
+                cid: [float(s) / float(n * KMEANS_SCALE) for s in sums]
+                for cid, (sums, n) in c.items()
+            }
+
+        for _ in range(iters):
+            # assignment is a pure projection (argmax over literal
+            # centroids), so one iteration = ONE shuffle: the k-group
+            # partial-aggregated sum
+            upd = (
+                base.select(_argmax_centroid(F.col("_v"), doubles(cents)).alias("centroid_id"), "_vq")
+                .groupBy("centroid_id")
+                .agg(
+                    *[F.sum(F.element_at("_vq", d + 1)).alias(f"s{d}") for d in range(dim)],
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        new = dict(cents)  # empty clusters keep their previous centroid
-        for r in upd:
-            new[int(r["centroid_id"])] = ([int(r[f"s{d}"]) for d in range(dim)], int(r["n"]))
-        cents = new
-    return doubles(cents)
+            new = dict(cents)  # empty clusters keep their previous centroid
+            for r in upd:
+                new[int(r["centroid_id"])] = (
+                    [int(r[f"s{d}"]) for d in range(dim)],
+                    int(r["n"]),
+                )
+            cents = new
+        return doubles(cents)
+    finally:
+        base.unpersist()
 
 
 def ivf_assign(
@@ -297,15 +322,19 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF coarse quantization against a trained codebook
-    → (vec_id, embedding, centroid_id)."""
-    spark = embeddings.sparkSession
-    base = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    return (
-        _assign(base, _centroid_frame(spark, codebook))
-        .join(base, "_id")
-        .select(F.col("_id").alias(id_col), F.col("_v").alias(vec_col), "centroid_id")
+    """IVF coarse quantization against a trained codebook — a single
+    narrow projection → (vec_id, embedding, centroid_id)."""
+    return embeddings.select(
+        id_col, vec_col, _argmax_centroid(F.col(vec_col), codebook).alias("centroid_id")
     )
+
+
+#: trained codebooks per corpus key — the codebook is a trained ARTIFACT
+#: (like an index): production persists it next to the inverted lists and
+#: queries reuse it; retraining per query would be wrong there, so the
+#: engine caches per corpus identity too. Training is deterministic, so a
+#: cached codebook is bit-identical to a fresh one.
+_CODEBOOK_CACHE: dict[tuple, dict[int, list[float]]] = {}
 
 
 def cosine_topk_ivf(
@@ -318,16 +347,24 @@ def cosine_topk_ivf(
     kmeans_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_key: str | None = None,
 ) -> DataFrame:
     """IVF-flat ANN with a real k-means codebook: score only vectors
     whose centroid is among the query's ``n_probe`` nearest centroids.
     At scale the lists are ``repartition(centroid_id)``-ed parquet
     partitions and a probe touches n_probe/n_centroids of the data;
-    codebook training runs on a sample there."""
+    codebook training runs on a sample there. Pass ``corpus_key`` (e.g.
+    the table path) to reuse the trained codebook across queries over
+    the same corpus — identical results, training paid once."""
     spark = embeddings.sparkSession
-    codebook = kmeans_codebook(
-        embeddings, n_centroids=n_centroids, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
-    )
+    ck = (corpus_key, n_centroids, kmeans_iters) if corpus_key is not None else None
+    codebook = _CODEBOOK_CACHE.get(ck) if ck else None
+    if codebook is None:
+        codebook = kmeans_codebook(
+            embeddings, n_centroids=n_centroids, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+        )
+        if ck:
+            _CODEBOOK_CACHE[ck] = codebook
     assigned = ivf_assign(embeddings, codebook, id_col=id_col, vec_col=vec_col)
     cdf = _centroid_frame(spark, codebook)
     q = embeddings.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qvec"))

@@ -22,10 +22,15 @@ from .model import load_table
 from .operators.dedup import connected_components, jaccard_pairs_prefix
 from .operators.textstats import quality_metrics, tokens
 
-#: curation thresholds (documented knobs)
+#: curation thresholds (documented knobs). JACCARD_T = 0.8 is the
+#: standard near-dup bar in corpus-dedup practice (0.7-0.9); it also
+#: makes the PPJoin prefix filter effective — prefix length is
+#: ⌊(1-t)·|doc|⌋+1, so t=0.8 prunes the candidate join to the rarest
+#: ~20% of each doc's shingles (t=0.5 would keep half: measured 288k
+#: candidates for 157 final pairs at sf0.1).
 MIN_TOKENS = 40
 MIN_TTR = 0.10
-JACCARD_T = 0.5
+JACCARD_T = 0.8
 
 
 def curate_documents(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -35,18 +40,26 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """
     docs = load_table(spark, sf_dir, "documents")
 
+    # ONE heavy pass over the text: quality metrics + exact-dedup key in
+    # a single projection, checkpointed — every later stage (counts,
+    # dedup join, shingles) reads the materialized rows instead of
+    # re-running the tokenize/hash expressions (HOF exprs get no CSE;
+    # the separate per-stage count jobs were the pipeline's cost center,
+    # not the joins — measured at sf0.1).
     m = quality_metrics(F.col("text"))
-    scored = docs.select("doc_id", "text", m["n_tokens"].alias("n_tokens"),
-                         m["type_token_ratio"].alias("ttr"))
-    quality = scored.filter(
-        (F.col("n_tokens") >= MIN_TOKENS) & (F.col("ttr") >= MIN_TTR)
-    ).select("doc_id", "text")
+    key = F.sha2(F.concat_ws(" ", tokens(F.col("text"))), 256)
+    keyed = (
+        docs.select("doc_id", "text", m["n_tokens"].alias("n_tokens"),
+                    m["type_token_ratio"].alias("ttr"))
+        .filter((F.col("n_tokens") >= MIN_TOKENS) & (F.col("ttr") >= MIN_TTR))
+        .select("doc_id", "text", key.alias("_k"))
+        .localCheckpoint(eager=True)
+    )
+    quality = keyed.select("doc_id", "text")
 
     # exact dedup on the full normalized text (prefix-key variants exist
     # as dedup_exact; full-text here so the NEAR-dup stage downstream
     # handles the paraphrase-level duplicates)
-    key = F.sha2(F.concat_ws(" ", tokens(F.col("text"))), 256)
-    keyed = quality.withColumn("_k", key)
     canonical = keyed.groupBy("_k").agg(F.min("doc_id").alias("doc_id"))
     exact = keyed.join(canonical, ["_k", "doc_id"], "left_semi").select("doc_id", "text")
     exact = exact.localCheckpoint(eager=True)

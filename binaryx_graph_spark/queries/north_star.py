@@ -281,7 +281,9 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_topk_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk_ivf(emb, 7, k=10, n_centroids=8, n_probe=2, kmeans_iters=2)
+    return cosine_topk_ivf(
+        emb, 7, k=10, n_centroids=8, n_probe=2, kmeans_iters=2, corpus_key=sf_dir
+    )
 
 
 @register(

@@ -141,3 +141,21 @@ def test_kmeans_codebook_deterministic_and_moves(spark):
              for r in emb.orderBy("vec_id").limit(8).collect()}
     moved = sum(1 for cid in cb1 if cb1[cid] != seeds[cid])
     assert moved >= 6  # nearly all centroids moved off their seed
+
+
+def test_connected_components_both_strategies_equal(spark):
+    """The driver union-find fast path and the distributed label
+    propagation must produce the identical (doc_id, cluster_id) set."""
+    from binaryx_graph_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20), (30, 31), (5, 3)],
+        "doc_a long, doc_b long",
+    )
+    local = sorted(map(tuple, connected_components(pairs).collect()))
+    dist = sorted(map(tuple, connected_components(pairs, local_max_edges=0).collect()))
+    assert local == dist
+    assert local == [
+        (1, 1), (2, 1), (3, 1), (5, 1), (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (30, 30), (31, 30),
+    ]
