@@ -150,6 +150,53 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup(emb, threshold=0.45).orderBy("id_a", "id_b")
 
 
+_EMB_PAIRS = sql_embedding_near_dup("embeddings", threshold=0.45)
+
+
+@register(
+    "dedup_embedding_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_EMB_PAIRS}),
+    edges AS (
+      SELECT id_a AS x, id_b AS y FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(x, y) AS (
+      SELECT x, y FROM edges
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON e.x = r.y
+    ),
+    labels AS (
+      SELECT x AS doc_id, least(x, min(y)) AS cluster_id FROM reach GROUP BY x
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(doc_id) AS BIGINT) AS max_member
+    FROM labels GROUP BY cluster_id ORDER BY cluster_id
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup end to end: banded sign-LSH near-dup pairs →
+    connected components → cluster roster (keep cluster_id = min member,
+    drop the rest). Composes the scale-safe candidate generation with
+    the clustering canonicalization — the oracle recomputes the closure
+    with a recursive CTE."""
+    from ..operators.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup(emb, threshold=0.45)
+    cc = connected_components(pairs, a="id_a", b="id_b")
+    return (
+        cc.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max("doc_id").cast("long").alias("max_member"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # ------------------------------------------------------------- similarity
 
 
@@ -386,3 +433,66 @@ _REG2["dedup_clusters"].oracle = f"""
     GROUP BY x
     ORDER BY doc_id
     """
+
+
+# ----------------------------------------------------- quality-rule gate
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             {_QM['n_tokens']} AS n_tokens,
+             {_QM['mean_token_len']} AS mtl,
+             {_QM['stopword_ratio']} AS swr
+      FROM documents
+    ),
+    flags AS (
+      SELECT doc_id,
+             CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_len,
+             CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS r_mtl,
+             CASE WHEN swr >= 0.02 THEN 1 ELSE 0 END AS r_stop
+      FROM m
+    )
+    SELECT rule, n_pass FROM (
+      SELECT '1_len' AS rule, CAST(sum(r_len) AS BIGINT) AS n_pass FROM flags
+      UNION ALL SELECT '2_mean_token_len', CAST(sum(r_mtl) AS BIGINT) FROM flags
+      UNION ALL SELECT '3_stopwords', CAST(sum(r_stop) AS BIGINT) FROM flags
+      UNION ALL SELECT '4_all',
+        CAST(sum(CASE WHEN r_len + r_mtl + r_stop = 3 THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+    ) ORDER BY rule
+    """,
+    tags=("text",),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-quality rule gate (length bounds, mean token
+    length, stopword presence — the published heuristic family for web
+    corpus cleaning) as one scan + one tall summary: (rule, n_pass).
+    All-integer pass counts hash exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    flags = docs.select(
+        F.when(m["n_tokens"].between(50, 100000), 1).otherwise(0).alias("r_len"),
+        F.when(m["mean_token_len"].between(3.0, 10.0), 1).otherwise(0).alias("r_mtl"),
+        F.when(m["stopword_ratio"] >= 0.02, 1).otherwise(0).alias("r_stop"),
+    )
+    agg = flags.agg(
+        F.sum("r_len").cast("long").alias("n_len"),
+        F.sum("r_mtl").cast("long").alias("n_mtl"),
+        F.sum("r_stop").cast("long").alias("n_stop"),
+        F.sum(
+            F.when(F.col("r_len") + F.col("r_mtl") + F.col("r_stop") == 3, 1).otherwise(0)
+        ).cast("long").alias("n_all"),
+    )
+    tall = agg.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("1_len").alias("rule"), F.col("n_len").alias("n_pass")),
+                F.struct(F.lit("2_mean_token_len").alias("rule"), F.col("n_mtl").alias("n_pass")),
+                F.struct(F.lit("3_stopwords").alias("rule"), F.col("n_stop").alias("n_pass")),
+                F.struct(F.lit("4_all").alias("rule"), F.col("n_all").alias("n_pass")),
+            )
+        ).alias("r")
+    ).select("r.rule", "r.n_pass")
+    return tall.orderBy("rule")
