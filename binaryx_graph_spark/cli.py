@@ -29,9 +29,13 @@ from pyspark.sql import functions as F
 
 
 def _truncate_for_table(s: str, width: int = 60) -> str:
-    """T5: escape \\n/\\r, truncate to width (query.rs:230-236)."""
+    """T5: escape \\n/\\r, truncate to width (query.rs:230-236).
+
+    Reference parity: keeps the FIRST ``width`` chars and appends '...'
+    (63 chars total at the default), exactly like
+    ``format!("{}...", &value[..60])``."""
     s = s.replace("\n", "\\n").replace("\r", "\\r")
-    return s[: width - 3] + "..." if len(s) > width else s
+    return s[:width] + "..." if len(s) > width else s
 
 
 def emit(df: DataFrame, fmt: str, limit: int = 1000) -> None:

@@ -85,3 +85,20 @@ def test_missing_warehouse_friendly_error(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="db init"):
         main(["--warehouse", str(tmp_path / "nope"), "query", "functions", "x"])
+
+
+def test_truncate_for_table_reference_parity():
+    """query.rs:230-236: escape \\n/\\r first, keep the FIRST 60 chars,
+    append '...' (63 total) only when over 60."""
+    from binaryx_graph_spark.cli import _truncate_for_table
+
+    assert _truncate_for_table("short") == "short"
+    assert _truncate_for_table("a\nb\rc") == "a\\nb\\rc"
+    s60 = "x" * 60
+    assert _truncate_for_table(s60) == s60  # exactly 60: untouched
+    s61 = "y" * 61
+    out = _truncate_for_table(s61)
+    assert out == "y" * 60 + "..." and len(out) == 63
+    # escaping may push a short string over the limit — escaped form counts
+    nl = "z" * 59 + "\n\n"
+    assert _truncate_for_table(nl) == ("z" * 59 + "\\n\\n")[:60] + "..."

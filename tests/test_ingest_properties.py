@@ -107,3 +107,32 @@ def test_ingest_invariants(spark, tmp_path_factory, docs):
         (F.col("address") != "") & ~F.col("address").rlike("^0x[0-9a-f]+$")
     )
     assert bad.count() == 0
+
+
+@given(v=st.integers(min_value=0, max_value=2**64 - 1))
+@settings(max_examples=300, deadline=None)
+def test_u64_address_roundtrip_property(v):
+    """Full-u64 property: every representation of v parses back to v, and
+    normalization is idempotent (pure-Python twin; the Column kernel is
+    pinned equal in tests/test_scalars.py)."""
+    from binaryx_graph_spark.functions.addr import normalize_address_py, parse_address_py
+
+    canon = f"0x{v:x}"
+    assert parse_address_py(canon) == v
+    assert parse_address_py(f"0X{v:X}") == v
+    assert parse_address_py(str(v)) == v
+    assert normalize_address_py(canon) == canon
+    assert normalize_address_py(normalize_address_py(str(v))) == canon
+
+
+@given(v=st.integers(min_value=2**64, max_value=2**80))
+@settings(max_examples=100, deadline=None)
+def test_beyond_u64_is_null_property(v):
+    """Anything above u64::MAX is unparseable in every form, exactly like
+    Rust's u64::from_str_radix."""
+    from binaryx_graph_spark.functions.addr import parse_address_py
+
+    assert parse_address_py(f"0x{v:x}") is None
+    # the decimal string falls through to a bare-hex attempt, but any
+    # value > 2^64 has >= 20 decimal digits > 16 hex digits -> still None
+    assert parse_address_py(str(v)) is None
