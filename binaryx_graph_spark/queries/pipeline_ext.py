@@ -389,3 +389,25 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "skew_salted_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("agg", "skew"),
+)
+def skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation as a first-class operator:
+    event_type has only 5 values, so at 100 TB a naive groupBy funnels
+    each hot key through ONE reducer; the salted variant spreads every
+    key over 16 partial partitions first. Results are provably identical
+    to the plain GROUP BY — the oracle IS the plain GROUP BY."""
+    from ..functions.skew import salted_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count(ev, "event_type", buckets=16).orderBy("event_type")
