@@ -14,7 +14,8 @@ Scale design (100 TB posture):
 - SimHash: B bit-sums in one pass, near-dup via banded hamming join
 
 Hash functions are sha256-based so Spark and DuckDB agree bit-for-bit:
-  minhash_k(doc)  = MIN over shingles of sha256(k || ':' || shingle)
+  minhash_k(doc)  = MIN over shingles of hex-slice k of sha256(shingle)
+                    (12 slices of ONE digest — one hash eval per shingle)
   simhash bit b   = sign of Σ_tokens tf · (2·parity(hex digit b of
                     sha256(token)) - 1)
 """
@@ -105,19 +106,33 @@ N_HASHES = 12
 N_BANDS = 4  # 3 rows per band
 
 
+#: hex chars per signature slice: 12 slices × 5 chars = 60 of sha256's 64
+SIG_SLICE = 5
+
+
+def _sig_aggs() -> list[Column]:
+    """sig_k = min over shingles of hex slice k of ONE sha256 digest —
+    12 (approximately) independent 20-bit min-hashes for the price of a
+    single hash evaluation per shingle (the digest is materialized in a
+    projection BEFORE the groupBy so it is computed exactly once; 12
+    sha256 calls per shingle was the measured hash-cost center). Slice
+    collisions only nudge banding recall UP, and the exact-Jaccard
+    verify keeps the output contract exact."""
+    return [
+        F.min(F.substring(F.col("_dg"), k * SIG_SLICE + 1, SIG_SLICE)).alias(f"sig_{k}")
+        for k in range(N_HASHES)
+    ]
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, *, n: int = 3) -> DataFrame:
     """K MinHash signature values per document, computed in ONE
     aggregation pass over the exploded shingles (no K-fold data blowup):
-    sig_k = min(sha256(k:shingle)). → (doc_id, sig_0 … sig_{K-1})"""
+    sig_k = min(slice_k(sha256(shingle))). → (doc_id, sig_0 … sig_{K-1})"""
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
-    )
-    aggs = [
-        F.min(F.sha2(F.concat(F.lit(f"{k}:"), F.col("sh")), 256)).alias(f"sig_{k}")
-        for k in range(N_HASHES)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    ).withColumn("_dg", F.sha2(F.col("sh"), 256))
+    return sh.groupBy("doc_id").agg(*_sig_aggs())
 
 
 def lsh_bands(sigs: DataFrame) -> DataFrame:
@@ -149,11 +164,7 @@ def minhash_near_dup(
     sh = sh.localCheckpoint(eager=True)  # reused by sigs, sizes, and verify
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    aggs = [
-        F.min(F.sha2(F.concat(F.lit(f"{k}:"), F.col("sh")), 256)).alias(f"sig_{k}")
-        for k in range(N_HASHES)
-    ]
-    sigs = sh.groupBy("doc_id").agg(*aggs)
+    sigs = sh.withColumn("_dg", F.sha2(F.col("sh"), 256)).groupBy("doc_id").agg(*_sig_aggs())
     bands = lsh_bands(sigs)
     cand = (
         bands.alias("x")
@@ -187,7 +198,8 @@ def minhash_near_dup(
 def sql_minhash_near_dup(table: str, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.5) -> str:
     sh = sql_shingles(text_col, n)
     sig_cols = ",\n        ".join(
-        f"min(sha256('{k}:' || u.sh)) AS sig_{k}" for k in range(N_HASHES)
+        f"min(substr(sha256(u.sh), {k * SIG_SLICE + 1}, {SIG_SLICE})) AS sig_{k}"
+        for k in range(N_HASHES)
     )
     rows_per_band = N_HASHES // N_BANDS
     band_rows = " UNION ALL ".join(
