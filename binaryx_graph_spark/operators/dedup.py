@@ -291,6 +291,79 @@ def sql_simhash(col: str, bits: int = SIMHASH_BITS) -> str:
     return " || ".join(parts)
 
 
+def hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two equal-length '0'/'1' bitstrings —
+    an in-order integer fold, bit-identical to the SQL twin."""
+    return F.aggregate(
+        F.zip_with(
+            F.split(a, ""), F.split(b, ""), lambda x, y: F.when(x != y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def sql_hamming(a: str, b: str, bits: int = SIMHASH_BITS) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, {bits + 1}), "
+        f"i -> CASE WHEN substr({a}, i, 1) <> substr({b}, i, 1) THEN 1 ELSE 0 END)) AS BIGINT)"
+    )
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bits: int = SIMHASH_BITS,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via a BANDED hamming join →
+    (doc_a, doc_b, hamming ≤ max_hamming).
+
+    Pigeonhole completeness: with ``bands`` equal slices, two signatures
+    within ``bands - 1`` differing bits share at least one identical
+    band, so the band-equality equi-join (shuffle on the band key, never
+    all-pairs) is LOSSLESS for max_hamming ≤ bands-1 — the oracle is the
+    naive all-pairs hamming join and the gate proves equality."""
+    assert bits % bands == 0 and max_hamming <= bands - 1
+    w = bits // bands
+    sigs = df.select(
+        F.col(id_col).alias("doc_id"), simhash(F.col(text_col), bits).alias("sig")
+    ).localCheckpoint(eager=True)  # signature pass reused by band + verify
+
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.substring("sig", b * w + 1, w).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bands_df = sigs.select("doc_id", F.explode(band_arr).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_key"
+    )
+    cand = (
+        bands_df.alias("x")
+        .join(bands_df.alias("y"), ["band_id", "band_key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # NOTE: sa/sb are corpus-sized (one sig per doc) — no broadcast hint;
+    # AQE broadcasts the small candidate side instead when it fits
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming(F.col("_sa"), F.col("_sb")).cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # ------------------------------------------------- prefix-filtered exact
 
 def jaccard_pairs_prefix(

@@ -150,6 +150,38 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup(emb, threshold=0.45).orderBy("id_a", "id_b")
 
 
+@register(
+    "dedup_simhash_hamming",
+    oracle=None,  # assigned below (needs sql_simhash/sql_hamming)
+    tags=("dedup",),
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded hamming near-dup: candidates from the 4×8-bit
+    band-equality equi-join, hamming ≤ 3 verified on candidates. By
+    pigeonhole the banding is LOSSLESS at this distance, so the oracle
+    is the naive all-pairs hamming join — the hash match proves the
+    banded plan equals the quadratic one."""
+    from ..operators.dedup import simhash_near_dup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup(docs, "doc_id", "text", bands=4, max_hamming=3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+from ..operators.dedup import sql_hamming as _sqlham  # noqa: E402
+from ..registry import REGISTRY as _REG3  # noqa: E402
+
+_REG3["dedup_simhash_hamming"].oracle = f"""
+    WITH s AS (SELECT doc_id, {sql_simhash('text')} AS sig FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {_sqlham('a.sig', 'b.sig')} AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE {_sqlham('a.sig', 'b.sig')} <= 3
+    ORDER BY doc_a, doc_b
+    """
+
+
 _EMB_PAIRS = sql_embedding_near_dup("embeddings", threshold=0.45)
 
 
