@@ -411,3 +411,38 @@ def skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return salted_count(ev, "event_type", buckets=16).orderBy("event_type")
+
+
+@register(
+    "sketch_cms_user_counts",
+    oracle=None,  # assigned below (needs the sketch SQL builders)
+    tags=("sketch", "approx"),
+)
+def sketch_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch (4×256, sha256 bucket hashing) built over ALL
+    event user_ids, then point-estimated for a deterministic probe set.
+    The sketch is a (d, bucket, cnt) TABLE — mergeable, map-side
+    combinable, constant-size regardless of corpus — and the DuckDB
+    oracle rebuilds the identical sketch, so the gate pins the
+    ESTIMATES, not just the dataflow. CMS ≥-true and error-bound
+    behavior asserted in tests/test_sketch.py."""
+    from ..operators.sketch import cms_build, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, F.col("user_id"))
+    probes = ev.select("user_id").filter(F.col("user_id") % 211 == 5).distinct()
+    return cms_estimate(sketch, probes, "user_id").orderBy("user_id")
+
+
+from ..operators.sketch import sql_cms_estimate as _sql_cms  # noqa: E402
+from ..registry import REGISTRY as _REG_CMS  # noqa: E402
+
+_REG_CMS["sketch_cms_user_counts"].oracle = (
+    _sql_cms(
+        "events",
+        "user_id",
+        "SELECT DISTINCT user_id FROM events WHERE user_id % 211 = 5",
+        "user_id",
+    )
+    + " ORDER BY user_id"
+)
