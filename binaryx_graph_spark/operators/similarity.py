@@ -122,6 +122,74 @@ def cosine_topk_lsh(
     )
 
 
+def _flip_bit(bkt: Column, i: int, bits: int) -> Column:
+    """Bucket string with bit i flipped (0-indexed)."""
+    flipped = F.when(F.substring(bkt, i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1"))
+    return F.concat(F.substring(bkt, 1, i), flipped, F.substring(bkt, i + 2, bits - i - 1))
+
+
+def cosine_topk_lsh_multiprobe(
+    embeddings: DataFrame,
+    query_id: int,
+    *,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe sign-LSH ANN: scores the query's own bucket PLUS all
+    ``bits`` hamming-1 neighbor buckets (1+bits probes) — the standard
+    recall-recovery technique that keeps the candidate lookup an
+    EQUI-join (the probe buckets explode from the broadcast query row;
+    the corpus side never fans out). Candidate set ≈ (1+bits)/2^bits of
+    the corpus; recall strictly dominates single-probe at the same
+    bucket width."""
+    with_bucket = embeddings.withColumn("_bkt", sign_bucket(F.col(vec_col), bits))
+    q = with_bucket.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec"), F.col("_bkt").alias("_qbkt")
+    )
+    probes = q.select(
+        "_qvec",
+        F.explode(
+            F.array(F.col("_qbkt"), *[_flip_bit(F.col("_qbkt"), i, bits) for i in range(bits)])
+        ).alias("_pbkt"),
+    )
+    return (
+        with_bucket.join(F.broadcast(probes), F.col("_bkt") == F.col("_pbkt"))
+        .filter(F.col(id_col) != query_id)
+        .select(id_col, cosine(F.col(vec_col), F.col("_qvec")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def sql_lsh_multiprobe(
+    table: str, query_id: int, *, k: int = 10, bits: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    """DuckDB twin of :func:`cosine_topk_lsh_multiprobe`."""
+    flips = ", ".join(
+        f"substr(q.bkt, 1, {i}) || (CASE WHEN substr(q.bkt, {i + 1}, 1) = '1' "
+        f"THEN '0' ELSE '1' END) || substr(q.bkt, {i + 2})"
+        for i in range(bits)
+    )
+    cos = sql_cosine(f"e.{vec_col}", f"p.{vec_col}")
+    return f"""
+    WITH b AS (
+      SELECT {id_col}, {vec_col}, {sql_sign_bucket(vec_col, bits)} AS bkt FROM {table}
+    ),
+    q AS (SELECT {vec_col}, bkt FROM b WHERE {id_col} = {query_id}),
+    probes AS (
+      SELECT q.{vec_col}, t.pb
+      FROM q, unnest([q.bkt, {flips}]) AS t(pb)
+    )
+    SELECT e.{id_col}, {cos} AS cos_sim
+    FROM b e JOIN probes p ON e.bkt = p.pb
+    WHERE e.{id_col} <> {query_id}
+    ORDER BY cos_sim DESC, e.{id_col}
+    LIMIT {k}
+    """
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     *,

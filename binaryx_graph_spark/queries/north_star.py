@@ -273,6 +273,27 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(emb, 7, k=10, bits=8)
 
 
+from ..operators.similarity import (  # noqa: E402
+    cosine_topk_lsh_multiprobe,
+    sql_lsh_multiprobe,
+)
+
+
+@register(
+    "ann_cosine_lsh_multiprobe",
+    oracle=sql_lsh_multiprobe("embeddings", 7, k=10, bits=8),
+    tags=("similarity",),
+)
+def ann_cosine_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN: the query's bucket plus all 8 hamming-1
+    neighbor buckets (9 probes, still an equi-join — probe buckets
+    explode from the broadcast query row). Recall strictly dominates
+    single-probe at the same width; the oracle replays the identical
+    9-bucket probe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh_multiprobe(emb, 7, k=10, bits=8)
+
+
 # ------------------------------------------------------------ text analysis
 
 _QM = sql_quality_metrics("text")

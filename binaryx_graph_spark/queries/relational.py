@@ -788,3 +788,69 @@ def q16_supplier_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
     )
+
+
+@register(
+    "q21_sole_late_supplier",
+    oracle="""
+    WITH li AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+    late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM li l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM late t JOIN supplier s ON t.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM li x
+        WHERE x.l_orderkey = t.l_orderkey AND x.l_suppkey <> t.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late y
+        WHERE y.l_orderkey = t.l_orderkey AND y.l_suppkey <> t.l_suppkey
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tags=("join", "agg"),
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: correlated EXISTS + NOT EXISTS decorrelated to a
+    LEFT SEMI then a LEFT ANTI join, both with (equi ∧ non-equi)
+    conditions — suppliers who were the SOLE late shipper (>30 days
+    after the order date) on a multi-supplier order, counted and
+    top-20'd. The heaviest nested-subquery shape in the TPC-H family."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    ).distinct()
+    sole = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("_ok")) & (F.col("l_suppkey") != F.col("_sk")),
+        "left_semi",
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("_lok"), F.col("l_suppkey").alias("_lsk")
+    )
+    sole = sole.join(
+        other_late,
+        (F.col("l_orderkey") == F.col("_lok")) & (F.col("l_suppkey") != F.col("_lsk")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(supp), sole.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

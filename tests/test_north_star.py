@@ -159,3 +159,16 @@ def test_connected_components_both_strategies_equal(spark):
         (1, 1), (2, 1), (3, 1), (5, 1), (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20), (30, 30), (31, 30),
     ]
+
+
+def test_multiprobe_lsh_recall_dominates_single(spark):
+    """Multi-probe candidates are a superset of single-probe's bucket, so
+    overlap with the exact top-10 can only improve."""
+    from binaryx_graph_spark.operators.similarity import cosine_topk_lsh_multiprobe
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {r["vec_id"] for r in cosine_topk(emb, 7, k=10).collect()}
+    single = {r["vec_id"] for r in cosine_topk_lsh(emb, 7, k=10, bits=8).collect()}
+    multi = {r["vec_id"] for r in cosine_topk_lsh_multiprobe(emb, 7, k=10, bits=8).collect()}
+    assert len(multi & exact) >= len(single & exact)
+    assert single <= multi | single  # sanity: single bucket ⊂ probe set
