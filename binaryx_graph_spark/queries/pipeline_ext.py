@@ -430,7 +430,7 @@ def sketch_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     sketch = cms_build(ev, F.col("user_id"))
-    probes = ev.select("user_id").filter(F.col("user_id") % 37 == 5).distinct()
+    probes = ev.select("user_id").filter(F.col("user_id") % 7 == 5).distinct()
     return cms_estimate(sketch, probes, "user_id").orderBy("user_id")
 
 
@@ -441,7 +441,7 @@ _REG_CMS["sketch_cms_user_counts"].oracle = (
     _sql_cms(
         "events",
         "user_id",
-        "SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 5",
+        "SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 5",
         "user_id",
     )
     + " ORDER BY user_id"
