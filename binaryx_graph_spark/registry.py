@@ -60,6 +60,7 @@ def load_all() -> dict[str, Query]:
         relational,
         scalars,
         search,
+        tpch_ext,
     )
 
     return REGISTRY
