@@ -369,59 +369,129 @@ def simhash_near_dup(
 def jaccard_pairs_prefix(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact Jaccard threshold join with PPJoin-style PREFIX FILTERING —
-    same output as :func:`jaccard_pairs`, asymptotically less work.
+    """Exact Jaccard threshold join with PPJoin-style PREFIX + LENGTH
+    FILTERING — same output as :func:`jaccard_pairs`, asymptotically less
+    work.
 
     Theorem (prefix filter): order each doc's shingles by ascending
     global frequency; if J(A,B) ≥ t then A and B share at least one
     shingle within each one's first ⌊(1-t)·|set|⌋+1 shingles. So the
     candidate join runs on prefixes only (the RAREST shingles — tiny
-    fan-out), and the full intersection count runs per candidate pair.
+    fan-out).  Length filter: J(A,B) ≥ t also forces t·|A| ≤ |B| ≤
+    |A|/t, applied inside the candidate join so size-mismatched pairs
+    never reach verification.
+
+    Verification joins the candidate pairs against PER-DOC SHINGLE
+    ARRAYS (one row per document, not the exploded shingle table) and
+    counts the intersection with ``array_intersect`` — integer-exact,
+    and the joined side is corpus-cardinality rather than
+    shingle-cardinality.  At test scale the array side is broadcast; at
+    cluster scale the candidate side is the (far smaller) shuffle side
+    and AQE picks the build side from runtime stats.
+
+    The df-ordered ranking and the verify arrays come from ONE groupBy
+    (sorted struct arrays + slice), not a window pass plus a second
+    aggregation — one shuffle fewer than the textbook formulation.
 
     Correctness is gate-verified: the DuckDB oracle computes the naive
     all-pairs join and the value hash must match.
     """
-    from pyspark.sql.window import Window
-
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
     )
     sh = sh.localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = (
+    # one groupBy builds BOTH the df-ascending prefix and the verify
+    # array: sort_array on (df, sh) structs == the window ORDER BY
+    doc_arrays = (
         sh.join(dfreq, "sh")
-        .join(F.broadcast(sizes), "doc_id")  # one row per doc — dimension-sized
-        .withColumn(
-            "_rk",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("_df", "sh")),
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_df", "sh"))), lambda s: s["sh"]
+            ).alias("_shs")
         )
+        .withColumn("n_sh", F.size("_shs").cast("long"))
+        .localCheckpoint(eager=True)
     )
-    prefix = ranked.filter(
-        F.col("_rk") <= F.floor((1 - F.lit(threshold)) * F.col("n_sh")) + 1
-    ).select("doc_id", "sh")
+    n_docs = doc_arrays.count()
 
+    prefix = doc_arrays.select(
+        "doc_id",
+        "n_sh",
+        F.posexplode(
+            F.slice(
+                "_shs",
+                1,
+                (F.floor((1 - F.lit(threshold)) * F.col("n_sh")) + 1).cast("int"),
+            )
+        ).alias("_pos", "sh"),
+    )
+
+    # length filter rides the equality join: t·|A| ≤ |B| ≤ |A|/t
+    # (double×count comparisons only — no division, no rounding hazard)
+    len_ok = (F.col("y.n_sh") >= F.lit(threshold) * F.col("x.n_sh")) & (
+        F.col("x.n_sh") >= F.lit(threshold) * F.col("y.n_sh")
+    )
+    # positional filter (the second "P" in PPJoin): a shared prefix token
+    # at 1-based positions (i, j) bounds the overlap by
+    # min(|A|-i, |B|-j) + 1; a true pair's FIRST common prefix token
+    # always satisfies overlap ≥ t/(1+t)·(|A|+|B|), so keeping pairs
+    # where ANY token row passes is a lossless superset.
+    pos_ok = (
+        F.least(
+            F.col("x.n_sh") - (F.col("x._pos") + 1),
+            F.col("y.n_sh") - (F.col("y._pos") + 1),
+        )
+        + 1
+    ) >= (F.lit(threshold) / (1 + F.lit(threshold))) * (F.col("x.n_sh") + F.col("y.n_sh"))
     cand = (
         prefix.alias("x")
         .join(prefix.alias("y"), "sh")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .filter((F.col("x.doc_id") < F.col("y.doc_id")) & len_ok & pos_ok)
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
 
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # verify on per-doc arrays of xxhash64(shingle) (corpus-cardinality,
+    # one row per doc): array_intersect over int64 is ~3× cheaper than
+    # over strings (measured) and the count equals the exact string
+    # intersection unless two distinct shingles of one pair collide in
+    # 64 bits (P < 1e-12 corpus-wide; the DuckDB gate computes the exact
+    # string join and would flag it).  Broadcast only when the corpus
+    # side is small (test scale); at cluster scale the candidate side is
+    # the smaller relation and AQE picks the build side.
+    hashed = doc_arrays.select(
+        "doc_id",
+        F.transform("_shs", lambda s: F.xxhash64(s)).alias("_hs"),
+        "n_sh",
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    aa = hashed.select(
+        F.col("doc_id").alias("doc_a"), F.col("_hs").alias("_ha"), F.col("n_sh").alias("n_a")
+    )
+    bb = hashed.select(
+        F.col("doc_id").alias("doc_b"), F.col("_hs").alias("_hb"), F.col("n_sh").alias("n_b")
+    )
+    if n_docs <= 100_000:
+        aa, bb = F.broadcast(aa), F.broadcast(bb)
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cand.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_ha", "_hb")).cast("long").alias("n_common"),
+            "n_a",
+            "n_b",
+        )
+        # integer threshold test first (t=n_c/(n_a+n_b-n_c) ≥ t, cross-
+        # multiplied) so the division below runs on survivors only
+        .filter(
+            F.col("n_common") * (1 + F.lit(threshold))
+            >= F.lit(threshold) * (F.col("n_a") + F.col("n_b"))
+        )
         .withColumn(
             "jaccard",
             (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).cast("double"),
