@@ -1,0 +1,217 @@
+"""Whole-graph analytics over call-graph-shaped edge lists: PageRank and
+triangle counting.
+
+The reference engine's analytics surface stops at traversals and call
+frequencies (src/neo4j/importer.rs:27-80 node/edge stats,
+call_path_analyzer.rs path post-processing); PageRank/triangles are the
+natural next analytics a binary-similarity user asks of a call graph
+(hot-function centrality, clustering structure), so they are first-class
+here with the same oracle discipline as everything else.
+
+Determinism strategy (see round-2 notes in SCALE.md): PageRank runs in
+FIXED-POINT int64 arithmetic — rank mass scaled by 1e12, per-edge
+contribution = floor(rank/outdeg), damping applied as (85·s)//100.
+Integer sums are order-independent, so a DuckDB oracle that unrolls the
+same K iterations as chained CTEs reproduces every rank bit-for-bit —
+no float tolerance anywhere.  The cost of quantization is a bounded
+floor error per node per round (< outdeg ulps of 1e-12), irrelevant for
+ranking and fully shared by both engines.
+
+Triangle counting orients edges by (degree, id) — each triangle is
+enumerated exactly once from its lowest-degree corner, bounding the
+wedge join by O(m^1.5) instead of O(Σ deg²) (the hub-node blowup).  The
+oracle counts the same triangles with the naive a<b<c three-way join —
+different enumeration order, identical multiset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_SCALE = 10**12  # int64 rank units: 1.0 == 1e12 (85×scale << 2^63)
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    *,
+    iters: int = 5,
+    scale: int = PAGERANK_SCALE,
+) -> DataFrame:
+    """Damped PageRank (d=0.85) in exact int64 fixed point →
+    (node, rank_fp, rank).
+
+    Per iteration: rank'(v) = (15·(scale//n))//100 + (85·Σ_{u→v}
+    floor(rank(u)/outdeg(u)))//100.  Dangling-node mass is dropped (not
+    redistributed) — documented divergence from the textbook formulation,
+    shared by the oracle.  Every operation is integer, so the result is
+    independent of partitioning, shuffle order, and engine.
+
+    Scale: edges shuffle once per iteration on ``src`` (join) then
+    ``dst`` (aggregate); ranks are node-cardinality.  Each round ends in
+    ``localCheckpoint`` to cut lineage — at cluster scale this becomes a
+    persisted-table checkpoint every few rounds.
+    """
+    edges = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = nodes.count()  # scalar graph property, intentionally driver-side
+    init = scale // n
+    base = (15 * init) // 100
+
+    ranks = nodes.select("v", F.lit(init).cast("long").alias("rank"))
+    for _ in range(iters):
+        inflow = (
+            edges.join(ranks, edges.src == ranks.v)
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("v"), F.expr("rank div deg").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(inflow, "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(base)
+                    + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("v").alias("node"),
+        F.col("rank").alias("rank_fp"),
+        (F.col("rank") / F.lit(float(scale))).alias("rank"),
+    )
+
+
+def sql_pagerank_fixed(
+    sql_edges: str, *, iters: int = 5, scale: int = PAGERANK_SCALE
+) -> str:
+    """DuckDB twin of :func:`pagerank_fixed`: the K iterations unrolled
+    as chained CTEs (aggregation is not allowed in a recursive term, and
+    unrolling keeps each round a plain join+groupBy the optimizer can
+    see through).  Bit-identical by integer arithmetic."""
+    ctes = [
+        f"edges AS ({sql_edges})",
+        "nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges)",
+        "outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "params AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT v, CAST({scale} // n AS BIGINT) AS rank FROM nodes, params)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} AS (
+      SELECT nd.v,
+             CAST((15 * ({scale} // p.n)) // 100
+                  + (85 * COALESCE(fl.s, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes nd CROSS JOIN params p
+      LEFT JOIN (
+        SELECT e.dst AS v, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+        FROM edges e
+          JOIN r{k - 1} r ON e.src = r.v
+          JOIN outdeg d ON e.src = d.src
+        GROUP BY e.dst
+      ) fl ON fl.v = nd.v
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT v AS node, rank AS rank_fp, rank / {float(scale)} AS rank
+    FROM r{iters}"""
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over the UNDIRECTED simple graph
+    of ``edges`` → (node, n_triangles), only nodes in ≥1 triangle.
+
+    Degree-ordered enumeration: undirected edges are oriented from the
+    (degree, id)-smaller endpoint to the larger, making a DAG in which
+    every triangle appears exactly once as wedge u→v, v→w closed by
+    u→w.  The wedge join fans out from LOW-degree corners only — a hub
+    of degree D costs O(D) oriented out-edges instead of O(D²) wedges,
+    the standard O(m^1.5) bound.
+    """
+    edges = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+    def okey(deg_col: Column, id_col: Column) -> Column:
+        # single sortable key: degree-major, id tie-break (id < 2^20)
+        return deg_col * F.lit(1 << 20).cast("long") + id_col
+
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("_dega"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("_degb"))
+    keyed = (
+        und.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            okey(F.col("_dega"), F.col("a")).alias("ka"),
+            okey(F.col("_degb"), F.col("b")).alias("kb"),
+        )
+    )
+    fwd = keyed.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("w"),
+    ).localCheckpoint(eager=True)
+
+    e1 = fwd.select(F.col("u").alias("x"), F.col("w").alias("y"))
+    e2 = fwd.select(F.col("u").alias("y2"), F.col("w").alias("z"))
+    e3 = fwd.select(F.col("u").alias("x2"), F.col("w").alias("z2"))
+    tris = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x2")) & (F.col("z") == F.col("z2")), "left_semi")
+        .select("x", "y", "z")
+    )
+    return (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def sql_triangle_counts(sql_edges: str) -> str:
+    """DuckDB twin of :func:`triangle_counts`: the naive id-ordered
+    a<b<c three-way join — a different (quadratic-wedge) enumeration of
+    the SAME triangle set, which is exactly what an oracle should be."""
+    return f"""
+    WITH edges AS ({sql_edges}),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ),
+    tris AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    members AS (
+      SELECT x AS node FROM tris
+      UNION ALL SELECT y FROM tris
+      UNION ALL SELECT z FROM tris
+    )
+    SELECT node, count(*) AS n_triangles FROM members GROUP BY node"""

@@ -1,0 +1,229 @@
+"""Round-2 analytics extensions: whole-graph algorithms (PageRank,
+triangles) on the derived call graph, plus training-pipeline utilities
+(stratified split, quantized TF-IDF, deterministic sampling) on the
+documents corpus.  Every query carries a DuckDB oracle; the iterative
+PageRank is oracle-replayable through fixed-point integer arithmetic
+(the round-2 technique — int sums are order-independent, so K unrolled
+CTE iterations match Spark bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..model import load_table
+from ..operators.graphalgo import (
+    pagerank_fixed,
+    sql_pagerank_fixed,
+    sql_triangle_counts,
+    triangle_counts,
+)
+from ..plans.graph_project import SQL_EDGES, derived_edges
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# Whole-graph analytics on the derived call graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_pagerank",
+    oracle=sql_pagerank_fixed(SQL_EDGES)
+    + """
+    ORDER BY rank_fp DESC, node
+    LIMIT 50
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-function centrality: 5 damped PageRank iterations over the
+    derived call graph in exact int64 fixed point — the DuckDB oracle
+    unrolls the identical iterations and matches every rank bit-for-bit
+    (no float tolerance).  Top-50 by rank."""
+    ranks = pagerank_fixed(derived_edges(spark, sf_dir), iters=5)
+    return ranks.orderBy(F.desc("rank_fp"), "node").limit(50)
+
+
+@register(
+    "graph_triangle_counts",
+    oracle=sql_triangle_counts(SQL_EDGES)
+    + """
+    ORDER BY n_triangles DESC, node
+    """,
+    tags=("graph",),
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the undirected call graph —
+    degree-ordered O(m^1.5) enumeration on Spark, naive a<b<c three-way
+    join in the oracle: different enumeration, identical counts."""
+    return triangle_counts(derived_edges(spark, sf_dir)).orderBy(
+        F.desc("n_triangles"), "node"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline utilities on documents
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _sql_hex4(expr: str) -> str:
+    """DuckDB: first 4 hex chars of a sha256 hex string → BIGINT."""
+    terms = " + ".join(
+        f"(strpos('{_HEX}', substr({expr}, {i}, 1)) - 1) * {16 ** (4 - i)}"
+        for i in range(1, 5)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+@register(
+    "pipeline_stratified_split",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT lang,
+             {_sql_hex4("sha256(CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+      FROM documents
+    ),
+    labeled AS (
+      SELECT lang,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      FROM bucketed
+    ),
+    counted AS (
+      SELECT lang, split, count(*) AS n_docs FROM labeled GROUP BY lang, split
+    )
+    SELECT lang, split, n_docs,
+           CAST(n_docs AS DOUBLE)
+             / sum(n_docs) OVER (PARTITION BY lang) AS frac_within_lang
+    FROM counted
+    ORDER BY lang, split
+    """,
+    tags=("pipeline",),
+)
+def pipeline_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split: bucket =
+    int(sha256(doc_id)[:4], 16) % 100 → 80/10/10, reported per language
+    stratum.  Content-hash bucketing is reproducible across engines,
+    runs, and cluster sizes (no RNG, no partition dependence) — the
+    standard way to split a 100 TB corpus without a shuffle: the split
+    column is a pure projection every reader recomputes."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    counted = docs.groupBy(F.col("lang"), split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return counted.select(
+        "lang",
+        "split",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(Window.partitionBy("lang"))
+        ).alias("frac_within_lang"),
+    ).orderBy("lang", "split")
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM documents,
+           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok AS term, tf.tf, df.df,
+             tf.tf * ((n.n_docs * 1000) // df.df) AS score_q
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_q DESC, term) AS rk
+      FROM scored WHERE doc_id % 25 = 0
+    )
+    SELECT doc_id, term, tf, df, score_q
+    FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, score_q DESC, term
+    """,
+    tags=("text",),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document by QUANTIZED TF-IDF:
+    score = tf × ((N·1000) // df) — the idf factor is an exact integer
+    (thousandths, floored), so Spark and DuckDB rank and score
+    identically with no transcendental-function drift (ln(x) is not
+    bit-portable across engines; N/df quantized to 1e-3 preserves the
+    idf ordering at every df < N·1000).  Corpus-wide df, output
+    restricted to every 25th doc to keep the gate compact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    n_docs = docs.count()  # scalar corpus property
+    scored = (
+        tf.join(df_, "tok")
+        .select(
+            "doc_id",
+            F.col("tok").alias("term"),
+            "tf",
+            "df",
+            (F.col("tf") * F.expr(f"({n_docs} * 1000) div df")).alias("score_q"),
+        )
+    )
+    ranked = (
+        scored.filter(F.col("doc_id") % 25 == 0)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("score_q"), "term")
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+    return ranked.select("doc_id", "term", "tf", "df", "score_q").orderBy(
+        "doc_id", F.desc("score_q"), "term"
+    )
+
+
+@register(
+    "docs_deterministic_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 25
+    """,
+    tags=("pipeline",),
+)
+def docs_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sample: order by a content hash of the key
+    and take k — a reproducible 'reservoir' that needs no RNG state and
+    no coordination (any engine, any partitioning, same 25 docs).  At
+    100 TB this is ORDER BY hash LIMIT k = a single TakeOrdered
+    (per-partition top-k + driver merge), never a full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", "lang", "n_chars", F.sha2(F.col("doc_id").cast("string"), 256).alias("_h")
+        )
+        .orderBy("_h", "doc_id")
+        .limit(25)
+        .select("doc_id", "lang", "n_chars")
+    )

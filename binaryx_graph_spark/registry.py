@@ -51,6 +51,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 def load_all() -> dict[str, Query]:
     """Import every query-defining module (side effect: registration)."""
     from .queries import (  # noqa: F401
+        analytics_ext,
         graph,
         ingest_demo,
         ingest_scaled,

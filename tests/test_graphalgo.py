@@ -1,0 +1,66 @@
+"""Invariants for operators/graphalgo.py beyond the DuckDB hash gate:
+known-graph answers and fixed-point conservation properties."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from binaryx_graph_spark.operators.graphalgo import (
+    PAGERANK_SCALE,
+    pagerank_fixed,
+    triangle_counts,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_triangles_known_graph(spark):
+    # K4 minus one edge: triangles {1,2,3} and {1,2,4} → node1:2, node2:2,
+    # node3:1, node4:1
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (1, 4), (2, 4)])
+    got = {r.node: r.n_triangles for r in triangle_counts(e).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangles_ignore_direction_and_self_loops(spark):
+    # same triangle expressed with mixed directions + a self loop + a dup
+    e = _edges(spark, [(1, 2), (3, 2), (3, 1), (1, 1), (2, 1)])
+    got = {r.node: r.n_triangles for r in triangle_counts(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    # 3-cycle: perfectly symmetric → every node keeps the identical rank
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    ranks = pagerank_fixed(e, iters=5).collect()
+    vals = {r.rank_fp for r in ranks}
+    assert len(vals) == 1
+    # symmetric flow loses nothing to dangling/floor beyond tiny quanta
+    assert abs(vals.pop() - PAGERANK_SCALE // 3) <= 5
+
+
+def test_pagerank_sink_attracts_mass(spark):
+    # star into node 9: 9's rank must dominate every spoke
+    e = _edges(spark, [(1, 9), (2, 9), (3, 9), (9, 1)])
+    ranks = {r.node: r.rank_fp for r in pagerank_fixed(e, iters=5).collect()}
+    assert ranks[9] > ranks[1] > ranks[2] == ranks[3]
+
+
+def test_pagerank_mass_bounded(spark):
+    # total fixed-point mass never exceeds the initial total (dangling
+    # and floor losses only shrink it)
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 2), (5, 1)])
+    total = (
+        pagerank_fixed(e, iters=5)
+        .agg(F.sum("rank_fp").alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert 0 < total <= PAGERANK_SCALE
