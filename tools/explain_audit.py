@@ -54,6 +54,24 @@ AUDITED = [
     "skew_salted_counts",
     "sketch_cms_user_counts",
     "text_gopher_rules",
+    # full TPC-H family (queries/tpch_ext.py)
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_late_priority_counts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion_suppliers",
+    "q22_global_sales_opportunity",
+    # graph analytics + pipeline utilities (queries/analytics_ext.py)
+    "graph_pagerank",
+    "graph_triangle_counts",
+    "pipeline_stratified_split",
+    "text_tfidf_topk",
+    "docs_deterministic_sample",
 ]
 
 
@@ -70,11 +88,21 @@ def audit_plan(name: str, plan: str) -> list[str]:
         "ann_cosine_topk",
         "ann_cosine_lsh",
         "ann_cosine_ivf",
+        # TPC-H scalar-subquery shapes: the build side is a broadcast
+        # 1-ROW aggregate (global total / max / average) compared with a
+        # non-equi predicate — the correct plan for value-vs-global
+        # filters, not a leaked cartesian
+        "q11_important_stock",
+        "q15_top_supplier",
+        "q22_global_sales_opportunity",
     ):
         flags.append("BroadcastNestedLoopJoin (non-equi join leaked in)")
     # wide-scan check: count FIELDS in each ReadSchema struct (a field is
-    # `name:type`), flag only genuinely wide unpruned scans
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+    # `name:type`), flag only genuinely wide unpruned scans.  Bounded to
+    # one LINE: simple-mode plan strings hard-truncate long lines, which
+    # can cut the closing '>' and would otherwise let the match run into
+    # the next scan (false 27-column flags on pruned plans).
+    for m in re.finditer(r"ReadSchema: struct<([^>\n]*)", plan):
         body = m.group(1)
         n_fields = body.count(":")
         if n_fields > 12:
@@ -92,6 +120,10 @@ def main() -> int:
 
     reg = load_all()
     spark = get_spark("plan-audit")
+    # un-truncated plan strings: a truncated ReadSchema loses its closing
+    # '>' and makes the wide-scan regex span several scans (false 27-col
+    # "wide scan" on perfectly pruned plans)
+    spark.conf.set("spark.sql.debug.maxToStringFields", "2000")
     sections = []
     any_flags = False
     for name in wanted:
