@@ -36,6 +36,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "ann_cosine_ivf",
+    # r2 additions: iterative fixed-point analytics + the widest TPC-H join
+    "graph_pagerank",
+    "q9_product_profit",
     "text_quality_metrics",
     "multimodal_decode",
     "event_sessionization",
