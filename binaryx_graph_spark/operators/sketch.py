@@ -115,3 +115,85 @@ def sql_cms_estimate(
     FROM probes p LEFT JOIN sk ON p.d = sk.d AND p.bucket = sk.bucket
     GROUP BY p.{key_name}
     """
+
+
+# ------------------------------------------------------------------ HLL
+
+HLL_M = 64  # registers (2^6); standard alpha for m=64
+HLL_ALPHA = 0.709
+
+
+def hll_registers(df: DataFrame, key: Column) -> DataFrame:
+    """HyperLogLog register table → (reg, m_val), built deterministically
+    from sha256 so DuckDB reproduces the IDENTICAL registers.
+
+    reg  = first 16 hash bits mod 64; rho = position of the highest set
+    bit in the next 52 bits (53 when they are all zero).  One map-side-
+    combinable max-groupBy over ≤64 groups — constant-size state, the
+    mergeable-sketch property that makes approx-distinct feasible at
+    100 TB (executors each ship ≤64 rows).
+    """
+    h = F.sha2(key.cast("string"), 256)
+    reg = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % HLL_M
+    v52 = F.conv(F.substring(h, 5, 13), 16, 10).cast("long")
+    rho = F.when(v52 == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(v52)))
+    return (
+        df.select(reg.alias("reg"), rho.cast("long").alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("m_val"))
+    )
+
+
+def hll_estimate(spark, registers: DataFrame) -> DataFrame:
+    """Raw HLL estimate as a 1-row DataFrame → (hll_estimate DOUBLE).
+
+    The harmonic sum Σ 2^-M[j] is computed EXACTLY: each term scaled to
+    the integer 2^(53-M[j]) (M ≤ 53 → no overflow at m·2^53 < 2^63),
+    summed as int64 — order-independent, so Spark and DuckDB agree
+    bit-for-bit.  The estimate applies α·m² with ONE float division.
+    No small-range (linear-counting) correction on either side — the
+    raw estimator is the pinned contract (documented divergence from
+    the paper's piecewise form; both engines share it).
+    """
+    allregs = spark.range(HLL_M).select(F.col("id").alias("reg"))
+    padded = allregs.join(registers, "reg", "left").select(
+        F.coalesce(F.col("m_val"), F.lit(0)).alias("m0")
+    )
+    s = F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m0 AS INT))")).alias("s")
+    return padded.agg(
+        (F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) * F.lit(float(1 << 53)) / s)
+        .alias("hll_estimate")
+    )
+
+
+def sql_hll_estimate(table: str, key_expr: str) -> str:
+    """DuckDB twin of registers+estimate: identical hash slicing, bin()
+    bit-length rho, exact integer harmonic sum, same single division."""
+    h = f"sha256(CAST({key_expr} AS VARCHAR))"
+    hex4 = " + ".join(
+        f"(strpos('{_HEX}', substr({h}, {i}, 1)) - 1) * {16 ** (4 - i)}" for i in range(1, 5)
+    )
+    hex13 = " + ".join(
+        f"(strpos('{_HEX}', substr({h}, {i}, 1)) - 1) * {16 ** (17 - i)}" for i in range(5, 18)
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT ({hex4}) % {HLL_M} AS reg,
+             CAST({hex13} AS BIGINT) AS v52
+      FROM {table}
+    ),
+    regs AS (
+      SELECT reg,
+             max(CASE WHEN v52 = 0 THEN 53 ELSE 53 - length(bin(v52)) END) AS m_val
+      FROM hashed GROUP BY reg
+    ),
+    padded AS (
+      SELECT COALESCE(r.m_val, 0) AS m0
+      FROM range({HLL_M}) t(reg) LEFT JOIN regs r ON r.reg = t.reg
+    )
+    SELECT CAST({HLL_ALPHA} AS DOUBLE) * CAST({HLL_M * HLL_M} AS DOUBLE)
+             * CAST({1 << 53} AS DOUBLE)
+             / CAST(sum(CAST(1 AS BIGINT) << CAST(53 - m0 AS INTEGER)) AS BIGINT)
+           AS hll_estimate
+    FROM padded
+    """

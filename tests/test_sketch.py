@@ -53,3 +53,29 @@ def test_cms_merge_equals_single_build(spark):
         F.coalesce(merged.cnt, F.lit(0)) != F.coalesce(single.cnt, F.lit(0))
     )
     assert diff.isEmpty()
+
+
+def test_hll_estimate_accuracy_and_mergeability(spark):
+    """HLL estimate within 3σ (σ ≈ 1.04/√64 = 13%) of the exact distinct
+    count, and register tables merge by MAX (the mergeable property)."""
+    from binaryx_graph_spark.operators.sketch import hll_estimate, hll_registers
+
+    ev = load_table(spark, SF, "events")
+    exact = ev.select("event_id").distinct().count()
+    regs = hll_registers(ev, F.col("event_id"))
+    est = hll_estimate(spark, regs).collect()[0].hll_estimate
+    assert abs(est - exact) / exact < 0.40, (est, exact)
+
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        hll_registers(a, F.col("event_id"))
+        .unionByName(hll_registers(b, F.col("event_id")))
+        .groupBy("reg")
+        .agg(F.max("m_val").alias("m_val"))
+    )
+    single = hll_registers(ev, F.col("event_id"))
+    diff = merged.join(single, "reg", "full").filter(
+        F.coalesce(merged.m_val, F.lit(-1)) != F.coalesce(single.m_val, F.lit(-1))
+    )
+    assert diff.isEmpty()
