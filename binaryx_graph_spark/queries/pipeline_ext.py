@@ -479,3 +479,27 @@ _REG_CMS["sketch_hll_distinct"].oracle = f"""
     FROM ({_sql_hll("events", "event_id")}) est,
          (SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact FROM events) exact
 """
+
+
+@register(
+    "grouped_map_user_stats",
+    oracle=None,  # assigned below
+    tags=("pipeline", "python-boundary"),
+)
+def grouped_map_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch grouped-map applyInPandas (the per-group Python escape
+    hatch — per-group model fits / scipy / resampling): per-user value
+    mean and population std with exact-int64 internals, so the DuckDB
+    oracle verifies the ARROW GROUPED-MAP PATH itself (group splitting,
+    Arrow conversion, dtype handling) by value hash.  A pure-Column twin
+    is pinned equal in tests/test_grouped_stats.py — the demo is the
+    Python path, the twin is the hot path."""
+    from ..operators.grouped_stats import user_value_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return user_value_stats(ev).orderBy("user_id")
+
+
+from ..operators.grouped_stats import SQL_USER_VALUE_STATS as _SQL_UVS  # noqa: E402
+
+_REG_CMS["grouped_map_user_stats"].oracle = _SQL_UVS + " ORDER BY user_id"
