@@ -215,3 +215,105 @@ def sql_triangle_counts(sql_edges: str) -> str:
       UNION ALL SELECT z FROM tris
     )
     SELECT node, count(*) AS n_triangles FROM members GROUP BY node"""
+
+
+def personalized_pagerank_fixed(
+    edges: DataFrame,
+    seed_pred: Column,
+    *,
+    iters: int = 5,
+    scale: int = PAGERANK_SCALE,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns only to the SEED set
+    (nodes where ``seed_pred`` holds) → (node, rank_fp, rank).  The
+    call-graph use case: "which functions matter relative to THESE entry
+    points" — reachability-weighted centrality rather than global.
+
+    Same exact int64 fixed-point contract as :func:`pagerank_fixed`;
+    non-seeds start at 0 and receive no teleport term."""
+    edges = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .withColumn("is_seed", seed_pred)
+        .localCheckpoint(eager=True)
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_seeds = nodes.filter("is_seed").count()
+    init = scale // n_seeds
+    base = (15 * init) // 100
+
+    ranks = nodes.select(
+        "v",
+        F.when(F.col("is_seed"), F.lit(init)).otherwise(F.lit(0)).cast("long").alias("rank"),
+    )
+    for _ in range(iters):
+        inflow = (
+            edges.join(ranks, edges.src == ranks.v)
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("v"), F.expr("rank div deg").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(inflow, "v", "left")
+            .select(
+                "v",
+                (
+                    F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0)).cast("long")
+                    + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("v").alias("node"),
+        F.col("rank").alias("rank_fp"),
+        (F.col("rank") / F.lit(float(scale))).alias("rank"),
+    )
+
+
+def sql_personalized_pagerank_fixed(
+    sql_edges: str, seed_sql: str, *, iters: int = 5, scale: int = PAGERANK_SCALE
+) -> str:
+    """DuckDB twin of :func:`personalized_pagerank_fixed` — unrolled
+    iterations; seed membership via LEFT JOIN (no correlated scalar
+    subqueries, per the oracle-stability rules)."""
+    ctes = [
+        f"edges AS ({sql_edges})",
+        "nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges)",
+        f"seeds AS (SELECT v FROM nodes WHERE {seed_sql})",
+        "outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "params AS (SELECT count(*) AS ns FROM seeds)",
+        f"""r0 AS (
+      SELECT nd.v,
+             CAST(CASE WHEN sd.v IS NOT NULL THEN {scale} // p.ns ELSE 0 END AS BIGINT) AS rank
+      FROM nodes nd CROSS JOIN params p LEFT JOIN seeds sd ON sd.v = nd.v
+    )""",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} AS (
+      SELECT nd.v,
+             CAST(CASE WHEN sd.v IS NOT NULL
+                       THEN (15 * ({scale} // p.ns)) // 100 ELSE 0 END
+                  + (85 * COALESCE(fl.s, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes nd CROSS JOIN params p
+      LEFT JOIN seeds sd ON sd.v = nd.v
+      LEFT JOIN (
+        SELECT e.dst AS v, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+        FROM edges e
+          JOIN r{k - 1} r ON e.src = r.v
+          JOIN outdeg d ON e.src = d.src
+        GROUP BY e.dst
+      ) fl ON fl.v = nd.v
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT v AS node, rank AS rank_fp, rank / {float(scale)} AS rank
+    FROM r{iters}"""
+    )

@@ -17,6 +17,7 @@ from ..model import load_table
 from ..operators.graphalgo import (
     pagerank_fixed,
     sql_pagerank_fixed,
+    sql_personalized_pagerank_fixed,
     sql_triangle_counts,
     triangle_counts,
 )
@@ -333,3 +334,32 @@ def orders_daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev_c") / F.lit(100.0)).alias("revenue"),
         (F.sum("rev_c").over(w) / (F.lit(100.0) * F.count(F.lit(1)).over(w))).alias("ma7"),
     ).orderBy("day")
+
+
+@register(
+    "graph_personalized_pagerank",
+    oracle=sql_personalized_pagerank_fixed(SQL_EDGES, "v % 50 = 0")
+    + """
+    WHERE rank > 0
+    ORDER BY rank_fp DESC, node
+    LIMIT 50
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a deterministic seed set (every 50th
+    node = 'entry points'): teleport returns only to seeds, so rank
+    measures importance RELATIVE to those entries — the call-graph
+    question "what matters when execution starts here".  Same exact
+    fixed-point contract as graph_pagerank; nodes unreachable from the
+    seeds keep rank 0 and are filtered on both sides."""
+    from ..operators.graphalgo import personalized_pagerank_fixed
+
+    ranks = personalized_pagerank_fixed(
+        derived_edges(spark, sf_dir), F.col("v") % 50 == 0, iters=5
+    )
+    return (
+        ranks.filter(F.col("rank_fp") > 0)
+        .orderBy(F.desc("rank_fp"), "node")
+        .limit(50)
+    )

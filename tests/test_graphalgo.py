@@ -64,3 +64,19 @@ def test_pagerank_mass_bounded(spark):
         .s
     )
     assert 0 < total <= PAGERANK_SCALE
+
+
+def test_personalized_pagerank_zero_outside_reachable_set(spark):
+    from binaryx_graph_spark.operators.graphalgo import personalized_pagerank_fixed
+
+    # seeds = {1}; node 5 is in a separate component → rank exactly 0;
+    # seed keeps the teleport share; downstream nodes get flow
+    e = _edges(spark, [(1, 2), (2, 3), (5, 6)])
+    ranks = {
+        r.node: r.rank_fp
+        for r in personalized_pagerank_fixed(spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "src long, dst long"
+        ), F.col("v") == 1, iters=4).collect()
+    }
+    assert ranks[5] == 0 and ranks[6] == 0
+    assert ranks[1] > ranks[2] > ranks[3] > 0
