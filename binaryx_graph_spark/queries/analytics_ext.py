@@ -363,3 +363,48 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_fp"), "node")
         .limit(50)
     )
+
+
+@register(
+    "events_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+             strftime(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
+                      '%Y-%m-%d %H:%M:%S') AS valid_to
+      FROM events
+    )
+    SELECT user_id, event_type, valid_from,
+           COALESCE(valid_to, '9999-12-31 00:00:00') AS valid_to
+    FROM ordered
+    WHERE user_id % 25 = 3
+    ORDER BY user_id, valid_from, event_type
+    """,
+    tags=("temporal", "window"),
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 validity intervals from an event stream: each user
+    state row is valid from its own timestamp until the NEXT event
+    (lead window, event_id tie-break), open intervals closed with a
+    sentinel — the standard way a warehouse versions mutable state for
+    as-of joins.  One window shuffle on user_id; at 100 TB the frame is
+    per-user and never global.  Output scoped to a deterministic user
+    subset to keep the gate compact."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.date_format("ts", fmt).alias("valid_from"),
+            F.coalesce(
+                F.date_format(F.lead("ts").over(w), fmt),
+                F.lit("9999-12-31 00:00:00"),
+            ).alias("valid_to"),
+        )
+        .filter(F.col("user_id") % 25 == 3)
+        .orderBy("user_id", "valid_from", "event_type")
+    )
