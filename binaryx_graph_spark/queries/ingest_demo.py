@@ -190,3 +190,35 @@ def ingest_merge_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("hash", "filename", "file_size")
         .orderBy("hash")
     )
+
+
+@register(
+    "python_datasource_functions",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      ('{HASH_A}', 'main',   '0x401000', CAST(256 AS BIGINT),  'a.json'),
+      ('{HASH_A}', 'helper', '4198656',  CAST(128 AS BIGINT),  'a.json'),
+      ('{HASH_A}', 'worker', '4198912',  CAST(NULL AS BIGINT), 'a.json'),
+      ('{HASH_B}', 'main',   '0x401000', CAST(64 AS BIGINT),   'b.json')
+    ) AS t(binary_hash, fn_name, address, size, source_file)
+    ORDER BY binary_hash, fn_name
+    """,
+    tags=("ingest", "source"),
+)
+def python_datasource_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family extension: the fixture read through a Spark 4 PYTHON
+    DATASOURCE (pyspark.sql.datasource) — file-granular partition
+    planning on the driver, executor-side Python parsing, raw function
+    rows verbatim.  Pins the custom-source machinery end-to-end
+    (registration, partition planning, Arrow row transport) against a
+    static oracle."""
+    from ..sources.pyds import register_analysis_datasource
+
+    register_analysis_datasource(spark)
+    d = write_fixture(Path(tempfile.mkdtemp(prefix="bxg_pyds_")))
+    return (
+        spark.read.format("analysis_json_py")
+        .option("path", d)
+        .load()
+        .orderBy("binary_hash", "fn_name")
+    )
