@@ -503,3 +503,64 @@ def grouped_map_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators.grouped_stats import SQL_USER_VALUE_STATS as _SQL_UVS  # noqa: E402
 
 _REG_CMS["grouped_map_user_stats"].oracle = _SQL_UVS + " ORDER BY user_id"
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+    ),
+    hist AS (
+      SELECT c // 100 AS bucket, count(*) AS cnt FROM cents GROUP BY c // 100
+    ),
+    cum AS (
+      SELECT bucket, cnt,
+             sum(cnt) OVER (ORDER BY bucket) AS cum_cnt,
+             (SELECT count(*) FROM cents) AS n
+      FROM hist
+    )
+    SELECT
+      (SELECT min(bucket) FROM cum WHERE cum_cnt * 2 >= n) AS p50_bucket,
+      (SELECT min(bucket) FROM cum WHERE cum_cnt * 20 >= n * 19) AS p95_bucket,
+      (SELECT min(bucket) FROM cum WHERE cum_cnt * 100 >= n * 99) AS p99_bucket,
+      (SELECT count(*) FROM hist) AS n_buckets
+    """,
+    tags=("sketch", "approx"),
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles: values binned to exact integer dollar
+    buckets (cents div 100), quantile = first bucket whose cumulative
+    count crosses q·n — ALL integer arithmetic (cross-multiplied
+    thresholds, no float quantile interpolation), so the DuckDB oracle
+    reproduces the estimates exactly.  Constant-size state (one row per
+    occupied bucket), map-side combinable — the portable alternative to
+    engine-specific t-digest/GK sketches whose merge order leaks into
+    results.  Contrast: stats_approx_distinct pins Spark's native HLL++
+    path with a rows-only check; this query makes the approximation
+    itself part of the contract."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.select(
+            F.expr("CAST(round(value * 100) AS BIGINT) div 100").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket", "cnt", F.sum("cnt").over(w).alias("cum_cnt")
+    ).crossJoin(F.broadcast(ev.agg(F.count(F.lit(1)).alias("n"))))
+
+    def pick(mult_lhs: int, mult_rhs: int, name: str):
+        return (
+            cum.filter(F.col("cum_cnt") * mult_lhs >= F.col("n") * mult_rhs)
+            .agg(F.min("bucket").alias(name))
+        )
+
+    return (
+        pick(2, 1, "p50_bucket")
+        .crossJoin(pick(20, 19, "p95_bucket"))
+        .crossJoin(pick(100, 99, "p99_bucket"))
+        .crossJoin(hist.agg(F.count(F.lit(1)).alias("n_buckets")))
+    )
