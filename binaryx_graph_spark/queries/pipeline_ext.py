@@ -564,3 +564,57 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(pick(100, 99, "p99_bucket"))
         .crossJoin(hist.agg(F.count(F.lit(1)).alias("n_buckets")))
     )
+
+
+@register(
+    "python_udtf_ngrams",
+    oracle="""
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         t -> t <> '') AS toks
+      FROM documents WHERE doc_id % 100 = 1
+    )
+    SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS pos,
+           toks[r.i] || ' ' || toks[r.i + 1] AS bigram
+    FROM arrs, unnest(range(1, len(toks))) AS r(i)
+    ORDER BY doc_id, pos
+    """,
+    tags=("text", "python-boundary"),
+)
+def python_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 PYTHON UDTF (user-defined table function): one row of
+    text lateral-expands to its positional word bigrams in Python —
+    the table-function escape hatch for row→many-rows logic built-ins
+    can't express (custom tokenizers, parsers).  The UDTF body mirrors
+    the SQL twin exactly (lowercase, [^a-z]+ split, drop empties,
+    adjacent pairs), so the oracle pins the UDTF machinery — lateral
+    join planning, batch row transport — by value hash.  Scoped to a
+    deterministic doc subset; the oracle indexes the token array
+    explicitly (toks[i] || toks[i+1]) so positions never depend on
+    unnest emission order."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, bigram string")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = [t for t in re.split(r"[^a-z]+", (text or "").lower()) if t]
+            for i in range(len(toks) - 1):
+                yield i, f"{toks[i]} {toks[i + 1]}"
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 100 == 1)
+        .select("doc_id", "text")
+    )
+    docs.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("bxg_bigrams", Bigrams)
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.pos, b.bigram
+        FROM _udtf_docs d, LATERAL bxg_bigrams(d.text) b
+        ORDER BY d.doc_id, b.pos
+        """
+    )
