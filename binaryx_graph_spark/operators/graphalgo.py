@@ -51,8 +51,14 @@ def pagerank_fixed(
     ``dst`` (aggregate); ranks are node-cardinality.  Each round ends in
     ``localCheckpoint`` to cut lineage — at cluster scale this becomes a
     persisted-table checkpoint every few rounds.
+
+    Simple-graph semantics: duplicate (src, dst) rows are collapsed, so
+    a repeated call edge carries no extra weight (matches the oracle's
+    DISTINCT edge projection; property-tested against a float reference).
     """
-    edges = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    edges = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).distinct()
     nodes = (
         edges.select(F.col("src").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("v")))
@@ -229,9 +235,12 @@ def personalized_pagerank_fixed(
     call-graph use case: "which functions matter relative to THESE entry
     points" — reachability-weighted centrality rather than global.
 
-    Same exact int64 fixed-point contract as :func:`pagerank_fixed`;
-    non-seeds start at 0 and receive no teleport term."""
-    edges = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    Same exact int64 fixed-point contract (and simple-graph edge
+    dedup) as :func:`pagerank_fixed`; non-seeds start at 0 and receive
+    no teleport term."""
+    edges = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).distinct()
     nodes = (
         edges.select(F.col("src").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("v")))

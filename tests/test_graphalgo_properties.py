@@ -1,0 +1,90 @@
+"""Property-based graph-algorithm tests (hypothesis): random small
+digraphs → triangle counts equal a brute-force Python reference, and
+fixed-point PageRank tracks an exact-model float reference within
+quantization error.  Few examples (Spark round-trip per example), wide
+input variety."""
+
+from __future__ import annotations
+
+import itertools
+import os
+import sys
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from binaryx_graph_spark.operators.graphalgo import (
+    PAGERANK_SCALE,
+    pagerank_fixed,
+    triangle_counts,
+)
+
+_edge = st.tuples(
+    st.integers(min_value=0, max_value=7), st.integers(min_value=0, max_value=7)
+)
+_edges = st.lists(_edge, min_size=1, max_size=20)
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _brute_triangles(pairs):
+    und = {tuple(sorted(e)) for e in pairs if e[0] != e[1]}
+    nodes = sorted({v for e in und for v in e})
+    counts: dict[int, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (
+            (a, b) in und
+            and (b, c) in und
+            and (a, c) in und
+        ):
+            for v in (a, b, c):
+                counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+def _float_pagerank(pairs, iters=3):
+    """Exact-model float reference: same damping, same dangling-drop,
+    REAL division instead of the fixed-point floor."""
+    edges = sorted(set(pairs))
+    nodes = sorted({v for e in edges for v in e})
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        inflow = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] / outdeg[s]
+        rank = {v: 0.15 / n + 0.85 * inflow[v] for v in nodes}
+    return rank
+
+
+@_SETTINGS
+@given(_edges)
+def test_triangle_counts_match_brute_force(spark, pairs):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == _brute_triangles(pairs)
+
+
+@_SETTINGS
+@given(_edges)
+def test_pagerank_tracks_float_reference(spark, pairs):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r.node: r.rank_fp / PAGERANK_SCALE
+        for r in pagerank_fixed(df, iters=3).collect()
+    }
+    ref = _float_pagerank(pairs, iters=3)
+    assert set(got) == set(ref)
+    for v in got:
+        # fixed-point floor loses < (iters · max_outdeg) quanta of 1e-12
+        # plus the int division of the damping term — far below 1e-6
+        assert abs(got[v] - ref[v]) < 1e-6, (v, got[v], ref[v])
