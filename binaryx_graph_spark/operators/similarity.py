@@ -528,3 +528,193 @@ def sql_ivf_kmeans(
     ORDER BY cos_sim DESC, ev.vec_id
     LIMIT {k}
     """
+
+
+# ------------------------------------------------------- product quantization
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    *,
+    m: int = 4,
+    k_sub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_key: str | None = None,
+) -> list[dict[int, list[float]]]:
+    """Product-quantization codebooks: the vector is split into ``m``
+    contiguous subspaces (dim/m dims each) and an independent
+    deterministic k-means (:func:`kmeans_codebook`) is trained per
+    subspace on the SLICED corpus.  Returns one {centroid_id: subvector}
+    dict per subspace; all the fixed-point replay guarantees carry over
+    unchanged because slicing commutes with quantization."""
+    sub = dim // m
+    books: list[dict[int, list[float]]] = []
+    for j in range(m):
+        ck = (corpus_key, "pq", j, k_sub, iters) if corpus_key is not None else None
+        book = _CODEBOOK_CACHE.get(ck) if ck else None
+        if book is None:
+            sliced = embeddings.select(
+                F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col)
+            )
+            book = kmeans_codebook(
+                sliced, n_centroids=k_sub, iters=iters, id_col=id_col, vec_col=vec_col
+            )
+            if ck:
+                _CODEBOOK_CACHE[ck] = book
+        books.append(book)
+    return books
+
+
+def cosine_topk_pq(
+    embeddings: DataFrame,
+    query_id: int,
+    *,
+    k: int = 10,
+    m: int = 4,
+    k_sub: int = 8,
+    kmeans_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_key: str | None = None,
+) -> DataFrame:
+    """PQ asymmetric top-k → (vec_id, approx_dot): every stored vector
+    is replaced by its per-subspace nearest centroid (the PQ code), and
+    the score is the dot product of the EXACT query subvectors against
+    those reconstructed centroids, summed across subspaces in fixed
+    order.  This is the memory-bound ANN design: at 100 TB each vector
+    stores m small codes instead of dim floats, and scoring reads the
+    codes plus m tiny lookup tables — the classic
+    Jégou/Douze/Schmid PQ layout expressed as a pure projection (encode)
+    plus an in-order fold (score), no shuffle anywhere.
+
+    Approximate BY CONSTRUCTION (quantization error moves the ranking);
+    recall vs the exact brute force is asserted in tests, and the DuckDB
+    oracle replays training + encoding + scoring bit-for-bit, so the
+    approximation itself is the pinned contract."""
+    sub = dim // m
+    books = pq_codebooks(
+        embeddings,
+        m=m,
+        k_sub=k_sub,
+        iters=kmeans_iters,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        corpus_key=corpus_key,
+    )
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    scored = embeddings.crossJoin(F.broadcast(q)).filter(F.col(id_col) != query_id)
+    total = None
+    for j, book in enumerate(books):
+        sv = F.slice(F.col(vec_col), j * sub + 1, sub)
+        qv = F.slice(F.col("_qvec"), j * sub + 1, sub)
+        code = _argmax_centroid(sv, book)
+        cids = sorted(book)
+        cent_arr = F.array(
+            *[F.array(*[F.lit(float(x)) for x in book[cid]]) for cid in cids]
+        )
+        pos = F.when(code == cids[0], F.lit(1))
+        for i, cid in enumerate(cids[1:], start=2):
+            pos = pos.when(code == cid, F.lit(i))
+        dj = dot(qv, F.element_at(cent_arr, pos.cast("int")))
+        total = dj if total is None else total + dj
+    return (
+        scored.select(id_col, total.cast("double").alias("approx_dot"))
+        .orderBy(F.desc("approx_dot"), id_col)
+        .limit(k)
+    )
+
+
+def sql_pq_topk(
+    table: str,
+    query_id: int,
+    *,
+    k: int = 10,
+    m: int = 4,
+    k_sub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of PQ training + encoding + asymmetric scoring: per
+    subspace the same quantized-integer k-means replay as
+    :func:`sql_ivf_kmeans`, then score_j = in-order dot of the query
+    subvector against the assigned centroid, summed left-to-right
+    across subspaces (the same association order as the Spark chain)."""
+    s = KMEANS_SCALE
+    sub = dim // m
+    cd = f"list_transform(csum, x -> CAST(x AS DOUBLE) / CAST(n * {s} AS DOUBLE))"
+    ctes = [
+        f"e AS (SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table})",
+        f"qrow AS (SELECT v AS qv FROM e WHERE vec_id = {query_id})",
+    ]
+    score_terms = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        p = f"m{j}"
+        sums = ", ".join(f"CAST(sum(q.vq[{d + 1}]) AS BIGINT)" for d in range(sub))
+        ctes += [
+            f"{p}_q AS (SELECT vec_id, v[{lo}:{hi}] AS v, "
+            f"list_transform(v[{lo}:{hi}], x -> CAST(floor(x * {float(s)} + 0.5) AS BIGINT)) AS vq FROM e)",
+            f"{p}_c0 AS (SELECT vec_id AS centroid_id, vq AS csum, CAST(1 AS BIGINT) AS n "
+            f"FROM {p}_q ORDER BY vec_id LIMIT {k_sub})",
+        ]
+        for i in range(iters):
+            ctes += [
+                f"{p}_d{i} AS (SELECT centroid_id, {cd} AS cd FROM {p}_c{i})",
+                f"""{p}_a{i} AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT q.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {sql_cosine('q.v', 'c.cd')} DESC, c.centroid_id) AS rn
+        FROM {p}_q q CROSS JOIN {p}_d{i} c
+      ) WHERE rn = 1
+    )""",
+                f"""{p}_u{i} AS (
+      SELECT a.centroid_id, list_value({sums}) AS csum, count(*) AS n
+      FROM {p}_a{i} a JOIN {p}_q q ON a.vec_id = q.vec_id
+      GROUP BY a.centroid_id
+    )""",
+                f"""{p}_c{i + 1} AS (
+      SELECT c.centroid_id, COALESCE(u.csum, c.csum) AS csum, COALESCE(u.n, c.n) AS n
+      FROM {p}_c{i} c LEFT JOIN {p}_u{i} u ON c.centroid_id = u.centroid_id
+    )""",
+            ]
+        ctes += [
+            f"{p}_df AS (SELECT centroid_id, {cd} AS cd FROM {p}_c{iters})",
+            f"""{p}_af AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT q.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {sql_cosine('q.v', 'c.cd')} DESC, c.centroid_id) AS rn
+        FROM {p}_q q CROSS JOIN {p}_df c
+      ) WHERE rn = 1
+    )""",
+            f"""{p}_s AS (
+      SELECT a.vec_id,
+             {SQL_DOT.format(a=f'qq.qv[{lo}:{hi}]', b='c.cd')} AS sc
+      FROM {p}_af a JOIN {p}_df c ON a.centroid_id = c.centroid_id, qrow qq
+    )""",
+        ]
+        score_terms.append(f"m{j}_s.sc")
+    joins = " ".join(
+        f"JOIN m{j}_s ON m0_s.vec_id = m{j}_s.vec_id" for j in range(1, m)
+    )
+    total = " + ".join(score_terms)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT m0_s.vec_id AS vec_id, CAST({total} AS DOUBLE) AS approx_dot
+    FROM m0_s {joins}
+    WHERE m0_s.vec_id <> {query_id}
+    ORDER BY approx_dot DESC, vec_id
+    LIMIT {k}"""
+    )

@@ -549,3 +549,28 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.rule", "r.n_pass")
     return tall.orderBy("rule")
+
+
+from ..operators.similarity import sql_pq_topk as _sql_pq  # noqa: E402
+
+
+@register(
+    "ann_cosine_pq",
+    oracle=_sql_pq("embeddings", 7, k=10, m=4, k_sub=8, iters=2, dim=64),
+    tags=("similarity",),
+)
+def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 4 subspaces × 8 centroids, each
+    sub-codebook trained with the deterministic fixed-point k-means;
+    stored vectors reduce to 4 codes, scoring = exact query subvectors
+    · reconstructed centroids (asymmetric distance).  The memory-bound
+    ANN design for 100 TB (codes + tiny lookup tables instead of raw
+    floats).  The oracle replays all four trainings, the encoding, and
+    the in-order scoring bit-for-bit; recall vs brute force asserted in
+    tests/test_north_star.py."""
+    from ..operators.similarity import cosine_topk_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_pq(
+        emb, 7, k=10, m=4, k_sub=8, kmeans_iters=2, dim=64, corpus_key=sf_dir
+    )

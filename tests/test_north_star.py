@@ -172,3 +172,20 @@ def test_multiprobe_lsh_recall_dominates_single(spark):
     multi = {r["vec_id"] for r in cosine_topk_lsh_multiprobe(emb, 7, k=10, bits=8).collect()}
     assert len(multi & exact) >= len(single & exact)
     assert single <= multi | single  # sanity: single bucket ⊂ probe set
+
+
+def test_pq_recall_vs_brute_force(spark):
+    """PQ (4×8) asymmetric top-10 must overlap the exact brute-force
+    top-10 — quantization moves the ranking but must keep real
+    neighbors in front of random vectors — and scores must be bounded
+    descending dots."""
+    from binaryx_graph_spark.operators.similarity import cosine_topk_pq
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = [r["vec_id"] for r in cosine_topk(emb, 7, k=10).collect()]
+    pq_rows = cosine_topk_pq(emb, 7, k=10, m=4, k_sub=8).collect()
+    pq = [r["vec_id"] for r in pq_rows]
+    overlap = len(set(exact) & set(pq))
+    assert overlap >= 3, f"PQ recall too low: {overlap}/10 ({pq} vs {exact})"
+    scores = [r["approx_dot"] for r in pq_rows]
+    assert scores == sorted(scores, reverse=True)
