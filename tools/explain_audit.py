@@ -72,6 +72,17 @@ AUDITED = [
     "pipeline_stratified_split",
     "text_tfidf_topk",
     "docs_deterministic_sample",
+    # continuation additions
+    "graph_personalized_pagerank",
+    "ann_cosine_pq",
+    "sketch_hll_distinct",
+    "sketch_histogram_quantiles",
+    "events_funnel_conversion",
+    "events_scd2_intervals",
+    "orders_daily_moving_avg",
+    "grouped_map_user_stats",
+    "python_udtf_ngrams",
+    "python_datasource_functions",
 ]
 
 
@@ -95,6 +106,14 @@ def audit_plan(name: str, plan: str) -> list[str]:
         "q11_important_stock",
         "q15_top_supplier",
         "q22_global_sales_opportunity",
+        # 1-row broadcast compositions: PQ broadcasts the single query
+        # vector (like the ann family); the sketch/funnel queries
+        # cross-join 1-row aggregates (estimate × exact count, staged
+        # funnel counts, quantile picks) — constant-size build sides
+        "ann_cosine_pq",
+        "sketch_hll_distinct",
+        "sketch_histogram_quantiles",
+        "events_funnel_conversion",
     ):
         flags.append("BroadcastNestedLoopJoin (non-equi join leaked in)")
     # wide-scan check: count FIELDS in each ReadSchema struct (a field is
