@@ -718,3 +718,85 @@ def sql_pq_topk(
     ORDER BY approx_dot DESC, vec_id
     LIMIT {k}"""
     )
+
+
+def cosine_topk_pq_rerank(
+    embeddings: DataFrame,
+    query_id: int,
+    *,
+    k: int = 10,
+    shortlist: int = 50,
+    m: int = 4,
+    k_sub: int = 8,
+    kmeans_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_key: str | None = None,
+) -> DataFrame:
+    """Two-stage PQ retrieval → (vec_id, cos_sim): PQ scores the whole
+    corpus from codes alone (stage 1, memory-bound, never touches raw
+    vectors), then ONLY the ``shortlist`` candidates are re-ranked with
+    the exact cosine against raw vectors (stage 2).  Measured on the
+    synthetic corpus: a 10%-of-corpus shortlist recovers 8/10 of the
+    exact top-10 where direct PQ ranking alone recalls 3/10 (SCALE.md).
+    This is the production retrieval shape; the exact arithmetic of
+    both stages is oracle-replayed."""
+    cand = cosine_topk_pq(
+        embeddings,
+        query_id,
+        k=shortlist,
+        m=m,
+        k_sub=k_sub,
+        kmeans_iters=kmeans_iters,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        corpus_key=corpus_key,
+    ).select(id_col)
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    return (
+        embeddings.join(F.broadcast(cand), id_col, "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(id_col, cosine(F.col(vec_col), F.col("_qvec")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def sql_pq_rerank(
+    table: str,
+    query_id: int,
+    *,
+    k: int = 10,
+    shortlist: int = 50,
+    m: int = 4,
+    k_sub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of the two-stage retrieval: the full PQ replay as a
+    derived table, exact cosine re-rank over the shortlist."""
+    inner = sql_pq_topk(
+        table,
+        query_id,
+        k=shortlist,
+        m=m,
+        k_sub=k_sub,
+        iters=iters,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return f"""
+    SELECT e.{id_col} AS vec_id,
+           {sql_cosine(f'e.{vec_col}', 'qq.qv')} AS cos_sim
+    FROM {table} e
+      JOIN ({inner}) cand ON e.{id_col} = cand.vec_id,
+      (SELECT {vec_col}::DOUBLE[] AS qv FROM {table} WHERE {id_col} = {query_id}) qq
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {k}"""

@@ -574,3 +574,24 @@ def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pq(
         emb, 7, k=10, m=4, k_sub=8, kmeans_iters=2, dim=64, corpus_key=sf_dir
     )
+
+
+from ..operators.similarity import sql_pq_rerank as _sql_pqr  # noqa: E402
+
+
+@register(
+    "ann_cosine_pq_rerank",
+    oracle=_sql_pqr("embeddings", 7, k=10, shortlist=50, m=4, k_sub=8, iters=2, dim=64),
+    tags=("similarity",),
+)
+def ann_cosine_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ retrieval (the production shape): code-only PQ
+    shortlist of 50 (10% of this corpus), exact cosine re-rank to
+    top-10 — 8/10 recall of the exact top-10 where direct PQ ranking
+    gives 3/10 (measured, SCALE.md).  Both stages oracle-replayed."""
+    from ..operators.similarity import cosine_topk_pq_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_pq_rerank(
+        emb, 7, k=10, shortlist=50, m=4, k_sub=8, kmeans_iters=2, dim=64, corpus_key=sf_dir
+    )
