@@ -408,3 +408,61 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") % 25 == 3)
         .orderBy("user_id", "valid_from", "event_type")
     )
+
+
+@register(
+    "pipeline_weighted_sample",
+    oracle=f"""
+    WITH weighted AS (
+      SELECT doc_id, lang,
+             least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS w,
+             {_sql_hex4("sha256('samp:' || CAST(doc_id AS VARCHAR))")} AS h
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN h < w * 65536.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN h < w * 65536.0 THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS DOUBLE) AS kept_frac
+    FROM weighted
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("pipeline",),
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic IMPORTANCE sampling for training-mix construction:
+    each document survives with probability proportional to its quality
+    weight (here length/500 capped at 1), decided by comparing a
+    16-bit content hash against w·2^16 — a per-row deterministic
+    Bernoulli with NO RNG state, reproducible across engines, runs and
+    partitionings (the only sampling that behaves at 100 TB, where a
+    seeded RNG would depend on partition layout).  The salt ('samp:')
+    decorrelates this draw from the train/val/test split buckets.
+    Output: per-language kept counts and empirical keep rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars").cast("double") / F.lit(500.0), F.lit(1.0))
+    h = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")), 256),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    kept = F.when(h < w * F.lit(65536.0), 1).otherwise(0)
+    return (
+        docs.select("lang", kept.alias("_k"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_k").cast("long").alias("n_kept"),
+            (F.sum("_k").cast("long") / F.count(F.lit(1)).cast("double")).alias(
+                "kept_frac"
+            ),
+        )
+        .orderBy("lang")
+    )
