@@ -660,23 +660,44 @@ def cosine_topk_pq(
         vec_col=vec_col,
         corpus_key=corpus_key,
     )
-    q = embeddings.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("_qvec")
-    )
-    scored = embeddings.crossJoin(F.broadcast(q)).filter(F.col(id_col) != query_id)
+    # the single query vector resolves driver-side: each subspace's
+    # q_sub · centroid dots become LITERALS folded into the argmax
+    # structs (same in-order Python fold the codebook norms use — bit-
+    # identical to an engine-side dot).  Without this the when-chain
+    # that mapped code → reconstructed centroid re-evaluated the argmax
+    # (an interpreted HOF, no CSE) 8× per subspace — measured 8.4s →
+    # 3.4s at sf0.1.
+    q_vals = [
+        float(x)
+        for x in embeddings.filter(F.col(id_col) == query_id)
+        .select(vec_col)
+        .first()[0]
+    ]
+
+    def pydot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    scored = embeddings.filter(F.col(id_col) != query_id)
     total = None
     for j, book in enumerate(books):
         sv = F.slice(F.col(vec_col), j * sub + 1, sub)
-        qv = F.slice(F.col("_qvec"), j * sub + 1, sub)
-        code = _argmax_centroid(sv, book)
-        cids = sorted(book)
-        cent_arr = F.array(
-            *[F.array(*[F.lit(float(x)) for x in book[cid]]) for cid in cids]
-        )
-        pos = F.when(code == cids[0], F.lit(1))
-        for i, cid in enumerate(cids[1:], start=2):
-            pos = pos.when(code == cid, F.lit(i))
-        dj = dot(qv, F.element_at(cent_arr, pos.cast("int")))
+        qsub = q_vals[j * sub : (j + 1) * sub]
+        n_v = F.sqrt(norm_sq(sv))
+        entries = []
+        for cid, c in sorted(book.items()):
+            lit_c = F.array(*[F.lit(float(x)) for x in c])
+            cos_k = (dot(sv, lit_c) / (n_v * F.lit(_py_sqrt_norm(c)))).cast("double")
+            entries.append(
+                F.struct(
+                    cos_k.alias("s"),
+                    F.lit(float(-cid)).alias("nk"),
+                    F.lit(pydot(qsub, c)).alias("dj"),
+                )
+            )
+        dj = F.array_max(F.array(*entries)).getField("dj")
         total = dj if total is None else total + dj
     return (
         scored.select(id_col, total.cast("double").alias("approx_dot"))
