@@ -618,3 +618,28 @@ def python_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, b.pos
         """
     )
+
+
+@register(
+    "streaming_enriched_counts",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment, event_type
+    ORDER BY c_mktsegment, event_type
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC dimension enrichment (the remaining streaming join
+    topology after stream-stream and stateful): events stream ⋈
+    broadcast customer dimension → per-segment counts, drained with
+    availableNow; the oracle is the batch twin, proving stream/batch
+    agreement for the enrichment path too."""
+    from ..streaming.ingest_stream import stream_static_enriched_counts
+
+    return stream_static_enriched_counts(spark, sf_dir).orderBy(
+        "c_mktsegment", "event_type"
+    )

@@ -118,3 +118,51 @@ def windowed_event_counts(
         "n_events",
         "sum_value_cents",
     )
+
+
+def stream_static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: the events stream enriched against the static
+    customer dimension (market segment), then aggregated per segment —
+    the standard streaming-enrichment topology (dimension broadcast to
+    every micro-batch; no state, no watermark needed for the join
+    itself).  Drained with availableNow; returns a static frame the
+    batch oracle reproduces.
+
+    100 TB posture: the static side re-reads per micro-batch and
+    broadcasts when small (it is dimension-sized); a slowly-changing
+    dimension would swap in the SCD2 intervals + as-of join instead.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from ..model import load_table
+
+    sink = f"enrich_{uuid.uuid4().hex[:8]}"
+    stage = tempfile.mkdtemp(prefix="bxg_stream_enrich_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        events.join(F.broadcast(cust), "user_id")  # stream-static equi join
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
