@@ -466,3 +466,42 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "cube_event_stats",
+    oracle="""
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+           COALESCE(strftime(date_trunc('day', ts), '%w'), '(all)') AS dow,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY CUBE (event_type, strftime(date_trunc('day', ts), '%w'))
+    ORDER BY event_type, dow
+    """,
+    tags=("agg", "cube"),
+)
+def cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (completing the grouping-set family next to
+    rollup_daily_events): all four aggregation granularities of
+    (event_type × day-of-week) in ONE pass — Catalyst expands the cube
+    into a single Expand + aggregate, so the fact table is scanned once
+    for all 2^k groupings (the multi-granularity dashboard pattern at
+    100 TB).  Null grouping keys are labeled '(all)' on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    # dayofweek is 1=Sunday..7 → 0-6 matching strftime %w (0=Sunday)
+    dow = (F.dayofweek(F.date_trunc("day", F.col("ts"))) - 1).cast("string")
+    return (
+        ev.cube(F.col("event_type"), dow.alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("dow"), F.lit("(all)")).alias("dow"),
+            "n_events",
+            "value_cents",
+        )
+        .orderBy("event_type", "dow")
+    )
