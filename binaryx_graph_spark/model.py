@@ -156,6 +156,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in NANO_TS_COLUMNS.get(name, []):
         if isinstance(df.schema[col].dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros((F.col(col) / F.lit(1000)).cast("long")))
+    # The generator has shipped TIMESTAMP(NANOS) (→ BIGINT above) and
+    # TIMESTAMP(MICROS) with isAdjustedToUTC=false (→ TIMESTAMP_NTZ)
+    # across rounds. Normalize NTZ → session-tz TIMESTAMP: the session
+    # is pinned to UTC, so the cast is value-preserving and every query
+    # (incl. unix_micros, which rejects NTZ) sees one timestamp type.
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

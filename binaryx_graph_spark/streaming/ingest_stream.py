@@ -72,6 +72,34 @@ def stream_analysis_json(spark: SparkSession, input_dir: str, warehouse_root: st
     return docs.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
 
 
+def _events_stream(spark: SparkSession, sf_dir: str, *, prefix: str) -> DataFrame:
+    """Stage the static events parquet behind a symlink dir (the file
+    source needs a DIRECTORY; testdata is read-only) and return the
+    events readStream with ``ts`` restored to a proper timestamp.
+
+    The physical ``ts`` unit is NOT assumed: the generator has shipped
+    both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) parquet across rounds,
+    and the streaming reader sees either as BIGINT under the explicit
+    schema — so the to-micros divisor comes from the parquet footer
+    (``load_table`` gets the same robustness from Spark's native
+    micros decoding; only this long-schema path needs the probe).
+    """
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    unit = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type.unit
+    div = {"ns": 1000, "us": 1}[unit]
+    stage = tempfile.mkdtemp(prefix=prefix)
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(div)).cast("long")))
+    )
+
+
 def windowed_event_counts(
     spark: SparkSession, sf_dir: str, *, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
@@ -84,18 +112,7 @@ def windowed_event_counts(
     ``availableNow`` drains the directory then stops.
     """
     sink = f"win_counts_{uuid.uuid4().hex[:8]}"
-    # The streaming file source requires a DIRECTORY; stage the single
-    # parquet file behind a symlink dir (testdata is read-only).
-    import os
-    import tempfile
-
-    stage = tempfile.mkdtemp(prefix="bxg_stream_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    events = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
-    )
+    events = _events_stream(spark, sf_dir, prefix="bxg_stream_")
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")
@@ -132,20 +149,12 @@ def stream_static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     broadcasts when small (it is dimension-sized); a slowly-changing
     dimension would swap in the SCD2 intervals + as-of join instead.
     """
-    import os
-    import tempfile
     import uuid
 
     from ..model import load_table
 
     sink = f"enrich_{uuid.uuid4().hex[:8]}"
-    stage = tempfile.mkdtemp(prefix="bxg_stream_enrich_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    events = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
-    )
+    events = _events_stream(spark, sf_dir, prefix="bxg_stream_enrich_")
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )

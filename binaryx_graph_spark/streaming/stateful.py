@@ -13,8 +13,6 @@ into — no single-batch assumption.
 from __future__ import annotations
 
 import math
-import os
-import tempfile
 import uuid
 from collections.abc import Iterator
 
@@ -25,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .ingest_stream import EVENTS_SCHEMA
+from .ingest_stream import _events_stream
 
 STATE_SCHEMA = T.StructType(
     [
@@ -57,7 +55,9 @@ def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd
         cents += sum(
             int(math.floor(abs(v) * 100 + 0.5)) * (1 if v >= 0 else -1) for v in pdf["value"]
         )
-        last_us = max(last_us, int(pdf["ts"].max()) // 1000)
+        # ts arrives as a proper timestamp (unit-probed upstream in
+        # _events_stream); pandas Timestamp.value is always nanoseconds.
+        last_us = max(last_us, int(pd.Timestamp(pdf["ts"].max()).value) // 1000)
     state.update((n, cents, last_us))
     yield pd.DataFrame(
         {"user_id": [user_id], "n_events": [n], "value_cents": [cents], "last_ts_us": [last_us]}
@@ -68,11 +68,9 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stateful aggregation over the (staged) events stream to
     completion; return the FINAL per-user snapshot (max n_events row per
     user — monotone emissions make this exact)."""
-    stage = tempfile.mkdtemp(prefix="bxg_state_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
     sink = f"user_totals_{uuid.uuid4().hex[:8]}"
 
-    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+    events = _events_stream(spark, sf_dir, prefix="bxg_state_")
     totals = events.groupBy("user_id").applyInPandasWithState(
         _update,
         outputStructType=OUTPUT_SCHEMA,
