@@ -508,22 +508,20 @@ def cosine_topk_ivf(
     )
 
 
-def sql_ivf_kmeans(
+def _sql_kmeans_ctes(
     table: str,
-    query_id: int,
     *,
-    k: int = 10,
-    n_centroids: int = 8,
-    n_probe: int = 2,
-    iters: int = 2,
-    dim: int = 64,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> str:
-    """DuckDB twin of k-means codebook + IVF probe + scoring: the same
-    quantized integer sums, the same single-division centroid doubles,
-    the same argmax/tie-break — so the oracle pins the WHOLE IVF path
-    including codebook training, not just the probe."""
+    n_centroids: int,
+    iters: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> list[str]:
+    """Shared CTE chain replaying :func:`kmeans_codebook` + final
+    assignment in DuckDB: ``e`` (id, double vec), ``q`` (quantized),
+    ``c0..c{iters}`` (training rounds), ``df`` (trained centroid
+    doubles), ``af`` (vec_id → centroid_id assignment). Used by the IVF
+    and semantic-dedup oracles so both pin the identical training."""
     s = KMEANS_SCALE
     sums = ", ".join(f"CAST(sum(q.vq[{d + 1}]) AS BIGINT)" for d in range(dim))
     cd = f"list_transform(csum, s -> CAST(s AS DOUBLE) / CAST(n * {s} AS DOUBLE))"
@@ -563,6 +561,30 @@ def sql_ivf_kmeans(
         FROM q CROSS JOIN df c
       ) WHERE rn = 1
     )""",
+    ]
+    return ctes
+
+
+def sql_ivf_kmeans(
+    table: str,
+    query_id: int,
+    *,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of k-means codebook + IVF probe + scoring: the same
+    quantized integer sums, the same single-division centroid doubles,
+    the same argmax/tie-break — so the oracle pins the WHOLE IVF path
+    including codebook training, not just the probe."""
+    ctes = _sql_kmeans_ctes(
+        table, n_centroids=n_centroids, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    ctes += [
         f"""probe AS (
       SELECT centroid_id FROM (
         SELECT c.centroid_id, {sql_cosine('c.cd', 'qq.v')} AS s
@@ -582,6 +604,82 @@ def sql_ivf_kmeans(
     WHERE ev.vec_id <> {query_id}
     ORDER BY cos_sim DESC, ev.vec_id
     LIMIT {k}
+    """
+
+
+# ------------------------------------------------------------ semantic dedup
+
+
+def semantic_near_dup(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.4,
+    n_centroids: int = 8,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_key: str | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup: k-means-cluster the corpus, then
+    compare pairs ONLY within a cluster (exact cosine ≥ ``threshold``).
+
+    Scale posture: the pairwise stage is an equi-join on ``centroid_id``
+    — with k balanced clusters the candidate work is ~N²/k instead of
+    N², and on a cluster each centroid's members co-locate under one
+    shuffle key (`repartition(centroid_id)` parquet at 100 TB, exactly
+    the IVF list layout — the trained codebook is shared with IVF via
+    ``corpus_key``). Approximate by construction: a near-dup pair split
+    across cluster boundaries is missed; the oracle replays the same
+    clustering so the contract (and its misses) are pinned.
+    """
+    ck = (corpus_key, n_centroids, kmeans_iters) if corpus_key is not None else None
+    codebook = _codebook_cache_get(ck)
+    if codebook is None:
+        codebook = kmeans_codebook(
+            embeddings, n_centroids=n_centroids, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+        )
+        _codebook_cache_put(ck, codebook)
+    assigned = ivf_assign(embeddings, codebook, id_col=id_col, vec_col=vec_col)
+    a = assigned.select(
+        "centroid_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        "centroid_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos_sim") >= F.lit(float(threshold)))
+        .select("centroid_id", "id_a", "id_b", "cos_sim")
+    )
+
+
+def sql_semantic_near_dup(
+    table: str,
+    *,
+    threshold: float = 0.4,
+    n_centroids: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`semantic_near_dup` — identical k-means
+    training/assignment CTEs, then the within-cluster pair join."""
+    ctes = _sql_kmeans_ctes(
+        table, n_centroids=n_centroids, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    body = ",\n    ".join(ctes)
+    cos = sql_cosine("e1.v", "e2.v")
+    return f"""
+    WITH {body}
+    SELECT a1.centroid_id, a1.vec_id AS id_a, a2.vec_id AS id_b, {cos} AS cos_sim
+    FROM af a1
+      JOIN af a2 ON a1.centroid_id = a2.centroid_id AND a1.vec_id < a2.vec_id
+      JOIN e e1 ON e1.vec_id = a1.vec_id
+      JOIN e e2 ON e2.vec_id = a2.vec_id
+    WHERE {cos} >= {float(threshold)}
     """
 
 

@@ -386,6 +386,30 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.similarity import sql_semantic_near_dup as _sql_semdd  # noqa: E402
+
+
+@register(
+    "dedup_semantic_kmeans",
+    oracle=_sql_semdd("embeddings", threshold=0.4, n_centroids=8, iters=2, dim=64)
+    + " ORDER BY id_a, id_b",
+    tags=("dedup", "similarity"),
+)
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means-cluster the embedding
+    corpus (same trained codebook as IVF via corpus_key), then exact
+    cosine ONLY within a cluster — candidate work ~N²/k and the pair
+    join is an equi-join on centroid_id, co-locating each cluster under
+    one shuffle key (the IVF list layout at 100 TB). The oracle replays
+    training + assignment + the within-cluster join bit-for-bit."""
+    from ..operators.similarity import semantic_near_dup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_near_dup(
+        emb, threshold=0.4, n_centroids=8, kmeans_iters=2, corpus_key=sf_dir
+    ).orderBy("id_a", "id_b")
+
+
 @register(
     "text_token_counts",
     oracle=f"""

@@ -127,6 +127,40 @@ def test_ivf_kmeans_recall_vs_brute_force(spark):
     assert sims == sorted(sims, reverse=True) and all(-1.0 <= s <= 1.0 for s in sims)
 
 
+def test_semantic_near_dup_subset_of_brute_force(spark):
+    """Cluster-scoped semantic dedup returns exactly the brute-force
+    cosine pairs ≥ t whose endpoints share a k-means cluster: every
+    emitted pair must appear in the all-pairs set with the identical
+    score, and every all-pairs near-dup CO-CLUSTERED pair must be
+    emitted (no false positives, no within-cluster misses)."""
+    from binaryx_graph_spark.operators.similarity import (
+        cosine,
+        ivf_assign,
+        kmeans_codebook,
+        semantic_near_dup,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    t = 0.3
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in semantic_near_dup(emb, threshold=t, n_centroids=8, kmeans_iters=2).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    brute = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= t)
+        .collect()
+    }
+    cb = kmeans_codebook(emb, n_centroids=8, iters=2)
+    cluster = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(emb, cb).collect()}
+    expected = {p: s for p, s in brute.items() if cluster[p[0]] == cluster[p[1]]}
+    assert got == expected and len(got) > 0
+
+
 def test_kmeans_codebook_deterministic_and_moves(spark):
     """Two runs produce identical centroids (bit-for-bit), and the
     trained codebook differs from the raw seeds (the iterations really
