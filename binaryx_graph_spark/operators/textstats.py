@@ -165,6 +165,87 @@ def sql_bpe_ish_count(col: str) -> str:
     return f"len(regexp_extract_all({col}, '{BPE_ISH_PATTERN}'))"
 
 
+# ------------------------------------------------- unigram LM surprisal
+
+#: fixed-point grid for per-token surprisal bits: quantizing each
+#: token's -log2 p to 2^-12 bits BEFORE the per-document sum makes the
+#: aggregate exact int64 math — order-independent and engine-portable
+#: (a raw double sum would differ between Spark and DuckDB in the last
+#: ulps depending on reduction order).
+SURPRISAL_SCALE = 1 << 12
+
+
+def unigram_surprisal(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document unigram language-model surprisal — the classic
+    quality/outlier score a training pipeline computes corpus-wide
+    (docs full of rare tokens score high, boilerplate scores low).
+
+    Self-trained: p(tok) = corpus_count(tok) / total_tokens, so every
+    token has nonzero probability and no smoothing is needed. Plan:
+    one explode → vocab groupBy (partial-agg shuffle), a 1-row total
+    broadcast, then the corpus⋈vocab token join (hot stopword keys →
+    AQE skew split at scale) and the per-doc integer sum.
+
+    Returns (doc_id, n_tokens, total_surprisal_q, avg_bits_per_token)
+    where total_surprisal_q is in 2^-12-bit units.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    total = cnt.agg(F.sum("_c").cast("long").alias("_n"))
+    scored = cnt.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.floor(
+            (F.log2("_n") - F.log2("_c")) * F.lit(float(SURPRISAL_SCALE)) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("_q"),
+    )
+    return (
+        tok.join(scored, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("_q").cast("long").alias("total_surprisal_q"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "total_surprisal_q",
+            (
+                (F.col("total_surprisal_q").cast("double") / F.lit(float(SURPRISAL_SCALE)))
+                / F.col("n_tokens").cast("double")
+            ).alias("avg_bits_per_token"),
+        )
+    )
+
+
+def sql_unigram_surprisal(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`unigram_surprisal` — identical tokenizer,
+    identical 2^-12 quantization, identical division order."""
+    s = SURPRISAL_SCALE
+    toks = SQL_TOKENS.format(col=text_col)
+    return f"""
+    WITH tok AS (
+      SELECT {id_col} AS doc_id, unnest({toks}) AS tok FROM {table}
+    ),
+    cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+    scored AS (
+      SELECT tok, CAST(floor((log2(n) - log2(c)) * {float(s)} + 0.5) AS BIGINT) AS q
+      FROM cnt, tot
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(s.q) AS BIGINT) AS total_surprisal_q,
+           (CAST(sum(s.q) AS DOUBLE) / {float(s)}) / CAST(count(*) AS DOUBLE)
+             AS avg_bits_per_token
+    FROM tok t JOIN scored s USING (tok)
+    GROUP BY t.doc_id
+    """
+
+
 # Character-trigram language profiles (tiny, public-knowledge samples of
 # the most frequent trigrams incl. space-padding, per language).
 LANG_PROFILES: dict[str, list[str]] = {

@@ -42,6 +42,29 @@ def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB twin of :func:`sparse_edges` — keep in sync. A 2000-node space
+#: with ~orders/13 edges stays FRAGMENTED (many components) at gate
+#: scale, unlike the dense 500-node graph which is one giant component.
+SQL_SPARSE_EDGES = (
+    "SELECT DISTINCT o_orderkey % 2000 AS src, (o_custkey * 17) % 2000 AS dst "
+    "FROM orders WHERE o_orderkey % 13 = 0"
+)
+
+
+def sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) BIGINT edge list over 2000 nodes, ~1/13 of orders —
+    sparse enough that connected components are non-trivial."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") % 13 == 0)
+        .select(
+            (F.col("o_orderkey") % 2000).alias("src"),
+            ((F.col("o_custkey") * 17) % 2000).alias("dst"),
+        )
+        .distinct()
+    )
+
+
 def as_call_tables(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Adapt a (src,dst) frame to the (calls, functions) shape the
     traversal operators consume: uids are the node ids as strings."""

@@ -285,6 +285,50 @@ def graph_cycle_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("uid").cast("long").alias("uid"), "cycle_length").orderBy("uid")
 
 
+from ..plans.graph_project import SQL_SPARSE_EDGES, sparse_edges  # noqa: E402
+
+
+@register(
+    "graph_connected_components",
+    oracle=f"""
+    WITH RECURSIVE
+    raw AS ({SQL_SPARSE_EDGES}),
+    edges AS (SELECT src AS x, dst AS y FROM raw UNION SELECT dst, src FROM raw),
+    reach(x, y) AS (
+      SELECT x, y FROM edges
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON e.x = r.y
+    ),
+    labels AS (SELECT x AS node, least(x, min(y)) AS cluster_id FROM reach GROUP BY x)
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM labels GROUP BY cluster_id ORDER BY cluster_id
+    """,
+    tags=("graph",),
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly connected components of the sparse derived call graph
+    (undirected closure of CALLS): per-component roster keyed by the
+    minimum member — the same min-label propagation / union-find
+    operator the dedup pipeline uses for near-dup clustering, applied
+    to the graph surface. The oracle recomputes the closure with a
+    recursive CTE."""
+    from ..operators.dedup import connected_components
+
+    edges = sparse_edges(spark, sf_dir)
+    pairs = edges.select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
+    cc = connected_components(pairs)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.max("doc_id").cast("long").alias("max_node"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Remaining reference shapes: G4/G8/G9, O2, F4, A4/A5, fallback rows
 # ---------------------------------------------------------------------------

@@ -440,6 +440,26 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+from ..operators.textstats import sql_unigram_surprisal as _sql_usup  # noqa: E402
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle=_sql_usup("documents") + " ORDER BY doc_id",
+    tags=("text",),
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring: per-document average surprisal in
+    bits under the corpus's own unigram distribution — rare-token-heavy
+    docs rank high, boilerplate low. Per-token -log2 p is quantized to
+    a 2^-12-bit integer grid before summation, so the aggregate is
+    exact int64 math and the oracle hash is stable."""
+    from ..operators.textstats import unigram_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_surprisal(docs).orderBy("doc_id")
+
+
 @register(
     "text_language_id_ngram",
     oracle=None,  # set below after import-time generation

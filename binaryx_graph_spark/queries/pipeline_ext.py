@@ -322,6 +322,41 @@ def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WHERE user_id % 40 = 11
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "window"),
+)
+def streaming_session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window (stateful merging windows, availableNow
+    drain) must equal the hand-rolled batch lag+cumsum sessionization —
+    the oracle is that independent batch formulation, proving
+    stream/batch session agreement."""
+    from ..streaming.ingest_stream import streaming_session_windows
+
+    return streaming_session_windows(spark, sf_dir).orderBy("user_id", "session_start")
+
+
+@register(
     "sliding_window_counts",
     oracle="""
     WITH contrib AS (

@@ -137,6 +137,42 @@ def windowed_event_counts(
     )
 
 
+def streaming_session_windows(
+    spark: SparkSession, sf_dir: str, *, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """STREAMING sessionization with the built-in ``session_window``
+    (30-min gap) — the stateful merging-window operator (sessions merge
+    as late events bridge gaps), drained with availableNow. Complete
+    output mode keeps every session in state so the final table equals
+    the batch twin; production append mode would emit each session once
+    its gap passes the watermark. Returns a static frame."""
+    import uuid
+
+    sink = f"sess_win_{uuid.uuid4().hex[:8]}"
+    events = _events_stream(spark, sf_dir, prefix="bxg_sess_")
+    agg = (
+        events.filter(F.col("user_id") % 40 == 11)
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "user_id",
+        "n_events",
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+    )
+
+
 def stream_static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STATIC join: the events stream enriched against the static
     customer dimension (market segment), then aggregated per segment —
