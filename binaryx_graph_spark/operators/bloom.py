@@ -1,0 +1,91 @@
+"""Bloom-filter join pruning: build a compact bitmap from the SMALL
+side's join keys, broadcast it as a literal, and filter the LARGE side
+before the exact join — the hand-rolled twin of Spark's runtime
+row-level filtering (`spark.sql.optimizer.runtime.bloomFilter.*`),
+exposed as an explicit operator so the pruning is plan-visible and
+oracle-checkable.
+
+Why it matters at 100 TB: a semi-join against a selective dimension
+normally shuffles every probe-side row; the bloom filter drops most
+non-matching rows AT THE SCAN (a pure projection predicate, no shuffle,
+whole-stage codegen), so the shuffle moves only survivors. False
+positives are culled by the exact semi-join that follows — the output is
+provably identical to the plain semi-join, which is exactly what the
+DuckDB oracle checks.
+
+Hashes are sha256-based (hex slice → int) for engine portability; a
+production deployment would swap xxhash64 (same structure, ~10×
+cheaper). The oracle only needs OUTPUT equality, not the bitmap, so the
+hash choice is free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bitmap geometry: 256 words × 64 bits = 16384 bits. With k=2 hashes
+#: and ~2k small-side keys the false-positive rate is ≈ (2k·2/16384)²
+#: ≈ 6% — pruning quality, not correctness (the exact join follows).
+M_WORDS = 256
+N_BITS = M_WORDS * 64
+K_HASHES = 2
+
+
+def _pos_sql(key_sql: str, j: int) -> str:
+    """SQL text of bit position j for a key: sha256 hex slice → int mod
+    N_BITS. SQL-string form because the mask shift amount must be a
+    column expression, which the Python ``shiftleft`` API rejects."""
+    return (
+        f"pmod(cast(conv(substring(sha2(concat(cast({key_sql} as string), ':{j}'), 256),"
+        f" 1, 12), 16, 10) as bigint), {N_BITS})"
+    )
+
+
+def bloom_bitmap(keys: DataFrame, key_col: str, *, k: int = K_HASHES) -> list[int]:
+    """Aggregate the small side into a 256-long bitmap (driver-side list).
+
+    Distributed build: per (key, hash_j) → (word, mask), bit_or per word
+    — one partial-aggregated shuffle of ≤256 groups, then a ≤256-row
+    collect (the same dimension-sized driver artifact as a trained
+    k-means codebook)."""
+    pos = keys.select(
+        F.explode(F.array(*[F.expr(_pos_sql(key_col, j)) for j in range(k)])).alias("pos")
+    )
+    words = (
+        pos.select(
+            (F.col("pos") / F.lit(64)).cast("int").alias("word"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * M_WORDS
+    for r in words:
+        bitmap[int(r["word"])] = int(r["bits"])
+    return bitmap
+
+
+def in_bloom(key_col: str, bitmap: list[int], *, k: int = K_HASHES) -> Column:
+    """Membership predicate against a literal bitmap — a pure projection
+    (no join, no shuffle); stays inside whole-stage codegen."""
+    words = F.array(*[F.lit(int(w)) for w in bitmap])
+    cond = F.lit(True)
+    for j in range(k):
+        pos = F.expr(_pos_sql(key_col, j))
+        word = F.element_at(words, (pos / F.lit(64)).cast("int") + F.lit(1))
+        mask = F.expr(f"shiftleft(1L, cast({_pos_sql(key_col, j)} % 64 as int))")
+        cond = cond & (word.bitwiseAND(mask) != F.lit(0))
+    return cond
+
+
+def bloom_semi_join(
+    large: DataFrame, large_key: str, small: DataFrame, small_key: str
+) -> DataFrame:
+    """large ⋉ small with a bloom prefilter on the probe side. Output ==
+    plain left-semi join (false positives removed by the exact join)."""
+    bitmap = bloom_bitmap(small.select(small_key).distinct(), small_key)
+    pruned = large.filter(in_bloom(large_key, bitmap))
+    keys = small.select(F.col(small_key).alias(large_key)).distinct()
+    return pruned.join(keys, large_key, "left_semi")

@@ -597,3 +597,81 @@ def connected_components(
         labels = updated.select("doc_id", "cluster_id")
         if not changed:
             return labels
+
+
+# ------------------------------------------------- exact substring dedup
+
+#: character-span geometry for exact substring dedup: 64-char spans
+#: sampled every 32 chars (half-overlapping, so any repeated region of
+#: ≥ 95 chars is guaranteed to contain at least one aligned full span
+#: in both copies when the copies start at the same offset mod 32; in
+#: practice boilerplate repeats are much longer than the span).
+SPAN_LEN = 64
+SPAN_STRIDE = 32
+
+
+def repeated_spans(
+    df: DataFrame, id_col: str, text_col: str, *, span: int = SPAN_LEN, stride: int = SPAN_STRIDE
+) -> DataFrame:
+    """Exact substring dedup (the train-data hygiene pass popularized by
+    "Deduplicating Training Data Makes Language Models Better"): find
+    fixed-length character spans that appear verbatim in MORE THAN ONE
+    document → (span_hash, n_docs, n_occurrences, min_doc, max_doc).
+
+    Plan: per doc, sample offsets 1, 1+stride, … (a `sequence` +
+    `transform` projection — no join), hash each span once (sha256, the
+    engine-portable convention), then ONE partial-aggregated groupBy on
+    span_hash. Work is O(total_chars/stride) rows — linear in corpus
+    size, shuffle keyed on content hash (uniform, no skew) — the same
+    shape that holds at 100 TB. Suffix-automaton exactness (arbitrary
+    alignment) is traded for the stride grid; the miss window is spans
+    < span + stride chars, documented here and pinned by the oracle.
+    """
+    offs = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.length(F.col(text_col)) - F.lit(span - 1)), F.lit(stride)
+    )
+    spans = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(offs, lambda o: F.sha2(F.substring(F.col(text_col), o, span), 256))
+        ).alias("span_hash"),
+    )
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def sql_repeated_spans(
+    table: str, id_col: str, text_col: str, *, span: int = SPAN_LEN, stride: int = SPAN_STRIDE
+) -> str:
+    """DuckDB twin of :func:`repeated_spans` — the same offset grid via
+    the scalar list function ``range`` (end-EXCLUSIVE, hence stop+1;
+    lateral generate_series rejects row-column parameters) + unnest.
+    NOTE substring(col, o, n) beyond the end yields the short tail span
+    in BOTH engines (verified by the gate)."""
+    return f"""
+    WITH spans AS (
+      SELECT doc_id,
+             sha256(substr(t, CAST(o AS INTEGER), {span})) AS span_hash
+      FROM (
+        SELECT {id_col} AS doc_id, {text_col} AS t,
+               unnest(range(1, greatest(1, length({text_col}) - {span - 1}) + 1, {stride})) AS o
+        FROM {table}
+      )
+    )
+    SELECT span_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM spans
+    GROUP BY span_hash
+    HAVING count(DISTINCT doc_id) > 1
+    """

@@ -505,3 +505,44 @@ def cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+@register(
+    "bloom_prefilter_semi_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders o
+    WHERE o.o_custkey IN (
+      SELECT c_custkey FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey % 3 = 1
+    )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("join", "scale"),
+)
+def bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join: orders probe a 16 Kbit bitmap built
+    from the selective customer subset BEFORE the exact semi-join, so at
+    scale the shuffle moves only rows that (probably) match — the
+    explicit twin of Spark's runtime row-level bloom filtering. The
+    oracle is the PLAIN semi-join: bloom false positives are culled by
+    the exact join, so outputs are provably identical."""
+    from ..operators.bloom import bloom_semi_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") % 3 == 1)
+    )
+    hits = bloom_semi_join(orders, "o_custkey", cust, "c_custkey")
+    return (
+        hits.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -386,6 +386,26 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.dedup import sql_repeated_spans as _sql_rsp  # noqa: E402
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=_sql_rsp("documents", "doc_id", "text") + " ORDER BY span_hash",
+    tags=("dedup", "text"),
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup: 64-char spans sampled every 32 chars,
+    hashed once, one groupBy on the content hash — spans shared verbatim
+    by >1 document are the cross-doc boilerplate an exact-substring
+    hygiene pass strips before training. Linear work, uniform shuffle
+    key; the oracle replays the identical span grid."""
+    from ..operators.dedup import repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_spans(docs, "doc_id", "text").orderBy("span_hash")
+
+
 from ..operators.similarity import sql_semantic_near_dup as _sql_semdd  # noqa: E402
 
 
