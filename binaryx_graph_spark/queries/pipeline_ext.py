@@ -357,6 +357,52 @@ def streaming_session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join",
+    oracle="""
+    WITH c AS (SELECT user_id, ts FROM events
+               WHERE event_type = 'click' AND user_id % 30 = 5),
+    b AS (SELECT user_id, ts FROM events
+          WHERE event_type = 'purchase' AND user_id % 30 = 5)
+    SELECT b.user_id, count(*) AS n_attributed
+    FROM b JOIN c ON c.user_id = b.user_id
+       AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 6 HOUR
+    GROUP BY b.user_id
+    ORDER BY b.user_id
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click attribution): purchases join
+    clicks of the same user within the preceding 6 hours, both sides
+    unbounded with watermark-bounded state. The oracle is the batch
+    range join — stream/batch agreement on the double-unbounded
+    topology."""
+    from ..streaming.ingest_stream import stream_stream_click_attribution
+
+    return stream_stream_click_attribution(spark, sf_dir).orderBy("user_id")
+
+
+@register(
+    "streaming_dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    WHERE user_id % 25 = 12
+    ORDER BY user_id, event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicatesWithinWatermark on (user_id, event_type):
+    cross-micro-batch duplicate keys are dropped while state stays
+    watermark-bounded. Output is the deduped key SET (survivor row is
+    arrival-order dependent; the set is not) — oracle is batch SELECT
+    DISTINCT."""
+    from ..streaming.ingest_stream import stream_dedup_event_types
+
+    return stream_dedup_event_types(spark, sf_dir).orderBy("user_id", "event_type")
+
+
+@register(
     "sliding_window_counts",
     oracle="""
     WITH contrib AS (

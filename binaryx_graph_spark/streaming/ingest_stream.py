@@ -211,3 +211,78 @@ def stream_static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def stream_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join: the purchases stream joins the
+    clicks stream of the same user within the preceding 6 hours
+    (click-attribution, the canonical double-unbounded topology). Both
+    sides carry watermarks so the join state is EVICTABLE: a click
+    older than watermark - 30min can never match a future purchase and
+    is dropped — bounded state on unbounded inputs, the property that
+    makes this run forever at 100 TB/day. Drained with availableNow;
+    returns the per-user attributed-purchase counts as a static frame."""
+    import uuid
+
+    sink = f"ss_attr_{uuid.uuid4().hex[:8]}"
+    clicks = (
+        _events_stream(spark, sf_dir, prefix="bxg_ss_clicks_")
+        .filter((F.col("event_type") == "click") & (F.col("user_id") % 30 == 5))
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "12 hours")
+    )
+    buys = (
+        _events_stream(spark, sf_dir, prefix="bxg_ss_buys_")
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") % 30 == 5))
+        .select(F.col("user_id").alias("b_user"), F.col("ts").alias("buy_ts"))
+        .withWatermark("buy_ts", "12 hours")
+    )
+    joined = buys.join(
+        clicks,
+        (F.col("b_user") == F.col("c_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 6 HOURS")),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy(F.col("b_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+    )
+
+
+def stream_dedup_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicatesWithinWatermark over (user_id,
+    event_type): the streaming twin of exact dedup — duplicate keys
+    arriving across micro-batches inside the watermark are dropped,
+    state is evicted once the watermark passes. The OUTPUT is the
+    deduped KEY SET (which physical row survives is arrival-order
+    dependent; the key set is not), so the batch oracle is SELECT
+    DISTINCT. Drained with availableNow; returns a static frame."""
+    import uuid
+
+    sink = f"sdedup_{uuid.uuid4().hex[:8]}"
+    events = _events_stream(spark, sf_dir, prefix="bxg_sdedup_").filter(
+        F.col("user_id") % 25 == 12
+    )
+    deduped = (
+        events.withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("user_id", "event_type").distinct()
