@@ -546,3 +546,54 @@ def bloom_prefilter_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+from ..functions.zorder import morton2, sql_morton2  # noqa: E402
+
+_Z_X = "user_id % 256"
+_Z_Y = "epoch_us(ts) // 86400000000 % 256"
+
+
+@register(
+    "layout_zorder_stats",
+    oracle=f"""
+    WITH z AS (
+      SELECT user_id % 256 AS zx,
+             epoch_us(ts) // 86400000000 % 256 AS zy
+      FROM events
+    ),
+    b AS (SELECT {sql_morton2('zx', 'zy')} // 1024 AS z_bucket, zx, zy FROM z)
+    SELECT z_bucket,
+           count(*) AS n_events,
+           CAST(min(zx) AS BIGINT) AS min_user, CAST(max(zx) AS BIGINT) AS max_user,
+           CAST(min(zy) AS BIGINT) AS min_day,  CAST(max(zy) AS BIGINT) AS max_day
+    FROM b
+    GROUP BY z_bucket
+    ORDER BY z_bucket
+    """,
+    tags=("layout", "scale"),
+)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout demo: interleave (user bucket, day bucket) into a
+    Morton value and show per-z-bucket min/max of BOTH dimensions — each
+    bucket (≙ one file after a z-sorted write) covers a small rectangle,
+    so parquet min/max stats prune files for predicates on either
+    dimension. Pure shift/mask projection; the oracle replays the
+    interleave bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    zx = (F.col("user_id") % 256).cast("long")
+    zy = (F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)) % 256).cast("long")
+    z = ev.select(zx.alias("zx"), zy.alias("zy")).withColumn(
+        "z_bucket", F.floor(morton2(F.col("zx"), F.col("zy")) / F.lit(1024)).cast("long")
+    )
+    return (
+        z.groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("zx").alias("min_user"),
+            F.max("zx").alias("max_user"),
+            F.min("zy").alias("min_day"),
+            F.max("zy").alias("max_day"),
+        )
+        .orderBy("z_bucket")
+    )
