@@ -83,6 +83,14 @@ AUDITED = [
     "grouped_map_user_stats",
     "python_udtf_ngrams",
     "python_datasource_functions",
+    # this-session additions (r2, cont.)
+    "dedup_semantic_kmeans",
+    "dedup_exact_substring",
+    "bloom_prefilter_semi_join",
+    "graph_connected_components",
+    "text_unigram_surprisal",
+    "layout_zorder_stats",
+    "cube_event_stats",
 ]
 
 
@@ -114,6 +122,10 @@ def audit_plan(name: str, plan: str) -> list[str]:
         "sketch_hll_distinct",
         "sketch_histogram_quantiles",
         "events_funnel_conversion",
+        # unigram LM: the 1-ROW total-token-count aggregate broadcasts
+        # onto the vocab frame (p = c/N needs the global N) — same
+        # constant-size build side as the sketch queries
+        "text_unigram_surprisal",
     ):
         flags.append("BroadcastNestedLoopJoin (non-equi join leaked in)")
     # wide-scan check: count FIELDS in each ReadSchema struct (a field is
