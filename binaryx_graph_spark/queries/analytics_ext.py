@@ -597,3 +597,121 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+@register(
+    "grouping_sets_explicit",
+    oracle="""
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           coalesce(strftime(date_trunc('day', ts), '%w'), '(all)') AS dow,
+           GROUPING(event_type) * 2 + GROUPING(strftime(date_trunc('day', ts), '%w'))
+             AS gid,
+           count(*) AS n_events
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, strftime(date_trunc('day', ts), '%w')),
+                            (event_type), (strftime(date_trunc('day', ts), '%w')))
+    ORDER BY gid, event_type, dow
+    """,
+    tags=("agg", "cube"),
+)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind cube/rollup):
+    three chosen granularities in one Expand+aggregate pass, with
+    grouping_id() distinguishing which set produced each row — the
+    SQL-surface twin of the DataFrame cube query."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_gs_events")
+    return spark.sql("""
+        SELECT coalesce(event_type, '(all)') AS event_type,
+               coalesce(dow, '(all)') AS dow,
+               cast(grouping_id(event_type, dow) AS INT) AS gid,
+               count(*) AS n_events
+        FROM (SELECT event_type,
+                     cast(dayofweek(date_trunc('day', ts)) - 1 AS STRING) AS dow
+              FROM _gs_events)
+        GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow))
+        ORDER BY gid, event_type, dow
+    """)
+
+
+@register(
+    "window_decile_stats",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+      FROM events
+    )
+    SELECT event_type, CAST(decile AS INTEGER) AS decile,
+           count(*) AS n_events,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM d GROUP BY event_type, decile
+    ORDER BY event_type, decile
+    """,
+    tags=("window",),
+)
+def window_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) equi-count deciles of value per event_type (tie-broken
+    on event_id for determinism) → per-decile row count and cents
+    bounds — the windowed-rank family's remaining member next to
+    row_number/rank top-k."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    d = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return (
+        d.groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+@register(
+    "range_join_daily_windows",
+    oracle="""
+    WITH w AS (SELECT DISTINCT date_trunc('day', ts) AS win_start FROM events)
+    SELECT strftime(w.win_start, '%Y-%m-%d') AS window_day,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e
+    JOIN w ON e.ts >= w.win_start AND e.ts < w.win_start + INTERVAL 6 HOUR
+    GROUP BY w.win_start
+    ORDER BY window_day
+    """,
+    tags=("join", "temporal"),
+)
+def range_join_daily_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join: events against a derived dimension of daily
+    [00:00, 06:00) windows — a pure non-equi join. The window side is
+    dimension-sized and broadcast, so the probe is a scan-local
+    predicate (the plan a calendar/maintenance-window join should have
+    at any scale); DuckDB's native range-join handles the oracle side."""
+    ev = load_table(spark, sf_dir, "events")
+    wins = ev.select(F.date_trunc("day", "ts").alias("win_start")).distinct()
+    j = ev.alias("e").join(
+        F.broadcast(wins).alias("w"),
+        (F.col("e.ts") >= F.col("w.win_start"))
+        & (F.col("e.ts") < F.col("w.win_start") + F.expr("INTERVAL 6 HOURS")),
+    )
+    return (
+        j.groupBy("w.win_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("e.user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format("win_start", "yyyy-MM-dd").alias("window_day"),
+            "n_events",
+            "n_users",
+        )
+        .orderBy("window_day")
+    )
