@@ -326,3 +326,35 @@ def sql_personalized_pagerank_fixed(
     SELECT v AS node, rank AS rank_fp, rank / {float(scale)} AS rank
     FROM r{iters}"""
     )
+
+
+def bellman_ford(edges_w: DataFrame, seeds: DataFrame, *, iters: int = 6) -> DataFrame:
+    """Bounded Bellman-Ford: min-cost distance from the seed set using
+    at most ``iters`` edges → (v, dist). Integer weights, so every
+    relaxation is exact and the result is partitioning-independent.
+
+    Per round: one shuffle joining current distances to out-edges plus
+    one min-aggregate — the same two-shuffle iteration shape as
+    PageRank; ``localCheckpoint`` per round cuts lineage. The round
+    count bounds path length (round i holds the min over ≤ i-edge
+    walks, the standard BF invariant), which both caps work on huge
+    graphs and makes the contract recursively-CTE-replayable."""
+    dist = seeds.select(
+        F.col("v").cast("long"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+    e = edges_w.select(
+        F.col("src").cast("long"), F.col("dst").cast("long"), F.col("w").cast("long")
+    )
+    for _ in range(iters):
+        cand = (
+            dist.alias("d")
+            .join(e.alias("e"), F.col("d.v") == F.col("e.src"))
+            .select(F.col("e.dst").alias("v"), (F.col("d.dist") + F.col("e.w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("v")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -715,3 +715,37 @@ def range_join_daily_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_day")
     )
+
+
+@register(
+    "graph_shortest_paths",
+    oracle=f"""
+    WITH RECURSIVE
+    raw AS ({SQL_EDGES}),
+    e AS (SELECT src, dst, (src * 7 + dst) % 10 + 1 AS w FROM raw),
+    walk(v, dist, depth) AS (
+      SELECT CAST(35 AS BIGINT), CAST(0 AS BIGINT), 0
+      UNION
+      SELECT e.dst, w.dist + e.w, w.depth + 1
+      FROM walk w JOIN e ON e.src = w.v
+      WHERE w.depth < 6
+    )
+    SELECT v AS node, CAST(min(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY v ORDER BY node
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (≤ 6 hops) via bounded
+    Bellman-Ford over the derived call graph with deterministic integer
+    edge weights — the weighted companion to BFS reachability. Integer
+    relaxations are exact, so the recursive-CTE oracle (min over all
+    ≤6-edge walks) matches bit-for-bit."""
+    from ..operators.graphalgo import bellman_ford
+
+    e = derived_edges(spark, sf_dir).withColumn(
+        "w", (F.col("src") * 7 + F.col("dst")) % 10 + 1
+    )
+    seeds = e.sparkSession.createDataFrame([(35,)], "v long")
+    out = bellman_ford(e, seeds, iters=6)
+    return out.select(F.col("v").alias("node"), "dist").orderBy("node")

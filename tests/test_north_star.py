@@ -223,3 +223,32 @@ def test_pq_recall_vs_brute_force(spark):
     assert overlap >= 3, f"PQ recall too low: {overlap}/10 ({pq} vs {exact})"
     scores = [r["approx_dot"] for r in pq_rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_bellman_ford_unit_weights_equal_bfs_depth(spark):
+    """With every edge weight = 1, bounded Bellman-Ford distance must
+    equal the BFS min-hop depth for every reached node (and the seed at
+    distance 0) — two independent traversal engines agreeing."""
+    from binaryx_graph_spark.operators.graphalgo import bellman_ford
+    from binaryx_graph_spark.operators.traverse import reachable
+    from binaryx_graph_spark.plans.graph_project import as_call_tables, derived_edges
+
+    edges = derived_edges(spark, SF)
+    ew = edges.withColumn("w", F.lit(1))
+    seeds = spark.createDataFrame([(35,)], "v long")
+    bf = {
+        r["v"]: r["dist"]
+        for r in bellman_ford(ew, seeds, iters=4).collect()
+    }
+    calls, _ = as_call_tables(edges)
+    bfs = {
+        int(r["uid"]): r["depth"]
+        for r in reachable(
+            calls, spark.createDataFrame([("35",)], "uid string"), direction="out", max_depth=4
+        ).collect()
+    }
+    assert bf.pop(35, None) == 0  # seed
+    # BFS omits the seed row unless re-reached; compare on the common contract
+    bfs.pop(35, None)
+    bf.pop(None, None)
+    assert bf == bfs and len(bfs) > 0
