@@ -44,6 +44,11 @@ HEADLINE = [
     "event_sessionization",
     "streaming_window_counts",
     "pipeline_curation_stats",
+    # r2 continuation: exact-substring dedup (strided span grid, one
+    # content-hash groupBy) and unigram-LM surprisal scoring (the
+    # corpus⋈vocab token join) — the two newest LLM-pipeline families
+    "dedup_exact_substring",
+    "text_unigram_surprisal",
 ]
 
 

@@ -640,16 +640,36 @@ def semantic_near_dup(
         )
         _codebook_cache_put(ck, codebook)
     assigned = ivf_assign(embeddings, codebook, id_col=id_col, vec_col=vec_col)
-    a = assigned.select(
-        "centroid_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    # Precompute ‖v‖ ONCE PER ROW before the pair join: cosine() would
+    # re-fold both norms per PAIR (O(pairs·dim) instead of O(N·dim) —
+    # measured 6.3s → ~2s at sf0.1). sqrt(norm_sq) here is the identical
+    # IEEE op sequence cosine() uses, so scores are bit-unchanged and
+    # the oracle (which computes norms per pair) still hash-matches.
+    withn = assigned.select(
+        "centroid_id",
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.sqrt(norm_sq(F.col(vec_col))).alias("_n"),
     )
-    b = assigned.select(
-        "centroid_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    a = withn.select(
+        "centroid_id",
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = withn.select(
+        "centroid_id",
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     return (
         a.join(b, "centroid_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine(F.col("_va"), F.col("_vb")))
+        .withColumn(
+            "cos_sim",
+            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).cast("double"),
+        )
         .filter(F.col("cos_sim") >= F.lit(float(threshold)))
         .select("centroid_id", "id_a", "id_b", "cos_sim")
     )
