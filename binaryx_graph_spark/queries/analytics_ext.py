@@ -749,3 +749,34 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = e.sparkSession.createDataFrame([(35,)], "v long")
     out = bellman_ford(e, seeds, iters=6)
     return out.select(F.col("v").alias("node"), "dist").orderBy("node")
+
+
+@register(
+    "unpivot_event_counts",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+    tags=("agg", "pivot"),
+)
+def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot round trip: per-day counts pivoted wide (one
+    column per event_type) then melted back to tall with
+    DataFrame.unpivot — the wide↔tall reshaping pair; the oracle is the
+    plain groupBy the round trip must reproduce."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .count()
+    )
+    return (
+        wide.unpivot("day", types, "event_type", "n_events")
+        .filter(F.col("n_events").isNotNull())
+        .orderBy("day", "event_type")
+    )

@@ -724,3 +724,43 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_static_enriched_counts(spark, sf_dir).orderBy(
         "c_mktsegment", "event_type"
     )
+
+
+@register(
+    "arrow_python_udf_langlen",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(trim(text)) AS BIGINT) AS trimmed_len,
+           CASE WHEN length(trim(text)) = 0 THEN 'empty'
+                WHEN length(trim(text)) < 200 THEN 'short'
+                WHEN length(trim(text)) < 1000 THEN 'medium'
+                ELSE 'long' END AS length_class
+    FROM documents
+    WHERE doc_id % 6 = 1
+    ORDER BY doc_id
+    """,
+    tags=("text", "udf"),
+)
+def arrow_python_udf_langlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED row Python UDF (Spark 4 `useArrow=True`) — the
+    remaining Python-boundary lane next to pandas_udf / mapInPandas /
+    applyInPandas / UDTF / DataSource: per-row Python but Arrow-batched
+    transfer, ~2-5× over pickled row UDFs. Exists to pin the lane; the
+    pure-Column twin is what a hot path would use, and the oracle
+    recomputes both columns relationally."""
+    from pyspark.sql.functions import udf
+
+    @udf("struct<trimmed_len: long, length_class: string>", useArrow=True)
+    def classify(text):
+        t = (text or "").strip()
+        n = len(t)
+        cls = "empty" if n == 0 else "short" if n < 200 else "medium" if n < 1000 else "long"
+        return (n, cls)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 1)
+    return (
+        docs.select("doc_id", classify(F.col("text")).alias("_c"))
+        .select("doc_id", F.col("_c.trimmed_len").alias("trimmed_len"),
+                F.col("_c.length_class").alias("length_class"))
+        .orderBy("doc_id")
+    )
