@@ -71,7 +71,7 @@ def pagerank_fixed(
     base = (15 * init) // 100
 
     ranks = nodes.select("v", F.lit(init).cast("long").alias("rank"))
-    for _ in range(iters):
+    for i in range(iters):
         inflow = (
             edges.join(ranks, edges.src == ranks.v)
             .join(outdeg, "src")
@@ -79,17 +79,20 @@ def pagerank_fixed(
             .groupBy("v")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(inflow, "v", "left")
-            .select(
-                "v",
-                (
-                    F.lit(base)
-                    + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(inflow, "v", "left").select(
+            "v",
+            (
+                F.lit(base)
+                + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+            ).alias("rank"),
         )
+        # checkpoint every SECOND round (and the last): each eager
+        # checkpoint is an extra materialization job, and two rounds of
+        # lineage is still cheap to recompute — measured 3.0s -> 2.0s
+        # warm at sf0.1 with bit-identical ranks (integer math is
+        # checkpoint-cadence independent)
+        if (i + 1) % 2 == 0 or i == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         F.col("v").alias("node"),
         F.col("rank").alias("rank_fp"),
@@ -257,7 +260,7 @@ def personalized_pagerank_fixed(
         "v",
         F.when(F.col("is_seed"), F.lit(init)).otherwise(F.lit(0)).cast("long").alias("rank"),
     )
-    for _ in range(iters):
+    for i in range(iters):
         inflow = (
             edges.join(ranks, edges.src == ranks.v)
             .join(outdeg, "src")
@@ -265,17 +268,15 @@ def personalized_pagerank_fixed(
             .groupBy("v")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(inflow, "v", "left")
-            .select(
-                "v",
-                (
-                    F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0)).cast("long")
-                    + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(inflow, "v", "left").select(
+            "v",
+            (
+                F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0)).cast("long")
+                + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+            ).alias("rank"),
         )
+        if (i + 1) % 2 == 0 or i == iters - 1:  # same cadence as pagerank_fixed
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         F.col("v").alias("node"),
         F.col("rank").alias("rank_fp"),
@@ -345,16 +346,13 @@ def bellman_ford(edges_w: DataFrame, seeds: DataFrame, *, iters: int = 6) -> Dat
     e = edges_w.select(
         F.col("src").cast("long"), F.col("dst").cast("long"), F.col("w").cast("long")
     )
-    for _ in range(iters):
+    for i in range(iters):
         cand = (
             dist.alias("d")
             .join(e.alias("e"), F.col("d.v") == F.col("e.src"))
             .select(F.col("e.dst").alias("v"), (F.col("d.dist") + F.col("e.w")).alias("dist"))
         )
-        dist = (
-            dist.unionByName(cand)
-            .groupBy("v")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
+        dist = dist.unionByName(cand).groupBy("v").agg(F.min("dist").alias("dist"))
+        if (i + 1) % 2 == 0 or i == iters - 1:  # same cadence as pagerank_fixed
+            dist = dist.localCheckpoint(eager=True)
     return dist
