@@ -54,6 +54,33 @@ def emit(df: DataFrame, fmt: str, limit: int = 1000) -> None:
     print(f"({len(rows)} rows)")
 
 
+def _render_call_paths(paths_df: DataFrame) -> None:
+    """Reference-parity table rendering for call paths
+    (src/commands/query.rs:438-486): depth histogram, then the top-10
+    longest paths as indented '├─ name @ addr' trees (indent = two
+    spaces per node depth + 2, missing address → 'N/A')."""
+    rows = paths_df.select("node_names", "node_addresses", "path_length").collect()
+    if not rows:
+        print("No call paths found")
+        return
+    hist: dict[int, int] = {}
+    for r in rows:
+        hist[r["path_length"]] = hist.get(r["path_length"], 0) + 1
+    print(f"Found {len(rows)} call paths:")
+    for d in sorted(hist):
+        print(f"  Depth {d}: {hist[d]} paths")
+    top = sorted(rows, key=lambda r: (-r["path_length"], list(r["node_names"])))[:10]
+    print("\nLongest call path examples (top 10):")
+    for i, r in enumerate(top):
+        names, addrs = list(r["node_names"]), list(r["node_addresses"])
+        print(f"  Path {i + 1}: {names[0]} (Depth: {r['path_length']})")
+        for depth, (nm, ad) in enumerate(zip(names, addrs)):
+            print(f"{'  ' * (depth + 2)}├─ {nm} @ {ad or 'N/A'}")
+        print()
+    if len(rows) > 10:
+        print(f"  ... and {len(rows) - 10} more paths (use --format json to see full list)")
+
+
 def _fn_pred(name: str):
     return (F.col("name") == name) | (F.col("uid") == name)
 
@@ -211,12 +238,15 @@ def main(argv: list[str] | None = None) -> int:
         if show_all or args.show_paths:
             paths = enumerate_paths(t["calls"], t["functions"], seeds, max_depth=args.max_depth)
             print("# paths")
-            emit(
-                paths.select(
-                    F.concat_ws("→", "node_names").alias("path"), "path_length"
-                ).orderBy(F.desc("path_length"), "path").limit(10),
-                fmt,
-            )
+            if fmt == "json":
+                emit(
+                    paths.select(
+                        F.concat_ws("→", "node_names").alias("path"), "path_length"
+                    ).orderBy(F.desc("path_length"), "path").limit(10),
+                    fmt,
+                )
+            else:
+                _render_call_paths(paths)
         if show_all or args.show_sequences:
             print("# sequences")
             emit(call_sequences(t["calls"], t["functions"], pred).orderBy("order"), fmt)

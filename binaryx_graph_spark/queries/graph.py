@@ -467,21 +467,23 @@ def mg_paths_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mg_display_projection",
     oracle=f"""
     SELECT * FROM (VALUES
-      ('{UID_MAIN_A}', 'aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa'),
+      ('{UID_MAIN_A}', 'aaaaaaaaaaaaaaa'),
       ('{UID_CREATEFILE}', 'shared')
     ) AS t(uid, binary_display) ORDER BY uid
     """,
     tags=("graph",),
 )
 def mg_display_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4: uid → binary-prefix display ('imp:*' → 'shared', else substring
-    to the first ':', src/commands/query.rs:248-257)."""
+    """F4: uid → binary-prefix display ('imp:*' → 'shared', else the
+    hash prefix CAPPED AT 15 CHARS — the reference slices
+    ``&uid[..colon_pos.min(15)]``, src/commands/query.rs:248-257, so a
+    64-char sha256 prefix displays as its first 15 chars)."""
     t = graph_tables(spark)
     fns = t["functions"].filter(F.col("uid").isin(UID_MAIN_A, UID_CREATEFILE))
     return fns.select(
         "uid",
         F.when(F.col("uid").startswith("imp:"), F.lit("shared"))
-        .otherwise(F.substring_index("uid", ":", 1))
+        .otherwise(F.substring(F.substring_index("uid", ":", 1), 1, 15))
         .alias("binary_display"),
     ).orderBy("uid")
 

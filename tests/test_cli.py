@@ -102,3 +102,18 @@ def test_truncate_for_table_reference_parity():
     # escaping may push a short string over the limit — escaped form counts
     nl = "z" * 59 + "\n\n"
     assert _truncate_for_table(nl) == ("z" * 59 + "\\n\\n")[:60] + "..."
+
+
+def test_call_path_tree_rendering_parity(wh_root, capsys):
+    """Table format renders the reference's tree layout
+    (query.rs:438-486): 'Found N call paths:', per-depth histogram
+    lines, and indented '├─ name @ addr' nodes (indent = 2·(depth+2)
+    spaces)."""
+    assert main(["--warehouse", wh_root, "query", "call-path", "main",
+                 "--max-depth", "3", "--show-paths"]) == 0
+    out = capsys.readouterr().out
+    assert "Found" in out and "call paths:" in out
+    assert "Depth 1:" in out
+    assert "Longest call path examples (top 10):" in out
+    assert "    ├─ main @ 0x401000" in out  # depth-0 node: 4-space indent
+    assert "      ├─ " in out  # a depth-1 node
