@@ -10,7 +10,7 @@
     python -m binaryx_graph_spark query call-path <fn> [--max-depth N] [--show-paths]
         [--show-sequences] [--show-recursion] [--show-upward] [--show-context]
     python -m binaryx_graph_spark query xref <address> [--binary B]
-    python -m binaryx_graph_spark db stats|init|clear|export <path>
+    python -m binaryx_graph_spark db stats|init|clear|optimize|export <path>
 
 Warehouse root: --warehouse or $BXG_WAREHOUSE (default ./warehouse).
 Output: --format table|json (table escapes newlines and truncates to 60
@@ -134,6 +134,7 @@ def main(argv: list[str] | None = None) -> int:
     db.add_parser("stats")
     db.add_parser("init")
     db.add_parser("clear")
+    db.add_parser("optimize")
     db_exp = db.add_parser("export")
     db_exp.add_argument("path")
 
@@ -199,6 +200,9 @@ def main(argv: list[str] | None = None) -> int:
             print("cleared")
         elif args.what == "stats":
             emit(global_stats(tables()), fmt)
+        elif args.what == "optimize":
+            for name, (before, after) in sorted(wh.optimize().items()):
+                print(f"{name}: {before} -> {after} files")
         elif args.what == "export":
             edges = wh.export_graph(args.path)
             print(f"exported {edges.count()} edges to {args.path}")

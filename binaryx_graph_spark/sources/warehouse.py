@@ -106,6 +106,38 @@ class Warehouse:
                 shutil.rmtree(final)
             Path(tmp).rename(final)
 
+    # ---------------------------------------------------------- compaction
+    def optimize(self, target_bytes: int = 128 * 1024 * 1024) -> dict[str, tuple[int, int]]:
+        """Compact each table to ~``target_bytes`` files (the small-file
+        problem: every incremental merge writes a key-hashed partition
+        set, and at 100 TB a scan's task count — and the namenode — is
+        bounded by file count, not data size). Rewrites keep the
+        key-hash distribution (``repartition(n, *keys)``) so merge/join
+        co-location survives compaction. Returns {table: (files_before,
+        files_after)}; tables already at or under target are untouched."""
+        import math
+
+        out: dict[str, tuple[int, int]] = {}
+        for name in ALL_TABLES:
+            p = Path(self._path(name))
+            if not p.exists():
+                continue
+            files = [f for f in p.glob("part-*") if f.is_file()]
+            size = sum(f.stat().st_size for f in files)
+            want = max(1, math.ceil(size / target_bytes))
+            if len(files) <= want:
+                out[name] = (len(files), len(files))
+                continue
+            keys = MERGE_KEYS[name]
+            df = self.spark.read.parquet(str(p))
+            tmp = str(self.root / f"_{name}_compact")
+            df.repartition(want, *keys).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(p)
+            Path(tmp).rename(p)
+            after = len([f for f in p.glob("part-*") if f.is_file()])
+            out[name] = (len(files), after)
+        return out
+
     # ------------------------------------------------------------ S4 export
     def export_graph(self, out_path: str) -> DataFrame:
         """Full-graph export (the reference's

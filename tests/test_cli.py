@@ -117,3 +117,35 @@ def test_call_path_tree_rendering_parity(wh_root, capsys):
     assert "Longest call path examples (top 10):" in out
     assert "    ├─ main @ 0x401000" in out  # depth-0 node: 4-space indent
     assert "      ├─ " in out  # a depth-1 node
+
+
+def test_db_optimize_compacts_files(spark, tmp_path, capsys):
+    """optimize() must reduce many-small-file tables toward the target
+    size without changing any row (content-identical compaction that
+    keeps the merge-key hash distribution)."""
+    from binaryx_graph_spark.operators.ingest import build_graph_tables
+    from binaryx_graph_spark.sources.json_source import read_analysis_json
+    from binaryx_graph_spark.sources.warehouse import Warehouse
+
+    from .fixtures import write_fixture
+
+    d = write_fixture(tmp_path / "in")
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.initialize()
+    docs = read_analysis_json(spark, d)
+    tabs = {k: v for k, v in build_graph_tables(docs).items() if k != "import_stats"}
+    # merge the same batch repeatedly: each merge rewrites key-hashed
+    # partition sets -> many small files
+    for seq in range(1, 4):
+        wh.merge_batch(tabs, batch_seq=seq)
+    before_rows = {t: sorted(map(tuple, wh.read(t).collect())) for t in ("functions", "calls")}
+    from pathlib import Path
+    n_files_before = len(list((Path(root) / "functions").glob("part-*")))
+    res = wh.optimize()
+    after_rows = {t: sorted(map(tuple, wh.read(t).collect())) for t in ("functions", "calls")}
+    assert after_rows == before_rows  # content identical
+    b, a = res["functions"]
+    assert b == n_files_before and a <= b and a >= 1
+    assert main(["--warehouse", root, "db", "optimize"]) == 0
+    assert "functions:" in capsys.readouterr().out
