@@ -780,3 +780,35 @@ def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_events").isNotNull())
         .orderBy("day", "event_type")
     )
+
+
+@register(
+    "lateral_topk_per_user",
+    oracle="""
+    SELECT u.user_id, t.event_id, t.cents
+    FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 50 = 17) u,
+         LATERAL (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events e
+                  WHERE e.user_id = u.user_id
+                  ORDER BY e.value DESC, e.event_id LIMIT 3) t
+    ORDER BY u.user_id, t.cents DESC, t.event_id
+    """,
+    tags=("join", "window"),
+)
+def lateral_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated-subquery join (Spark 4 SQL): top-3 events by
+    value per user expressed as a per-row dependent subquery — the
+    LateralJoin operator class, distinct from the window-function
+    formulation (window_topk_per_group), which must produce the same
+    rows. Catalyst decorrelates the lateral into a ranked join."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_lat_events")
+    return spark.sql("""
+        SELECT u.user_id, t.event_id, t.cents
+        FROM (SELECT DISTINCT user_id FROM _lat_events WHERE user_id % 50 = 17) u,
+             LATERAL (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+                      FROM _lat_events e
+                      WHERE e.user_id = u.user_id
+                      ORDER BY e.value DESC, e.event_id LIMIT 3) t
+        ORDER BY u.user_id, t.cents DESC, t.event_id
+    """)
