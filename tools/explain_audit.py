@@ -91,6 +91,13 @@ AUDITED = [
     "text_unigram_surprisal",
     "layout_zorder_stats",
     "cube_event_stats",
+    "grouping_sets_explicit",
+    "window_decile_stats",
+    "range_join_daily_windows",
+    "graph_shortest_paths",
+    "arrow_python_udf_langlen",
+    "unpivot_event_counts",
+    "lateral_topk_per_user",
 ]
 
 
@@ -126,6 +133,11 @@ def audit_plan(name: str, plan: str) -> list[str]:
         # onto the vocab frame (p = c/N needs the global N) — same
         # constant-size build side as the sketch queries
         "text_unigram_surprisal",
+        # interval range join: the window dimension (≤ days-in-corpus
+        # rows) broadcasts and the non-equi predicate evaluates at the
+        # probe scan — a broadcast NLJ IS the right plan for a range
+        # join against a dimension-sized interval table
+        "range_join_daily_windows",
     ):
         flags.append("BroadcastNestedLoopJoin (non-equi join leaked in)")
     # wide-scan check: count FIELDS in each ReadSchema struct (a field is
