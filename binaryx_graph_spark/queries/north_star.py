@@ -659,3 +659,56 @@ def ann_cosine_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pq_rerank(
         emb, 7, k=10, shortlist=50, m=4, k_sub=8, kmeans_iters=2, dim=64, corpus_key=sf_dir
     )
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({{toks}}) AS tok FROM documents
+    ),
+    cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    ranked AS (
+      SELECT c,
+             row_number() OVER (ORDER BY c DESC, tok) AS rank,
+             sum(c) OVER (ORDER BY c DESC, tok ROWS UNBOUNDED PRECEDING) AS cum,
+             (SELECT CAST(sum(c) AS BIGINT) FROM cnt) AS total
+      FROM cnt
+    )
+    SELECT CAST(rank AS BIGINT) AS vocab_size,
+           CAST(cum AS BIGINT) AS tokens_covered,
+           CAST(cum * 10000 // total AS BIGINT) AS coverage_bp
+    FROM ranked
+    WHERE rank IN (5, 10, 20, 30)
+    ORDER BY vocab_size
+    """.format(toks="list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"),
+    tags=("text",),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design primitive: corpus token coverage at candidate
+    vocabulary sizes — what % of all token occurrences the top-k
+    most-frequent types cover (rank ties broken lexically; coverage in
+    integer basis points, so the cumulative math is exact). The global
+    ranking window runs over the VOCABULARY (dimension-sized after the
+    count groupBy), not the corpus — the one place a single-partition
+    window is the honest plan."""
+    from ..operators.textstats import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy(F.desc("c"), "tok")
+    total = cnt.agg(F.sum("c").cast("long").alias("_t"))
+    ranked = (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum", F.sum("c").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .filter(F.col("rank").isin(5, 10, 20, 30))
+        .crossJoin(F.broadcast(total))
+    )
+    return ranked.select(
+        F.col("rank").cast("long").alias("vocab_size"),
+        F.col("cum").cast("long").alias("tokens_covered"),
+        F.floor(F.col("cum") * 10000 / F.col("_t")).cast("long").alias("coverage_bp"),
+    ).orderBy("vocab_size")
