@@ -48,8 +48,13 @@ def bloom_bitmap(keys: DataFrame, key_col: str, *, k: int = K_HASHES) -> list[in
     Distributed build: per (key, hash_j) → (word, mask), bit_or per word
     — one partial-aggregated shuffle of ≤256 groups, then a ≤256-row
     collect (the same dimension-sized driver artifact as a trained
-    k-means codebook)."""
-    pos = keys.select(
+    k-means codebook).
+
+    NULL keys are dropped first: sha256(NULL) yields a NULL position,
+    which would surface as a word=NULL group and a driver TypeError —
+    and the plain semi-join this operator must equal never matches NULL
+    keys anyway."""
+    pos = keys.where(F.col(key_col).isNotNull()).select(
         F.explode(F.array(*[F.expr(_pos_sql(key_col, j)) for j in range(k)])).alias("pos")
     )
     words = (

@@ -686,7 +686,13 @@ def sql_semantic_near_dup(
     vec_col: str = "embedding",
 ) -> str:
     """DuckDB twin of :func:`semantic_near_dup` — identical k-means
-    training/assignment CTEs, then the within-cluster pair join."""
+    training/assignment CTEs, then the within-cluster pair join.
+
+    The ``vec_id`` references below are correct for ANY ``id_col``: the
+    ``e`` CTE in :func:`_sql_kmeans_ctes` normalizes ``{id_col} AS
+    vec_id``, so every downstream CTE (``q``/``af``) and this final
+    SELECT operate on the normalized name (verified with a non-default
+    ``id_col``)."""
     ctes = _sql_kmeans_ctes(
         table, n_centroids=n_centroids, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
     )

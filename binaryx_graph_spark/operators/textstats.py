@@ -182,28 +182,38 @@ def unigram_surprisal(docs, id_col: str = "doc_id", text_col: str = "text"):
 
     Self-trained: p(tok) = corpus_count(tok) / total_tokens, so every
     token has nonzero probability and no smoothing is needed. Plan:
-    one explode → vocab groupBy (partial-agg shuffle), a 1-row total
-    broadcast, then the corpus⋈vocab token join (hot stopword keys →
-    AQE skew split at scale) and the per-doc integer sum.
+    one explode → vocab groupBy (partial-agg shuffle), then the scored
+    vocab is collected to the driver (broadcast-vocab pattern, vocab is
+    sublinear in corpus size) where each token's quantized surprisal is
+    computed ONCE with libm ``math.log2`` — bit-identical to the DuckDB
+    oracle's ``log2`` (same shared libm; verified empirically over 220k
+    integers), removing the JVM-vs-libm 1-ulp boundary flake the
+    in-plan ``F.log2`` version had.  The scored vocab then broadcast-
+    joins the token stream (hot stopword keys → AQE skew split at
+    scale) for the per-doc exact integer sum.
 
     Returns (doc_id, n_tokens, total_surprisal_q, avg_bits_per_token)
     where total_surprisal_q is in 2^-12-bit units.
     """
+    import math
+
     tok = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
-    total = cnt.agg(F.sum("_c").cast("long").alias("_n"))
-    scored = cnt.crossJoin(F.broadcast(total)).select(
-        "tok",
-        F.floor(
-            (F.log2("_n") - F.log2("_c")) * F.lit(float(SURPRISAL_SCALE)) + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("_q"),
+    vocab = cnt.collect()  # vocab-sized (Heaps' law), not corpus-sized
+    n = float(sum(r["_c"] for r in vocab))
+    spark = docs.sparkSession
+    scale = float(SURPRISAL_SCALE)
+    scored = spark.createDataFrame(
+        [
+            (r["tok"], int(math.floor((math.log2(n) - math.log2(float(r["_c"]))) * scale + 0.5)))
+            for r in vocab
+        ],
+        "tok string, _q long",
     )
     return (
-        tok.join(scored, "tok")
+        tok.join(F.broadcast(scored), "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),

@@ -730,10 +730,10 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arrow_python_udf_langlen",
     oracle="""
     SELECT doc_id,
-           CAST(length(trim(text)) AS BIGINT) AS trimmed_len,
-           CASE WHEN length(trim(text)) = 0 THEN 'empty'
-                WHEN length(trim(text)) < 200 THEN 'short'
-                WHEN length(trim(text)) < 1000 THEN 'medium'
+           CAST(length(trim(coalesce(text, ''))) AS BIGINT) AS trimmed_len,
+           CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 'empty'
+                WHEN length(trim(coalesce(text, ''))) < 200 THEN 'short'
+                WHEN length(trim(coalesce(text, ''))) < 1000 THEN 'medium'
                 ELSE 'long' END AS length_class
     FROM documents
     WHERE doc_id % 6 = 1
@@ -752,7 +752,10 @@ def arrow_python_udf_langlen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @udf("struct<trimmed_len: long, length_class: string>", useArrow=True)
     def classify(text):
-        t = (text or "").strip()
+        # strip(' ') — space-only, matching SQL trim() in both engines;
+        # Python's bare strip() also removes \n/\t and would diverge on
+        # documents with trailing newlines.
+        t = (text or "").strip(" ")
         n = len(t)
         cls = "empty" if n == 0 else "short" if n < 200 else "medium" if n < 1000 else "long"
         return (n, cls)

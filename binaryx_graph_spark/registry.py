@@ -35,6 +35,46 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# Names the per-round correctness gate has never witnessed green (the driver
+# samples ~50 queries per round in registry iteration order, so iteration
+# order decides what gets checked).  These register first until each has a
+# green CORRECTNESS row; the list is the r01+r02 complement, search family
+# first (the reference's flagship surface), then stats_approx_distinct
+# (r01 red, fixed, needs a green re-witness), relational/scalar, TPC-H,
+# then the dedup/ANN/streaming/sketch tail.  Names, signatures and oracle
+# strings stay byte-stable — only dict ordering changes.
+_WITNESS_PRIORITY: tuple[str, ...] = (
+    "substring_search", "lookup_first_match", "fulltext_search_default",
+    "fulltext_sample_count", "raw_query_search", "wildcard_search",
+    "posting_table_topdf", "mg_string_search", "mg_function_search",
+    "mg_string_search_scoped", "stats_approx_distinct", "scope_semi_join",
+    "unresolved_anti_join", "table_stats", "distinct_users_per_type",
+    "topk_events_by_value", "window_topk_per_group", "event_sequences",
+    "union_distinct_arms", "pivot_event_counts", "setops_intersect_except",
+    "median_price_per_segment", "address_normalization", "string_uids",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "q6_forecast_revenue", "q10_returned_items", "q18_large_orders",
+    "q17_small_quantity_revenue", "q4_priority_exists",
+    "q14_promo_revenue_share", "q16_supplier_distinct_parts",
+    "q21_sole_late_supplier", "q2_min_cost_supplier", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q11_important_stock",
+    "q12_late_priority_counts", "q13_customer_distribution",
+    "q15_top_supplier", "q19_disjunctive_revenue",
+    "q20_part_promotion_suppliers", "q22_global_sales_opportunity",
+    "dedup_simhash_hamming", "dedup_embedding_clusters",
+    "ann_cosine_lsh_multiprobe", "dedup_exact_substring",
+    "dedup_semantic_kmeans", "text_unigram_surprisal", "text_gopher_rules",
+    "ann_cosine_pq", "ann_cosine_pq_rerank", "text_vocab_coverage",
+    "rollup_daily_events", "vectorized_udf_quality",
+    "session_window_builtin", "streaming_session_windows",
+    "streaming_interval_join", "streaming_dedup_keys",
+    "sliding_window_counts", "events_json_extract", "skew_salted_counts",
+    "sketch_cms_user_counts", "sketch_hll_distinct",
+    "grouped_map_user_stats", "sketch_histogram_quantiles",
+    "python_udtf_ngrams", "streaming_enriched_counts",
+    "arrow_python_udf_langlen",
+)
+
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator: add a query to the registry."""
@@ -64,4 +104,9 @@ def load_all() -> dict[str, Query]:
         tpch_ext,
     )
 
+    # Reorder so never-witnessed queries iterate first (see _WITNESS_PRIORITY).
+    ordered = {n: REGISTRY[n] for n in _WITNESS_PRIORITY if n in REGISTRY}
+    ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
     return REGISTRY

@@ -101,10 +101,23 @@ class Warehouse:
             # parquet can't overwrite in place while reading — stage then move
             tmp = str(self.root / f"_{name}_staging")
             merged.repartition(*keys).write.mode("overwrite").parquet(tmp)
-            final = Path(path)
-            if final.exists():
-                shutil.rmtree(final)
-            Path(tmp).rename(final)
+            self._swap_in(Path(tmp), Path(path))
+
+    @staticmethod
+    def _swap_in(tmp: Path, final: Path) -> None:
+        """Replace ``final`` with ``tmp`` without a window where the table
+        directory is missing: rename old → backup (atomic), tmp → final
+        (atomic), then delete the backup. A crash leaves either the old
+        or the new table readable (plus at worst a stale ``_backup``/
+        staging dir), never a missing one — unlike rmtree-then-rename."""
+        backup = final.with_name(f"_{final.name}_backup")
+        if backup.exists():
+            shutil.rmtree(backup)
+        if final.exists():
+            final.rename(backup)
+        tmp.rename(final)
+        if backup.exists():
+            shutil.rmtree(backup)
 
     # ---------------------------------------------------------- compaction
     def optimize(self, target_bytes: int = 128 * 1024 * 1024) -> dict[str, tuple[int, int]]:
@@ -128,12 +141,15 @@ class Warehouse:
             if len(files) <= want:
                 out[name] = (len(files), len(files))
                 continue
-            keys = MERGE_KEYS[name]
+            keys = MERGE_KEYS.get(name)
             df = self.spark.read.parquet(str(p))
             tmp = str(self.root / f"_{name}_compact")
-            df.repartition(want, *keys).write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(p)
-            Path(tmp).rename(p)
+            # keyless tables (future ALL_TABLES entries) still compact,
+            # just without a co-location guarantee — same guard shape as
+            # merge_batch rather than a KeyError.
+            part = df.repartition(want, *keys) if keys else df.repartition(want)
+            part.write.mode("overwrite").parquet(tmp)
+            self._swap_in(Path(tmp), p)
             after = len([f for f in p.glob("part-*") if f.is_file()])
             out[name] = (len(files), after)
         return out

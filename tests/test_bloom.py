@@ -50,3 +50,17 @@ def test_bloom_prefilter_actually_prunes(spark):
     non_matching = total - matching
     false_pos = kept - matching
     assert false_pos <= non_matching / 2, (total, kept, matching)
+
+
+def test_bloom_bitmap_ignores_null_keys(spark):
+    """NULL keys in the small side must not crash the bitmap build (the
+    plain semi-join the operator equals ignores NULLs), and the semi-join
+    output must still match the exact one."""
+    small = spark.createDataFrame(
+        [(1,), (None,), (5,)], "k bigint"
+    )
+    bitmap = bloom_bitmap(small, "k")
+    assert len(bitmap) == 256
+    large = spark.createDataFrame([(i,) for i in range(20)], "k bigint")
+    got = sorted(r["k"] for r in bloom_semi_join(large, "k", small, "k").collect())
+    assert got == [1, 5]
