@@ -296,6 +296,17 @@ def _py_sqrt_norm(vec: list[float]) -> float:
     return math.sqrt(acc)
 
 
+def _py_cosine(qv: list[float], qn: float, c: list[float]) -> float:
+    """Driver-side cosine(query, centroid) with the identical in-order
+    fold + single-division op sequence as :func:`cosine` / the DuckDB
+    oracle — used for IVF probe selection, where a bit-different score
+    near a tie would flip the probe set."""
+    acc = 0.0
+    for x, y in zip(qv, c):
+        acc += x * y
+    return acc / (qn * _py_sqrt_norm(c))
+
+
 def _argmax_centroid(vec_col: Column, codebook: dict[int, list[float]]) -> Column:
     """Nearest-centroid id as a PURE projection expression (no join, no
     window, no shuffle): one cosine per centroid against literal arrays,
@@ -479,8 +490,16 @@ def cosine_topk_ivf(
     partitions and a probe touches n_probe/n_centroids of the data;
     codebook training runs on a sample there. Pass ``corpus_key`` (e.g.
     the table path) to reuse the trained codebook across queries over
-    the same corpus — identical results, training paid once."""
-    spark = embeddings.sparkSession
+    the same corpus — identical results, training paid once.
+
+    Probe selection runs ON THE DRIVER (the FAISS shape: the codebook is
+    a dimension-sized driver artifact, and scoring the query against k
+    centroids is O(k·dim) — spinning up a Spark job for it tripled the
+    query's wall time). The Python cosine is the same in-order IEEE fold
+    as the Column kernel and the DuckDB oracle, so the chosen probe set
+    — including near-ties — is bit-identical. The query vector is folded
+    into the final projection as a literal, so the whole query is ONE
+    job: scan → assign+score projection → TakeOrderedAndProject."""
     ck = (corpus_key, n_centroids, kmeans_iters) if corpus_key is not None else None
     codebook = _codebook_cache_get(ck)
     if codebook is None:
@@ -488,21 +507,24 @@ def cosine_topk_ivf(
             embeddings, n_centroids=n_centroids, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
         )
         _codebook_cache_put(ck, codebook)
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).head()
+    qv = [float(x) for x in qrow[0]]
+    qn = _py_sqrt_norm(qv)
+    scored = sorted(
+        ((-_py_cosine(qv, qn, c), cid) for cid, c in codebook.items())
+    )  # cos DESC, centroid_id ASC — the oracle's row_number ordering
+    probe_ids = [cid for _negcos, cid in scored[:n_probe]]
+    lit_q = F.array(*[F.lit(x) for x in qv])
     assigned = ivf_assign(embeddings, codebook, id_col=id_col, vec_col=vec_col)
-    cdf = _centroid_frame(spark, codebook)
-    q = embeddings.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qvec"))
-    probe = (
-        cdf.crossJoin(F.broadcast(q))
-        .select("centroid_id", cosine(F.col("_cvec"), F.col("_qvec")).alias("_csim"))
-        .orderBy(F.desc("_csim"), "centroid_id")
-        .limit(n_probe)
-        .select("centroid_id")
-    )
     return (
-        assigned.join(F.broadcast(probe), "centroid_id", "left_semi")
+        assigned.filter(F.col("centroid_id").isin(probe_ids))
         .filter(F.col(id_col) != query_id)
-        .crossJoin(F.broadcast(q))
-        .select(id_col, cosine(F.col(vec_col), F.col("_qvec")).alias("cos_sim"))
+        .select(
+            id_col,
+            (dot(F.col(vec_col), lit_q) / (F.sqrt(norm_sq(F.col(vec_col))) * F.lit(qn)))
+            .cast("double")
+            .alias("cos_sim"),
+        )
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
     )
