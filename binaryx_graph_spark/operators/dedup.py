@@ -508,7 +508,7 @@ def connected_components(
     a: str = "doc_a",
     b: str = "doc_b",
     *,
-    local_max_edges: int = 1_000_000,
+    local_max_edges: int = 100_000,
 ) -> DataFrame:
     """Connected components over an undirected pair graph → (doc_id,
     cluster_id) where cluster_id is the MINIMUM member id — the
@@ -521,7 +521,11 @@ def connected_components(
       dedup): exact union-find on the driver — near-dup pair sets are a
       tiny fraction of the corpus, and a driver pass beats 2-3 rounds of
       distributed jobs by an order of magnitude at test scale. The edge
-      list is already the POST-threshold pair set, not the corpus.
+      list is already the POST-threshold pair set, not the corpus. The
+      default threshold is 100k edges: with wide string doc ids that is
+      ~10-20 MB of driver heap — comfortably bounded even when the
+      driver JVM is modestly sized (1M-edge lists measured in the
+      hundreds of MB; see SCALE.md).
     - **large graphs**: iterative min-label propagation with pointer
       jumping (label-of-label), O(log diameter) rounds, per-round
       localCheckpoint — the 100 TB path; flip ``local_max_edges=0`` to
