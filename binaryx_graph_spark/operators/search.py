@@ -92,13 +92,20 @@ class RawQueryParser:
     - ``"quoted phrase"`` → case-insensitive substring
     - ``term`` → case-insensitive substring; ``*`` wildcards inside a term
       map to SQL ``LIKE %``
+    - fuzzy ``term~`` / ``term~N`` (N ∈ 0..2, bare ``~`` = 2, Lucene's
+      cap): matches when ANY whitespace token of the value is within
+      Levenshtein N of the term — term-level fuzziness like Lucene's
+      (which matches index terms), with the same whitespace tokenizer
+      the default query builder uses
     - implicit adjacency = AND
 
     UNSUPPORTED Lucene constructs (the reference passes ``--raw`` straight
     to Neo4j's Lucene index, query.rs:206-210; we implement a subset and
     REJECT the rest loudly rather than silently degrading):
 
-    - fuzzy ``term~`` / ``term~2``        → ValueError
+    - fuzzy distance > 2 or fractional (legacy float fuzziness),
+      or fuzzy combined with ``*`` wildcards → ValueError
+    - phrase proximity ``"a b"~N``        → ValueError
     - ranges ``[a TO b]`` / ``{a TO b}``  → ValueError
     - boosts ``term^4``                   → ValueError
     - field queries ``field:term`` are NOT treated as field queries:
@@ -112,25 +119,54 @@ class RawQueryParser:
     (``(a OR b) AND NOT c``). Parenthesize to force either reading.
     """
 
-    _FUZZY_RE = re.compile(r".+~(\d+(\.\d+)?)?$")
+    _FUZZY_RE = re.compile(r"^(.+?)~(\d+(\.\d+)?)?$")
     _RANGE_RE = re.compile(r"[\[{][^\]}]*\sTO\s[^\]}]*[\]}]")
     _BOOST_RE = re.compile(r".+\^\d+(\.\d+)?$")
+    _PROXIMITY_RE = re.compile(r'^"[^"]*"~')
 
     def __init__(self, pattern: str):
         if self._RANGE_RE.search(pattern):
             raise ValueError(
                 f"unsupported Lucene range syntax in raw query: {pattern!r} "
-                "(supported subset: AND/OR/NOT, parentheses, phrases, * wildcards)"
+                "(supported subset: AND/OR/NOT, parentheses, phrases, * wildcards, term~N fuzzy)"
+            )
+        if self._PROXIMITY_RE.search(pattern):
+            raise ValueError(
+                f"unsupported Lucene phrase proximity in raw query: {pattern!r} "
+                "(fuzzy ~ applies to single terms only)"
             )
         self.tokens = [m.group(1) for m in _TOKEN_RE.finditer(pattern)]
         for tok in self.tokens:
             if tok.startswith('"'):
                 continue  # quoted phrases are literal
-            if self._FUZZY_RE.match(tok):
-                raise ValueError(f"unsupported Lucene fuzzy term in raw query: {tok!r}")
+            m = self._FUZZY_RE.match(tok)
+            if m:
+                self._parse_fuzzy(tok)  # validates; raises on bad distance
+                continue
             if self._BOOST_RE.match(tok):
                 raise ValueError(f"unsupported Lucene boost in raw query: {tok!r}")
         self.pos = 0
+
+    @classmethod
+    def _parse_fuzzy(cls, tok: str) -> tuple[str, int]:
+        """``term~`` / ``term~N`` → (term, N); Lucene caps N at 2."""
+        m = cls._FUZZY_RE.match(tok)
+        base, dist = m.group(1), m.group(2)
+        if dist is not None and "." in dist:
+            raise ValueError(
+                f"unsupported legacy fractional fuzziness in raw query: {tok!r} "
+                "(use term~0, term~1 or term~2)"
+            )
+        n = 2 if dist is None or dist == "" else int(dist)
+        if n > 2:
+            raise ValueError(
+                f"unsupported fuzzy distance {n} in raw query: {tok!r} (Lucene caps at 2)"
+            )
+        if "*" in base:
+            raise ValueError(
+                f"fuzzy cannot combine with wildcards in raw query: {tok!r}"
+            )
+        return base, n
 
     def _peek(self) -> str | None:
         return self.tokens[self.pos] if self.pos < len(self.tokens) else None
@@ -182,11 +218,36 @@ class RawQueryParser:
             return inner
         if tok.startswith('"') and tok.endswith('"'):
             return F.lower(col).contains(tok[1:-1].lower())
+        if self._FUZZY_RE.match(tok):
+            base, n = self._parse_fuzzy(tok)
+            return fuzzy_predicate(col, base, n)
         if "*" in tok:
             # wildcard term → LIKE with % (escape SQL specials first)
             body = tok.lower().replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
             return F.lower(col).like("%" + body.replace("*", "%") + "%")
         return F.lower(col).contains(tok.lower())
+
+
+def fuzzy_predicate(col: Column, term: str, max_dist: int = 2) -> Column:
+    """Term-level fuzzy match: ANY whitespace token of the value within
+    Levenshtein ``max_dist`` of ``term`` (case-insensitive). A pure
+    Column expression — the Levenshtein DP runs inside codegen per
+    token, no UDF. Single-space split matches the DuckDB twin
+    (:func:`sql_fuzzy`) exactly, empty tokens included (they only match
+    terms of length ≤ max_dist, identically on both engines)."""
+    return F.exists(
+        F.split(F.lower(col), " "),
+        lambda t: F.levenshtein(t, F.lit(term.lower())) <= F.lit(int(max_dist)),
+    )
+
+
+def sql_fuzzy(expr: str, term: str, max_dist: int = 2) -> str:
+    """DuckDB twin of :func:`fuzzy_predicate` — keep in sync."""
+    t = term.lower().replace("'", "''")
+    return (
+        f"len(list_filter(string_split(lower({expr}), ' '), "
+        f"t -> levenshtein(t, '{t}') <= {int(max_dist)})) > 0"
+    )
 
 
 def raw_query_predicate(col: Column, pattern: str) -> Column:

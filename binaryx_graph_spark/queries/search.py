@@ -18,6 +18,7 @@ from ..operators.search import (
     score_expr,
     search_functions,
     search_strings,
+    sql_fuzzy,
     sql_score,
     tokens_predicate,
 )
@@ -99,6 +100,29 @@ def raw_query_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query.rs:206-210); compiled to Catalyst predicates."""
     docs = load_table(spark, sf_dir, "documents")
     pred = raw_query_predicate(F.col("text"), '(join AND merge) OR "hash agg" NOT window')
+    return docs.filter(pred).select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "raw_query_fuzzy",
+    oracle=f"""
+    SELECT doc_id
+    FROM documents
+    WHERE ({sql_fuzzy('text', 'mergee', 1)} AND lower(text) LIKE '%scan%')
+       OR {sql_fuzzy('text', 'vektor', 2)}
+    ORDER BY doc_id
+    """,
+    tags=("search",),
+)
+def raw_query_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 fuzzy: Lucene ``term~N`` — token-level Levenshtein match (any
+    whitespace token of the value within edit distance N), composed with
+    booleans. ``mergee~1`` reaches 'merge'/'merges', ``vektor~`` (bare ~
+    = 2) reaches 'vector' — the capability the reference gets from
+    Lucene's fuzzy index (query.rs:206-210), expressed as a pure Column
+    predicate (codegen Levenshtein per token, no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = raw_query_predicate(F.col("text"), "(mergee~1 AND scan) OR vektor~")
     return docs.filter(pred).select("doc_id").orderBy("doc_id")
 
 

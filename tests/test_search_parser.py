@@ -79,8 +79,36 @@ def test_raw_query_rejects_unsupported_lucene(spark):
     from binaryx_graph_spark.operators.search import raw_query_predicate
 
     col = F.col("x")
-    for bad in ["roam~", "roam~2", "price~0.8", "[alpha TO omega]", "{a TO b}", "term^4"]:
+    for bad in [
+        "price~0.8",          # legacy fractional fuzziness
+        "roam~3",             # beyond Lucene's edit-distance cap
+        "ro*m~",              # fuzzy + wildcard
+        '"a b"~5',            # phrase proximity
+        "[alpha TO omega]",
+        "{a TO b}",
+        "term^4",
+    ]:
         with pytest.raises(ValueError):
             raw_query_predicate(col, bad)
     # quoted phrases keep these characters literal; colon terms are literal substrings
     raw_query_predicate(col, '"version~2" AND imp:kernel32')
+
+
+def test_parser_fuzzy_matches_close_tokens(spark):
+    """term~N matches values with a token within Levenshtein N; bare ~
+    defaults to 2 (Lucene's cap)."""
+    vals = ["alpha beta", "alpho beta", "alXho beta", "delta"]
+    got = _matches(spark, "alpha~1", vals)
+    assert got == {"alpha beta", "alpho beta"}
+    got2 = _matches(spark, "alpha~", vals)
+    assert got2 == {"alpha beta", "alpho beta", "alXho beta"}
+    got0 = _matches(spark, "alpha~0", vals)
+    assert got0 == {"alpha beta"}
+
+
+def test_parser_fuzzy_composes_with_booleans(spark):
+    vals = ["alpha beta", "alpho beta", "delta"]
+    got = _matches(spark, "alpha~1 NOT beta", vals)
+    assert got == set()
+    got2 = _matches(spark, "alpha~1 OR delta", vals)
+    assert got2 == {"alpha beta", "alpho beta", "delta"}
