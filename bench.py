@@ -49,6 +49,11 @@ HEADLINE = [
     # corpus⋈vocab token join) — the two newest LLM-pipeline families
     "dedup_exact_substring",
     "text_unigram_surprisal",
+    # r3 breadth: a TPC-H heavy join (q18: lineitem self-agg semi-join →
+    # orders → customer) and the distributed CC iteration, so the bench
+    # exercises the wide-join and iterative-graph families too
+    "q18_large_orders",
+    "graph_connected_components",
 ]
 
 

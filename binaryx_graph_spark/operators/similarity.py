@@ -530,6 +530,61 @@ def cosine_topk_ivf(
     )
 
 
+def build_ivf_lists(
+    embeddings: DataFrame,
+    codebook: dict[int, list[float]],
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF inverted lists: the assignment projection written
+    as parquet PARTITIONED BY centroid_id — the physical index layout at
+    scale. A probe then reads only n_probe/n_centroids of the data via
+    partition-directory pruning (visible as ``PartitionFilters`` in the
+    scan), instead of scanning the corpus and filtering."""
+    assigned = ivf_assign(embeddings, codebook, id_col=id_col, vec_col=vec_col)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def cosine_topk_ivf_lists(
+    spark,
+    lists_path: str,
+    codebook: dict[int, list[float]],
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    n_probe: int = 2,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe against PERSISTED inverted lists (:func:`build_ivf_lists`):
+    driver-side probe selection (same in-order fold as
+    :func:`cosine_topk_ivf`), then a scan whose ``centroid_id`` filter is
+    a partition-directory prune — the scan never touches the other
+    lists' files. Returns the same (id, cos_sim) top-k as the in-memory
+    path for the same codebook."""
+    qv = [float(x) for x in query_vec]
+    qn = _py_sqrt_norm(qv)
+    scored = sorted(((-_py_cosine(qv, qn, c), cid) for cid, c in codebook.items()))
+    probe_ids = [cid for _negcos, cid in scored[:n_probe]]
+    lit_q = F.array(*[F.lit(x) for x in qv])
+    lists = spark.read.parquet(lists_path).filter(F.col("centroid_id").isin(probe_ids))
+    if exclude_id is not None:
+        lists = lists.filter(F.col(id_col) != exclude_id)
+    return (
+        lists.select(
+            id_col,
+            (dot(F.col(vec_col), lit_q) / (F.sqrt(norm_sq(F.col(vec_col))) * F.lit(qn)))
+            .cast("double")
+            .alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
 def _sql_kmeans_ctes(
     table: str,
     *,

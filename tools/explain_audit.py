@@ -21,84 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from binaryx_graph_spark.registry import load_all  # noqa: E402
 from binaryx_graph_spark.session import get_spark  # noqa: E402
 
-AUDITED = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "window_topk_per_group",
-    "distinct_users_per_type",
-    "fulltext_search_default",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
-    "ann_cosine_topk",
-    "text_quality_metrics",
-    "scope_semi_join",
-    "unresolved_anti_join",
-    "event_sessionization",
-    "asof_join_last_purchase",
-    "rollup_daily_events",
-    "pivot_event_counts",
-    "q17_small_quantity_revenue",
-    "pipeline_curation_stats",
-    # r2 additions
-    "q4_priority_exists",
-    "q14_promo_revenue_share",
-    "q16_supplier_distinct_parts",
-    "q21_sole_late_supplier",
-    "dedup_jaccard_prefix_filtered",
-    "dedup_simhash_hamming",
-    "dedup_embedding_cosine",
-    "ann_cosine_ivf",
-    "ann_cosine_lsh_multiprobe",
-    "events_json_extract",
-    "skew_salted_counts",
-    "sketch_cms_user_counts",
-    "text_gopher_rules",
-    # full TPC-H family (queries/tpch_ext.py)
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_late_priority_counts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q19_disjunctive_revenue",
-    "q20_part_promotion_suppliers",
-    "q22_global_sales_opportunity",
-    # graph analytics + pipeline utilities (queries/analytics_ext.py)
-    "graph_pagerank",
-    "graph_triangle_counts",
-    "pipeline_stratified_split",
-    "text_tfidf_topk",
-    "docs_deterministic_sample",
-    # continuation additions
-    "graph_personalized_pagerank",
-    "ann_cosine_pq",
-    "sketch_hll_distinct",
-    "sketch_histogram_quantiles",
-    "events_funnel_conversion",
-    "events_scd2_intervals",
-    "orders_daily_moving_avg",
-    "grouped_map_user_stats",
-    "python_udtf_ngrams",
-    "python_datasource_functions",
-    # this-session additions (r2, cont.)
-    "dedup_semantic_kmeans",
-    "dedup_exact_substring",
-    "bloom_prefilter_semi_join",
-    "graph_connected_components",
-    "text_unigram_surprisal",
-    "layout_zorder_stats",
-    "cube_event_stats",
-    "grouping_sets_explicit",
-    "window_decile_stats",
-    "range_join_daily_windows",
-    "graph_shortest_paths",
-    "arrow_python_udf_langlen",
-    "unpivot_event_counts",
-    "lateral_topk_per_user",
-]
+# Default = EVERY registered query (the audit is only a proof if it
+# covers the whole catalog); pass names on the CLI to audit a subset.
 
 
 def audit_plan(name: str, plan: str) -> list[str]:
@@ -126,6 +50,11 @@ def audit_plan(name: str, plan: str) -> list[str]:
         # cross-join 1-row aggregates (estimate × exact count, staged
         # funnel counts, quantile picks) — constant-size build sides
         "ann_cosine_pq",
+        "ann_cosine_pq_rerank",
+        # vocab coverage: the 1-ROW global token-count total broadcasts
+        # onto the cutoff rows (coverage = cum/total) — constant-size
+        # build side like the sketch queries
+        "text_vocab_coverage",
         "sketch_hll_distinct",
         "sketch_histogram_quantiles",
         "events_funnel_conversion",
@@ -159,9 +88,8 @@ def audit_plan(name: str, plan: str) -> list[str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    wanted = [a for a in sys.argv[1:] if not os.path.isdir(a)] or AUDITED
-
     reg = load_all()
+    wanted = [a for a in sys.argv[1:] if not os.path.isdir(a)] or sorted(reg)
     spark = get_spark("plan-audit")
     # un-truncated plan strings: a truncated ReadSchema loses its closing
     # '>' and makes the wide-scan regex span several scans (false 27-col
