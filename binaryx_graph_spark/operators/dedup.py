@@ -679,3 +679,67 @@ def sql_repeated_spans(
     GROUP BY span_hash
     HAVING count(DISTINCT doc_id) > 1
     """
+
+
+# ------------------------------------------------- benchmark decontamination
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ANY word
+    n-gram with the evaluation set — the standard training-data hygiene
+    pass (GPT-3 App. C / Gopher / Llama all ship an n-gram-collision
+    variant of this; n=8..13 on real corpora, parameterized here).
+
+    Plan shape at 100 TB: the benchmark side is eval suites — thousands
+    of documents, not billions — so its distinct shingle set broadcasts
+    and the corpus side is ONE scan + explode + broadcast-hash semi-join
+    (no shuffle of the corpus). Returns (doc_id, n_collisions) for
+    contaminated documents only; drop them (or their colliding spans)
+    downstream.
+    """
+    bcol = bench_text_col or text_col
+    bench_sh = (
+        benchmark.select(F.explode(F.array_distinct(shingles(F.col(bcol), n))).alias("sh"))
+        .distinct()
+    )
+    doc_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_collisions"))
+    )
+
+
+def sql_ngram_decontaminate(
+    table: str,
+    bench_filter: str,
+    *,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`ngram_decontaminate` for a benchmark carved
+    out of ``table`` by ``bench_filter`` (corpus = the complement)."""
+    sh = sql_shingles(text_col, n)
+    return f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest({sh}) AS sh FROM {table} WHERE {bench_filter}
+    ),
+    dsh AS (
+      SELECT {id_col} AS doc_id, unnest(list_distinct({sh})) AS sh
+      FROM {table} WHERE NOT ({bench_filter})
+    )
+    SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_collisions
+    FROM dsh d JOIN bench b USING (sh)
+    GROUP BY d.doc_id
+    """

@@ -477,7 +477,7 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import unigram_surprisal
 
     docs = load_table(spark, sf_dir, "documents")
-    return unigram_surprisal(docs).orderBy("doc_id")
+    return unigram_surprisal(docs, corpus_key=sf_dir).orderBy("doc_id")
 
 
 @register(
@@ -712,3 +712,31 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum").cast("long").alias("tokens_covered"),
         F.floor(F.col("cum") * 10000 / F.col("_t")).cast("long").alias("coverage_bp"),
     ).orderBy("vocab_size")
+
+
+# --------------------------------------------------------- decontamination
+
+from ..operators.dedup import sql_ngram_decontaminate as _sql_decon  # noqa: E402
+
+_DECON_BENCH = "doc_id % 29 = 3"
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=_sql_decon("documents", _DECON_BENCH, n=4) + " ORDER BY doc_id",
+    tags=("dedup", "text"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 App. C / Gopher-style): flag
+    corpus documents sharing any word 4-gram with the held-out
+    evaluation slice (here a deterministic ~3% carve-out of documents).
+    The benchmark's distinct shingle set broadcasts — eval suites are
+    thousands of docs — so the corpus pays one scan + broadcast-hash
+    join, no corpus shuffle. Returns (doc_id, n_collisions) for
+    contaminated docs; a real pipeline drops them before training."""
+    from ..operators.dedup import ngram_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 29 == 3)
+    corpus = docs.filter(F.col("doc_id") % 29 != 3)
+    return ngram_decontaminate(corpus, bench, n=4).orderBy("doc_id")
