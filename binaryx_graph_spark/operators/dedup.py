@@ -195,6 +195,104 @@ def minhash_near_dup(
     )
 
 
+def minhash_band_index(
+    docs: DataFrame, id_col: str, text_col: str, *, n: int = 3
+) -> DataFrame:
+    """The persisted dedup-index artifact: (doc_id, band_id, band_hash)
+    for a corpus. In production this is written once per corpus snapshot
+    (parquet partitioned/bucketed by band_hash) and every incoming batch
+    joins against it — the corpus text is never re-shingled."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+    ).withColumn("_dg", F.sha2(F.col("sh"), 256))
+    return lsh_bands(sh.groupBy("doc_id").agg(*_sig_aggs()))
+
+
+def incremental_minhash_near_dup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dup: MinHash/LSH pairs that TOUCH the new batch —
+    (new, corpus) and (new, new) pairs only — without re-banding or
+    re-verifying the existing corpus against itself.
+
+    This is the steady-state shape of a production dedup pass: the
+    corpus's band index (:func:`minhash_band_index`) is a precomputed
+    artifact, each incoming batch is banded (O(batch), not O(corpus))
+    and joined against index ∪ own-bands, and the exact-Jaccard verify
+    touches only candidate members' shingles (semi-joined out of the
+    corpus — the corpus is scanned once for the candidates' text, never
+    self-joined).
+
+    Output contract (pinned by tests and the gate oracle): identical to
+    global :func:`minhash_near_dup` over ``new ∪ corpus`` restricted to
+    pairs with at least one new member — banding false-negatives and
+    all.
+    """
+    sh_new = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+    )
+    sh_new = sh_new.localCheckpoint(eager=True)
+    bands_new = lsh_bands(
+        sh_new.withColumn("_dg", F.sha2(F.col("sh"), 256)).groupBy("doc_id").agg(*_sig_aggs())
+    )
+    bands_new = bands_new.localCheckpoint(eager=True)
+    if corpus_bands is None:
+        corpus_bands = minhash_band_index(corpus_docs, id_col, text_col, n=n)
+    bands_all = bands_new.unionByName(corpus_bands)
+    cand = (
+        bands_new.alias("x")
+        .join(bands_all.alias("y"), ["band_id", "band_hash"])
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_a"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    # candidate members' shingles only: new-batch shingles are in hand;
+    # corpus shingles come from ONE semi-joined scan of the matched docs
+    member_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_corpus_cand = corpus_docs.join(
+        member_ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+    )
+    sh = sh_new.unionByName(sh_corpus_cand).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
 def sql_minhash_near_dup(table: str, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.5) -> str:
     sh = sql_shingles(text_col, n)
     sig_cols = ",\n        ".join(

@@ -740,3 +740,34 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 29 == 3)
     corpus = docs.filter(F.col("doc_id") % 29 != 3)
     return ngram_decontaminate(corpus, bench, n=4).orderBy("doc_id")
+
+
+# ------------------------------------------------------ incremental dedup
+
+_MINHASH_GLOBAL = sql_minhash_near_dup("documents", "doc_id", "text", n=3, threshold=0.3)
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    SELECT * FROM ({_MINHASH_GLOBAL})
+    WHERE doc_a % 7 = 0 OR doc_b % 7 = 0
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup",),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: near-dups of an incoming batch (doc_id % 7 = 0)
+    against the standing corpus (the rest) plus within-batch pairs —
+    via the corpus's precomputed MinHash band index, so the corpus is
+    never re-banded or self-joined. Output is pinned equal to GLOBAL
+    MinHash/LSH restricted to pairs touching the batch (the oracle
+    computes exactly that), banding false-negatives and all."""
+    from ..operators.dedup import incremental_minhash_near_dup
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return incremental_minhash_near_dup(
+        new, corpus, "doc_id", "text", n=3, threshold=0.3
+    ).orderBy("doc_a", "doc_b")
