@@ -530,6 +530,85 @@ def cosine_topk_ivf(
     )
 
 
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    query_id_col: str = "query_id",
+    corpus_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Batch k-NN join: for EVERY query vector, the top-k corpus
+    neighbors by cosine → (query_id, vec_id, cos_sim, rank). The
+    retrieval/labeling primitive (RAG indexing, near-dup audit,
+    kNN-classifier labeling) that single-query ANN doesn't cover.
+
+    Plan: the query batch broadcasts (batches are 10²-10⁵ rows; the
+    corpus is the big side), scoring is one projection over
+    corpus × broadcast-queries, and per-query top-k is a window over
+    the scored pairs partitioned by query id. No corpus shuffle until
+    the scored pairs, and those are |corpus|·|batch| only for the EXACT
+    variant — at 100 TB run the same window over IVF/LSH-pruned
+    candidate pairs instead (both prefilters are built here; compose
+    ``ivf_assign``/``sign_bucket`` upstream), which drops the scored
+    set by n_probe/n_centroids while keeping this operator unchanged.
+    Ties break on corpus id (deterministic, oracle-replayable)."""
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    )
+    scored = (
+        corpus.select(F.col(corpus_id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+        .crossJoin(F.broadcast(q))
+    )
+    if exclude_self:
+        # queries drawn from the corpus itself: keep a row out of its
+        # own neighbor list (ids share a namespace then)
+        scored = scored.filter(F.col("vec_id") != F.col("_qid"))
+    scored = scored.select(
+        F.col("_qid").alias(query_id_col),
+        "vec_id",
+        cosine(F.col("_cv"), F.col("_qv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def sql_knn_join(
+    table: str,
+    query_filter: str,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`knn_join` for a query batch carved out of
+    ``table`` by ``query_filter`` (corpus = the full table, query rows
+    excluded from their own neighbor lists by id inequality)."""
+    cos = sql_cosine("c.v", "q.v")
+    return f"""
+    WITH e AS (SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table}),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id IN
+          (SELECT {id_col} FROM {table} WHERE {query_filter})),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {cos} AS cos_sim,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {cos} DESC, c.vec_id) AS rank
+      FROM e c CROSS JOIN q
+      WHERE c.vec_id <> q.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM scored WHERE rank <= {k}
+    """
+
+
 def build_ivf_lists(
     embeddings: DataFrame,
     codebook: dict[int, list[float]],

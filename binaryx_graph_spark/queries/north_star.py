@@ -771,3 +771,33 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_near_dup(
         new, corpus, "doc_id", "text", n=3, threshold=0.3
     ).orderBy("doc_a", "doc_b")
+
+
+# ------------------------------------------------------------- batch kNN
+
+from ..operators.similarity import sql_knn_join as _sql_knn  # noqa: E402
+
+
+@register(
+    "ann_knn_join_batch",
+    oracle=_sql_knn("embeddings", "vec_id % 101 = 5", k=5)
+    + " ORDER BY query_id, rank",
+    tags=("similarity",),
+)
+def ann_knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: top-5 cosine neighbors for EVERY vector in a
+    query batch (a deterministic ~1% slice of embeddings) — the
+    retrieval/labeling primitive single-query ANN doesn't cover. Query
+    batch broadcasts; scoring is one projection; per-query top-k is a
+    window partitioned by query id with id tie-breaks. At scale the
+    same window runs over IVF/LSH-pruned candidates instead of the
+    exact product (prefilters built in operators/similarity.py)."""
+    from ..operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 101 == 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_join(
+        q, emb, k=5, query_id_col="query_id", exclude_self=True
+    ).orderBy("query_id", "rank")

@@ -51,6 +51,10 @@ def audit_plan(name: str, plan: str) -> list[str]:
         # funnel counts, quantile picks) — constant-size build sides
         "ann_cosine_pq",
         "ann_cosine_pq_rerank",
+        # batch kNN: the QUERY BATCH is the broadcast build side (the
+        # corpus is the streamed side) — the intended exact-variant plan;
+        # the scale path swaps in IVF/LSH-pruned candidates upstream
+        "ann_knn_join_batch",
         # vocab coverage: the 1-ROW global token-count total broadcasts
         # onto the cutoff rows (coverage = cum/total) — constant-size
         # build side like the sketch queries
