@@ -315,3 +315,95 @@ def sql_language_id_ngram(col: str) -> str:
         best = f"CASE WHEN {sc} > {best_score} THEN '{lang}' ELSE {best} END"
         best_score = f"CASE WHEN {sc} > {best_score} THEN {sc} ELSE {best_score} END"
     return best
+
+
+def repetition_metrics(
+    docs, id_col: str = "doc_id", text_col: str = "text", *, n_dup: int = 3, n_top: int = 2
+):
+    """Gopher-style repetition metrics — the published "repetition
+    removal" rule family (Rae et al. 2021 §A1.1): documents dominated by
+    repeated n-grams are boilerplate/spam and get filtered before
+    training.
+
+    Per document:
+      - ``n_{n_dup}grams`` / ``n_distinct`` and ``dup_frac`` = fraction
+        of word n-grams that are repeats (1 - distinct/total)
+      - ``top_count`` / ``top_frac`` = share of the single most frequent
+        ``n_top``-gram (computed via explode → per-(doc, gram) count →
+        per-doc max: one shuffle, partial-aggregated, the same shape as
+        vocab building — never a per-row quadratic array scan)
+
+    All counts are exact integers; each fraction is ONE double division
+    of those integers, so both engines agree bit-for-bit.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), n_dup).alias("_g_dup"),
+        shingles(F.col(text_col), n_top).alias("_g_top"),
+    )
+    sizes = base.select(
+        "doc_id",
+        F.size("_g_dup").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("_g_dup")).cast("long").alias("n_distinct"),
+        F.size("_g_top").cast("long").alias("_n_top_grams"),
+    )
+    top = (
+        base.select("doc_id", F.explode("_g_top").alias("_g"))
+        .groupBy("doc_id", "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("doc_id")
+        .agg(F.max("_c").cast("long").alias("top_count"))
+    )
+    return (
+        sizes.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            F.when(
+                F.col("n_grams") > 0,
+                (F.col("n_grams") - F.col("n_distinct")).cast("double") / F.col("n_grams"),
+            ).otherwise(F.lit(0.0)).alias("dup_frac"),
+            F.coalesce(F.col("top_count"), F.lit(0)).cast("long").alias("top_count"),
+            F.when(
+                F.col("_n_top_grams") > 0,
+                F.coalesce(F.col("top_count"), F.lit(0)).cast("double")
+                / F.col("_n_top_grams"),
+            ).otherwise(F.lit(0.0)).alias("top_frac"),
+        )
+    )
+
+
+def sql_repetition_metrics(
+    table: str, id_col: str = "doc_id", text_col: str = "text", *, n_dup: int = 3, n_top: int = 2
+) -> str:
+    """DuckDB twin of :func:`repetition_metrics` — keep in sync."""
+    g_dup = sql_shingles(text_col, n_dup)
+    g_top = sql_shingles(text_col, n_top)
+    return f"""
+    WITH sizes AS (
+      SELECT {id_col} AS doc_id,
+             CAST(len({g_dup}) AS BIGINT) AS n_grams,
+             CAST(len(list_distinct({g_dup})) AS BIGINT) AS n_distinct,
+             CAST(len({g_top}) AS BIGINT) AS n_top_grams
+      FROM {table}
+    ),
+    top AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top_count FROM (
+        SELECT {id_col} AS doc_id, u.g AS g, count(*) AS c
+        FROM {table}, unnest({g_top}) AS u(g)
+        GROUP BY 1, 2
+      ) GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           s.n_grams,
+           s.n_distinct,
+           CASE WHEN s.n_grams > 0
+                THEN CAST(s.n_grams - s.n_distinct AS DOUBLE) / s.n_grams
+                ELSE 0.0 END AS dup_frac,
+           COALESCE(t.top_count, 0) AS top_count,
+           CASE WHEN s.n_top_grams > 0
+                THEN CAST(COALESCE(t.top_count, 0) AS DOUBLE) / s.n_top_grams
+                ELSE 0.0 END AS top_frac
+    FROM sizes s LEFT JOIN top t USING (doc_id)
+    """

@@ -801,3 +801,25 @@ def ann_knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(
         q, emb, k=5, query_id_col="query_id", exclude_self=True
     ).orderBy("query_id", "rank")
+
+
+# -------------------------------------------------- repetition metrics
+
+from ..operators.textstats import sql_repetition_metrics as _sql_rep  # noqa: E402
+
+
+@register(
+    "text_repetition_metrics",
+    oracle=_sql_rep("documents") + " ORDER BY doc_id",
+    tags=("text",),
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-removal metrics (Rae et al. 2021 §A1.1): per
+    document, the fraction of word 3-grams that are repeats and the
+    share of the most frequent 2-gram — the boilerplate/spam signals
+    that complete the Gopher rule family next to text_gopher_rules'
+    length/stopword gates. Integer counts, one double division each."""
+    from ..operators.textstats import repetition_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_metrics(docs).orderBy("doc_id")
