@@ -1,0 +1,46 @@
+"""Batch kNN join edge cases beyond the gate query."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from binaryx_graph_spark.operators.similarity import knn_join
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_knn_k_larger_than_corpus(spark):
+    corpus = _emb(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])])
+    q = _emb(spark, [(10, [1.0, 0.1])]).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = knn_join(q, corpus, k=99).collect()
+    assert len(got) == 3  # whole corpus ranked, no padding
+    assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == [1, 2, 3]
+
+
+def test_knn_exclude_self_and_ranking(spark):
+    corpus = _emb(spark, [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])])
+    q = corpus.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = knn_join(q, corpus, k=2, exclude_self=True).collect()
+    ids = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert ids == [2, 3] and 1 not in ids
+
+
+def test_knn_multiple_queries_are_independent(spark):
+    corpus = _emb(spark, [(i, [float(i), 1.0]) for i in range(1, 6)])
+    q = _emb(spark, [(100, [5.0, 1.0]), (200, [1.0, 1.0])]).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = knn_join(q, corpus, k=1).collect()
+    best = {r["query_id"]: r["vec_id"] for r in got}
+    assert best == {100: 5, 200: 1}
