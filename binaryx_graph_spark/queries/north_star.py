@@ -823,3 +823,25 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return repetition_metrics(docs).orderBy("doc_id")
+
+
+# ------------------------------------------------ streaming incremental dedup
+
+
+@register(
+    "dedup_streaming_incremental",
+    oracle=_MINHASH_GLOBAL + " ORDER BY doc_a, doc_b",
+    tags=("dedup", "streaming"),
+)
+def dedup_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous dedup: the corpus replayed as 3 arriving micro-batches
+    (maxFilesPerTrigger=1, availableNow), each foreachBatch near-dup-
+    checking against the ACCUMULATED band index — the streaming twin of
+    dedup_incremental_batch. The oracle is the GLOBAL batch MinHash/LSH
+    pass: every pair must be discovered exactly once, when its later
+    member arrives, so streaming replay == batch pass bit-for-bit."""
+    from ..streaming.dedup_stream import streaming_incremental_dedup
+
+    return streaming_incremental_dedup(
+        spark, sf_dir, n=3, threshold=0.3, arrival_batches=3
+    ).orderBy("doc_a", "doc_b")
