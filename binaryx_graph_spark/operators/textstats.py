@@ -407,3 +407,73 @@ def sql_repetition_metrics(
                 ELSE 0.0 END AS top_frac
     FROM sizes s LEFT JOIN top t USING (doc_id)
     """
+
+
+def pack_chunks(
+    docs, id_col: str = "doc_id", text_col: str = "text", *, chunk_tokens: int = 512
+):
+    """Concatenate-and-chunk sequence packing — the GPT-style
+    pre-training batching step: documents are laid end-to-end (in
+    deterministic ``id_col`` order) into one token stream that is cut
+    into fixed ``chunk_tokens`` windows. Per document:
+    (doc_id, n_tokens, tok_start, chunk_start, chunk_end, n_chunks) —
+    which training chunks the document's tokens land in (inclusive
+    0-based chunk ids; a document spanning a boundary contributes to
+    both chunks, exactly like the real packer).
+
+    Pure window math: one cumulative sum over the doc order (a single
+    global-window pass over doc-count rows — fine at any scale because
+    the window input is one row PER DOCUMENT, not per token; for
+    corpus-scale packing partition the window by shard and offset by
+    per-shard totals). Empty documents occupy zero tokens and map to a
+    degenerate span (chunk_end < chunk_start)."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    c = int(chunk_tokens)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return (
+        base.withColumn("tok_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "tok_start",
+            F.floor(F.col("tok_start") / c).cast("long").alias("chunk_start"),
+            F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / c).cast("long").alias(
+                "chunk_end"
+            ),
+        )
+        .withColumn(
+            "n_chunks",
+            F.greatest(F.col("chunk_end") - F.col("chunk_start") + 1, F.lit(0)).cast("long"),
+        )
+    )
+
+
+def sql_pack_chunks(
+    table: str, id_col: str = "doc_id", text_col: str = "text", *, chunk_tokens: int = 512
+) -> str:
+    """DuckDB twin of :func:`pack_chunks` — keep in sync."""
+    c = int(chunk_tokens)
+    nt = sql_token_count(text_col)
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS doc_id, CAST({nt} AS BIGINT) AS n_tokens FROM {table}
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tok_start
+      FROM base
+    )
+    SELECT doc_id, n_tokens, tok_start,
+           CAST(floor(tok_start / {c}) AS BIGINT) AS chunk_start,
+           CAST(floor((tok_start + n_tokens - 1) / {c}) AS BIGINT) AS chunk_end,
+           CAST(greatest(floor((tok_start + n_tokens - 1) / {c})
+                         - floor(tok_start / {c}) + 1, 0) AS BIGINT) AS n_chunks
+    FROM cum
+    """

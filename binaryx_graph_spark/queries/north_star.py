@@ -845,3 +845,26 @@ def dedup_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_incremental_dedup(
         spark, sf_dir, n=3, threshold=0.3, arrival_batches=3
     ).orderBy("doc_a", "doc_b")
+
+
+# ------------------------------------------------------- sequence packing
+
+from ..operators.textstats import sql_pack_chunks as _sql_pack  # noqa: E402
+
+
+@register(
+    "pipeline_pack_chunks",
+    oracle=_sql_pack("documents", chunk_tokens=512) + " ORDER BY doc_id",
+    tags=("pipeline", "text"),
+)
+def pipeline_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (the GPT-style pre-training
+    batching step): documents laid end-to-end in doc_id order, cut into
+    512-token chunks; per document the (tok_start, chunk_start,
+    chunk_end, n_chunks) span. One cumulative-sum window over doc-count
+    rows — per-document, not per-token, so the window input stays tiny
+    at any corpus scale (shard + offset at 100 TB)."""
+    from ..operators.textstats import pack_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_chunks(docs, chunk_tokens=512).orderBy("doc_id")
