@@ -442,9 +442,16 @@ def pack_chunks(
             "n_tokens",
             "tok_start",
             F.floor(F.col("tok_start") / c).cast("long").alias("chunk_start"),
-            F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / c).cast("long").alias(
-                "chunk_end"
-            ),
+            # empty docs get the degenerate span (chunk_start - 1):
+            # floor((tok_start-1)/c) only drops below chunk_start when
+            # tok_start happens to sit on a chunk boundary
+            F.when(
+                F.col("n_tokens") > 0,
+                F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / c),
+            )
+            .otherwise(F.floor(F.col("tok_start") / c) - 1)
+            .cast("long")
+            .alias("chunk_end"),
         )
         .withColumn(
             "n_chunks",
@@ -470,10 +477,65 @@ def sql_pack_chunks(
                AS tok_start
       FROM base
     )
-    SELECT doc_id, n_tokens, tok_start,
-           CAST(floor(tok_start / {c}) AS BIGINT) AS chunk_start,
-           CAST(floor((tok_start + n_tokens - 1) / {c}) AS BIGINT) AS chunk_end,
-           CAST(greatest(floor((tok_start + n_tokens - 1) / {c})
-                         - floor(tok_start / {c}) + 1, 0) AS BIGINT) AS n_chunks
-    FROM cum
+    SELECT doc_id, n_tokens, tok_start, chunk_start,
+           chunk_end,
+           CAST(greatest(chunk_end - chunk_start + 1, 0) AS BIGINT) AS n_chunks
+    FROM (
+      SELECT doc_id, n_tokens, tok_start,
+             CAST(floor(tok_start / {c}) AS BIGINT) AS chunk_start,
+             CAST(CASE WHEN n_tokens > 0
+                       THEN floor((tok_start + n_tokens - 1) / {c})
+                       ELSE floor(tok_start / {c}) - 1 END AS BIGINT) AS chunk_end
+      FROM cum
+    )
+    """
+
+
+#: PII patterns — deliberately restricted to regex constructs with
+#: identical semantics in Java (Spark) and RE2-ish (DuckDB) engines:
+#: character classes, bounded repetition, alternation; no lookarounds,
+#: no backreferences, no \b word boundaries.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "ssn_like": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_scan(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """PII scan — the privacy-filtering pass every training pipeline
+    runs before release (C4/Dolma/RefinedWeb all strip or flag these):
+    per-document counts of email / phone / IPv4 / SSN-shaped matches
+    plus the total. Pure projection (regexp_count per pattern inside
+    codegen, no UDF, no shuffle); a real pipeline routes rows with
+    pii_total > 0 to redaction. Patterns are engine-portable by
+    construction (see PII_PATTERNS)."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(rx)).cast("long").alias(f"n_{name}")
+        for name, rx in PII_PATTERNS.items()
+    ]
+    out = docs.select(F.col(id_col).alias("doc_id"), *counts)
+    total = None
+    for name in PII_PATTERNS:
+        col = F.col(f"n_{name}")
+        total = col if total is None else total + col
+    return out.withColumn("pii_total", total.cast("long"))
+
+
+def sql_pii_scan(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`pii_scan` — keep in sync."""
+    cols = ",\n           ".join(
+        f"CAST(len(regexp_extract_all({text_col}, '{rx}')) AS BIGINT) AS n_{name}"
+        for name, rx in PII_PATTERNS.items()
+    )
+    total = " + ".join(f"n_{name}" for name in PII_PATTERNS)
+    return f"""
+    SELECT doc_id, {', '.join('n_' + n for n in PII_PATTERNS)},
+           CAST({total} AS BIGINT) AS pii_total
+    FROM (
+      SELECT {id_col} AS doc_id,
+           {cols}
+      FROM {table}
+    )
     """

@@ -868,3 +868,56 @@ def pipeline_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_chunks(docs, chunk_tokens=512).orderBy("doc_id")
+
+
+# --------------------------------------------------------------- PII scan
+
+from ..operators.textstats import sql_pii_scan as _sql_pii  # noqa: E402
+
+#: deterministic PII planted in a slice of the corpus (testdata has
+#: none) — identical augmentation on both engines, so the scan has
+#: real positives to find
+_PII_AUG_SQL = """
+    SELECT doc_id,
+           text || CASE WHEN doc_id % 50 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com at 10.0.' || CAST(doc_id % 255 AS VARCHAR)
+                             || '.7 or +1-555-123-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                        ELSE '' END AS text
+    FROM documents
+"""
+
+
+@register(
+    "text_pii_scan",
+    oracle=_sql_pii(f"({_PII_AUG_SQL})") + " ORDER BY doc_id",
+    tags=("text", "pipeline"),
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan (the privacy pass C4/Dolma/RefinedWeb run before
+    release): per-document email / phone / IPv4 / SSN-shaped match
+    counts + total, as a pure regexp_count projection — no UDF, no
+    shuffle. Patterns restricted to engine-portable regex constructs.
+    The corpus is synthetically PII-free, so a deterministic slice gets
+    planted contacts (identical expression on both engines) to prove
+    the scan finds real positives."""
+    from ..operators.textstats import pii_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 50 == 0,
+                F.concat(
+                    F.lit(" contact user"), F.col("doc_id").cast("string"),
+                    F.lit("@example.com at 10.0."),
+                    (F.col("doc_id") % 255).cast("string"),
+                    F.lit(".7 or +1-555-123-"),
+                    (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scan(aug).orderBy("doc_id")

@@ -1,0 +1,48 @@
+"""Sequence packing edge cases: boundary straddle, empty docs, totals."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from binaryx_graph_spark.operators.textstats import pack_chunks
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_pack_boundary_straddle_and_empty(spark):
+    # chunk size 4: doc1 has 3 tokens [0,3), doc2 has 3 tokens [3,6) --
+    # straddles the chunk boundary at 4; doc3 empty; doc4 starts at 6
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c"),
+            (2, "d e f"),
+            (3, ""),
+            (4, "g h"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["tok_start"], r["chunk_start"], r["chunk_end"], r["n_chunks"])
+        for r in pack_chunks(docs, chunk_tokens=4).collect()
+    }
+    assert got[1] == (3, 0, 0, 0, 1)
+    assert got[2] == (3, 3, 0, 1, 2)  # straddles chunks 0 and 1
+    assert got[3] == (0, 6, 1, 0, 0)  # empty doc: degenerate span, zero chunks
+    assert got[4] == (2, 6, 1, 1, 1)
+
+
+def test_pack_total_chunks_consistent(spark):
+    docs = _docs(spark, [(i, " ".join(["t"] * 5)) for i in range(1, 21)])  # 100 tokens
+    rows = pack_chunks(docs, chunk_tokens=16).collect()
+    assert max(r["chunk_end"] for r in rows) == (100 - 1) // 16
+    # spans tile the stream: each doc starts where the previous ended
+    ordered = sorted(rows, key=lambda r: r["doc_id"])
+    pos = 0
+    for r in ordered:
+        assert r["tok_start"] == pos
+        pos += r["n_tokens"]
