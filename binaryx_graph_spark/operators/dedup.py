@@ -841,3 +841,79 @@ def sql_ngram_decontaminate(
     FROM dsh d JOIN bench b USING (sh)
     GROUP BY d.doc_id
     """
+
+
+# ------------------------------------------------ leakage-safe splitting
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    train_buckets: int = 8,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Near-dup-aware train/test split: every near-duplicate CLUSTER
+    lands entirely on one side, so a paraphrase of a training document
+    can never leak into the eval split (the standard dataset-hygiene
+    step after near-dup detection).
+
+    ``pairs`` is any near-dup pair set (doc_a, doc_b). Clusters come
+    from :func:`connected_components`; singleton documents are their
+    own cluster. The side is chosen by a sha256 hash of the CLUSTER id
+    (engine-portable, uniform, independent of id assignment order):
+    train iff ``hash % n_buckets < train_buckets``.
+
+    Returns (doc_id, cluster_id, split) — one row per document.
+    """
+    clusters = connected_components(pairs)
+    rep = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.sha2(F.col("cluster_id").cast("string"), 256), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(int(n_buckets)),
+    )
+    return rep.withColumn(
+        "split",
+        F.when(bucket < int(train_buckets), F.lit("train")).otherwise(F.lit("test")),
+    )
+
+
+def sql_leakage_safe_split(
+    table: str,
+    pairs_sql: str,
+    *,
+    id_col: str = "doc_id",
+    train_buckets: int = 8,
+    n_buckets: int = 10,
+) -> str:
+    """DuckDB twin of :func:`leakage_safe_split`: recursive-CTE
+    connected components over ``pairs_sql``, min-member cluster ids,
+    identical sha256 bucket assignment."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT doc_a AS x, doc_b AS y FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(x, y) AS (
+      SELECT x, y FROM edges
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON e.x = r.y
+    ),
+    labels AS (SELECT x AS doc_id, least(x, min(y)) AS cluster_id FROM reach GROUP BY x),
+    rep AS (
+      SELECT d.{id_col} AS doc_id,
+             COALESCE(l.cluster_id, d.{id_col}) AS cluster_id
+      FROM {table} d LEFT JOIN labels l ON l.doc_id = d.{id_col}
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN CAST(('0x' || substr(sha256(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % {int(n_buckets)} < {int(train_buckets)}
+                THEN 'train' ELSE 'test' END AS split
+    FROM rep
+    """

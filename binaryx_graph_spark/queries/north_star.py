@@ -921,3 +921,29 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return pii_scan(aug).orderBy("doc_id")
+
+
+# ---------------------------------------------------- leakage-safe split
+
+from ..operators.dedup import sql_leakage_safe_split as _sql_lss  # noqa: E402
+
+
+@register(
+    "pipeline_leakage_safe_split",
+    oracle=_sql_lss("documents", _MINHASH_GLOBAL) + " ORDER BY doc_id",
+    tags=("pipeline", "dedup"),
+)
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/test split: MinHash near-dup clusters land
+    entirely on one side (split chosen by a sha256 bucket of the
+    CLUSTER id), so paraphrase-level duplicates can never straddle
+    train and eval — the dataset-hygiene step a naive per-document
+    hash split gets wrong. Composition of existing verified operators
+    (minhash_near_dup → connected_components → bucketed assignment);
+    the oracle replays the whole chain including the recursive-CTE
+    closure."""
+    from ..operators.dedup import leakage_safe_split, minhash_near_dup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup(docs, "doc_id", "text", n=3, threshold=0.3)
+    return leakage_safe_split(docs, pairs).orderBy("doc_id")

@@ -48,7 +48,7 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     "fulltext_sample_count", "raw_query_search", "wildcard_search",
     "raw_query_fuzzy", "decontaminate_ngram_overlap", "dedup_incremental_batch",
     "ann_knn_join_batch", "text_repetition_metrics", "dedup_streaming_incremental",
-    "pipeline_pack_chunks", "text_pii_scan",
+    "pipeline_pack_chunks", "text_pii_scan", "pipeline_leakage_safe_split",
     "posting_table_topdf", "mg_string_search", "mg_function_search",
     "mg_string_search_scoped", "stats_approx_distinct", "scope_semi_join",
     "unresolved_anti_join", "table_stats", "distinct_users_per_type",
