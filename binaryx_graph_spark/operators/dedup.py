@@ -516,6 +516,10 @@ def jaccard_pairs_prefix(
     )
     n_docs = doc_arrays.count()
 
+    # candidate key = xxhash64 of the prefix shingle: the equality join
+    # shuffles 8-byte ints instead of shingle strings (~3× fewer bytes);
+    # a 64-bit collision can only ADD a candidate pair, which the exact
+    # verify below culls — the output is provably unchanged
     prefix = doc_arrays.select(
         "doc_id",
         "n_sh",
@@ -526,7 +530,7 @@ def jaccard_pairs_prefix(
                 (F.floor((1 - F.lit(threshold)) * F.col("n_sh")) + 1).cast("int"),
             )
         ).alias("_pos", "sh"),
-    )
+    ).select("doc_id", "n_sh", "_pos", F.xxhash64("sh").alias("shh"))
 
     # length filter rides the equality join: t·|A| ≤ |B| ≤ |A|/t
     # (double×count comparisons only — no division, no rounding hazard)
@@ -547,7 +551,7 @@ def jaccard_pairs_prefix(
     ) >= (F.lit(threshold) / (1 + F.lit(threshold))) * (F.col("x.n_sh") + F.col("y.n_sh"))
     cand = (
         prefix.alias("x")
-        .join(prefix.alias("y"), "sh")
+        .join(prefix.alias("y"), "shh")
         .filter((F.col("x.doc_id") < F.col("y.doc_id")) & len_ok & pos_ok)
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
