@@ -783,6 +783,94 @@ def sql_repeated_spans(
     """
 
 
+# ------------------------------------------------ paragraph-level dedup (C4)
+
+PARA_WORDS = 10  # block width for corpora without explicit separators
+
+
+def paragraph_blocks(col: Column, *, words: int = PARA_WORDS) -> Column:
+    """Segment a text column into ordered pseudo-paragraphs: consecutive
+    ``words``-word blocks. Real corpora would split on ``\\n\\n`` /
+    sentence boundaries instead — the dedup below is agnostic to the
+    segmentation, it only needs an ordered array<string>. An empty text
+    yields one empty block (split('', ' ') = [''] in both engines)."""
+    toks = F.split(col, " ")
+    n_blocks = F.ceil(F.size(toks) / F.lit(words)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.array_join(F.slice(toks, i * words + 1, words), " "),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame, id_col: str, text_col: str, *, words: int = PARA_WORDS
+) -> DataFrame:
+    """C4-style paragraph/line-level dedup: a paragraph that appears in
+    multiple documents is kept only at its globally-first occurrence
+    (min (doc_id, position)); every document is reconstructed from its
+    surviving paragraphs → (doc_id, n_paras, n_kept, cleaned_text).
+
+    Scale design: the keep-decision is a partial-aggregated groupBy on
+    the paragraph (min struct(doc, idx) — map-side combine absorbs
+    hot boilerplate paragraphs, no single-task window partition), then
+    one equi-join back; reconstruction is a per-doc collect_list —
+    bounded by document size, not corpus size. Two shuffles total
+    (paragraph, doc_id), both on uniform-or-AQE-handled keys."""
+    paras = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(paragraph_blocks(F.col(text_col), words=words)).alias("idx", "para"),
+    )
+    owners = paras.groupBy("para").agg(
+        F.min(F.struct("doc_id", "idx")).alias("owner")
+    )
+    kept = (F.col("doc_id") == F.col("owner.doc_id")) & (F.col("idx") == F.col("owner.idx"))
+    return (
+        paras.join(owners, "para")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paras"),
+            F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.when(kept, F.struct("idx", "para")))),
+                    lambda s: s.getField("para"),
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+def sql_paragraph_dedup(
+    table: str, id_col: str, text_col: str, *, words: int = PARA_WORDS
+) -> str:
+    """DuckDB twin of :func:`paragraph_dedup` — same block grid; the
+    keep-first rule is expressed as row_number over (doc, idx) order
+    (equivalent to the min-struct owner)."""
+    w = words
+    return f"""
+    WITH paras AS (
+      SELECT d.doc_id, CAST(u.i AS INTEGER) AS idx,
+             array_to_string(string_split(d.t, ' ')[u.i*{w}+1 : u.i*{w}+{w}], ' ') AS para
+      FROM (SELECT {id_col} AS doc_id, {text_col} AS t FROM {table}) d,
+           unnest(range(0, CAST(ceil(len(string_split(d.t, ' ')) / {w}.0) AS BIGINT))) AS u(i)
+    ),
+    ranked AS (
+      SELECT doc_id, idx, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+      FROM paras
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(
+             array_to_string(list(para ORDER BY idx) FILTER (WHERE rn = 1), ' '),
+             '') AS cleaned_text
+    FROM ranked
+    GROUP BY doc_id
+    """
+
+
 # ------------------------------------------------- benchmark decontamination
 
 def ngram_decontaminate(

@@ -77,9 +77,38 @@ def sql_score(expr: str, tokens: list[str]) -> str:
     return "CAST(" + " + ".join(parts) + " AS DOUBLE)"
 
 
+def score_expr_weighted(col: Column, terms: list[tuple[str, float]]) -> Column:
+    """Boost-aware relevance: Σ weight × occurrence-count. With all
+    weights 1.0 this equals :func:`score_expr`. Terms come from
+    :attr:`RawQueryParser.scoring_terms`."""
+    if not terms:
+        return F.lit(0.0)
+    s = None
+    for term, w in terms:
+        contrib = occurrences(col, term) * F.lit(float(w))
+        s = contrib if s is None else s + contrib
+    return s.cast("double")
+
+
+def sql_score_weighted(expr: str, terms: list[tuple[str, float]]) -> str:
+    """DuckDB twin of :func:`score_expr_weighted` — keep in sync."""
+    if not terms:
+        return "0.0"
+    parts = []
+    for t, w in terms:
+        q = t.lower().replace("'", "''")
+        parts.append(
+            f"((length(lower({expr})) - length(replace(lower({expr}), '{q}', '')))"
+            f" / {len(t)} * {float(w)!r})"
+        )
+    return "CAST(" + " + ".join(parts) + " AS DOUBLE)"
+
+
 # ----------------------------------------------------------------------- T3
 
-_TOKEN_RE = re.compile(r'\s*(\(|\)|AND\b|OR\b|NOT\b|"[^"]*"|[^\s()]+)', re.IGNORECASE)
+_TOKEN_RE = re.compile(
+    r'\s*(\(|\)|AND\b|OR\b|NOT\b|"[^"]*"|[\[{][^\]}]*[\]}]|[^\s()]+)', re.IGNORECASE
+)
 
 
 class RawQueryParser:
@@ -97,6 +126,15 @@ class RawQueryParser:
       Levenshtein N of the term — term-level fuzziness like Lucene's
       (which matches index terms), with the same whitespace tokenizer
       the default query builder uses
+    - ranges ``[a TO b]`` (inclusive), ``{a TO b}`` (exclusive), mixed
+      brackets, ``*`` for an open end: matches when ANY whitespace token
+      of the value falls lexicographically within the range
+      (case-insensitive) — term-level like Lucene's TermRangeQuery
+    - boosts ``term^N`` / ``"phrase"^N`` / ``term~1^N`` (integer or
+      decimal N ≥ 0): matching is unchanged; the boosted term's
+      occurrence count is weighted by N in the relevance score
+      (collected in :attr:`scoring_terms`, consumed by
+      :func:`search_strings`)
     - implicit adjacency = AND
 
     UNSUPPORTED Lucene constructs (the reference passes ``--raw`` straight
@@ -106,8 +144,7 @@ class RawQueryParser:
     - fuzzy distance > 2 or fractional (legacy float fuzziness),
       or fuzzy combined with ``*`` wildcards → ValueError
     - phrase proximity ``"a b"~N``        → ValueError
-    - ranges ``[a TO b]`` / ``{a TO b}``  → ValueError
-    - boosts ``term^4``                   → ValueError
+    - malformed ranges (``[a TO]``, ``[a b]`` with no TO) → ValueError
     - field queries ``field:term`` are NOT treated as field queries:
       this domain's identifiers contain colons (``imp:kernel32:CreateFileA``),
       so a ``:`` term is matched as a literal substring — documented
@@ -120,16 +157,13 @@ class RawQueryParser:
     """
 
     _FUZZY_RE = re.compile(r"^(.+?)~(\d+(\.\d+)?)?$")
-    _RANGE_RE = re.compile(r"[\[{][^\]}]*\sTO\s[^\]}]*[\]}]")
-    _BOOST_RE = re.compile(r".+\^\d+(\.\d+)?$")
+    _RANGE_TOKEN_RE = re.compile(r"^([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$", re.IGNORECASE)
+    _RANGEISH_RE = re.compile(r"^[\[{].*[\]}]$")
+    _BOOST_SPLIT_RE = re.compile(r"^(.+?)\^(\d+(?:\.\d+)?)$")
+    _POSTBOOST_RE = re.compile(r"^\^(\d+(?:\.\d+)?)$")
     _PROXIMITY_RE = re.compile(r'^"[^"]*"~')
 
     def __init__(self, pattern: str):
-        if self._RANGE_RE.search(pattern):
-            raise ValueError(
-                f"unsupported Lucene range syntax in raw query: {pattern!r} "
-                "(supported subset: AND/OR/NOT, parentheses, phrases, * wildcards, term~N fuzzy)"
-            )
         if self._PROXIMITY_RE.search(pattern):
             raise ValueError(
                 f"unsupported Lucene phrase proximity in raw query: {pattern!r} "
@@ -137,15 +171,33 @@ class RawQueryParser:
             )
         self.tokens = [m.group(1) for m in _TOKEN_RE.finditer(pattern)]
         for tok in self.tokens:
-            if tok.startswith('"'):
-                continue  # quoted phrases are literal
-            m = self._FUZZY_RE.match(tok)
-            if m:
-                self._parse_fuzzy(tok)  # validates; raises on bad distance
+            if tok.startswith('"') or self._POSTBOOST_RE.match(tok):
+                continue  # quoted phrases are literal; ^N validated here
+            if self._RANGEISH_RE.match(tok):
+                if " TO " not in tok.upper().replace("\t", " "):
+                    raise ValueError(
+                        f"malformed Lucene range in raw query: {tok!r} "
+                        "(expected [lo TO hi] / {lo TO hi}; * for an open end)"
+                    )
+                if not self._RANGE_TOKEN_RE.match(tok):
+                    raise ValueError(f"malformed Lucene range in raw query: {tok!r}")
                 continue
-            if self._BOOST_RE.match(tok):
-                raise ValueError(f"unsupported Lucene boost in raw query: {tok!r}")
+            base, _w = self._split_boost(tok)
+            if self._FUZZY_RE.match(base):
+                self._parse_fuzzy(base)  # validates; raises on bad distance
+        # (term, weight) pairs collected during parse() for the relevance
+        # score — positive (non-NOT) phrases, plain terms and fuzzy bases;
+        # wildcards and ranges match but do not score (no finite substring).
+        self.scoring_terms: list[tuple[str, float]] = []
         self.pos = 0
+
+    @classmethod
+    def _split_boost(cls, tok: str) -> tuple[str, float]:
+        """``term^N`` → (term, N); no boost → (tok, 1.0)."""
+        m = cls._BOOST_SPLIT_RE.match(tok)
+        if m:
+            return m.group(1), float(m.group(2))
+        return tok, 1.0
 
     @classmethod
     def _parse_fuzzy(cls, tok: str) -> tuple[str, int]:
@@ -179,6 +231,9 @@ class RawQueryParser:
     def parse(self, col: Column) -> Column:
         if not self.tokens:
             return F.lit(True)
+        self.pos = 0
+        self.scoring_terms = []
+        self._neg_depth = 0
         out = self._or(col)
         return out
 
@@ -206,8 +261,28 @@ class RawQueryParser:
         tok = self._peek()
         if tok is not None and tok.upper() == "NOT":
             self._next()
-            return ~self._unary(col)
+            self._neg_depth += 1
+            try:
+                return ~self._unary(col)
+            finally:
+                self._neg_depth -= 1
         return self._primary(col)
+
+    def _score_term(self, text: str, weight: float) -> None:
+        """Record a positive scoring term (negated clauses never score)."""
+        if self._neg_depth % 2 == 0 and text:
+            self.scoring_terms.append((text, weight))
+
+    def _consume_postboost(self) -> float:
+        """Consume a standalone ``^N`` token following a phrase or range
+        (the tokenizer splits ``"a b"^2`` / ``[a TO b]^2`` in two)."""
+        nxt = self._peek()
+        if nxt is not None:
+            m = self._POSTBOOST_RE.match(nxt)
+            if m:
+                self._next()
+                return float(m.group(1))
+        return 1.0
 
     def _primary(self, col: Column) -> Column:
         tok = self._next()
@@ -217,14 +292,28 @@ class RawQueryParser:
                 self._next()
             return inner
         if tok.startswith('"') and tok.endswith('"'):
-            return F.lower(col).contains(tok[1:-1].lower())
+            phrase = tok[1:-1]
+            self._score_term(phrase, self._consume_postboost())
+            return F.lower(col).contains(phrase.lower())
+        m = self._RANGE_TOKEN_RE.match(tok)
+        if m:
+            self._consume_postboost()  # ranges match but do not score
+            lo = None if m.group(2) == "*" else m.group(2)
+            hi = None if m.group(3) == "*" else m.group(3)
+            return range_predicate(
+                col, lo, hi, incl_lo=m.group(1) == "[", incl_hi=m.group(4) == "]"
+            )
+        tok, weight = self._split_boost(tok)
         if self._FUZZY_RE.match(tok):
             base, n = self._parse_fuzzy(tok)
+            self._score_term(base, weight)
             return fuzzy_predicate(col, base, n)
         if "*" in tok:
-            # wildcard term → LIKE with % (escape SQL specials first)
+            # wildcard term → LIKE with % (escape SQL specials first);
+            # matches but does not score (no finite substring to count)
             body = tok.lower().replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
             return F.lower(col).like("%" + body.replace("*", "%") + "%")
+        self._score_term(tok, weight)
         return F.lower(col).contains(tok.lower())
 
 
@@ -247,6 +336,56 @@ def sql_fuzzy(expr: str, term: str, max_dist: int = 2) -> str:
     return (
         f"len(list_filter(string_split(lower({expr}), ' '), "
         f"t -> levenshtein(t, '{t}') <= {int(max_dist)})) > 0"
+    )
+
+
+def range_predicate(
+    col: Column,
+    lo: str | None,
+    hi: str | None,
+    *,
+    incl_lo: bool = True,
+    incl_hi: bool = True,
+) -> Column:
+    """Term-level range match (Lucene TermRangeQuery analog): ANY
+    whitespace token of lower(value) lexicographically within
+    [lo, hi] (case-insensitive; ``None`` = open end). Pure Column —
+    the comparison runs inside codegen per token, no UDF. Single-space
+    split matches :func:`sql_range` exactly."""
+    lo_l = None if lo is None else lo.lower()
+    hi_l = None if hi is None else hi.lower()
+
+    def _in_range(t: Column) -> Column:
+        p = F.lit(True)
+        if lo_l is not None:
+            p = p & ((t >= F.lit(lo_l)) if incl_lo else (t > F.lit(lo_l)))
+        if hi_l is not None:
+            p = p & ((t <= F.lit(hi_l)) if incl_hi else (t < F.lit(hi_l)))
+        return p
+
+    return F.exists(F.split(F.lower(col), " "), _in_range)
+
+
+def sql_range(
+    expr: str,
+    lo: str | None,
+    hi: str | None,
+    *,
+    incl_lo: bool = True,
+    incl_hi: bool = True,
+) -> str:
+    """DuckDB twin of :func:`range_predicate` — keep in sync."""
+    conds = []
+    if lo is not None:
+        q = lo.lower().replace("'", "''")
+        conds.append(f"t {'>=' if incl_lo else '>'} '{q}'")
+    if hi is not None:
+        q = hi.lower().replace("'", "''")
+        conds.append(f"t {'<=' if incl_hi else '<'} '{q}'")
+    body = " AND ".join(conds) if conds else "true"
+    return (
+        f"len(list_filter(string_split(lower({expr}), ' '), "
+        f"t -> {body})) > 0"
     )
 
 
@@ -273,11 +412,13 @@ def search_strings(
     whose hash equals it (needs ``binaries``).
     """
     if raw:
-        pred = raw_query_predicate(F.col("value"), pattern)
-        tokens = [t.strip('"') for t in default_query_tokens(pattern) if t.upper() not in ("AND", "OR", "NOT") and t not in ("(", ")")]
+        parser = RawQueryParser(pattern)
+        pred = parser.parse(F.col("value"))
+        scoring = parser.scoring_terms  # boost-weighted, NOT-clauses excluded
     else:
         tokens = default_query_tokens(pattern)
         pred = tokens_predicate(F.col("value"), tokens)
+        scoring = [(t, 1.0) for t in tokens]
 
     hits = strings.filter(pred)
     cs = contains_string
@@ -291,7 +432,7 @@ def search_strings(
     return (
         joined.groupBy("uid", "value")
         .agg(F.countDistinct("binary_hash").alias("sample_count"))
-        .withColumn("score", score_expr(F.col("value"), tokens))
+        .withColumn("score", score_expr_weighted(F.col("value"), scoring))
         .select("uid", "value", "score", "sample_count")
         .orderBy(F.desc("score"), "uid")
         .limit(limit)

@@ -165,6 +165,72 @@ def sql_bpe_ish_count(col: str) -> str:
     return f"len(regexp_extract_all({col}, '{BPE_ISH_PATTERN}'))"
 
 
+# ---------------------------------------------- BPE merge-step pair counts
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One BPE-training merge step: corpus-weighted frequencies of
+    adjacent symbol pairs inside words → (pair, pair_count, n_words).
+    The highest-count pair is the next merge a BPE tokenizer trainer
+    (Sennrich et al. 2016) would perform.
+
+    Scale design: classic BPE training runs on the WORD-FREQUENCY
+    DICTIONARY, not the raw corpus — the first groupBy collapses 100 TB
+    of text to a vocab-sized table (millions of rows), and the pair
+    explode + second groupBy run on that dictionary. The only
+    corpus-sized operation is the initial word count, a
+    partial-aggregated shuffle on the word."""
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("word_count"))
+    )
+    pairs = words.filter(F.length("word") >= 2).select(
+        "word",
+        "word_count",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.concat(
+                    F.col("word").substr(i, F.lit(1)),
+                    F.lit(" "),
+                    F.col("word").substr(i + F.lit(1), F.lit(1)),
+                ),
+            )
+        ).alias("pair"),
+    )
+    return pairs.groupBy("pair").agg(
+        F.sum("word_count").cast("long").alias("pair_count"),
+        F.countDistinct("word").cast("long").alias("n_words"),
+    )
+
+
+def sql_bpe_pair_counts(table: str, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`bpe_pair_counts` — keep in sync.
+    ``range(1, length(word))`` is end-exclusive = Spark's inclusive
+    ``sequence(1, length-1)``."""
+    toks = SQL_TOKENS.format(col=text_col)
+    return f"""
+    WITH words AS (
+      SELECT word, count(*) AS word_count
+      FROM (SELECT unnest({toks}) AS word FROM {table})
+      GROUP BY word
+    ),
+    pairs AS (
+      SELECT w.word, w.word_count,
+             substr(w.word, CAST(u.i AS INTEGER), 1) || ' ' ||
+             substr(w.word, CAST(u.i AS INTEGER) + 1, 1) AS pair
+      FROM words w, unnest(range(1, length(w.word))) AS u(i)
+      WHERE length(w.word) >= 2
+    )
+    SELECT pair,
+           CAST(sum(word_count) AS BIGINT) AS pair_count,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_words
+    FROM pairs
+    GROUP BY pair
+    """
+
+
 # ------------------------------------------------- unigram LM surprisal
 
 #: fixed-point grid for per-token surprisal bits: quantizing each

@@ -406,6 +406,56 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_spans(docs, "doc_id", "text").orderBy("span_hash")
 
 
+from ..operators.textstats import sql_bpe_pair_counts as _sql_bpc  # noqa: E402
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle=_sql_bpc("documents")
+    + " ORDER BY pair_count DESC, pair LIMIT 30",
+    tags=("text",),
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge step: corpus-weighted adjacent-character
+    pair frequencies inside words, top pairs first — the next merge a
+    BPE tokenizer trainer would perform. The corpus collapses to the
+    word-frequency dictionary in the first partial-aggregated groupBy;
+    the pair explode runs on that vocab-sized table, so the step costs
+    one corpus shuffle however large the corpus."""
+    from ..operators.textstats import bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        bpe_pair_counts(docs)
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(30)
+    )
+
+
+from ..operators.dedup import sql_paragraph_dedup as _sql_pdd  # noqa: E402
+
+
+@register(
+    "dedup_paragraphs",
+    oracle=_sql_pdd("documents", "doc_id", "text") + " ORDER BY doc_id",
+    tags=("dedup", "text"),
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style paragraph-level dedup: paragraphs (10-word blocks here —
+    the segmentation is a parameter; web corpora split on newlines) that
+    repeat across the corpus survive only at their globally-first
+    occurrence, and every document is rebuilt from its surviving
+    paragraphs. The keep-decision is a partial-aggregated min-owner
+    groupBy (hot boilerplate paragraphs combine map-side — no
+    single-task window partition), then one equi-join back: the shape
+    that removes terabytes of repeated boilerplate at 100 TB without a
+    skewed shuffle."""
+    from ..operators.dedup import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return paragraph_dedup(docs, "doc_id", "text").orderBy("doc_id")
+
+
 from ..operators.similarity import sql_semantic_near_dup as _sql_semdd  # noqa: E402
 
 

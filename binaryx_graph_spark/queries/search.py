@@ -12,14 +12,18 @@ from pyspark.sql import functions as F
 
 from ..model import load_table
 from ..operators.search import (
+    RawQueryParser,
     build_posting_table,
     default_query_tokens,
     raw_query_predicate,
     score_expr,
+    score_expr_weighted,
     search_functions,
     search_strings,
     sql_fuzzy,
+    sql_range,
     sql_score,
+    sql_score_weighted,
     tokens_predicate,
 )
 from ..registry import register
@@ -124,6 +128,68 @@ def raw_query_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pred = raw_query_predicate(F.col("text"), "(mergee~1 AND scan) OR vektor~")
     return docs.filter(pred).select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "raw_query_range",
+    oracle=f"""
+    SELECT doc_id
+    FROM documents
+    WHERE ({sql_range('text', 'dup', 'dzz')} AND lower(text) LIKE '%spark%')
+       OR {sql_range('text', 'value', 'vector', incl_lo=False, incl_hi=False)}
+    ORDER BY doc_id
+    """,
+    tags=("search",),
+)
+def raw_query_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 ranges: Lucene ``[lo TO hi]`` / ``{lo TO hi}`` — term-level
+    lexicographic range match (any whitespace token in range), inclusive
+    and exclusive ends, composed with booleans. ``[dup TO dzz]`` reaches
+    the rare 'dup*' tokens; the exclusive ``{value TO vector}`` matches
+    only tokens strictly between — the capability the reference gets from
+    Lucene's TermRangeQuery (query.rs:206-210), as a pure Column
+    predicate over the token array (no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = raw_query_predicate(
+        F.col("text"), "([dup TO dzz] AND spark) OR {value TO vector}"
+    )
+    return docs.filter(pred).select("doc_id").orderBy("doc_id")
+
+
+_BOOST_PATTERN = "dup^5 OR spark"
+
+
+@register(
+    "raw_query_boost",
+    oracle=f"""
+    SELECT doc_id,
+           {sql_score_weighted('text', [('dup', 5.0), ('spark', 1.0)])} AS score
+    FROM documents
+    WHERE lower(text) LIKE '%dup%' OR lower(text) LIKE '%spark%'
+    ORDER BY score DESC, doc_id
+    LIMIT 25
+    """,
+    tags=("search",),
+)
+def raw_query_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 boosts: Lucene ``term^N`` — matching is unchanged, but the
+    boosted term's occurrence count is weighted N× in the relevance
+    score, so 'dup'-heavy documents outrank 'spark'-heavy ones at 5:1
+    (query.rs:206-210 passes boosts to Lucene's scorer; here the
+    deterministic occurrence-count score makes the boost reproducible
+    and oracle-checkable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    parser = RawQueryParser(_BOOST_PATTERN)
+    pred = parser.parse(F.col("text"))
+    return (
+        docs.filter(pred)
+        .select(
+            "doc_id",
+            score_expr_weighted(F.col("text"), parser.scoring_terms).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(25)
+    )
 
 
 @register(

@@ -1,0 +1,69 @@
+"""Paragraph-level dedup edge cases: keep-first rule, reconstruction,
+empty docs, tail blocks shorter than the block width."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from binaryx_graph_spark.operators.dedup import paragraph_blocks, paragraph_dedup
+
+from pyspark.sql import functions as F
+
+
+def test_paragraph_blocks_grid(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, "x")], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["blocks"]
+        for r in df.select(
+            "doc_id", paragraph_blocks(F.col("text"), words=2).alias("blocks")
+        ).collect()
+    }
+    assert got[1] == ["a b", "c d", "e"]  # tail block shorter than width
+    assert got[2] == [""]  # empty text -> one empty block (split('',' ')=[''])
+    assert got[3] == ["x"]
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    # blocks of 2 words; the block "dup dup" appears in docs 1 (idx 1),
+    # 2 (idx 0) and twice in 3 -> survives only at (1, 1).
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb dup dup"),
+            (2, "dup dup cc dd"),
+            (3, "dup dup dup dup"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["cleaned_text"])
+        for r in paragraph_dedup(df, "doc_id", "text", words=2).collect()
+    }
+    assert got[1] == (2, 2, "aa bb dup dup")
+    assert got[2] == (2, 1, "cc dd")
+    assert got[3] == (2, 0, "")
+
+
+def test_paragraph_dedup_within_doc_repeats(spark):
+    # repeats INSIDE one document also collapse to the first position
+    df = spark.createDataFrame([(7, "x y x y x y")], "doc_id bigint, text string")
+    (row,) = paragraph_dedup(df, "doc_id", "text", words=2).collect()
+    assert (row["n_paras"], row["n_kept"], row["cleaned_text"]) == (3, 1, "x y")
+
+
+def test_paragraph_dedup_preserves_order(spark):
+    # surviving paragraphs are rejoined in original position order
+    df = spark.createDataFrame(
+        [(1, "k1 k1 zz zz"), (2, "aa aa k1 k1 bb bb")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in paragraph_dedup(df, "doc_id", "text", words=2).collect()
+    }
+    assert got[1] == "k1 k1 zz zz"
+    assert got[2] == "aa aa bb bb"  # middle block removed, order intact

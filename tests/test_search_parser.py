@@ -84,14 +84,45 @@ def test_raw_query_rejects_unsupported_lucene(spark):
         "roam~3",             # beyond Lucene's edit-distance cap
         "ro*m~",              # fuzzy + wildcard
         '"a b"~5',            # phrase proximity
-        "[alpha TO omega]",
-        "{a TO b}",
-        "term^4",
+        "[alpha TO]",         # malformed range (missing hi)
+        "{a b}",              # malformed range (no TO)
     ]:
         with pytest.raises(ValueError):
             raw_query_predicate(col, bad)
     # quoted phrases keep these characters literal; colon terms are literal substrings
     raw_query_predicate(col, '"version~2" AND imp:kernel32')
+
+
+def test_parser_range_matches_tokens(spark):
+    """[lo TO hi] matches values with a whitespace token in the
+    lexicographic range; {..} ends are exclusive; * = open end."""
+    vals = ["alpha beta dup", "small slow sort", "dupster zebra", "delta"]
+    assert _matches(spark, "[dup TO dzz]", vals) == {"alpha beta dup", "dupster zebra"}
+    assert _matches(spark, "{dup TO dzz}", vals) == {"dupster zebra"}
+    assert _matches(spark, "[* TO beta]", vals) == {"alpha beta dup"}
+    assert _matches(spark, "[t TO *]", vals) == {"dupster zebra"}
+    # mixed brackets: [dup TO dupster} excludes the hi end exactly
+    assert _matches(spark, "[dup TO dupster}", vals) == {"alpha beta dup"}
+    # composes with booleans
+    assert _matches(spark, "[dup TO dzz] AND NOT zebra", vals) == {"alpha beta dup"}
+
+
+def test_parser_boost_matches_and_weights_score(spark):
+    """term^N matches like term; the parser collects boost-weighted
+    scoring terms (negated clauses never score)."""
+    from binaryx_graph_spark.operators.search import RawQueryParser
+    from pyspark.sql import functions as F
+
+    p = RawQueryParser('alpha^2 OR "beta gamma"^3 OR ok~1^4')
+    p.parse(F.col("x"))
+    assert p.scoring_terms == [("alpha", 2.0), ("beta gamma", 3.0), ("ok", 4.0)]
+
+    p2 = RawQueryParser("alpha NOT bad^9")
+    p2.parse(F.col("x"))
+    assert p2.scoring_terms == [("alpha", 1.0)]
+
+    vals = ["alpha beta", "beta gamma", "delta"]
+    assert _matches(spark, "alpha^2 OR delta^0.5", vals) == {"alpha beta", "delta"}
 
 
 def test_parser_fuzzy_matches_close_tokens(spark):
