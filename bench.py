@@ -54,6 +54,9 @@ HEADLINE = [
     # exercises the wide-join and iterative-graph families too
     "q18_large_orders",
     "graph_connected_components",
+    # r3 continuation: paragraph-level keep-first dedup — the newest
+    # dedup family (min-owner groupBy + equi-join, no corpus window)
+    "dedup_paragraphs",
 ]
 
 

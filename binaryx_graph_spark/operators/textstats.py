@@ -231,6 +231,110 @@ def sql_bpe_pair_counts(table: str, text_col: str = "text") -> str:
     """
 
 
+# ------------------------------------------- PMI co-occurrence (top pairs)
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_vocab: int = 1000,
+    min_pair_docs: int = 2,
+) -> DataFrame:
+    """Document-level pointwise mutual information between token pairs:
+    for tokens x < y, how much more often they co-occur in a document
+    than independence predicts → (tok_a, tok_b, c_xy, df_a, df_b,
+    pmi_ppm) where pmi_ppm = ⌊c_xy·N·10⁶ / (df_a·df_b)⌋ — the PMI
+    ratio in parts-per-million, ALL-INTEGER math so Spark and DuckDB
+    agree bit-for-bit (no float log; log is monotone, so ranking by the
+    ratio ranks by PMI). int64 overflow bound: c_xy·N·10⁶ ≤ N²·10⁶ →
+    safe to N ≈ 3×10⁶ docs per corpus slice; shard or drop the ppm
+    scale beyond that.
+
+    Scale design: the quadratic pair step is fenced to the broadcast
+    top-``max_vocab`` vocabulary (pairs/doc ≤ V²/2, independent of
+    corpus size); everything corpus-sized is a partial-aggregated
+    groupBy or a broadcast semi-join. N comes in via a broadcast
+    1-row crossJoin — no driver collect."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "tok")
+        .limit(max_vocab)
+    )
+    tv = toks.join(F.broadcast(vocab.select("tok")), "tok", "left_semi")
+    pairs = (
+        tv.select("doc_id", F.col("tok").alias("tok_a"))
+        .join(tv.select("doc_id", F.col("tok").alias("tok_b")), "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_pair_docs)
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    va = vocab.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.col("df_a").cast("long").alias("df_a"),
+            F.col("df_b").cast("long").alias("df_b"),
+            F.expr("CAST((c_xy * n_docs * 1000000) div (df_a * df_b) AS BIGINT)").alias(
+                "pmi_ppm"
+            ),
+        )
+    )
+
+
+def sql_pmi_pairs(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_vocab: int = 1000,
+    min_pair_docs: int = 2,
+) -> str:
+    """DuckDB twin of :func:`pmi_pairs` — keep in sync (`//` is DuckDB's
+    integer division = Spark's `div`)."""
+    toks = SQL_TOKENS.format(col=text_col)
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS doc_id, unnest(list_distinct({toks})) AS tok FROM {table}
+    ),
+    vocab AS (
+      SELECT tok, count(*) AS df FROM toks GROUP BY tok
+      ORDER BY df DESC, tok LIMIT {max_vocab}
+    ),
+    tv AS (SELECT t.doc_id, t.tok FROM toks t JOIN vocab v USING (tok)),
+    n AS (SELECT count(*) AS n_docs FROM {table}),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS c_xy
+      FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2
+      HAVING count(*) >= {min_pair_docs}
+    )
+    SELECT p.tok_a, p.tok_b,
+           CAST(p.c_xy AS BIGINT) AS c_xy,
+           CAST(va.df AS BIGINT) AS df_a,
+           CAST(vb.df AS BIGINT) AS df_b,
+           CAST((p.c_xy * n.n_docs * 1000000) // (va.df * vb.df) AS BIGINT) AS pmi_ppm
+    FROM pairs p
+    JOIN vocab va ON va.tok = p.tok_a
+    JOIN vocab vb ON vb.tok = p.tok_b
+    CROSS JOIN n
+    """
+
+
 # ------------------------------------------------- unigram LM surprisal
 
 #: fixed-point grid for per-token surprisal bits: quantizing each

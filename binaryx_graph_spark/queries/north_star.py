@@ -432,6 +432,32 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.textstats import sql_pmi_pairs as _sql_pmi  # noqa: E402
+
+
+@register(
+    "text_pmi_cooccurrence",
+    oracle=_sql_pmi("documents")
+    + " ORDER BY pmi_ppm DESC, tok_a, tok_b LIMIT 40",
+    tags=("text",),
+)
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level PMI between token pairs (collocation mining / the
+    word2vec-era PMI matrix primitive), ranked by the all-integer PMI
+    ratio in ppm — log is monotone so no float log is needed and both
+    engines agree bit-for-bit. The quadratic pair step is fenced to the
+    broadcast top-vocab; corpus-sized work is one distinct-token explode
+    plus partial-aggregated counts."""
+    from ..operators.textstats import pmi_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        pmi_pairs(docs)
+        .orderBy(F.desc("pmi_ppm"), "tok_a", "tok_b")
+        .limit(40)
+    )
+
+
 from ..operators.dedup import sql_paragraph_dedup as _sql_pdd  # noqa: E402
 
 

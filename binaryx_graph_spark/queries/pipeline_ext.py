@@ -767,3 +767,118 @@ def arrow_python_udf_langlen(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("_c.length_class").alias("length_class"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture resampling (temperature-weighted, deterministic)
+# ---------------------------------------------------------------------------
+
+#: exact integer sqrt — floor(sqrt(n)) with a ±1 correction so a 1-ulp
+#: double-sqrt difference between engines can never flip the result
+#: (the same defensive pattern as the quantized idf/surprisal math).
+#: Valid syntax in BOTH Spark SQL and DuckDB.
+_ISQRT = (
+    "CASE"
+    " WHEN (CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT) + 1)"
+    "      * (CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT) + 1) <= {n}"
+    " THEN CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT) + 1"
+    " WHEN CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT)"
+    "      * CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT) > {n}"
+    " THEN CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT) - 1"
+    " ELSE CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT) END"
+)
+
+_MIX_TARGET = 100  # total docs the resampled mixture should contain
+
+
+@register(
+    "pipeline_domain_mixture",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    wts AS (
+      SELECT source, n_docs, {_ISQRT.format(n="n_docs")} AS weight FROM counts
+    ),
+    tot AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM wts),
+    alloc AS (
+      SELECT source, n_docs, weight,
+             CAST(({_MIX_TARGET} * weight) // t.w_total AS BIGINT) AS m_target
+      FROM wts CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT d.source, d.doc_id,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY sha256(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+      FROM documents d
+    ),
+    sel AS (
+      SELECT r.source, count(*) AS n_selected, sum(r.doc_id) AS id_digest
+      FROM ranked r JOIN alloc a USING (source)
+      WHERE r.rk <= a.m_target
+      GROUP BY r.source
+    )
+    SELECT a.source,
+           CAST(a.n_docs AS BIGINT) AS n_docs,
+           CAST(a.weight AS BIGINT) AS weight,
+           a.m_target,
+           CAST(coalesce(s.n_selected, 0) AS BIGINT) AS n_selected,
+           CAST(coalesce(s.id_digest, 0) AS BIGINT) AS id_digest
+    FROM alloc a LEFT JOIN sel s USING (source)
+    ORDER BY a.source
+    """,
+    tags=("pipeline",),
+)
+def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixture (the multilingual/domain
+    resampling scheme from XLM/mT5-style pipelines, T = 2 i.e.
+    weight ∝ √n): per-source doc counts → exact-integer isqrt weights →
+    largest-share integer allocation of a fixed sample budget → a
+    deterministic per-source hash-ordered pick of exactly that many
+    docs. Output is the allocation table plus the selected-id digest,
+    so the gate pins BOTH the arithmetic and the selection.
+
+    Scale notes: every corpus-sized step is a partial-aggregated groupBy;
+    the per-source rank window sorts only within a source — with few,
+    huge sources, replace it with a 256-bucket hash-histogram cutoff
+    (two aggregation passes, no per-source sort); the allocation table
+    is dimension-sized and broadcast. No float transcendental crosses
+    an engine boundary (isqrt carries a ±1 exactness correction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    wts = counts.withColumn("weight", F.expr(_ISQRT.format(n="n_docs")))
+    tot = wts.agg(F.sum("weight").cast("long").alias("w_total"))
+    alloc = wts.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "weight",
+        F.expr(f"CAST(({_MIX_TARGET} * weight) div w_total AS BIGINT)").alias("m_target"),
+    )
+    ranked = docs.select(
+        "source", "doc_id",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.sha2(F.col("doc_id").cast("string"), 256), "doc_id"
+            )
+        ).alias("rk"),
+    )
+    sel = (
+        ranked.join(F.broadcast(alloc.select("source", "m_target")), "source")
+        .filter(F.col("rk") <= F.col("m_target"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("doc_id").alias("id_digest"),
+        )
+    )
+    return (
+        alloc.join(sel, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("weight").cast("long").alias("weight"),
+            "m_target",
+            F.coalesce(F.col("n_selected"), F.lit(0)).cast("long").alias("n_selected"),
+            F.coalesce(F.col("id_digest"), F.lit(0)).cast("long").alias("id_digest"),
+        )
+        .orderBy("source")
+    )

@@ -71,6 +71,13 @@ def audit_plan(name: str, plan: str) -> list[str]:
         # probe scan — a broadcast NLJ IS the right plan for a range
         # join against a dimension-sized interval table
         "range_join_daily_windows",
+        # domain mixture: the 1-ROW Σweight total broadcasts onto the
+        # source-count dimension (allocation = share of the global
+        # weight sum) — same constant-size build side as the sketches
+        "pipeline_domain_mixture",
+        # PMI: the 1-ROW corpus doc count broadcasts onto the pair
+        # frame (ratio needs the global N) — constant-size build side
+        "text_pmi_cooccurrence",
     ):
         flags.append("BroadcastNestedLoopJoin (non-equi join leaked in)")
     # wide-scan check: count FIELDS in each ReadSchema struct (a field is
@@ -93,13 +100,25 @@ def audit_plan(name: str, plan: str) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
     reg = load_all()
-    wanted = [a for a in sys.argv[1:] if not os.path.isdir(a)] or sorted(reg)
+    subset = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+    wanted = subset or sorted(reg)
     spark = get_spark("plan-audit")
     # un-truncated plan strings: a truncated ReadSchema loses its closing
     # '>' and makes the wide-scan regex span several scans (false 27-col
     # "wide scan" on perfectly pruned plans)
     spark.conf.set("spark.sql.debug.maxToStringFields", "2000")
-    sections = []
+    sections: dict[str, str] = {}
+    plans_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+    )
+    if subset and os.path.exists(plans_path):
+        # subset run: merge into the existing audit instead of clobbering
+        # the other queries' sections
+        with open(plans_path, encoding="utf-8", errors="replace") as f:
+            body = f.read()
+        for chunk in body.split("\n## ")[1:]:
+            n = chunk.split("\n", 1)[0].strip()
+            sections[n] = "## " + chunk.rstrip("\n") + "\n"
     any_flags = False
     for name in wanted:
         q = reg[name]
@@ -109,9 +128,12 @@ def main() -> int:
         any_flags |= bool(flags)
         status = "⚠ " + "; ".join(flags) if flags else "clean"
         print(f"{name}: {status}")
-        sections.append(f"## {name}\n\nstatus: {status}\n\n```\n{plan[:4000]}\n```\n")
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
-        f.write("# Physical-plan audit (generated by tools/explain_audit.py)\n\n" + "\n".join(sections))
+        sections[name] = f"## {name}\n\nstatus: {status}\n\n```\n{plan[:4000]}\n```\n"
+    with open(plans_path, "w") as f:
+        f.write(
+            "# Physical-plan audit (generated by tools/explain_audit.py)\n\n"
+            + "\n".join(sections[n] for n in sorted(sections))
+        )
     spark.stop()
     return 1 if any_flags else 0
 
