@@ -135,6 +135,11 @@ class RawQueryParser:
       occurrence count is weighted by N in the relevance score
       (collected in :attr:`scoring_terms`, consumed by
       :func:`search_strings`)
+    - phrase proximity ``"a b"~N`` (integer N): all phrase terms within
+      a window of ``len(terms) + N`` tokens, ANY order — the unordered
+      approximation of Lucene's sloppy PhraseQuery (which charges
+      edit-distance moves, so ``"b a"`` costs 2 under Lucene but 0
+      here; documented divergence). Composable with ``^W`` boosts.
     - implicit adjacency = AND
 
     UNSUPPORTED Lucene constructs (the reference passes ``--raw`` straight
@@ -143,7 +148,8 @@ class RawQueryParser:
 
     - fuzzy distance > 2 or fractional (legacy float fuzziness),
       or fuzzy combined with ``*`` wildcards → ValueError
-    - phrase proximity ``"a b"~N``        → ValueError
+    - non-integer / bare phrase proximity (``"a b"~``, ``"a b"~1.5``)
+      and other ``~``-leading standalone tokens → ValueError
     - malformed ranges (``[a TO]``, ``[a b]`` with no TO) → ValueError
     - field queries ``field:term`` are NOT treated as field queries:
       this domain's identifiers contain colons (``imp:kernel32:CreateFileA``),
@@ -161,18 +167,24 @@ class RawQueryParser:
     _RANGEISH_RE = re.compile(r"^[\[{].*[\]}]$")
     _BOOST_SPLIT_RE = re.compile(r"^(.+?)\^(\d+(?:\.\d+)?)$")
     _POSTBOOST_RE = re.compile(r"^\^(\d+(?:\.\d+)?)$")
-    _PROXIMITY_RE = re.compile(r'^"[^"]*"~')
+    _POSTPROX_RE = re.compile(r"^~(\d+)$")
 
     def __init__(self, pattern: str):
-        if self._PROXIMITY_RE.search(pattern):
-            raise ValueError(
-                f"unsupported Lucene phrase proximity in raw query: {pattern!r} "
-                "(fuzzy ~ applies to single terms only)"
-            )
         self.tokens = [m.group(1) for m in _TOKEN_RE.finditer(pattern)]
         for tok in self.tokens:
             if tok.startswith('"') or self._POSTBOOST_RE.match(tok):
                 continue  # quoted phrases are literal; ^N validated here
+            if tok.startswith("~"):
+                # standalone ~N = phrase-proximity modifier (context
+                # checked at parse time); anything else ~-leading is
+                # reserved and fails loudly ("a b"~ bare, ~1.5, ~foo)
+                base, _w = self._split_boost(tok)
+                if not self._POSTPROX_RE.match(base):
+                    raise ValueError(
+                        f"unsupported proximity modifier in raw query: {tok!r} "
+                        '(use "a b"~N with integer N)'
+                    )
+                continue
             if self._RANGEISH_RE.match(tok):
                 if " TO " not in tok.upper().replace("\t", " "):
                     raise ValueError(
@@ -284,6 +296,27 @@ class RawQueryParser:
                 return float(m.group(1))
         return 1.0
 
+    def _consume_phrase_mods(self) -> tuple[int | None, float]:
+        """After a quoted phrase: optional ``~N`` proximity and ``^W``
+        boost (the tokenizer splits them off) → (slop or None, weight)."""
+        nxt = self._peek()
+        if nxt is None:
+            return None, 1.0
+        m = self._POSTBOOST_RE.match(nxt)
+        if m:
+            self._next()
+            return None, float(m.group(1))
+        if nxt.startswith("~"):
+            base, w = self._split_boost(nxt)  # "~2^3" → ("~2", 3.0)
+            m2 = self._POSTPROX_RE.match(base)
+            if not m2:  # unreachable: __init__ validated ~-leading tokens
+                raise ValueError(f"unsupported proximity modifier: {nxt!r}")
+            self._next()
+            if w == 1.0:
+                w = self._consume_postboost()  # '"a b"~2 ^3' spaced form
+            return int(m2.group(1)), w
+        return None, 1.0
+
     def _primary(self, col: Column) -> Column:
         tok = self._next()
         if tok == "(":
@@ -293,8 +326,16 @@ class RawQueryParser:
             return inner
         if tok.startswith('"') and tok.endswith('"'):
             phrase = tok[1:-1]
-            self._score_term(phrase, self._consume_postboost())
-            return F.lower(col).contains(phrase.lower())
+            slop, weight = self._consume_phrase_mods()
+            if slop is None:
+                self._score_term(phrase, weight)
+                return F.lower(col).contains(phrase.lower())
+            terms = [t for t in phrase.lower().split() if t]
+            for t in terms:
+                self._score_term(t, weight)
+            if not terms:
+                return F.lit(True)
+            return proximity_predicate(col, terms, slop)
         m = self._RANGE_TOKEN_RE.match(tok)
         if m:
             self._consume_postboost()  # ranges match but do not score
@@ -337,6 +378,56 @@ def sql_fuzzy(expr: str, term: str, max_dist: int = 2) -> str:
         f"len(list_filter(string_split(lower({expr}), ' '), "
         f"t -> levenshtein(t, '{t}') <= {int(max_dist)})) > 0"
     )
+
+
+def proximity_predicate(col: Column, phrase_terms: list[str], slop: int) -> Column:
+    """Phrase proximity ``"a b"~N``: all phrase terms occur (in any
+    order) within a window of ``len(terms) + N`` whitespace tokens.
+    Documented divergence from Lucene's sloppy PhraseQuery: Lucene
+    charges edit-distance moves (order matters, a transposition costs
+    2); the unordered window is the standard approximation and is
+    engine-portable. Pure Column — nested codegen lambdas over the
+    token array, no UDF; O(n_tokens × k × window) comparisons."""
+    k = len(phrase_terms)
+    w = k + int(slop)
+    toks = F.split(F.lower(col), " ")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)))
+
+    def _window_has_all(s: Column) -> Column:
+        win = F.slice(toks, s + 1, w)
+        pred = F.lit(True)
+        for t in phrase_terms:
+            pred = pred & F.array_contains(win, t.lower())
+        return pred
+
+    # cheap containment pre-gate: AND short-circuits in codegen, so the
+    # O(n_tokens × k × window) window scan only runs on documents that
+    # contain every term at all (necessary condition, ~5× cheaper filter)
+    gate = F.lit(True)
+    for t in phrase_terms:
+        gate = gate & F.array_contains(toks, t.lower())
+    return gate & F.exists(starts, _window_has_all)
+
+
+def sql_proximity(expr: str, phrase_terms: list[str], slop: int) -> str:
+    """DuckDB twin of :func:`proximity_predicate` — keep in sync.
+    ``list_slice`` clips at the array end exactly like Spark's
+    ``slice``; ``range(0, n)`` is end-exclusive = Spark's inclusive
+    ``sequence(0, n-1)``."""
+    k = len(phrase_terms)
+    w = k + int(slop)
+    toks = f"string_split(lower({expr}), ' ')"
+    conds = " AND ".join(
+        "list_contains(list_slice({toks}, s+1, s+{w}), '{t}')".format(
+            toks=toks, w=w, t=t.lower().replace("'", "''")
+        )
+        for t in phrase_terms
+    )
+    gate = " AND ".join(
+        "list_contains({toks}, '{t}')".format(toks=toks, t=t.lower().replace("'", "''"))
+        for t in phrase_terms
+    )
+    return f"({gate} AND len(list_filter(range(0, len({toks})), s -> {conds})) > 0)"
 
 
 def range_predicate(

@@ -21,6 +21,7 @@ from ..operators.search import (
     search_functions,
     search_strings,
     sql_fuzzy,
+    sql_proximity,
     sql_range,
     sql_score,
     sql_score_weighted,
@@ -152,6 +153,31 @@ def raw_query_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pred = raw_query_predicate(
         F.col("text"), "([dup TO dzz] AND spark) OR {value TO vector}"
+    )
+    return docs.filter(pred).select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "raw_query_proximity",
+    oracle=f"""
+    SELECT doc_id
+    FROM documents
+    WHERE ({sql_proximity('text', ['dup', 'merge'], 3)})
+       OR ({sql_proximity('text', ['spark', 'scan'], 0)} AND NOT lower(text) LIKE '%window%')
+    ORDER BY doc_id
+    """,
+    tags=("search",),
+)
+def raw_query_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 proximity: Lucene ``"a b"~N`` — all phrase terms within a
+    window of len+N tokens (unordered approximation of the sloppy
+    PhraseQuery, documented divergence on ordering), composed with
+    booleans. The whole raw Lucene core syntax — booleans, phrases,
+    wildcards, fuzzy, ranges, boosts, proximity — now compiles to
+    Catalyst predicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = raw_query_predicate(
+        F.col("text"), '"dup merge"~3 OR ("spark scan"~0 NOT window)'
     )
     return docs.filter(pred).select("doc_id").orderBy("doc_id")
 

@@ -83,7 +83,9 @@ def test_raw_query_rejects_unsupported_lucene(spark):
         "price~0.8",          # legacy fractional fuzziness
         "roam~3",             # beyond Lucene's edit-distance cap
         "ro*m~",              # fuzzy + wildcard
-        '"a b"~5',            # phrase proximity
+        '"a b"~',             # bare phrase proximity (no distance)
+        '"a b"~1.5',          # fractional phrase proximity
+        "~foo",               # reserved ~-leading standalone token
         "[alpha TO]",         # malformed range (missing hi)
         "{a b}",              # malformed range (no TO)
     ]:
@@ -105,6 +107,26 @@ def test_parser_range_matches_tokens(spark):
     assert _matches(spark, "[dup TO dupster}", vals) == {"alpha beta dup"}
     # composes with booleans
     assert _matches(spark, "[dup TO dzz] AND NOT zebra", vals) == {"alpha beta dup"}
+
+
+def test_parser_proximity_window(spark):
+    """\"a b\"~N: all phrase terms within a window of len+N tokens,
+    any order (unordered sloppy-phrase approximation)."""
+    vals = ["alpha beta g", "alpha x beta", "alpha x y z beta", "beta alpha", "alpha"]
+    assert _matches(spark, '"alpha beta"~0', vals) == {"alpha beta g", "beta alpha"}
+    assert _matches(spark, '"alpha beta"~1', vals) == {
+        "alpha beta g", "alpha x beta", "beta alpha"
+    }
+    assert _matches(spark, '"alpha beta"~3', vals) == {
+        "alpha beta g", "alpha x beta", "alpha x y z beta", "beta alpha"
+    }
+    # composes with booleans; scoring terms are the phrase terms
+    from binaryx_graph_spark.operators.search import RawQueryParser
+    from pyspark.sql import functions as F
+
+    p = RawQueryParser('"alpha beta"~2^3 AND g')
+    p.parse(F.col("x"))
+    assert p.scoring_terms == [("alpha", 3.0), ("beta", 3.0), ("g", 1.0)]
 
 
 def test_parser_boost_matches_and_weights_score(spark):
