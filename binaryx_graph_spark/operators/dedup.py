@@ -788,18 +788,27 @@ def sql_repeated_spans(
 PARA_WORDS = 10  # block width for corpora without explicit separators
 
 
-def paragraph_blocks(col: Column, *, words: int = PARA_WORDS) -> Column:
-    """Segment a text column into ordered pseudo-paragraphs: consecutive
-    ``words``-word blocks. Real corpora would split on ``\\n\\n`` /
-    sentence boundaries instead — the dedup below is agnostic to the
-    segmentation, it only needs an ordered array<string>. An empty text
-    yields one empty block (split('', ' ') = [''] in both engines)."""
-    toks = F.split(col, " ")
+def paragraph_blocks_arr(toks: Column, *, words: int = PARA_WORDS) -> Column:
+    """Pseudo-paragraph blocks from an ALREADY-SPLIT token array column.
+    Materialize the split through a projection first: lambdas re-evaluate
+    captured expressions per element (no CSE across the lambda boundary),
+    so passing ``split(text)`` directly re-splits per block."""
     n_blocks = F.ceil(F.size(toks) / F.lit(words)).cast("int")
     return F.transform(
         F.sequence(F.lit(0), n_blocks - 1),
         lambda i: F.array_join(F.slice(toks, i * words + 1, words), " "),
     )
+
+
+def paragraph_blocks(col: Column, *, words: int = PARA_WORDS) -> Column:
+    """Segment a text column into ordered pseudo-paragraphs: consecutive
+    ``words``-word blocks. Real corpora would split on ``\\n\\n`` /
+    sentence boundaries instead — the dedup below is agnostic to the
+    segmentation, it only needs an ordered array<string>. An empty text
+    yields one empty block (split('', ' ') = [''] in both engines).
+    Convenience wrapper; hot paths project the split first and use
+    :func:`paragraph_blocks_arr`."""
+    return paragraph_blocks_arr(F.split(col, " "), words=words)
 
 
 def paragraph_dedup(
@@ -816,9 +825,15 @@ def paragraph_dedup(
     one equi-join back; reconstruction is a per-doc collect_list —
     bounded by document size, not corpus size. Two shuffles total
     (paragraph, doc_id), both on uniform-or-AQE-handled keys."""
-    paras = df.select(
+    toked = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(paragraph_blocks(F.col(text_col), words=words)).alias("idx", "para"),
+        F.split(F.col(text_col), " ").alias("_toks"),  # materialize once
+    )
+    paras = toked.select(
+        "doc_id",
+        F.posexplode(paragraph_blocks_arr(F.col("_toks"), words=words)).alias(
+            "idx", "para"
+        ),
     )
     owners = paras.groupBy("para").agg(
         F.min(F.struct("doc_id", "idx")).alias("owner")

@@ -335,6 +335,173 @@ def sql_pmi_pairs(
     """
 
 
+# ----------------------------------- DSIR importance weights (data selection)
+
+DSIR_SCALE = 1 << 12
+DSIR_BUCKETS = 256
+
+_HEX = "0123456789abcdef"
+
+
+def word_bigrams_arr(t: Column) -> Column:
+    """Adjacent word bigrams from an ALREADY-TOKENIZED array column.
+    Take the tokens through a projection first: Catalyst does not
+    common-subexpression-eliminate inside lambda bodies, so passing
+    ``tokens(text)`` directly re-splits the text per element —
+    O(words²) per document (measured 6× slower at sf0.1)."""
+    return F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_bigrams(col: Column) -> Column:
+    """Adjacent word bigrams ("a b") — the hashed n-gram feature unit.
+    Convenience wrapper for tests/small frames; hot paths should
+    project :func:`tokens` first and use :func:`word_bigrams_arr`."""
+    return word_bigrams_arr(tokens(col))
+
+
+def sql_word_bigrams(col: str) -> str:
+    """DuckDB twin of :func:`word_bigrams` (range is end-exclusive =
+    sequence's inclusive stop-1; both engines' list index is 1-based)."""
+    toks = SQL_TOKENS.format(col=col)
+    return (
+        f"CASE WHEN len({toks}) >= 2 THEN "
+        f"list_transform(range(1, len({toks})), i -> {toks}[i] || ' ' || {toks}[i+1]) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+def feature_bucket(col: Column, buckets: int = DSIR_BUCKETS) -> Column:
+    """Hashed-feature bucket: first 16 bits of sha256(feature) mod B."""
+    h4 = F.substring(F.sha2(col, 256), 1, 4)
+    return F.conv(h4, 16, 10).cast("long") % buckets
+
+
+def sql_feature_bucket(expr: str, buckets: int = DSIR_BUCKETS) -> str:
+    """DuckDB twin of :func:`feature_bucket` (positional hex, no conv)."""
+    h = f"sha256({expr})"
+    val = " + ".join(
+        f"(strpos('{_HEX}', substr({h}, {i}, 1)) - 1) * {16 ** (4 - i)}"
+        for i in range(1, 5)
+    )
+    return f"(({val}) % {buckets})"
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed-bigram features are,
+    log p_target(x) − log p_raw(x) under bucketed unigram feature LMs
+    with Laplace smoothing → (doc_id, is_target, n_features,
+    dsir_weight_q). Resampling = take the top-weight raw docs.
+
+    Scale design: features hash into ``buckets`` cells, so the two
+    feature LMs are a BUCKETS-row table however large the corpus — the
+    per-bucket λ = ⌊(log2((c_p+1)/(n_p+B)) − log2((c_q+1)/(n_q+B)))
+    · 2¹²⌋ is computed once on the driver with libm ``math.log2``
+    (the same collect-tiny-then-broadcast shape as the surprisal vocab;
+    the DuckDB twin's ``log2`` is the same shared libm) and
+    broadcast-joined back for the per-doc exact int64 sum."""
+    import math
+
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.cast("int").alias("is_target"),
+        tokens(F.col(text_col)).alias("_toks"),  # materialize once (see word_bigrams_arr)
+    )
+    feats = toked.select(
+        "doc_id",
+        "is_target",
+        F.explode(word_bigrams_arr(F.col("_toks"))).alias("f"),
+    ).withColumn("b", feature_bucket(F.col("f"), buckets))
+    cnt = feats.groupBy("b").agg(
+        F.sum("is_target").alias("c_p"), F.count(F.lit(1)).alias("c_q")
+    )
+    rows = cnt.collect()  # ≤ `buckets` rows — dimension-sized by design
+    n_p = sum(r["c_p"] for r in rows)
+    n_q = sum(r["c_q"] for r in rows)
+    lam_rows = [
+        (
+            r["b"],
+            int(
+                math.floor(
+                    (
+                        math.log2((r["c_p"] + 1) / (n_p + buckets))
+                        - math.log2((r["c_q"] + 1) / (n_q + buckets))
+                    )
+                    * DSIR_SCALE
+                    + 0.5
+                )
+            ),
+        )
+        for r in rows
+    ]
+    lam = docs.sparkSession.createDataFrame(lam_rows, "b long, lam long")
+    return (
+        feats.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "is_target")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_features"),
+            F.sum("lam").cast("long").alias("dsir_weight_q"),
+        )
+        .select("doc_id", F.col("is_target").cast("long").alias("is_target"),
+                "n_features", "dsir_weight_q")
+    )
+
+
+def sql_dsir_weights(
+    table: str,
+    target_pred_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    buckets: int = DSIR_BUCKETS,
+) -> str:
+    """DuckDB twin of :func:`dsir_weights` — identical features, buckets,
+    smoothing, quantization and rounding; log2 is the shared libm."""
+    return f"""
+    WITH feats AS (
+      SELECT {id_col} AS doc_id,
+             CASE WHEN {target_pred_sql} THEN 1 ELSE 0 END AS is_target,
+             {sql_feature_bucket("f.f", buckets)} AS b
+      FROM {table}, unnest({sql_word_bigrams(text_col)}) AS f(f)
+    ),
+    cnt AS (
+      SELECT b, CAST(sum(is_target) AS BIGINT) AS c_p, count(*) AS c_q
+      FROM feats GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(sum(c_p) AS BIGINT) AS n_p, CAST(sum(c_q) AS BIGINT) AS n_q
+      FROM cnt
+    ),
+    lam AS (
+      SELECT b,
+             CAST(floor((log2((c_p + 1) / CAST(n_p + {buckets} AS DOUBLE))
+                         - log2((c_q + 1) / CAST(n_q + {buckets} AS DOUBLE)))
+                        * {float(DSIR_SCALE)} + 0.5) AS BIGINT) AS lam
+      FROM cnt, tot
+    )
+    SELECT f.doc_id,
+           CAST(f.is_target AS BIGINT) AS is_target,
+           CAST(count(*) AS BIGINT) AS n_features,
+           CAST(sum(l.lam) AS BIGINT) AS dsir_weight_q
+    FROM feats f JOIN lam l USING (b)
+    GROUP BY f.doc_id, f.is_target
+    """
+
+
 # ------------------------------------------------- unigram LM surprisal
 
 #: fixed-point grid for per-token surprisal bits: quantizing each

@@ -432,6 +432,33 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.textstats import sql_dsir_weights as _sql_dsir  # noqa: E402
+
+
+@register(
+    "pipeline_dsir_weights",
+    oracle=_sql_dsir("documents", "source = 'src18'")
+    + " ORDER BY dsir_weight_q DESC, doc_id LIMIT 50",
+    tags=("pipeline", "text"),
+)
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): rank raw documents by
+    log p_target − log p_raw under hashed-bigram bucket LMs (target =
+    the src18 slice standing in for 'high-quality domain'). The feature
+    LMs collapse to a 256-row bucket table whatever the corpus size;
+    per-bucket λ is quantized to 2⁻¹² once on the driver and
+    broadcast-joined back for an exact int64 per-doc sum — the
+    importance-resampling pass that picks pretraining data at 100 TB."""
+    from ..operators.textstats import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dsir_weights(docs, F.col("source") == "src18")
+        .orderBy(F.desc("dsir_weight_q"), "doc_id")
+        .limit(50)
+    )
+
+
 from ..operators.textstats import sql_pmi_pairs as _sql_pmi  # noqa: E402
 
 
