@@ -356,3 +356,84 @@ def bellman_ford(edges_w: DataFrame, seeds: DataFrame, *, iters: int = 6) -> Dat
         if (i + 1) % 2 == 0 or i == iters - 1:  # same cadence as pagerank_fixed
             dist = dist.localCheckpoint(eager=True)
     return dist
+
+
+def kcore_peel(edges: DataFrame, *, k: int = 5, rounds: int = 4) -> DataFrame:
+    """Bounded k-core peeling over the undirected simple graph →
+    (node, degree): repeatedly drop nodes with degree < k for a FIXED
+    number of rounds; survivors with their final degrees approximate
+    the k-core from above (equal to it once the peel converges — both
+    engines run the identical ``rounds``, so the contract is exact
+    whatever the convergence state). The web-graph quality/spam
+    filtering primitive (dense-substructure extraction).
+
+    Scale: each round is one partial-aggregated degree groupBy plus two
+    semi-joins on node id — no windows, no driver state; lineage is cut
+    every second round like the other iterative algorithms. Full
+    convergence at 100 TB = keep peeling until the survivor count is
+    stable (round count is data-bounded by the degeneracy ordering;
+    the fixed-round variant is the gate-replayable contract)."""
+    und = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .unionByName(
+            edges.select(
+                F.col("dst").cast("long").alias("src"),
+                F.col("src").cast("long").alias("dst"),
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    alive = und
+    for i in range(rounds):
+        keep = (
+            alive.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+        )
+        alive = (
+            alive.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+        if (i + 1) % 2 == 0 or i == rounds - 1:  # same cadence as pagerank_fixed
+            alive = alive.localCheckpoint(eager=True)
+    return (
+        alive.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+
+
+def sql_kcore_peel(sql_edges: str, *, k: int = 5, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`kcore_peel` — the same rounds unrolled as
+    chained CTEs. Each a{i} is referenced twice (degree filter + next
+    round), so the CTEs are MATERIALIZED — without it DuckDB inlines
+    the whole subtree per reference and the plan doubles per round
+    (2^rounds blowup, measured minutes at rounds=8)."""
+    ctes = [
+        f"""und AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM ({sql_edges})
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM ({sql_edges})
+      ) WHERE src <> dst
+    )""",
+        "a0 AS MATERIALIZED (SELECT src, dst FROM und)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"k{i} AS MATERIALIZED "
+            f"(SELECT src AS node FROM a{i} GROUP BY src HAVING count(*) >= {k})"
+        )
+        ctes.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM a{i} e "
+            f"JOIN k{i} s ON e.src = s.node JOIN k{i} t ON e.dst = t.node)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM a{rounds}
+    GROUP BY src
+    """
+    )

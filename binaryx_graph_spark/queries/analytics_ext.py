@@ -15,7 +15,9 @@ from pyspark.sql.window import Window
 
 from ..model import load_table
 from ..operators.graphalgo import (
+    kcore_peel,
     pagerank_fixed,
+    sql_kcore_peel,
     sql_pagerank_fixed,
     sql_personalized_pagerank_fixed,
     sql_triangle_counts,
@@ -27,6 +29,24 @@ from ..registry import register
 # ---------------------------------------------------------------------------
 # Whole-graph analytics on the derived call graph
 # ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_kcore",
+    oracle=sql_kcore_peel(SQL_EDGES, k=10, rounds=4)
+    + " ORDER BY degree DESC, node",
+    tags=("graph", "iterative"),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-substructure extraction: 4 rounds of k-core peeling
+    (k=10) over the undirected derived call graph — the web-graph
+    quality/spam-filter primitive. Survivors + final degrees; the
+    DuckDB oracle unrolls the identical rounds as chained CTEs, so
+    the contract is exact regardless of convergence state."""
+    return (
+        kcore_peel(derived_edges(spark, sf_dir), k=10, rounds=4)
+        .orderBy(F.desc("degree"), "node")
+    )
 
 
 @register(

@@ -80,3 +80,20 @@ def test_personalized_pagerank_zero_outside_reachable_set(spark):
     }
     assert ranks[5] == 0 and ranks[6] == 0
     assert ranks[1] > ranks[2] > ranks[3] > 0
+
+
+def test_kcore_peel_cascades(spark):
+    """k=2 peel: the triangle survives; the pendant chain dies only
+    through cascading rounds (4-3 dies in round 1, then 3's degree
+    drops below 2 and the next round removes it... within `rounds`)."""
+    from binaryx_graph_spark.operators.graphalgo import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {r["node"]: r["degree"] for r in kcore_peel(edges, k=2, rounds=3).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+
+    # k=1, 1 round: nothing peels (every node has degree >= 1)
+    got1 = {r["node"]: r["degree"] for r in kcore_peel(edges, k=1, rounds=1).collect()}
+    assert got1 == {0: 2, 1: 2, 2: 3, 3: 2, 4: 1}
