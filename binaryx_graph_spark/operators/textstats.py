@@ -876,3 +876,43 @@ def sql_pii_scan(table: str, id_col: str = "doc_id", text_col: str = "text") -> 
       FROM {table}
     )
     """
+
+
+def pii_redact(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """PII redaction — the action stage after :func:`pii_scan`: replace
+    every email / phone / IPv4 / SSN-shaped match with a typed
+    placeholder (``<EMAIL>`` …) → (doc_id, redacted_text,
+    n_chars_before, n_chars_after, redacted). Pure chained
+    ``regexp_replace`` projection (codegen, no UDF, no shuffle) — the
+    same shape C4/Dolma run corpus-wide before release.
+
+    Patterns apply in the fixed PII_PATTERNS order on both engines;
+    a later pattern sees the earlier placeholders (documented —
+    placeholder text contains no digits/@, so no cascade matches)."""
+    red = F.col(text_col)
+    for name, rx in PII_PATTERNS.items():
+        red = F.regexp_replace(red, rx, f"<{name.upper()}>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        red.alias("redacted_text"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_before"),
+        F.length(red).cast("long").alias("n_chars_after"),
+        (red != F.col(text_col)).alias("redacted"),
+    )
+
+
+def sql_pii_redact(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`pii_redact` — same patterns, same order;
+    DuckDB needs the explicit 'g' flag (Spark replaces globally by
+    default)."""
+    red = text_col
+    for name, rx in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{rx}', '<{name.upper()}>', 'g')"
+    return f"""
+    SELECT {id_col} AS doc_id,
+           {red} AS redacted_text,
+           CAST(length({text_col}) AS BIGINT) AS n_chars_before,
+           CAST(length({red}) AS BIGINT) AS n_chars_after,
+           {red} <> {text_col} AS redacted
+    FROM {table}
+    """

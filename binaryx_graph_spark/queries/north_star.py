@@ -1006,8 +1006,13 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan finds real positives."""
     from ..operators.textstats import pii_scan
 
+    return pii_scan(_pii_augmented(spark, sf_dir)).orderBy("doc_id")
+
+
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _PII_AUG_SQL — keep in sync."""
     docs = load_table(spark, sf_dir, "documents")
-    aug = docs.select(
+    return docs.select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -1023,7 +1028,26 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
-    return pii_scan(aug).orderBy("doc_id")
+
+
+from ..operators.textstats import sql_pii_redact as _sql_piir  # noqa: E402
+
+
+@register(
+    "text_pii_redact",
+    oracle=_sql_piir(f"({_PII_AUG_SQL})") + " ORDER BY doc_id",
+    tags=("text", "pipeline"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the action stage after the scan: every email /
+    phone / IPv4 / SSN-shaped match becomes a typed placeholder
+    (<EMAIL> …), applied as one chained regexp_replace projection (no
+    UDF, no shuffle). Runs over the same deterministically-planted
+    corpus slice as text_pii_scan, so real replacements are
+    gate-verified character-for-character on both engines."""
+    from ..operators.textstats import pii_redact
+
+    return pii_redact(_pii_augmented(spark, sf_dir)).orderBy("doc_id")
 
 
 # ---------------------------------------------------- leakage-safe split
