@@ -106,8 +106,12 @@ def sql_score_weighted(expr: str, terms: list[tuple[str, float]]) -> str:
 
 # ----------------------------------------------------------------------- T3
 
+# the range alternative requires a literal " TO " so that bracket-leading
+# identifiers ({anonymous}::ns, [ordinal]0) still tokenize as single
+# literal terms exactly like before ranges existed
 _TOKEN_RE = re.compile(
-    r'\s*(\(|\)|AND\b|OR\b|NOT\b|"[^"]*"|[\[{][^\]}]*[\]}]|[^\s()]+)', re.IGNORECASE
+    r'\s*(\(|\)|AND\b|OR\b|NOT\b|"[^"]*"|[\[{][^\]}]*\sTO\s[^\]}]*[\]}]|[^\s()]+)',
+    re.IGNORECASE,
 )
 
 
@@ -136,10 +140,14 @@ class RawQueryParser:
       (collected in :attr:`scoring_terms`, consumed by
       :func:`search_strings`)
     - phrase proximity ``"a b"~N`` (integer N): all phrase terms within
-      a window of ``len(terms) + N`` tokens, ANY order — the unordered
-      approximation of Lucene's sloppy PhraseQuery (which charges
-      edit-distance moves, so ``"b a"`` costs 2 under Lucene but 0
-      here; documented divergence). Composable with ``^W`` boosts.
+      a window of ``len(terms) + N`` tokens, ANY order but WITH
+      multiplicity (``"foo foo"~N`` needs two occurrences) — the
+      unordered approximation of Lucene's sloppy PhraseQuery (which
+      charges edit-distance moves, so ``"b a"`` costs 2 under Lucene
+      but 0 here; documented divergence). Composable with ``^W`` boosts.
+    - bracket-leading terms WITHOUT ``TO`` (``{anonymous}::ns``,
+      ``[ordinal]0``) stay literal substring matches — this domain's
+      identifiers use brackets
     - implicit adjacency = AND
 
     UNSUPPORTED Lucene constructs (the reference passes ``--raw`` straight
@@ -148,9 +156,12 @@ class RawQueryParser:
 
     - fuzzy distance > 2 or fractional (legacy float fuzziness),
       or fuzzy combined with ``*`` wildcards → ValueError
-    - non-integer / bare phrase proximity (``"a b"~``, ``"a b"~1.5``)
-      and other ``~``-leading standalone tokens → ValueError
-    - malformed ranges (``[a TO]``, ``[a b]`` with no TO) → ValueError
+    - non-integer / bare phrase proximity (``"a b"~``, ``"a b"~1.5``),
+      other ``~``-leading standalone tokens, and dangling ``~N`` / ``^N``
+      modifiers with nothing to modify → ValueError
+    - malformed ranges — a bracket span MENTIONING ``TO`` that is not a
+      well-formed ``[lo TO hi]`` (``[a TO]``, unclosed ``[b TO c``) →
+      ValueError
     - field queries ``field:term`` are NOT treated as field queries:
       this domain's identifiers contain colons (``imp:kernel32:CreateFileA``),
       so a ``:`` term is matched as a literal substring — documented
@@ -164,16 +175,31 @@ class RawQueryParser:
 
     _FUZZY_RE = re.compile(r"^(.+?)~(\d+(\.\d+)?)?$")
     _RANGE_TOKEN_RE = re.compile(r"^([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$", re.IGNORECASE)
-    _RANGEISH_RE = re.compile(r"^[\[{].*[\]}]$")
     _BOOST_SPLIT_RE = re.compile(r"^(.+?)\^(\d+(?:\.\d+)?)$")
     _POSTBOOST_RE = re.compile(r"^\^(\d+(?:\.\d+)?)$")
     _POSTPROX_RE = re.compile(r"^~(\d+)$")
 
     def __init__(self, pattern: str):
+        # Pattern-level malformed-range check: any bracket-opened span
+        # that mentions TO must be a well-formed range. Bracket spans
+        # WITHOUT a TO are literal terms (brace-leading identifiers like
+        # {anonymous}::ns are real search targets in this domain).
+        unquoted = re.sub(r'"[^"]*"', " ", pattern)  # phrases are literal
+        for m in re.finditer(r"[\[{][^\]}]*", unquoted):
+            frag = m.group(0)
+            if re.search(r"\sTO(\s|$)", frag, re.IGNORECASE):
+                close = unquoted[m.end() : m.end() + 1]
+                if close not in "]}" or not self._RANGE_TOKEN_RE.match(frag + close):
+                    raise ValueError(
+                        f"malformed Lucene range in raw query: {frag + close!r} "
+                        "(expected [lo TO hi] / {lo TO hi}; * for an open end)"
+                    )
         self.tokens = [m.group(1) for m in _TOKEN_RE.finditer(pattern)]
         for tok in self.tokens:
             if tok.startswith('"') or self._POSTBOOST_RE.match(tok):
                 continue  # quoted phrases are literal; ^N validated here
+            if self._RANGE_TOKEN_RE.match(tok):
+                continue  # well-formed range (pattern-level check above)
             if tok.startswith("~"):
                 # standalone ~N = phrase-proximity modifier (context
                 # checked at parse time); anything else ~-leading is
@@ -184,15 +210,6 @@ class RawQueryParser:
                         f"unsupported proximity modifier in raw query: {tok!r} "
                         '(use "a b"~N with integer N)'
                     )
-                continue
-            if self._RANGEISH_RE.match(tok):
-                if " TO " not in tok.upper().replace("\t", " "):
-                    raise ValueError(
-                        f"malformed Lucene range in raw query: {tok!r} "
-                        "(expected [lo TO hi] / {lo TO hi}; * for an open end)"
-                    )
-                if not self._RANGE_TOKEN_RE.match(tok):
-                    raise ValueError(f"malformed Lucene range in raw query: {tok!r}")
                 continue
             base, _w = self._split_boost(tok)
             if self._FUZZY_RE.match(base):
@@ -344,6 +361,15 @@ class RawQueryParser:
             return range_predicate(
                 col, lo, hi, incl_lo=m.group(1) == "[", incl_hi=m.group(4) == "]"
             )
+        if self._POSTBOOST_RE.match(tok) or (
+            tok.startswith("~") and self._POSTPROX_RE.match(self._split_boost(tok)[0])
+        ):
+            # a ~N / ^N modifier with nothing to modify would otherwise
+            # fall through to a literal-substring match — fail loudly
+            raise ValueError(
+                f"dangling modifier in raw query: {tok!r} "
+                "(~N follows a quoted phrase, ^N follows a term/phrase/range)"
+            )
         tok, weight = self._split_boost(tok)
         if self._FUZZY_RE.match(tok):
             base, n = self._parse_fuzzy(tok)
@@ -382,30 +408,41 @@ def sql_fuzzy(expr: str, term: str, max_dist: int = 2) -> str:
 
 def proximity_predicate(col: Column, phrase_terms: list[str], slop: int) -> Column:
     """Phrase proximity ``"a b"~N``: all phrase terms occur (in any
-    order) within a window of ``len(terms) + N`` whitespace tokens.
+    order, WITH multiplicity — ``"foo foo"~N`` needs two occurrences)
+    within a window of ``len(terms) + N`` whitespace tokens.
     Documented divergence from Lucene's sloppy PhraseQuery: Lucene
     charges edit-distance moves (order matters, a transposition costs
     2); the unordered window is the standard approximation and is
     engine-portable. Pure Column — nested codegen lambdas over the
     token array, no UDF; O(n_tokens × k × window) comparisons."""
+    from collections import Counter
+
+    need = Counter(t.lower() for t in phrase_terms)
     k = len(phrase_terms)
     w = k + int(slop)
     toks = F.split(F.lower(col), " ")
     starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)))
 
+    def _count_in(arr: Column, t: str) -> Column:
+        return F.size(F.filter(arr, lambda x: x == F.lit(t)))
+
     def _window_has_all(s: Column) -> Column:
         win = F.slice(toks, s + 1, w)
         pred = F.lit(True)
-        for t in phrase_terms:
-            pred = pred & F.array_contains(win, t.lower())
+        for t, c in need.items():
+            pred = pred & (
+                F.array_contains(win, t) if c == 1 else (_count_in(win, t) >= c)
+            )
         return pred
 
     # cheap containment pre-gate: AND short-circuits in codegen, so the
     # O(n_tokens × k × window) window scan only runs on documents that
     # contain every term at all (necessary condition, ~5× cheaper filter)
     gate = F.lit(True)
-    for t in phrase_terms:
-        gate = gate & F.array_contains(toks, t.lower())
+    for t, c in need.items():
+        gate = gate & (
+            F.array_contains(toks, t) if c == 1 else (_count_in(toks, t) >= c)
+        )
     return gate & F.exists(starts, _window_has_all)
 
 
@@ -414,19 +451,23 @@ def sql_proximity(expr: str, phrase_terms: list[str], slop: int) -> str:
     ``list_slice`` clips at the array end exactly like Spark's
     ``slice``; ``range(0, n)`` is end-exclusive = Spark's inclusive
     ``sequence(0, n-1)``."""
+    from collections import Counter
+
+    need = Counter(t.lower() for t in phrase_terms)
     k = len(phrase_terms)
     w = k + int(slop)
     toks = f"string_split(lower({expr}), ' ')"
+
+    def _cond(arr: str, t: str, c: int) -> str:
+        q = t.replace("'", "''")
+        if c == 1:
+            return f"list_contains({arr}, '{q}')"
+        return f"len(list_filter({arr}, x -> x = '{q}')) >= {c}"
+
     conds = " AND ".join(
-        "list_contains(list_slice({toks}, s+1, s+{w}), '{t}')".format(
-            toks=toks, w=w, t=t.lower().replace("'", "''")
-        )
-        for t in phrase_terms
+        _cond(f"list_slice({toks}, s+1, s+{w})", t, c) for t, c in need.items()
     )
-    gate = " AND ".join(
-        "list_contains({toks}, '{t}')".format(toks=toks, t=t.lower().replace("'", "''"))
-        for t in phrase_terms
-    )
+    gate = " AND ".join(_cond(toks, t, c) for t, c in need.items())
     return f"({gate} AND len(list_filter(range(0, len({toks})), s -> {conds})) > 0)"
 
 
@@ -447,7 +488,9 @@ def range_predicate(
     hi_l = None if hi is None else hi.lower()
 
     def _in_range(t: Column) -> Column:
-        p = F.lit(True)
+        # empty tokens (from repeated/leading/trailing spaces) are not
+        # terms — without this, '' <= hi satisfies any open-low range
+        p = t != F.lit("")
         if lo_l is not None:
             p = p & ((t >= F.lit(lo_l)) if incl_lo else (t > F.lit(lo_l)))
         if hi_l is not None:
@@ -466,14 +509,14 @@ def sql_range(
     incl_hi: bool = True,
 ) -> str:
     """DuckDB twin of :func:`range_predicate` — keep in sync."""
-    conds = []
+    conds = ["t <> ''"]
     if lo is not None:
         q = lo.lower().replace("'", "''")
         conds.append(f"t {'>=' if incl_lo else '>'} '{q}'")
     if hi is not None:
         q = hi.lower().replace("'", "''")
         conds.append(f"t {'<=' if incl_hi else '<'} '{q}'")
-    body = " AND ".join(conds) if conds else "true"
+    body = " AND ".join(conds)
     return (
         f"len(list_filter(string_split(lower({expr}), ' '), "
         f"t -> {body})) > 0"

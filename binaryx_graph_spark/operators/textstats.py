@@ -832,11 +832,15 @@ def sql_pack_chunks(
 #: identical semantics in Java (Spark) and RE2-ish (DuckDB) engines:
 #: character classes, bounded repetition, alternation; no lookarounds,
 #: no backreferences, no \b word boundaries.
+#: ORDER MATTERS for redaction: ipv4 must precede phone — the phone
+#: pattern also matches dotted quads with 3-digit middle octets
+#: (192.168.123.250), so phone-first would mislabel them <PHONE>.
+#: Scan counts are per-pattern on the original text (order-free).
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
     "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
     "ssn_like": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
 }
 
 

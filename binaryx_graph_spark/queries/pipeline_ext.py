@@ -801,10 +801,19 @@ _MIX_TARGET = 100  # total docs the resampled mixture should contain
       SELECT source, n_docs, {_ISQRT.format(n="n_docs")} AS weight FROM counts
     ),
     tot AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM wts),
+    alloc0 AS (
+      SELECT source, n_docs, weight,
+             CAST(({_MIX_TARGET} * weight) // t.w_total AS BIGINT) AS m_base,
+             CAST(({_MIX_TARGET} * weight) % t.w_total AS BIGINT) AS m_rem
+      FROM wts CROSS JOIN tot t
+    ),
     alloc AS (
       SELECT source, n_docs, weight,
-             CAST(({_MIX_TARGET} * weight) // t.w_total AS BIGINT) AS m_target
-      FROM wts CROSS JOIN tot t
+             CAST(m_base + CASE
+               WHEN row_number() OVER (ORDER BY m_rem DESC, source)
+                    <= {_MIX_TARGET} - (SELECT sum(m_base) FROM alloc0)
+               THEN 1 ELSE 0 END AS BIGINT) AS m_target
+      FROM alloc0
     ),
     ranked AS (
       SELECT d.source, d.doc_id,
@@ -834,7 +843,7 @@ def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted domain mixture (the multilingual/domain
     resampling scheme from XLM/mT5-style pipelines, T = 2 i.e.
     weight ∝ √n): per-source doc counts → exact-integer isqrt weights →
-    largest-share integer allocation of a fixed sample budget → a
+    largest-remainder integer allocation of a fixed sample budget (Σ m_target = budget exactly) → a
     deterministic per-source hash-ordered pick of exactly that many
     docs. Output is the allocation table plus the selected-id digest,
     so the gate pins BOTH the arithmetic and the selection.
@@ -849,9 +858,27 @@ def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     wts = counts.withColumn("weight", F.expr(_ISQRT.format(n="n_docs")))
     tot = wts.agg(F.sum("weight").cast("long").alias("w_total"))
-    alloc = wts.crossJoin(F.broadcast(tot)).select(
+    alloc0 = wts.crossJoin(F.broadcast(tot)).select(
         "source", "n_docs", "weight",
-        F.expr(f"CAST(({_MIX_TARGET} * weight) div w_total AS BIGINT)").alias("m_target"),
+        F.expr(f"CAST(({_MIX_TARGET} * weight) div w_total AS BIGINT)").alias("m_base"),
+        F.expr(f"CAST(({_MIX_TARGET} * weight) % w_total AS BIGINT)").alias("m_rem"),
+    )
+    # largest-remainder step: hand the floored-away budget (Σ ≤ T) to the
+    # sources with the biggest remainders — Σ m_target == _MIX_TARGET
+    # exactly. Both windows run over the SOURCE DIMENSION (20 rows), the
+    # one place a single-partition window is the honest plan.
+    w_all = Window.partitionBy()
+    alloc = (
+        alloc0.withColumn(
+            "_rk", F.row_number().over(Window.orderBy(F.desc("m_rem"), "source"))
+        )
+        .withColumn("_extra", F.lit(_MIX_TARGET) - F.sum("m_base").over(w_all))
+        .select(
+            "source", "n_docs", "weight",
+            (F.col("m_base") + F.when(F.col("_rk") <= F.col("_extra"), 1).otherwise(0))
+            .cast("long")
+            .alias("m_target"),
+        )
     )
     ranked = docs.select(
         "source", "doc_id",

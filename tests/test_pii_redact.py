@@ -40,3 +40,12 @@ def test_pii_redact_multiple_hits_one_doc(spark):
     )
     (row,) = pii_redact(docs).collect()
     assert row["redacted_text"] == "<EMAIL> then <EMAIL> at <IPV4>"
+
+
+def test_pii_redact_ipv4_with_wide_octets_not_phone(spark):
+    """192.168.123.250 is phone-shaped too; ipv4 must win (pattern order)."""
+    docs = spark.createDataFrame(
+        [(1, "ip 192.168.123.250 here")], "doc_id bigint, text string"
+    )
+    (row,) = pii_redact(docs).collect()
+    assert row["redacted_text"] == "ip <IPV4> here"

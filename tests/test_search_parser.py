@@ -86,13 +86,31 @@ def test_raw_query_rejects_unsupported_lucene(spark):
         '"a b"~',             # bare phrase proximity (no distance)
         '"a b"~1.5',          # fractional phrase proximity
         "~foo",               # reserved ~-leading standalone token
+        "alpha ~2",           # dangling proximity (no phrase before it)
+        "alpha ^2",           # dangling boost (space-detached)
         "[alpha TO]",         # malformed range (missing hi)
-        "{a b}",              # malformed range (no TO)
+        "x [b TO c",          # malformed range (unclosed)
     ]:
         with pytest.raises(ValueError):
             raw_query_predicate(col, bad)
     # quoted phrases keep these characters literal; colon terms are literal substrings
     raw_query_predicate(col, '"version~2" AND imp:kernel32')
+    # bracket-leading identifiers WITHOUT TO stay literal terms
+    raw_query_predicate(col, "{anonymous}::ns AND [ordinal]0")
+    # a phrase may contain bracket+TO text without tripping the range check
+    raw_query_predicate(col, '"see [a TO b in docs"')
+
+
+def test_parser_bracket_literals_match(spark):
+    vals = ["{anonymous}::ns here", "plain text"]
+    assert _matches(spark, "{anonymous}::ns", vals) == {"{anonymous}::ns here"}
+
+
+def test_parser_proximity_multiplicity(spark):
+    """Repeated phrase terms need repeated occurrences in the window."""
+    vals = ["foo bar", "foo foo bar", "foo x foo"]
+    assert _matches(spark, '"foo foo"~0', vals) == {"foo foo bar"}
+    assert _matches(spark, '"foo foo"~1', vals) == {"foo foo bar", "foo x foo"}
 
 
 def test_parser_range_matches_tokens(spark):

@@ -114,10 +114,13 @@ class RefEval:
             terms = [t for t in phrase.split() if t]
             if not terms:
                 return True
+            from collections import Counter
+
+            need = Counter(terms)
             w = len(terms) + slop
             for s in range(len(self.words)):
-                win = self.words[s : s + w]
-                if all(t in win for t in terms):
+                win = Counter(self.words[s : s + w])
+                if all(win[t] >= c for t, c in need.items()):
                     return True
             return False
         m = self.RANGE.match(tok)
@@ -128,7 +131,7 @@ class RefEval:
             hi = None if m.group(3) == "*" else m.group(3).lower()
             il, ih = m.group(1) == "[", m.group(4) == "]"
             for t in self.words:
-                ok = True
+                ok = t != ""
                 if lo is not None:
                     ok = ok and (t >= lo if il else t > lo)
                 if hi is not None:
@@ -159,7 +162,7 @@ term = st.sampled_from(
     + ["alpha~1", "alpho~", "dup~0", "al*a", "*eta", "dup^2", "alpha^3",
        "[alpha TO dup]", "{al TO gb}", "[* TO beta]", "[ga TO *]",
        '"alpha beta"', '"beta gamma"', '"alpha beta"~1', '"alpha gamma"~2',
-       '"dup beta"~0^2']
+       '"dup beta"~0^2', '"dup dup"~1', '"alpha alpha beta"~2']
 )
 
 

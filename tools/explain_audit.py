@@ -118,7 +118,8 @@ def main() -> int:
             body = f.read()
         for chunk in body.split("\n## ")[1:]:
             n = chunk.split("\n", 1)[0].strip()
-            sections[n] = "## " + chunk.rstrip("\n") + "\n"
+            if n in reg:  # drop sections for deleted/renamed queries
+                sections[n] = "## " + chunk.rstrip("\n") + "\n"
     any_flags = False
     for name in wanted:
         q = reg[name]
