@@ -825,16 +825,7 @@ def paragraph_dedup(
     one equi-join back; reconstruction is a per-doc collect_list —
     bounded by document size, not corpus size. Two shuffles total
     (paragraph, doc_id), both on uniform-or-AQE-handled keys."""
-    toked = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.col(text_col), " ").alias("_toks"),  # materialize once
-    )
-    paras = toked.select(
-        "doc_id",
-        F.posexplode(paragraph_blocks_arr(F.col("_toks"), words=words)).alias(
-            "idx", "para"
-        ),
-    )
+    paras = _doc_paragraphs(df, id_col, text_col, words=words)
     owners = paras.groupBy("para").agg(
         F.min(F.struct("doc_id", "idx")).alias("owner")
     )
@@ -854,6 +845,67 @@ def paragraph_dedup(
             ).alias("cleaned_text"),
         )
     )
+
+
+def _doc_paragraphs(df: DataFrame, id_col: str, text_col: str, *, words: int) -> DataFrame:
+    """(doc_id, idx, para) — shared segmentation for the global and
+    incremental paragraph-dedup passes."""
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_toks"),  # materialize once
+    )
+    return toked.select(
+        "doc_id",
+        F.posexplode(paragraph_blocks_arr(F.col("_toks"), words=words)).alias(
+            "idx", "para"
+        ),
+    )
+
+
+def incremental_paragraph_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    words: int = PARA_WORDS,
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch of keep-first paragraph dedup against the
+    accumulated kept-paragraph ``index`` (a 1-column ``para`` frame):
+    a paragraph survives iff it is NOT in the index AND it is the
+    batch-first occurrence (min (doc_id, idx) within the batch).
+    Returns (per-doc result like :func:`paragraph_dedup`, fresh
+    distinct paragraphs to append to the index).
+
+    Contract: if batches arrive in ascending doc_id ranges, the union
+    of per-batch results equals the global :func:`paragraph_dedup` —
+    batch-first coincides with corpus-first. Per batch the work is
+    O(batch) segmentation + one anti-join against the index; the
+    standing corpus text is never rescanned."""
+    paras = _doc_paragraphs(batch, id_col, text_col, words=words)
+    fresh = paras.join(index, "para", "left_anti")
+    owners = fresh.groupBy("para").agg(F.min(F.struct("doc_id", "idx")).alias("owner"))
+    marked = paras.join(
+        index.select("para").withColumn("_seen", F.lit(1)), "para", "left"
+    ).join(owners, "para", "left")
+    kept = F.coalesce(
+        F.col("_seen").isNull()
+        & (F.col("doc_id") == F.col("owner.doc_id"))
+        & (F.col("idx") == F.col("owner.idx")),
+        F.lit(False),
+    )
+    result = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.when(kept, F.struct("idx", "para")))),
+                lambda s: s.getField("para"),
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return result, owners.select("para")
 
 
 def sql_paragraph_dedup(

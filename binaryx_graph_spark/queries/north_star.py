@@ -950,6 +950,24 @@ def dedup_streaming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+@register(
+    "dedup_streaming_paragraphs",
+    oracle=_sql_pdd("documents", "doc_id", "text") + " ORDER BY doc_id",
+    tags=("dedup", "streaming", "text"),
+)
+def dedup_streaming_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous paragraph-level dedup: the corpus replayed as 3
+    ascending doc_id-range micro-batches, each keeping only paragraphs
+    unseen in the accumulated kept-paragraph index (state = distinct
+    paragraphs, not corpus text; per batch O(batch) segmentation + one
+    index anti-join). The oracle is the GLOBAL paragraph_dedup pass:
+    ascending arrival makes batch-first == corpus-first, so streaming
+    replay equals the batch pass bit-for-bit."""
+    from ..streaming.dedup_stream import streaming_paragraph_dedup
+
+    return streaming_paragraph_dedup(spark, sf_dir, arrival_batches=3).orderBy("doc_id")
+
+
 # ------------------------------------------------------- sequence packing
 
 from ..operators.textstats import sql_pack_chunks as _sql_pack  # noqa: E402

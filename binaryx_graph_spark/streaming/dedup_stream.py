@@ -108,3 +108,69 @@ def streaming_incremental_dedup(
     for p in state["pairs"][1:]:
         out = out.unionByName(p)
     return out
+
+
+def streaming_paragraph_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    words: int | None = None,
+    arrival_batches: int = 3,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Continuous paragraph-level dedup: the corpus replayed as
+    ascending doc_id-range micro-batches (maxFilesPerTrigger=1,
+    availableNow); each foreachBatch keeps only paragraphs unseen in
+    the ACCUMULATED kept-paragraph index, then appends its fresh
+    paragraphs to the index.
+
+    Contract (gate-pinned): because batches arrive in ascending doc_id
+    ranges, batch-first == corpus-first, so the UNION of per-batch
+    outputs equals the global ``paragraph_dedup`` pass bit-for-bit.
+    State carried across batches is the kept-paragraph index — distinct
+    paragraphs, not corpus text."""
+    from ..operators.dedup import PARA_WORDS, incremental_paragraph_dedup
+
+    w = PARA_WORDS if words is None else words
+    stage = tempfile.mkdtemp(prefix="bxg_para_stream_")
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]  # setup-only scalar
+    bounds = [(i * (max_id + 1)) // arrival_batches for i in range(arrival_batches + 1)]
+    for b in range(arrival_batches):
+        tmp = f"{stage}/_w{b}"
+        docs.filter(
+            (F.col("doc_id") >= bounds[b]) & (F.col("doc_id") < bounds[b + 1])
+        ).coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        os.rename(f"{tmp}/{part}", f"{stage}/batch_{b}.parquet")
+        shutil.rmtree(tmp)
+
+    state = {
+        "index": spark.createDataFrame([], "para string").localCheckpoint(eager=True),
+        "outs": [],
+    }
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)
+        result, fresh = incremental_paragraph_dedup(batch, state["index"], words=w)
+        state["outs"].append(result.localCheckpoint(eager=True))
+        state["index"] = state["index"].unionByName(fresh).localCheckpoint(eager=True)
+
+    q = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    if stats is not None:
+        stats["n_batches"] = len(state["outs"])
+        stats["docs_per_batch"] = [o.count() for o in state["outs"]]
+        stats["index_size"] = state["index"].count()
+    out = state["outs"][0]
+    for o in state["outs"][1:]:
+        out = out.unionByName(o)
+    return out
