@@ -609,6 +609,133 @@ def sql_knn_join(
     """
 
 
+def knn_join_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    kmeans_iters: int = 2,
+    query_id_col: str = "query_id",
+    corpus_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+    corpus_key: str | None = None,
+) -> DataFrame:
+    """IVF-pruned batch k-NN join — the scale path :func:`knn_join`'s
+    docstring promises: each query scores only corpus vectors whose
+    trained-codebook centroid is among the query's ``n_probe`` nearest
+    centroids, so the scored set is ~n_probe/n_centroids of the exact
+    |corpus|·|batch| product. Approximate by construction (a true
+    neighbor outside the probed lists is missed); the oracle replays
+    codebook training, assignment, probe selection and scoring, so the
+    contract — misses included — is pinned.
+
+    Plan: probe selection is a |batch| × n_centroids cross of two
+    broadcast-sized frames (no driver loop over queries — the batch
+    stays distributed, unlike the single-query driver-side probe in
+    :func:`cosine_topk_ivf`); candidates come from the centroid
+    equi-join against the assignment (at 100 TB: the partitioned IVF
+    lists of :func:`build_ivf_lists`, probed via partition pruning);
+    the final per-query top-k is the same window as the exact join."""
+    from pyspark.sql.window import Window
+
+    ck = (corpus_key, n_centroids, kmeans_iters) if corpus_key is not None else None
+    codebook = _codebook_cache_get(ck)
+    if codebook is None:
+        codebook = kmeans_codebook(
+            corpus,
+            n_centroids=n_centroids,
+            iters=kmeans_iters,
+            id_col=corpus_id_col,
+            vec_col=vec_col,
+        )
+        _codebook_cache_put(ck, codebook)
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(cid, list(map(float, c))) for cid, c in sorted(codebook.items())],
+        "centroid_id int, cd array<double>",
+    )
+    q = queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+    wp = Window.partitionBy("_qid").orderBy(F.desc("_pcos"), "centroid_id")
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("_qid", "_qv", "centroid_id", cosine(F.col("cd"), F.col("_qv")).alias("_pcos"))
+        .withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= n_probe)
+        .select("_qid", "_qv", "centroid_id")
+    )
+    assigned = ivf_assign(corpus, codebook, id_col=corpus_id_col, vec_col=vec_col)
+    scored = assigned.join(F.broadcast(probes), "centroid_id").select(
+        F.col("_qid").alias(query_id_col),
+        F.col(corpus_id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cv"),
+        "_qv",
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col(query_id_col))
+    scored = scored.select(
+        query_id_col, "vec_id", cosine(F.col("_cv"), F.col("_qv")).alias("cos_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def sql_knn_join_ivf(
+    table: str,
+    query_filter: str,
+    *,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`knn_join_ivf` — replays the identical
+    codebook training (shared kmeans CTEs), per-query probe selection,
+    centroid-pruned candidate set, and window top-k. (`q` is taken by
+    the kmeans CTEs; the query batch is `qb`.)"""
+    ctes = _sql_kmeans_ctes(
+        table, n_centroids=n_centroids, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    ctes += [
+        f"""qb AS (SELECT vec_id, v FROM e WHERE vec_id IN
+          (SELECT {id_col} FROM {table} WHERE {query_filter}))""",
+        f"""probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT qb.vec_id AS query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY qb.vec_id
+                                  ORDER BY {sql_cosine('c.cd', 'qb.v')} DESC, c.centroid_id) AS pr
+        FROM df c CROSS JOIN qb
+      ) WHERE pr <= {n_probe}
+    )""",
+    ]
+    body = ",\n    ".join(ctes)
+    cos = sql_cosine("ev.v", "qb.v")
+    return f"""
+    WITH {body},
+    scored AS (
+      SELECT qb.vec_id AS query_id, ev.vec_id AS vec_id, {cos} AS cos_sim,
+             row_number() OVER (PARTITION BY qb.vec_id
+                                ORDER BY {cos} DESC, ev.vec_id) AS rank
+      FROM qb
+      JOIN probes p ON p.query_id = qb.vec_id
+      JOIN af a ON a.centroid_id = p.centroid_id
+      JOIN e ev ON ev.vec_id = a.vec_id
+      WHERE ev.vec_id <> qb.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM scored WHERE rank <= {k}
+    """
+
+
 def build_ivf_lists(
     embeddings: DataFrame,
     codebook: dict[int, list[float]],

@@ -906,6 +906,36 @@ def ann_knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+from ..operators.similarity import sql_knn_join_ivf as _sql_knn_ivf  # noqa: E402
+
+
+@register(
+    "ann_knn_join_batch_ivf",
+    oracle=_sql_knn_ivf(
+        "embeddings", "vec_id % 101 = 5", k=5, n_centroids=8, n_probe=2, iters=2, dim=64
+    )
+    + " ORDER BY query_id, rank",
+    tags=("similarity",),
+)
+def ann_knn_join_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned batch k-NN join — the scale path for the same query
+    batch as ann_knn_join_batch: each query scores only its 2 probed
+    centroids' lists (~1/4 of the exact product). Probe selection is a
+    distributed |batch|×n_centroids cross of broadcast-sized frames (no
+    driver loop); the oracle replays training, assignment, probes and
+    scoring, pinning the approximation misses included."""
+    from ..operators.similarity import knn_join_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 101 == 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_join_ivf(
+        q, emb, k=5, n_centroids=8, n_probe=2, kmeans_iters=2,
+        query_id_col="query_id", exclude_self=True, corpus_key=sf_dir,
+    ).orderBy("query_id", "rank")
+
+
 # -------------------------------------------------- repetition metrics
 
 from ..operators.textstats import sql_repetition_metrics as _sql_rep  # noqa: E402

@@ -44,3 +44,34 @@ def test_knn_multiple_queries_are_independent(spark):
     got = knn_join(q, corpus, k=1).collect()
     best = {r["query_id"]: r["vec_id"] for r in got}
     assert best == {100: 5, 200: 1}
+
+
+def test_knn_join_ivf_recall_vs_exact(spark):
+    """IVF-pruned batch join: per-query results are a subset of the
+    probed lists, ranks are contiguous, and recall@5 vs the exact join
+    is reasonable on the gate corpus."""
+    from binaryx_graph_spark.model import load_table
+    from binaryx_graph_spark.operators.similarity import knn_join, knn_join_ivf
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") % 17 == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = knn_join(q, emb, k=5, exclude_self=True)
+    approx = knn_join_ivf(
+        q, emb, k=5, n_centroids=8, n_probe=2, kmeans_iters=2, exclude_self=True
+    )
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    ap_rows = approx.collect()
+    ap = {(r["query_id"], r["vec_id"]) for r in ap_rows}
+    n_queries = q.count()
+    assert len(ap) > 0 and len(ap) <= n_queries * 5
+    # per-query ranks are 1..n without gaps
+    from collections import defaultdict
+    by_q = defaultdict(list)
+    for r in ap_rows:
+        by_q[r["query_id"]].append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.4, recall  # 2/8 lists probed; random would be ~0.25

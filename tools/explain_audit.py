@@ -55,6 +55,9 @@ def audit_plan(name: str, plan: str) -> list[str]:
         # corpus is the streamed side) — the intended exact-variant plan;
         # the scale path swaps in IVF/LSH-pruned candidates upstream
         "ann_knn_join_batch",
+        # IVF batch kNN: probe selection crosses the broadcast query
+        # batch with the n_centroids-row codebook — both dimension-sized
+        "ann_knn_join_batch_ivf",
         # vocab coverage: the 1-ROW global token-count total broadcasts
         # onto the cutoff rows (coverage = cum/total) — constant-size
         # build side like the sketch queries
