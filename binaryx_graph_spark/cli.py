@@ -137,6 +137,13 @@ def main(argv: list[str] | None = None) -> int:
     db.add_parser("optimize")
     db_exp = db.add_parser("export")
     db_exp.add_argument("path")
+    db_ver = db.add_parser("versions")
+    db_ver.add_argument("table")
+    db_rb = db.add_parser("rollback")
+    db_rb.add_argument("table")
+    db_rb.add_argument("version", type=int)
+    db_vac = db.add_parser("vacuum")
+    db_vac.add_argument("--keep", type=int, default=2)
 
     args = p.parse_args(argv)
 
@@ -206,6 +213,14 @@ def main(argv: list[str] | None = None) -> int:
         elif args.what == "export":
             edges = wh.export_graph(args.path)
             print(f"exported {edges.count()} edges to {args.path}")
+        elif args.what == "versions":
+            print(f"{args.table}: {wh.versions(args.table)}")
+        elif args.what == "rollback":
+            wh.rollback(args.table, args.version)
+            print(f"rolled back {args.table} to v{args.version}")
+        elif args.what == "vacuum":
+            removed = wh.vacuum(keep_last=args.keep)
+            print(f"vacuumed {sum(removed.values())} snapshots")
         return 0
 
     t = tables()

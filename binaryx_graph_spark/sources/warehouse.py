@@ -66,13 +66,81 @@ class Warehouse:
             shutil.rmtree(self.root)
         self.initialize()
 
-    def read(self, table: str) -> DataFrame:
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Read a table — the live state, or (time travel) an archived
+        snapshot by version number (see :meth:`versions`)."""
+        if version is not None:
+            vp = self._version_dir(table) / f"v{version:05d}"
+            if not vp.exists():
+                raise FileNotFoundError(
+                    f"warehouse table '{table}' has no snapshot v{version} "
+                    f"(available: {self.versions(table)})"
+                )
+            return self.spark.read.parquet(str(vp))
         if not (self.root / table).exists():
             raise FileNotFoundError(
                 f"warehouse table '{table}' not found under {self.root} — "
                 f"run `import` (or `db init`) against this warehouse first"
             )
         return self.spark.read.parquet(self._path(table))
+
+    # ------------------------------------------------- snapshot versioning
+    #
+    # Table-format-lite time travel: every commit (merge_batch, optimize,
+    # rollback) that replaces a table directory ARCHIVES the replaced
+    # directory as the next immutable snapshot instead of deleting it —
+    # a rename, so versioning costs zero extra writes (the same
+    # retained-files idea as Delta/Iceberg, at directory granularity
+    # instead of file-manifest granularity; at 100 TB you'd track files
+    # in a manifest to share them across versions — the CONTRACT here is
+    # the same: read-at-version, rollback-as-new-commit, vacuum).
+
+    def _version_dir(self, table: str) -> Path:
+        return self.root / "_versions" / table
+
+    def versions(self, table: str) -> list[int]:
+        """Archived snapshot numbers for a table, oldest first. The live
+        directory is always one commit NEWER than the highest snapshot."""
+        vd = self._version_dir(table)
+        if not vd.exists():
+            return []
+        return sorted(int(p.name[1:]) for p in vd.glob("v*") if p.is_dir())
+
+    def _archive(self, table: str, old_dir: Path) -> None:
+        """Move a replaced table directory into the version store."""
+        vd = self._version_dir(table)
+        vd.mkdir(parents=True, exist_ok=True)
+        nxt = (self.versions(table) or [-1])[-1] + 1
+        old_dir.rename(vd / f"v{nxt:05d}")
+
+    def rollback(self, table: str, version: int) -> None:
+        """Restore a table to an archived snapshot. Rollback is itself a
+        commit: the current live state is archived first, and the
+        snapshot stays in the version store (copied in, not moved) so
+        rolling forward again remains possible."""
+        vp = self._version_dir(table) / f"v{version:05d}"
+        if not vp.exists():
+            raise FileNotFoundError(
+                f"no snapshot v{version} for '{table}' (available: {self.versions(table)})"
+            )
+        tmp = self.root / f"_{table}_rollback"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        shutil.copytree(vp, tmp)
+        self._swap_in(tmp, self.root / table, archive_as=table)
+
+    def vacuum(self, keep_last: int = 2) -> dict[str, int]:
+        """Drop all but the newest ``keep_last`` snapshots per table
+        (time-travel horizon vs storage). Returns {table: n_removed}."""
+        out: dict[str, int] = {}
+        for name in ALL_TABLES:
+            vs = self.versions(name)
+            drop = vs[:-keep_last] if keep_last > 0 else vs
+            for v in drop:
+                shutil.rmtree(self._version_dir(name) / f"v{v:05d}")
+            if drop:
+                out[name] = len(drop)
+        return out
 
     # ------------------------------------------------------ E9/E10 upsert
     def merge_batch(self, tables: dict[str, DataFrame], batch_seq: int = 1) -> None:
@@ -101,15 +169,15 @@ class Warehouse:
             # parquet can't overwrite in place while reading — stage then move
             tmp = str(self.root / f"_{name}_staging")
             merged.repartition(*keys).write.mode("overwrite").parquet(tmp)
-            self._swap_in(Path(tmp), Path(path))
+            self._swap_in(Path(tmp), Path(path), archive_as=name)
 
-    @staticmethod
-    def _swap_in(tmp: Path, final: Path) -> None:
+    def _swap_in(self, tmp: Path, final: Path, *, archive_as: str | None = None) -> None:
         """Replace ``final`` with ``tmp`` without a window where the table
         directory is missing: rename old → backup (atomic), tmp → final
-        (atomic), then delete the backup. A crash leaves either the old
-        or the new table readable (plus at worst a stale ``_backup``/
-        staging dir), never a missing one — unlike rmtree-then-rename."""
+        (atomic), then archive the backup as the next snapshot (rename,
+        atomic) — or delete it when versioning is off for this swap. A
+        crash leaves either the old or the new table readable (plus at
+        worst a stale ``_backup``/staging dir), never a missing one."""
         backup = final.with_name(f"_{final.name}_backup")
         if backup.exists():
             shutil.rmtree(backup)
@@ -117,7 +185,10 @@ class Warehouse:
             final.rename(backup)
         tmp.rename(final)
         if backup.exists():
-            shutil.rmtree(backup)
+            if archive_as is not None:
+                self._archive(archive_as, backup)
+            else:
+                shutil.rmtree(backup)
 
     # ---------------------------------------------------------- compaction
     def optimize(self, target_bytes: int = 128 * 1024 * 1024) -> dict[str, tuple[int, int]]:
@@ -149,7 +220,7 @@ class Warehouse:
             # merge_batch rather than a KeyError.
             part = df.repartition(want, *keys) if keys else df.repartition(want)
             part.write.mode("overwrite").parquet(tmp)
-            self._swap_in(Path(tmp), p)
+            self._swap_in(Path(tmp), p)  # compaction is a rewrite, not a data change: no snapshot
             after = len([f for f in p.glob("part-*") if f.is_file()])
             out[name] = (len(files), after)
         return out

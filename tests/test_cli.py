@@ -149,3 +149,54 @@ def test_db_optimize_compacts_files(spark, tmp_path, capsys):
     assert b == n_files_before and a <= b and a >= 1
     assert main(["--warehouse", root, "db", "optimize"]) == 0
     assert "functions:" in capsys.readouterr().out
+
+
+def test_warehouse_time_travel_and_rollback(spark, tmp_path, capsys):
+    """Snapshot versioning: each merge commit archives the replaced
+    table state; read-at-version time-travels; rollback is a new
+    commit; vacuum prunes the horizon."""
+    from binaryx_graph_spark.operators.ingest import build_graph_tables
+    from binaryx_graph_spark.sources.json_source import read_analysis_json
+    from binaryx_graph_spark.sources.warehouse import Warehouse
+
+    from .fixtures import write_fixture
+
+    d = write_fixture(tmp_path / "in")
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.initialize()
+    docs = read_analysis_json(spark, d)
+    tabs = {k: v for k, v in build_graph_tables(docs).items() if k != "import_stats"}
+
+    wh.merge_batch(tabs, batch_seq=1)          # v0 archived = empty init state
+    n_live = wh.read("functions").count()
+    assert n_live > 0
+    assert wh.versions("functions") == [0]
+    assert wh.read("functions", version=0).count() == 0  # time travel to empty
+
+    # second commit: drop half the functions via a doctored batch
+    half = {"functions": wh.read("functions").limit(1)}
+    wh.merge_batch(half, batch_seq=2)          # v1 archived = full state
+    assert wh.versions("functions") == [0, 1]
+    assert wh.read("functions", version=1).count() == n_live
+
+    # rollback to the full state — itself a commit (archives current live)
+    wh.rollback("functions", 1)
+    assert wh.read("functions").count() == n_live
+    assert wh.versions("functions") == [0, 1, 2]
+
+    # unknown version fails loudly
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        wh.read("functions", version=9)
+
+    # vacuum keeps the newest snapshots only
+    removed = wh.vacuum(keep_last=1)
+    assert removed["functions"] == 2
+    assert wh.versions("functions") == [2]
+
+    # CLI surface
+    assert main(["--warehouse", root, "db", "versions", "functions"]) == 0
+    assert "functions: [2]" in capsys.readouterr().out
+    assert main(["--warehouse", root, "db", "rollback", "functions", "2"]) == 0
+    assert main(["--warehouse", root, "db", "vacuum", "--keep", "1"]) == 0
