@@ -231,6 +231,138 @@ def sql_bpe_pair_counts(table: str, text_col: str = "text") -> str:
     """
 
 
+#: symbol-boundary sentinels for the BPE dictionary representation: each
+#: symbol is stored as ``\x02sym\x03``, so the pattern
+#: ``\x02a\x03\x02b\x03`` is fully bounded AND adjacent occurrences
+#: share no characters — a SINGLE non-overlapping leftmost replace is
+#: exactly the canonical left-to-right BPE merge (the space-separated
+#: form fails this: same-symbol runs ≥6 share separators between
+#: occurrences and iterated replace converges to a non-canonical
+#: pairing; property-verified over 50k random chains + targeted runs).
+#: Control chars never appear in whitespace-split tokens of real text;
+#: the wrap step would corrupt a token containing them (documented).
+BPE_S1, BPE_S2 = "\x02", "\x03"
+
+
+def bpe_train_merges(
+    docs: DataFrame, text_col: str = "text", *, n_merges: int = 3
+) -> DataFrame:
+    """Small BPE TRAINER (Sennrich et al. 2016): ``n_merges`` greedy
+    merge steps over the word-frequency dictionary → (step, pair,
+    pair_count). Step 1's pair equals :func:`bpe_pair_counts`' top row;
+    each later step re-counts pairs over the dictionary with the
+    previous merges applied — the real training loop, not one step.
+    Merge application is canonical left-to-right (pinned against a
+    Python reference in tests, same-symbol runs included).
+
+    Scale design: after the one corpus-sized word count, EVERYTHING
+    runs on the vocab-sized dictionary: pair counts are a dictionary
+    groupBy, the chosen pair is a 1-row driver artifact (like the
+    k-means codebook), and applying a merge is ONE literal replace on
+    the sentinel-wrapped symbol string (see BPE_S1/BPE_S2). The
+    dictionary is checkpointed per step to cut lineage."""
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("word_count"))
+    )
+    seqs = words.select(
+        "word_count",
+        F.regexp_replace("word", "(.)", f"{BPE_S1}$1{BPE_S2}").alias("seq"),
+    ).localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    sep = BPE_S2 + BPE_S1
+    merges: list[tuple[int, str, int]] = []
+    for step in range(1, n_merges + 1):
+        syms = F.split(F.expr(f"substring(seq, 2, length(seq) - 2)"), sep)
+        toked = seqs.select("word_count", syms.alias("_syms"))
+        pairs = (
+            toked.filter(F.size("_syms") >= 2)
+            .select(
+                "word_count",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_syms") - 1),
+                        lambda i: F.concat(
+                            F.element_at(F.col("_syms"), i),
+                            F.lit(" "),
+                            F.element_at(F.col("_syms"), i + F.lit(1)),
+                        ),
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("word_count").cast("long").alias("pair_count"))
+        )
+        best = pairs.orderBy(F.desc("pair_count"), "pair").limit(1).collect()
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], int(best[0]["pair_count"])
+        merges.append((step, pair, cnt))
+        a, b = pair.split(" ")
+        seqs = seqs.select(
+            "word_count",
+            F.replace(
+                F.col("seq"),
+                F.lit(f"{BPE_S1}{a}{BPE_S2}{BPE_S1}{b}{BPE_S2}"),
+                F.lit(f"{BPE_S1}{a}{b}{BPE_S2}"),
+            ).alias("seq"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(merges, "step long, pair string, pair_count long")
+
+
+def sql_bpe_train_merges(
+    table: str, text_col: str = "text", *, n_merges: int = 3
+) -> str:
+    """DuckDB twin of :func:`bpe_train_merges` — the same steps unrolled
+    as chained MATERIALIZED CTEs (each w{s} is referenced twice).
+    chr(2)/chr(3) are the BPE_S1/BPE_S2 sentinels; '\\1' is RE2's
+    backreference (Spark's Java regex uses '$1' for the same wrap)."""
+    toks = SQL_TOKENS.format(col=text_col)
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS word_count,
+             regexp_replace(word, '(.)', chr(2) || '\\1' || chr(3), 'g') AS seq
+      FROM (SELECT unnest({toks}) AS word FROM {table})
+      GROUP BY word
+    )"""
+    ]
+    for s in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{s} AS MATERIALIZED (
+      SELECT pair, CAST(sum(word_count) AS BIGINT) AS pair_count FROM (
+        SELECT t.word_count,
+               t.syms[CAST(u.i AS INTEGER)] || ' ' ||
+               t.syms[CAST(u.i AS INTEGER) + 1] AS pair
+        FROM (SELECT word_count,
+                     string_split(substr(seq, 2, length(seq) - 2), chr(3) || chr(2)) AS syms
+              FROM w{s - 1}) t,
+             unnest(range(1, len(t.syms))) AS u(i)
+      )
+      GROUP BY pair
+    )"""
+        )
+        ctes.append(
+            f"b{s} AS MATERIALIZED "
+            f"(SELECT pair, pair_count FROM p{s} ORDER BY pair_count DESC, pair LIMIT 1)"
+        )
+        pat = (
+            f"chr(2) || split_part((SELECT pair FROM b{s}), ' ', 1) || chr(3) || "
+            f"chr(2) || split_part((SELECT pair FROM b{s}), ' ', 2) || chr(3)"
+        )
+        rep = f"chr(2) || replace((SELECT pair FROM b{s}), ' ', '') || chr(3)"
+        ctes.append(
+            f"w{s} AS MATERIALIZED "
+            f"(SELECT word, word_count, replace(seq, {pat}, {rep}) AS seq FROM w{s - 1})"
+        )
+    body = ",\n    ".join(ctes)
+    final = "\n    UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS step, pair, pair_count FROM b{s}"
+        for s in range(1, n_merges + 1)
+    )
+    return f"WITH {body}\n    {final}"
+
+
 # ------------------------------------------- PMI co-occurrence (top pairs)
 
 

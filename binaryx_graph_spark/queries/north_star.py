@@ -459,6 +459,31 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.textstats import sql_bpe_train_merges as _sql_bpt  # noqa: E402
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=_sql_bpt("documents", n_merges=3) + " ORDER BY step",
+    tags=("text",),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING LOOP (3 greedy merge steps, not just pair counting):
+    each step picks the highest-count adjacent symbol pair over the
+    word-frequency dictionary and applies the merge before re-counting
+    — step 1 equals text_bpe_pair_counts' top row, steps 2-3 see the
+    merged symbols. Everything after the one corpus word-count runs on
+    the vocab-sized dictionary; the chosen pair per step is a 1-row
+    driver artifact like the k-means codebook. The oracle unrolls the
+    identical steps (merge application = fixed-count sentinel-bounded
+    literal replaces, property-pinned equal to canonical left-to-right
+    BPE merging)."""
+    from ..operators.textstats import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, n_merges=3).orderBy("step")
+
+
 from ..operators.textstats import sql_pmi_pairs as _sql_pmi  # noqa: E402
 
 

@@ -28,3 +28,60 @@ def test_bpe_pairs_known_counts(spark):
 def test_bpe_pairs_empty_and_short(spark):
     docs = spark.createDataFrame([(1, ""), (2, "a b c")], "doc_id bigint, text string")
     assert bpe_pair_counts(docs).count() == 0  # only 1-char words
+
+
+def _ref_bpe(word_counts, n_merges):
+    """Canonical BPE trainer reference (Sennrich et al.)."""
+    seqs = {w: list(w) for w in word_counts}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts = {}
+        for w, syms in seqs.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + word_counts[w]
+        if not counts:
+            break
+        # max count, lexicographic "a b" tie-break like the operator
+        best = min(counts.items(), key=lambda kv: (-kv[1], " ".join(kv[0])))
+        (a, b), c = best
+        merges.append((step, f"{a} {b}", c))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_train_merges_matches_reference(spark):
+    from binaryx_graph_spark.operators.textstats import bpe_train_merges
+
+    wc = {"low": 3, "lower": 2, "newest": 5, "widest": 4}
+    text = " ".join(w for w, c in wc.items() for _ in range(c))
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    got = [
+        (r["step"], r["pair"], r["pair_count"])
+        for r in bpe_train_merges(docs, n_merges=4).orderBy("step").collect()
+    ]
+    assert got == _ref_bpe(wc, 4)
+
+
+def test_bpe_train_merges_overlap_chains(spark):
+    """Repeated-symbol chains exercise the fixpoint replace passes."""
+    from binaryx_graph_spark.operators.textstats import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaaa aaaa aa b")], "doc_id bigint, text string"
+    )
+    wc = {"aaaaaa": 1, "aaaa": 1, "aa": 1, "b": 1}
+    got = [
+        (r["step"], r["pair"], r["pair_count"])
+        for r in bpe_train_merges(docs, n_merges=3).orderBy("step").collect()
+    ]
+    assert got == _ref_bpe(wc, 3)
