@@ -909,3 +909,43 @@ def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "events_variant_extract",
+    oracle="""
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1
+    ORDER BY k_bucket
+    """,
+    tags=("agg", "semistructured"),
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT lane: ``parse_json`` the payload ONCE into the
+    native semi-structured type, then ``variant_get`` typed paths —
+    unlike per-path get_json_object string re-parsing, the variant
+    binary encoding is parsed once and shredded columnar at scale (the
+    events_json_extract twin shows the string-path lane; same oracle
+    discipline). Buckets by the extracted field + exact-cents value
+    aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        ev.select(
+            (k % 10).alias("k_bucket"),
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("_cents"),
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_cents").alias("value_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("k_bucket")
+    )
