@@ -222,3 +222,58 @@ def python_datasource_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .orderBy("binary_hash", "fn_name")
     )
+
+
+@register(
+    "python_datasource_stream",
+    oracle="""
+    SELECT CAST(i % 7 AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum((i * 37) % 1000) AS BIGINT) AS total_cents
+    FROM range(0, 60) t(i)
+    GROUP BY 1
+    ORDER BY user_id
+    """,
+    tags=("ingest", "source", "streaming"),
+)
+def python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family extension: a pure-Python STREAMING source (Spark 4
+    SimpleDataSourceStreamReader) drained to a parquet file sink with a
+    persistent checkpoint — restarted availableNow runs resume from the
+    committed offset (each run consumes the next prefetched batch), so
+    the loop pins the offset/commit/replay contract end-to-end:
+    exactly-once delivery of the full bounded feed across restarts,
+    aggregated and checked against the feed formula replayed in SQL."""
+    import tempfile
+    from pathlib import Path
+
+    from ..sources.pyds import register_event_feed_datasource
+
+    register_event_feed_datasource(spark)
+    base = Path(tempfile.mkdtemp(prefix="bxg_pyfeed_"))
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+    prev = -1
+    for _ in range(12):  # bounded restart loop; stops when no progress
+        q = (
+            spark.readStream.format("event_feed_py")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(out).count() if Path(out).exists() else 0
+        if n == prev:
+            break
+        prev = n
+    return (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("amount_cents").alias("total_cents"),
+        )
+        .orderBy("user_id")
+    )

@@ -23,7 +23,12 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SCHEMA = "binary_hash string, fn_name string, address string, size bigint, source_file string"
 
@@ -75,3 +80,62 @@ class AnalysisJsonReader(DataSourceReader):
 def register_analysis_datasource(spark) -> None:
     """Idempotent registration (re-register is a no-op overwrite)."""
     spark.dataSource.register(AnalysisJsonDataSource)
+
+
+# ------------------------------------------------- streaming Python source
+
+FEED_TOTAL = 60
+FEED_BATCH = 20
+
+FEED_SCHEMA = "seq bigint, user_id bigint, amount_cents bigint"
+
+
+def _feed_row(i: int) -> tuple[int, int, int]:
+    """Deterministic synthetic feed row (the oracle replays the same
+    formula from a range table)."""
+    return (i, i % 7, (i * 37) % 1000)
+
+
+class EventFeedStreamReader(SimpleDataSourceStreamReader):
+    """Bounded deterministic feed: offsets are plain row counters, each
+    ``read`` serves one batch and advances, and past ``FEED_TOTAL`` the
+    offset stops moving (the drain-loop termination signal).
+    ``readBetweenOffsets`` replays any committed range exactly —
+    the contract that makes restart recovery exactly-once."""
+
+    def initialOffset(self):
+        return {"v": 0}
+
+    def read(self, start):
+        s = start["v"]
+        if s >= FEED_TOTAL:
+            return (iter([]), {"v": s})
+        e = min(s + FEED_BATCH, FEED_TOTAL)
+        return (iter([_feed_row(i) for i in range(s, e)]), {"v": e})
+
+    def readBetweenOffsets(self, start, end):
+        return iter([_feed_row(i) for i in range(start["v"], end["v"])])
+
+
+class EventFeedDataSource(DataSource):
+    """`spark.readStream.format("event_feed_py").load()` — a pure-Python
+    STREAMING source (Spark 4 SimpleDataSourceStreamReader): the driver
+    prefetches batches and tracks offsets; replay between committed
+    offsets is deterministic, so file-sink + checkpoint = exactly-once
+    across restarts. The 100 TB use case is the same as the batch
+    DataSource: feeds Spark cannot consume natively (message queues
+    behind Python SDKs, proprietary change feeds)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "event_feed_py"
+
+    def schema(self) -> str:
+        return FEED_SCHEMA
+
+    def simpleStreamReader(self, schema) -> "EventFeedStreamReader":
+        return EventFeedStreamReader()
+
+
+def register_event_feed_datasource(spark) -> None:
+    spark.dataSource.register(EventFeedDataSource)
