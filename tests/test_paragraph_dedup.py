@@ -67,3 +67,49 @@ def test_paragraph_dedup_preserves_order(spark):
     }
     assert got[1] == "k1 k1 zz zz"
     assert got[2] == "aa aa bb bb"  # middle block removed, order intact
+
+
+def _ref_paragraph_dedup(rows, words):
+    """Pure-Python reference of the keep-first contract."""
+    paras = []  # (doc_id, idx, para)
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        blocks = [
+            " ".join(toks[i * words : i * words + words])
+            for i in range((len(toks) + words - 1) // words)
+        ] or [""]
+        # split('', ' ') == [''] in both engines -> empty text = one block
+        if text == "":
+            blocks = [""]
+        for idx, p in enumerate(blocks):
+            paras.append((doc_id, idx, p))
+    first = {}
+    for doc_id, idx, p in sorted(paras):
+        first.setdefault(p, (doc_id, idx))
+    out = {}
+    for doc_id, text in rows:
+        mine = [(i, p) for d, i, p in paras if d == doc_id]
+        kept = [p for i, p in mine if first[p] == (doc_id, i)]
+        out[doc_id] = (len(mine), len(kept), " ".join(kept))
+    return out
+
+
+def test_paragraph_dedup_matches_reference_random(spark):
+    """Differential check on randomized corpora (fixed seed): block
+    grids, cross/within-doc repeats, empty docs, ragged tails."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd"]
+    for trial in range(5):
+        rows = [
+            (doc_id, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9))))
+            for doc_id in range(8)
+        ]
+        # randint(0,9)==0 -> "" empty doc possible via join of zero words
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {
+            r["doc_id"]: (r["n_paras"], r["n_kept"], r["cleaned_text"])
+            for r in paragraph_dedup(df, "doc_id", "text", words=2).collect()
+        }
+        assert got == _ref_paragraph_dedup(rows, 2), f"trial {trial}: {rows}"
