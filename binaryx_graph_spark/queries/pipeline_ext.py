@@ -949,3 +949,70 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curated-corpus export: sharded JSONL + read-back-verified manifest
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+
+@register(
+    "pipeline_export_shards",
+    oracle=f"""
+    WITH sharded AS (
+      SELECT ({_sql_hexval("sha256(CAST(doc_id AS VARCHAR))", 1)} * 4096
+              + {_sql_hexval("sha256(CAST(doc_id AS VARCHAR))", 2)} * 256
+              + {_sql_hexval("sha256(CAST(doc_id AS VARCHAR))", 3)} * 16
+              + {_sql_hexval("sha256(CAST(doc_id AS VARCHAR))", 4)}) % {_N_SHARDS} AS shard,
+             doc_id, length(text) AS n_chars
+      FROM documents
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(doc_id * doc_id + 7919) AS BIGINT) AS id_digest
+    FROM sharded
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    tags=("pipeline", "sink"),
+)
+def pipeline_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST pipeline stage: write the curated corpus as hash-sharded
+    JSONL (the trainer-facing layout — shard by content-hash of the id,
+    so shard sizes are balanced and assignment is reproducible anywhere)
+    and return the shard MANIFEST computed by READING THE EXPORT BACK —
+    the gate then pins the whole writer/reader round trip (a lost or
+    duplicated row changes n_docs/id_digest; a mangled text changes
+    n_chars). The digest is an order-independent integer sum, so it is
+    partitioning-proof on both engines."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 4), 16, 10)
+        .cast("long")
+        % _N_SHARDS
+    )
+    out = tempfile.mkdtemp(prefix="bxg_export_") + "/jsonl"
+    (
+        docs.select("doc_id", "text", shard.alias("shard"))
+        .repartition(_N_SHARDS, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .json(out)
+    )
+    # partitionBy moved `shard` into the directory name; the read
+    # restores it as a partition column
+    back = spark.read.schema("doc_id bigint, text string").json(out)
+    return (
+        back.groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.sum(F.col("doc_id") * F.col("doc_id") + 7919).alias("id_digest"),
+        )
+        .orderBy("shard")
+    )
