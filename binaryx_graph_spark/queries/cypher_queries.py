@@ -1,0 +1,110 @@
+"""Gate queries written IN CYPHER — the reference's actual query texts
+(or minimally adapted ones) compiled by binaryx_graph_spark.cypher and
+checked against exact VALUES oracles on the micro-graph fixture.
+
+This is the portability proof for reference users: the Cypher they run
+today (importer.rs, call_path_analyzer.rs) executes on this engine via
+the subset compiler, producing Catalyst plans like any native query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..cypher import cypher
+from ..fixtures.micro_graph import HASH_A, HASH_B, UID_HELPER_A
+from ..registry import register
+from .ingest_demo import graph_tables
+
+
+@register(
+    "cypher_scoped_function_search",
+    oracle=f"""
+    SELECT * FROM (VALUES ('{UID_HELPER_A}', 'helper')) AS t(uid, name)
+    """,
+    tags=("cypher", "search"),
+)
+def cypher_scoped_function_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's F1 scoped search, VERBATIM Cypher shape
+    (importer.rs:329-333) through the subset compiler: membership scope
+    via the CONTAINS|IMPORTS union, name/uid substring predicate,
+    binary filter by filename-contains-or-hash-equals, LIMIT 100."""
+    t = graph_tables(spark)
+    return cypher(
+        t,
+        """
+        MATCH (b:Binary)-[:CONTAINS|IMPORTS]->(f:Function)
+        WHERE (f.name CONTAINS $pattern OR f.uid CONTAINS $pattern)
+          AND (b.filename CONTAINS $binary_name OR b.hash = $binary_name)
+        RETURN DISTINCT f.uid AS uid, f.name AS name
+        ORDER BY uid
+        LIMIT 100
+        """,
+        params={"pattern": "elp", "binary_name": "mal_a"},
+    )
+
+
+@register(
+    "cypher_callees_varlen",
+    oracle="""
+    SELECT * FROM (VALUES ('CreateFileA'), ('helper'), ('worker')) AS t(callee)
+    ORDER BY callee
+    """,
+    tags=("cypher", "graph"),
+)
+def cypher_callees_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's G1 callees-to-depth query shape
+    (call_path_analyzer.rs:122-132) in Cypher: variable-length
+    :CALLS*1..2 from main → DISTINCT reachable callees (endpoint-pair
+    semantics; per-path rows stay with the traverse operators)."""
+    t = graph_tables(spark)
+    return cypher(
+        t,
+        """
+        MATCH (f:Function {name: 'main'})-[:CALLS*1..2]->(callee:Function)
+        RETURN DISTINCT callee.name AS callee
+        ORDER BY callee
+        """,
+    )
+
+
+@register(
+    "cypher_string_xref",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      ('Pay Bitcoin', '{HASH_A}', 'mal_a.exe'),
+      ('Pay Bitcoin', '{HASH_B}', 'mal_b.elf')
+    ) AS t(value, hash, filename)
+    ORDER BY hash
+    """,
+    tags=("cypher", "search"),
+)
+def cypher_string_xref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's T4 string-ownership join (importer.rs:387-397) in
+    Cypher: which binaries contain the Bitcoin string — reversed-
+    direction pattern, DISTINCT projection over two node variables."""
+    t = graph_tables(spark)
+    return cypher(
+        t,
+        """
+        MATCH (s:String)<-[:CONTAINS_STRING]-(b:Binary)
+        WHERE s.value CONTAINS 'Bitcoin'
+        RETURN DISTINCT s.value AS value, b.hash AS hash, b.filename AS filename
+        ORDER BY hash
+        """,
+    )
+
+
+@register(
+    "cypher_global_counts",
+    oracle="""
+    SELECT CAST(5 AS BIGINT) AS n_calls
+    """,
+    tags=("cypher", "agg"),
+)
+def cypher_global_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's A1 stats count (importer.rs:73) verbatim shape:
+    MATCH ()-[r:CALLS]->() RETURN count(r) — anonymous endpoints, edge
+    aggregate."""
+    t = graph_tables(spark)
+    return cypher(t, "MATCH ()-[r:CALLS]->() RETURN count(*) AS n_calls")

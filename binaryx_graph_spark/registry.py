@@ -95,6 +95,7 @@ def load_all() -> dict[str, Query]:
     """Import every query-defining module (side effect: registration)."""
     from .queries import (  # noqa: F401
         analytics_ext,
+        cypher_queries,
         graph,
         ingest_demo,
         ingest_scaled,

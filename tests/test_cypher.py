@@ -1,0 +1,108 @@
+"""Cypher-subset compiler: semantics against the micro-graph fixture
+(row-per-relationship multiplicity, direction, varlen bounds, params,
+label inference, loud rejections)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from binaryx_graph_spark.cypher import cypher
+from binaryx_graph_spark.queries.ingest_demo import graph_tables
+
+
+@pytest.fixture(scope="module")
+def t(spark):
+    return graph_tables(spark)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_count_nodes_and_edges(spark, t):
+    assert cypher(t, "MATCH (f:Function) RETURN count(f) AS n").head()["n"] == 6
+    assert cypher(t, "MATCH ()-[r:CALLS]->() RETURN count(*) AS n").head()["n"] == 5
+
+
+def test_direction_and_reverse_equal(spark, t):
+    fwd = cypher(t, "MATCH (b:Binary)-[:CONTAINS]->(f:Function) RETURN b.hash AS h, f.uid AS u")
+    rev = cypher(t, "MATCH (f:Function)<-[:CONTAINS]-(b:Binary) RETURN b.hash AS h, f.uid AS u")
+    assert _rows(fwd) == _rows(rev) and len(_rows(fwd)) > 0
+
+
+def test_multi_type_row_per_relationship(spark, t):
+    """CONTAINS|IMPORTS emits one row PER relationship (Cypher
+    multiplicity), so the union count equals the sum of both edges."""
+    u = cypher(t, "MATCH (b:Binary)-[:CONTAINS|IMPORTS]->(f:Function) RETURN count(*) AS n").head()["n"]
+    c = cypher(t, "MATCH (b:Binary)-[:CONTAINS]->(f:Function) RETURN count(*) AS n").head()["n"]
+    i = cypher(t, "MATCH (b:Binary)-[:IMPORTS]->(f:Function) RETURN count(*) AS n").head()["n"]
+    assert u == c + i
+
+
+def test_varlen_depth_bounds(spark, t):
+    # main -> helper, CreateFileA (1); -> worker via helper (2)
+    d1 = cypher(t, "MATCH (a:Function {name: 'main'})-[:CALLS*1..1]->(b:Function) RETURN DISTINCT b.name AS n")
+    d2 = cypher(t, "MATCH (a:Function {name: 'main'})-[:CALLS*1..2]->(b:Function) RETURN DISTINCT b.name AS n")
+    only2 = cypher(t, "MATCH (a:Function {name: 'main'})-[:CALLS*2..2]->(b:Function) RETURN DISTINCT b.name AS n")
+    assert {r.n for r in d1.collect()} == {"helper", "CreateFileA"}
+    assert {r.n for r in d2.collect()} == {"helper", "CreateFileA", "worker"}
+    assert {r.n for r in only2.collect()} == {"worker"}
+
+
+def test_params_and_property_map(spark, t):
+    got = cypher(
+        t,
+        "MATCH (b:Binary {filename: $fn})-[:CONTAINS]->(f:Function) RETURN f.name AS n",
+        params={"fn": "mal_a.exe"},
+    )
+    assert {r.n for r in got.collect()} == {"main", "helper", "worker"}
+
+
+def test_multiple_match_shared_variable(spark, t):
+    got = cypher(
+        t,
+        """
+        MATCH (b:Binary)-[:CONTAINS]->(f:Function)
+        MATCH (f)-[:CALLS]->(g:Function)
+        WHERE g.name = 'worker'
+        RETURN DISTINCT f.name AS caller ORDER BY caller
+        """,
+    )
+    assert [r.caller for r in got.collect()] == ["helper", "worker"]
+
+
+def test_edge_property_access(spark, t):
+    got = cypher(
+        t,
+        "MATCH (b:Binary)-[i:IMPORTS]->(f:Function) WHERE i.address <> '' "
+        "RETURN DISTINCT f.name AS n, i.address AS a",
+    )
+    rows = got.collect()
+    assert all(r.n == "CreateFileA" for r in rows) and rows
+
+
+def test_anonymous_label_inference(spark, t):
+    # (s) gets String inferred from CONTAINS_STRING's endpoint
+    got = cypher(t, "MATCH (b:Binary)-[:CONTAINS_STRING]->(s) RETURN DISTINCT s.value AS v")
+    assert "Pay Bitcoin" in {r.v for r in got.collect()}
+
+
+def test_rejections(spark, t):
+    for bad in [
+        "MATCH (a)-[:CALLS]-(b) RETURN a.name AS n",          # undirected
+        "MATCH (a:Nope) RETURN a.x AS x",                     # unknown label
+        "MATCH (a:Function) RETURN a.name AS n EXTRA",        # trailing input
+        "MATCH (a:Function)-[:CONTAINS|CALLS]->(b) RETURN b.name AS n",  # mixed endpoints
+        "MATCH (a:Function)-[:CONTAINS]->(a) RETURN a.name AS n",  # relabel clash
+        "MATCH (a:Function) RETURN a.name AS n ORDER BY a.uid",  # order by unreturned
+        "MATCH (a:Function)-[:IMPORTS*1..2]->(b) RETURN b.name AS n",  # varlen non-CALLS
+    ]:
+        with pytest.raises(ValueError):
+            cypher(t, bad).collect()
+    with pytest.raises(ValueError):
+        cypher(t, "MATCH (b:Binary {hash: $h}) RETURN b.hash AS h")  # missing param
