@@ -126,6 +126,10 @@ def main(argv: list[str] | None = None) -> int:
     qp.add_argument("--binary")
     for flag in ("paths", "sequences", "recursion", "upward", "context"):
         qp.add_argument(f"--show-{flag}", action="store_true")
+    qcy = q.add_parser("cypher")
+    qcy.add_argument("text", help="Cypher-subset query (see cypher.py docstring)")
+    qcy.add_argument("--param", action="append", default=[], metavar="NAME=VALUE",
+                     help="query parameter ($NAME); repeatable")
     qx = q.add_parser("xref")
     qx.add_argument("address")
     qx.add_argument("--binary")
@@ -224,7 +228,18 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     t = tables()
-    if args.what == "functions":
+    if args.what == "cypher":
+        from .cypher import cypher
+
+        params = {}
+        for kv in args.param:
+            if "=" not in kv:
+                print(f"bad --param {kv!r} (expected NAME=VALUE)")
+                return 2
+            k, v = kv.split("=", 1)
+            params[k] = int(v) if v.lstrip("-").isdigit() else v
+        emit(cypher(t, args.text, params=params), fmt)
+    elif args.what == "functions":
         emit(
             search_functions(
                 t["functions"], t["contains"], t["imports"], args.pattern,

@@ -543,16 +543,39 @@ class CypherCompiler:
     def _returns(self, df: DataFrame, q: Query, bound: dict[str, str]) -> DataFrame:
         agg = [i for i in q.items if i.kind in ("count_star", "count_var")]
         if agg:
-            if len(q.items) != len(agg):
-                raise ValueError("cypher: mixing count() with plain items needs GROUP BY — unsupported")
+            # Cypher's implicit grouping: non-aggregate RETURN items are
+            # the grouping keys (RETURN f.name, count(*) groups by name)
+            keys, key_names = [], {}
+            for it in q.items:
+                if it.kind == "prop":
+                    name = it.alias or f"{it.var}_{it.prop}"
+                    keys.append(F.col(f"{it.var}__{it.prop}").alias(name))
+                    key_names[f"{it.var}.{it.prop}"] = name
+                    key_names[name] = name
+                elif it.kind == "node":
+                    raise ValueError(
+                        "cypher: grouping by a whole node is unsupported — "
+                        "return explicit properties next to count()"
+                    )
             outs = []
             for i, it in enumerate(agg):
                 name = it.alias or f"count_{i}"
+                key_names[name] = name
                 if it.kind == "count_star":
                     outs.append(F.count(F.lit(1)).alias(name))
                 else:
                     outs.append(F.count(F.col(self._key_col(it.var, bound[it.var]))).alias(name))
-            out = df.agg(*outs)
+            out = df.groupBy(*keys).agg(*outs) if keys else df.agg(*outs)
+            if q.order:
+                order_cols = []
+                for name, asc in q.order:
+                    if name not in key_names:
+                        raise ValueError(
+                            f"cypher: ORDER BY {name} must reference a returned column or alias"
+                        )
+                    c = F.col(key_names[name])
+                    order_cols.append(c.asc() if asc else c.desc())
+                out = out.orderBy(*order_cols)
         else:
             cols = []
             out_names: dict[str, str] = {}  # 'var.prop' / alias -> output col

@@ -108,3 +108,30 @@ def cypher_global_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate."""
     t = graph_tables(spark)
     return cypher(t, "MATCH ()-[r:CALLS]->() RETURN count(*) AS n_calls")
+
+
+@register(
+    "cypher_call_frequency",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('helper', CAST(1 AS BIGINT)),
+      ('main', CAST(2 AS BIGINT)),
+      ('worker', CAST(2 AS BIGINT))
+    ) AS t(caller, n_calls)
+    ORDER BY caller
+    """,
+    tags=("cypher", "agg"),
+)
+def cypher_call_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's G8 call-frequency shape (importer.rs caller
+    aggregation) in Cypher with IMPLICIT GROUPING — non-aggregate RETURN
+    items become the grouping keys, exactly Neo4j's semantics."""
+    t = graph_tables(spark)
+    return cypher(
+        t,
+        """
+        MATCH (caller:Function)-[:CALLS]->(callee:Function)
+        RETURN caller.name AS caller, count(*) AS n_calls
+        ORDER BY caller
+        """,
+    )

@@ -106,3 +106,33 @@ def test_rejections(spark, t):
             cypher(t, bad).collect()
     with pytest.raises(ValueError):
         cypher(t, "MATCH (b:Binary {hash: $h}) RETURN b.hash AS h")  # missing param
+
+
+def test_implicit_grouping(spark, t):
+    got = cypher(
+        t,
+        "MATCH (caller:Function)-[:CALLS]->(callee:Function) "
+        "RETURN caller.name AS caller, count(*) AS n ORDER BY caller",
+    )
+    assert [(r.caller, r.n) for r in got.collect()] == [
+        ("helper", 1), ("main", 2), ("worker", 2),
+    ]
+
+
+def test_cli_cypher_query(spark, tmp_path, capsys):
+    from binaryx_graph_spark.cli import main
+
+    from .fixtures import write_fixture
+
+    d = write_fixture(tmp_path / "in")
+    root = str(tmp_path / "wh")
+    assert main(["--warehouse", root, "import", "directory", d]) == 0
+    capsys.readouterr()
+    assert main([
+        "--warehouse", root, "--format", "json", "query", "cypher",
+        "MATCH (b:Binary)-[:CONTAINS]->(f:Function) WHERE b.filename CONTAINS $fn "
+        "RETURN DISTINCT f.name AS name ORDER BY name",
+        "--param", "fn=mal_a",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert '"name": "helper"' in out and '"name": "main"' in out
