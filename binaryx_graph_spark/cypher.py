@@ -11,7 +11,8 @@ opaque).
 
 Supported subset (documented; reject-loudly beyond it):
 
-- ``MATCH`` linear patterns ``(a:Label {prop: lit})-[r:TYPE]->(b:...)``
+- ``MATCH`` / restricted ``OPTIONAL MATCH`` (anchored on a bound variable,
+  left-join semantics) linear patterns ``(a:Label {prop: lit})-[r:TYPE]->(b:...)``
   with ``<-`` direction, multi-type edges ``[:CONTAINS|IMPORTS]``,
   anonymous nodes/edges, and multiple MATCH clauses joined on shared
   variables
@@ -77,9 +78,9 @@ _TOKEN = re.compile(
 )
 
 _KEYWORDS = {
-    "MATCH", "WHERE", "RETURN", "ORDER", "BY", "LIMIT", "AS", "AND", "OR",
-    "NOT", "DISTINCT", "CONTAINS", "STARTS", "ENDS", "WITH", "ASC", "DESC",
-    "COUNT",
+    "MATCH", "OPTIONAL", "WHERE", "RETURN", "ORDER", "BY", "LIMIT", "AS",
+    "AND", "OR", "NOT", "DISTINCT", "CONTAINS", "STARTS", "ENDS", "WITH",
+    "ASC", "DESC", "COUNT",
 }
 
 
@@ -123,6 +124,7 @@ class EdgePat:
 class Pattern:
     nodes: list[NodePat]
     edges: list[EdgePat]
+    optional: bool = False
 
 
 @dataclass
@@ -200,8 +202,16 @@ class CypherParser:
     # --- grammar
     def parse(self) -> Query:
         patterns = []
-        while self._accept("kw", "MATCH"):
-            patterns.append(self._pattern())
+        while True:
+            if self._accept("kw", "OPTIONAL"):
+                self._expect("kw", "MATCH")
+                pat = self._pattern()
+                pat.optional = True
+                patterns.append(pat)
+            elif self._accept("kw", "MATCH"):
+                patterns.append(self._pattern())
+            else:
+                break
         if not patterns:
             raise ValueError("cypher: query must start with MATCH")
         where = self._where() if self._accept("kw", "WHERE") else None
@@ -396,7 +406,10 @@ class CypherCompiler:
         bound: dict[str, str] = {}  # var -> label
         df: DataFrame | None = None
         for pat in q.patterns:
-            df = self._compile_pattern(df, pat, bound)
+            if pat.optional:
+                df = self._compile_optional(df, pat, bound)
+            else:
+                df = self._compile_pattern(df, pat, bound)
         assert df is not None
         if q.where is not None:
             df = df.filter(self._predicate(q.where, bound))
@@ -473,6 +486,46 @@ class CypherCompiler:
                 df = self._bind_node(df, nxt, bound)
                 df = df.filter(F.col("__src") == src_key()).drop("__src")
         return df
+
+    def _compile_optional(
+        self, df: DataFrame | None, pat: Pattern, bound: dict[str, str]
+    ) -> DataFrame:
+        """OPTIONAL MATCH (restricted): the pattern's FIRST node must be
+        an already-bound variable and the rest must be fresh — the whole
+        pattern compiles standalone and LEFT-joins on the shared
+        variable's key, so unmatched rows keep NULLs in the optional
+        columns (count(optVar) then counts matches, Neo4j-style).
+        Divergence: the single trailing WHERE applies AFTER all matches
+        (Cypher scopes a WHERE to its clause) — keep optional-side
+        conditions inside the pattern's property maps."""
+        first = pat.nodes[0]
+        if df is None or first.var not in bound:
+            raise ValueError(
+                "cypher: OPTIONAL MATCH must start from an already-bound variable"
+            )
+        if first.label and first.label != bound[first.var]:
+            raise ValueError(
+                f"cypher: ({first.var}) is :{bound[first.var]}, not :{first.label}"
+            )
+        first.label = bound[first.var]
+        for n in pat.nodes[1:]:
+            if n.var in bound:
+                raise ValueError(
+                    "cypher: OPTIONAL MATCH may reuse only its first variable "
+                    f"({n.var} is already bound)"
+                )
+        sub_bound: dict[str, str] = {}
+        sub = self._compile_pattern(
+            None, Pattern(pat.nodes, pat.edges), sub_bound
+        )
+        key = self._key_col(first.var, first.label)
+        drop = [c for c in sub.columns if c.startswith(f"{first.var}__") and c != key]
+        sub = sub.drop(*drop).withColumnRenamed(key, "__opt_key")
+        out = df.join(sub, F.col(key) == F.col("__opt_key"), "left").drop("__opt_key")
+        for v, lbl in sub_bound.items():
+            if v != first.var:
+                bound[v] = lbl
+        return out
 
     def _edge_pairs(self, e: EdgePat) -> DataFrame:
         frames = []

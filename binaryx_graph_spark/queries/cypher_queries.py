@@ -135,3 +135,33 @@ def cypher_call_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY caller
         """,
     )
+
+
+@register(
+    "cypher_optional_callees",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('CreateFileA', CAST(0 AS BIGINT)),
+      ('exported_fn', CAST(0 AS BIGINT)),
+      ('helper', CAST(1 AS BIGINT)),
+      ('main', CAST(2 AS BIGINT)),
+      ('worker', CAST(2 AS BIGINT))
+    ) AS t(fn, n_callees)
+    ORDER BY fn
+    """,
+    tags=("cypher", "graph"),
+)
+def cypher_optional_callees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL MATCH (the reference's export query device,
+    client.rs:98): every function keeps a row even with zero callees —
+    left-join semantics, count(g) counting only real matches."""
+    t = graph_tables(spark)
+    return cypher(
+        t,
+        """
+        MATCH (f:Function)
+        OPTIONAL MATCH (f)-[:CALLS]->(g:Function)
+        RETURN f.name AS fn, count(g) AS n_callees
+        ORDER BY fn
+        """,
+    )

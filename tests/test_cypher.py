@@ -136,3 +136,34 @@ def test_cli_cypher_query(spark, tmp_path, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert '"name": "helper"' in out and '"name": "main"' in out
+
+
+def test_optional_match_left_join(spark, t):
+    r = cypher(
+        t,
+        """
+        MATCH (f:Function)
+        OPTIONAL MATCH (f)-[:CALLS]->(g:Function)
+        RETURN f.name AS fn, count(g) AS n_callees
+        ORDER BY fn
+        """,
+    ).collect()
+    got = sorted((x.fn, x.n_callees) for x in r)
+    # CreateFileA/exported_fn call nothing but still appear (left join)
+    assert ("CreateFileA", 0) in got and ("main", 2) in got
+
+    r2 = cypher(
+        t,
+        """
+        MATCH (f:Function)
+        OPTIONAL MATCH (f)-[:BELONGS_TO]->(l:Library)
+        RETURN DISTINCT f.name AS fn, l.name AS lib ORDER BY fn
+        """,
+    ).collect()
+    by_fn = {x.fn: x.lib for x in r2}
+    assert by_fn["CreateFileA"] == "kernel32" and by_fn["main"] is None
+
+    with pytest.raises(ValueError):
+        cypher(t, "MATCH (f:Function) OPTIONAL MATCH (g:Function)-[:CALLS]->(h:Function) RETURN f.name AS n")
+    with pytest.raises(ValueError):  # may not rebind an existing var beyond the anchor
+        cypher(t, "MATCH (f:Function)-[:CALLS]->(g:Function) OPTIONAL MATCH (f)-[:CALLS]->(g) RETURN f.name AS n")
