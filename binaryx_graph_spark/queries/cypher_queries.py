@@ -165,3 +165,35 @@ def cypher_optional_callees(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY fn
         """,
     )
+
+
+@register(
+    "cypher_varlen_scaled",
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst
+      FROM (SELECT DISTINCT o_orderkey % 500 AS src, (o_custkey * 13) % 500 AS dst
+            FROM orders WHERE o_orderkey % 5 = 0)
+    ),
+    d1 AS (SELECT src, dst FROM e),
+    d2 AS (SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src),
+    pairs AS (SELECT DISTINCT src, dst FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2))
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    """,
+    tags=("cypher", "graph", "iterative"),
+)
+def cypher_varlen_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compiler at DATA scale (not just the micro-graph fixture):
+    variable-length :CALLS*1..2 over the derived call graph (~30k
+    edges at sf0.1) — the compiled frontier iteration is the same
+    distinct-pairs BFS the native traverse operators use, and the
+    oracle unrolls the two hops relationally."""
+    from ..plans.graph_project import as_call_tables, derived_edges
+
+    calls, nodes = as_call_tables(derived_edges(spark, sf_dir))
+    t = {"functions": nodes, "calls": calls}
+    return cypher(
+        t,
+        "MATCH (a:Function)-[:CALLS*1..2]->(b:Function) RETURN count(*) AS n_pairs",
+    )

@@ -167,3 +167,20 @@ def test_optional_match_left_join(spark, t):
         cypher(t, "MATCH (f:Function) OPTIONAL MATCH (g:Function)-[:CALLS]->(h:Function) RETURN f.name AS n")
     with pytest.raises(ValueError):  # may not rebind an existing var beyond the anchor
         cypher(t, "MATCH (f:Function)-[:CALLS]->(g:Function) OPTIONAL MATCH (f)-[:CALLS]->(g) RETURN f.name AS n")
+
+
+def test_compiled_plan_quality(spark, t):
+    """Compiled Cypher gets Catalyst treatment like native DataFrames:
+    the scoped-search join broadcasts, and nothing degenerates into a
+    cartesian product."""
+    df = cypher(
+        t,
+        """
+        MATCH (b:Binary)-[:CONTAINS|IMPORTS]->(f:Function)
+        WHERE f.name CONTAINS 'elp' AND b.filename CONTAINS 'mal_a'
+        RETURN f.uid AS uid, f.name AS name
+        """,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
