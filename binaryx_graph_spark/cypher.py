@@ -593,6 +593,24 @@ class CypherCompiler:
             "endswith": col.endswith(expr.right),
         }[expr.op]
 
+    @staticmethod
+    def _apply_order(out: DataFrame, order: list[tuple[str, bool]], names: dict[str, str]) -> DataFrame:
+        """Resolve ORDER BY against the RETURN surface (aliases or
+        var.prop of returned items) — shared by the grouped and plain
+        branches."""
+        if not order:
+            return out
+        order_cols = []
+        for name, asc in order:
+            if name not in names:
+                raise ValueError(
+                    f"cypher: ORDER BY {name} must reference a returned "
+                    f"column or alias (have: {sorted(set(names))})"
+                )
+            c = F.col(names[name])
+            order_cols.append(c.asc() if asc else c.desc())
+        return out.orderBy(*order_cols)
+
     def _returns(self, df: DataFrame, q: Query, bound: dict[str, str]) -> DataFrame:
         agg = [i for i in q.items if i.kind in ("count_star", "count_var")]
         if agg:
@@ -619,16 +637,7 @@ class CypherCompiler:
                 else:
                     outs.append(F.count(F.col(self._key_col(it.var, bound[it.var]))).alias(name))
             out = df.groupBy(*keys).agg(*outs) if keys else df.agg(*outs)
-            if q.order:
-                order_cols = []
-                for name, asc in q.order:
-                    if name not in key_names:
-                        raise ValueError(
-                            f"cypher: ORDER BY {name} must reference a returned column or alias"
-                        )
-                    c = F.col(key_names[name])
-                    order_cols.append(c.asc() if asc else c.desc())
-                out = out.orderBy(*order_cols)
+            out = self._apply_order(out, q.order, key_names)
         else:
             cols = []
             out_names: dict[str, str] = {}  # 'var.prop' / alias -> output col
@@ -648,17 +657,7 @@ class CypherCompiler:
             out = df.select(cols)
             if q.distinct:
                 out = out.distinct()
-            if q.order:
-                order_cols = []
-                for name, asc in q.order:
-                    if name not in out_names:
-                        raise ValueError(
-                            f"cypher: ORDER BY {name} must reference a returned "
-                            f"column or alias (have: {sorted(set(out_names))})"
-                        )
-                    c = F.col(out_names[name])
-                    order_cols.append(c.asc() if asc else c.desc())
-                out = out.orderBy(*order_cols)
+            out = self._apply_order(out, q.order, out_names)
         if q.limit is not None:
             out = out.limit(q.limit)
         return out

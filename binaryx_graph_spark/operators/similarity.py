@@ -573,6 +573,14 @@ def knn_join(
         "vec_id",
         cosine(F.col("_cv"), F.col("_qv")).alias("cos_sim"),
     )
+    return _topk_per_query(scored, k, query_id_col)
+
+
+def _topk_per_query(scored: DataFrame, k: int, query_id_col: str) -> DataFrame:
+    """Per-query top-k over (query_id, vec_id, cos_sim) — the shared
+    tail of the exact and IVF-pruned batch joins (id tie-breaks)."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -678,12 +686,7 @@ def knn_join_ivf(
     scored = scored.select(
         query_id_col, "vec_id", cosine(F.col("_cv"), F.col("_qv")).alias("cos_sim")
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
-    )
+    return _topk_per_query(scored, k, query_id_col)
 
 
 def sql_knn_join_ivf(

@@ -38,6 +38,18 @@ DOCS_SCHEMA = T.StructType(
 )
 
 
+def _stage_batches(docs, stage: str, filters) -> None:
+    """Write each filtered slice as one parquet file ``batch_<i>.parquet``
+    — the staged arrival order for a maxFilesPerTrigger=1 drain (shared
+    by the minhash and paragraph streaming harnesses)."""
+    for b, pred in enumerate(filters):
+        tmp = f"{stage}/_w{b}"
+        docs.filter(pred).coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        os.rename(f"{tmp}/{part}", f"{stage}/batch_{b}.parquet")
+        shutil.rmtree(tmp)
+
+
 def streaming_incremental_dedup(
     spark: SparkSession,
     sf_dir: str,
@@ -53,12 +65,10 @@ def streaming_incremental_dedup(
     unioned pair set as a static frame."""
     stage = tempfile.mkdtemp(prefix="bxg_dedup_stream_")
     docs = load_table(spark, sf_dir, "documents")
-    for b in range(arrival_batches):
-        tmp = f"{stage}/_w{b}"
-        docs.filter(F.col("doc_id") % arrival_batches == b).coalesce(1).write.parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
-        os.rename(f"{tmp}/{part}", f"{stage}/batch_{b}.parquet")
-        shutil.rmtree(tmp)
+    _stage_batches(
+        docs, stage,
+        [F.col("doc_id") % arrival_batches == b for b in range(arrival_batches)],
+    )
 
     empty_docs = spark.createDataFrame([], DOCS_SCHEMA)
     state = {
@@ -136,14 +146,11 @@ def streaming_paragraph_dedup(
     docs = load_table(spark, sf_dir, "documents")
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]  # setup-only scalar
     bounds = [(i * (max_id + 1)) // arrival_batches for i in range(arrival_batches + 1)]
-    for b in range(arrival_batches):
-        tmp = f"{stage}/_w{b}"
-        docs.filter(
-            (F.col("doc_id") >= bounds[b]) & (F.col("doc_id") < bounds[b + 1])
-        ).coalesce(1).write.parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
-        os.rename(f"{tmp}/{part}", f"{stage}/batch_{b}.parquet")
-        shutil.rmtree(tmp)
+    _stage_batches(
+        docs, stage,
+        [(F.col("doc_id") >= bounds[b]) & (F.col("doc_id") < bounds[b + 1])
+         for b in range(arrival_batches)],
+    )
 
     state = {
         "index": spark.createDataFrame([], "para string").localCheckpoint(eager=True),
