@@ -16,6 +16,12 @@ Supported subset (documented; reject-loudly beyond it):
   with ``<-`` direction, multi-type edges ``[:CONTAINS|IMPORTS]``,
   anonymous nodes/edges, and multiple MATCH clauses joined on shared
   variables
+- LABEL-LESS nodes ``(n)`` (match every node table; expose ``.key`` /
+  ``.label`` pseudo-properties only) and UNTYPED edges ``[r]`` (every
+  relationship; ``type(r)`` / ``r.type``), enough to run the
+  reference's export query verbatim:
+  ``MATCH (n) OPTIONAL MATCH (n)-[r]->(m) RETURN n, type(r), m``.
+  A typed edge cannot attach to an any-label variable (fails loudly)
 - variable-length ``[:CALLS*min..max]`` → DISTINCT endpoint pairs with
   a shortest-connection depth in range (the engine's `reachable`
   semantics; per-PATH rows are the traverse operators' job — documented
@@ -53,6 +59,10 @@ NODE_LABELS: dict[str, tuple[str, str]] = {
     "String": ("strings", "uid"),
     "Library": ("libraries", "name"),
 }
+
+#: pseudo-label for nodes matched without a label — (n) matches every
+#: node table; such variables expose `.key` / `.label` pseudo-properties
+ANY = "*"
 
 EDGE_TYPES: dict[str, tuple[str, str, str, str, str]] = {
     # type -> (table, src label, src col, dst label, dst col)
@@ -295,8 +305,8 @@ class CypherParser:
                 raise ValueError(
                     "cypher: undirected relationships are not supported (use -> or <-)"
                 )
-        if not types:
-            raise ValueError("cypher: relationship type required, e.g. -[:CALLS]->")
+        # empty types = ANY relationship (the export-query device);
+        # variable length still needs the explicit :CALLS
         for t in types:
             if t not in EDGE_TYPES:
                 raise ValueError(f"cypher: unknown relationship type :{t}")
@@ -371,7 +381,14 @@ class CypherParser:
             self._expect("sym", ")")
         else:
             var = self._expect("word")
-            if self._accept("sym", "."):
+            if var.lower() in ("type", "labels") and self._accept("sym", "("):
+                # type(r) / labels(n) → the .type / .label pseudo-props
+                inner = self._expect("word")
+                self._expect("sym", ")")
+                item = ReturnItem(
+                    "prop", inner, "type" if var.lower() == "type" else "label", None
+                )
+            elif self._accept("sym", "."):
                 item = ReturnItem("prop", var, self._expect("word"), None)
             else:
                 item = ReturnItem("node", var, None, None)
@@ -403,7 +420,8 @@ class CypherCompiler:
         self.tables = tables
 
     def compile(self, q: Query) -> DataFrame:
-        bound: dict[str, str] = {}  # var -> label
+        bound: dict[str, str] = {}  # var -> label (ANY for label-less)
+        self._edge_vars: set[str] = set()
         df: DataFrame | None = None
         for pat in q.patterns:
             if pat.optional:
@@ -417,12 +435,49 @@ class CypherCompiler:
 
     # --- helpers
     def _node_df(self, var: str, label: str) -> DataFrame:
+        if label == ANY:
+            # (n) with no label: every node table, identity-only columns
+            frames = []
+            for lbl, (table, key) in NODE_LABELS.items():
+                t = self.tables[table]
+                frames.append(
+                    t.select(
+                        F.col(key).cast("string").alias(f"{var}____key"),
+                        F.lit(lbl).alias(f"{var}____label"),
+                    )
+                )
+            out = frames[0]
+            for f2 in frames[1:]:
+                out = out.unionByName(f2)
+            return out
         table, _key = NODE_LABELS[label]
         t = self.tables[table]
         return t.select([F.col(c).alias(f"{var}__{c}") for c in t.columns])
 
     def _key_col(self, var: str, label: str) -> str:
+        if label == ANY:
+            return f"{var}____key"
         return f"{var}__{NODE_LABELS[label][1]}"
+
+    def _prop_col(self, var: str, prop: str, bound: dict[str, str]) -> Column:
+        """Resolve var.prop to a Column — pseudo-properties for
+        any-label nodes (.key/.label), labeled nodes (.key/.label as
+        key column / literal), and edge variables (.type)."""
+        lbl = bound.get(var)
+        if lbl == ANY:
+            if prop in ("key", "label"):
+                return F.col(f"{var}____{prop}")
+            raise ValueError(
+                f"cypher: ({var}) matched without a label exposes only "
+                f".key and .label, not .{prop}"
+            )
+        if var in self._edge_vars and prop == "type":
+            return F.col(f"{var}____type")
+        if lbl in NODE_LABELS and prop == "label":
+            return F.lit(lbl)
+        if lbl in NODE_LABELS and prop == "key":
+            return F.col(self._key_col(var, lbl))
+        return F.col(f"{var}__{prop}")
 
     def _bind_node(self, df: DataFrame | None, n: NodePat, bound: dict[str, str]) -> DataFrame:
         if n.var in bound:
@@ -432,18 +487,21 @@ class CypherCompiler:
                 raise ValueError("cypher: internal bind order error")
             out = df
         else:
-            if not n.label:
-                raise ValueError(f"cypher: first use of ({n.var}) needs a label")
-            nd = self._node_df(n.var, n.label)
+            lbl = n.label or ANY
+            nd = self._node_df(n.var, lbl)
             out = nd if df is None else df.crossJoin(nd)
-            bound[n.var] = n.label
+            bound[n.var] = lbl
+            n.label = lbl
         for p, v in n.props.items():
-            out = out.filter(F.col(f"{n.var}__{p}") == F.lit(v))
+            out = out.filter(self._prop_col(n.var, p, bound) == F.lit(v))
         return out
 
     def _compile_pattern(self, df: DataFrame | None, pat: Pattern, bound: dict[str, str]) -> DataFrame:
         # infer missing labels from edge endpoints before binding
+        # (untyped edges constrain nothing — endpoints stay any-label)
         for i, e in enumerate(pat.edges):
+            if not e.types:
+                continue
             srcs = {EDGE_TYPES[t][1] for t in e.types}
             dsts = {EDGE_TYPES[t][3] for t in e.types}
             if len(srcs) != 1 or len(dsts) != 1:
@@ -528,17 +586,32 @@ class CypherCompiler:
         return out
 
     def _edge_pairs(self, e: EdgePat) -> DataFrame:
+        types = list(e.types)
+        identity_only = not types
+        if identity_only:
+            # untyped [r]: every relationship, identity + type only
+            # (keys cast to string — the any-node join key space)
+            types = list(EDGE_TYPES)
         frames = []
-        for t in e.types:
+        for t in types:
             table, _sl, sc, _dl, dc = EDGE_TYPES[t]
             ed = self.tables[table]
-            cols = [F.col(sc).alias("__src"), F.col(dc).alias("__dst")]
-            if e.var:
-                cols += [
-                    F.col(c).alias(f"{e.var}__{c}")
-                    for c in ed.columns
-                    if c not in (sc, dc)
+            if identity_only:
+                cols = [
+                    F.col(sc).cast("string").alias("__src"),
+                    F.col(dc).cast("string").alias("__dst"),
                 ]
+            else:
+                cols = [F.col(sc).alias("__src"), F.col(dc).alias("__dst")]
+                if e.var:
+                    cols += [
+                        F.col(c).alias(f"{e.var}__{c}")
+                        for c in ed.columns
+                        if c not in (sc, dc)
+                    ]
+            if e.var:
+                cols.append(F.lit(t).alias(f"{e.var}____type"))
+                self._edge_vars.add(e.var)
             frames.append(ed.select(cols))
         out = frames[0]
         for f2 in frames[1:]:
@@ -579,7 +652,7 @@ class CypherCompiler:
             return parts[0] & parts[1] if expr.op == "and" else parts[0] | parts[1]
         assert isinstance(expr, Comparison)
         var, prop = expr.left
-        col = F.col(f"{var}__{prop}")
+        col = self._prop_col(var, prop, bound)
         lit = F.lit(expr.right)
         return {
             "=": col == lit,
@@ -620,7 +693,7 @@ class CypherCompiler:
             for it in q.items:
                 if it.kind == "prop":
                     name = it.alias or f"{it.var}_{it.prop}"
-                    keys.append(F.col(f"{it.var}__{it.prop}").alias(name))
+                    keys.append(self._prop_col(it.var, it.prop, bound).alias(name))
                     key_names[f"{it.var}.{it.prop}"] = name
                     key_names[name] = name
                 elif it.kind == "node":
@@ -644,11 +717,18 @@ class CypherCompiler:
             for it in q.items:
                 if it.kind == "prop":
                     name = it.alias or f"{it.var}_{it.prop}"
-                    cols.append(F.col(f"{it.var}__{it.prop}").alias(name))
+                    cols.append(self._prop_col(it.var, it.prop, bound).alias(name))
                     out_names[f"{it.var}.{it.prop}"] = name
                     out_names[name] = name
                 else:  # whole node → expand properties as var_prop
                     label = bound[it.var]
+                    if label == ANY:
+                        # label-less nodes expand to identity columns
+                        for c in ("key", "label"):
+                            cols.append(F.col(f"{it.var}____{c}").alias(f"{it.var}_{c}"))
+                            out_names[f"{it.var}.{c}"] = f"{it.var}_{c}"
+                            out_names[f"{it.var}_{c}"] = f"{it.var}_{c}"
+                        continue
                     table, _k = NODE_LABELS[label]
                     for c in self.tables[table].columns:
                         cols.append(F.col(f"{it.var}__{c}").alias(f"{it.var}_{c}"))

@@ -10,6 +10,7 @@ the subset compiler, producing Catalyst plans like any native query.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..cypher import cypher
 from ..fixtures.micro_graph import HASH_A, HASH_B, UID_HELPER_A
@@ -196,4 +197,38 @@ def cypher_varlen_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cypher(
         t,
         "MATCH (a:Function)-[:CALLS*1..2]->(b:Function) RETURN count(*) AS n_pairs",
+    )
+
+
+@register(
+    "cypher_export_graph",
+    oracle="""
+    SELECT rel_type, CAST(n AS BIGINT) AS n FROM (VALUES
+      ('CONTAINS', 4), ('CONTAINS_STRING', 4), ('IMPORTS', 2), ('IMPORTS_LIBRARY', 2)
+    ) AS t(rel_type, n)
+    ORDER BY rel_type
+    """,
+    tags=("cypher", "export"),
+)
+def cypher_export_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference export query shape, verbatim device (client.rs:98:
+    ``MATCH (n) OPTIONAL MATCH (n)-[r]->(m) RETURN n, type(r), m``) —
+    label-less nodes, untyped relationships, OPTIONAL MATCH, type(r).
+    The gate pins the Binary-sourced relationship histogram of the
+    export (every edge type with its exact multiplicity)."""
+    t = graph_tables(spark)
+    out = cypher(
+        t,
+        """
+        MATCH (n)
+        OPTIONAL MATCH (n)-[r]->(m)
+        RETURN n, type(r) AS rel_type, m
+        """,
+    )
+    return (
+        out.filter(F.col("n_label") == "Binary")
+        .groupBy("rel_type")
+        .count()
+        .select("rel_type", F.col("count").cast("long").alias("n"))
+        .orderBy("rel_type")
     )

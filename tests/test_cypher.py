@@ -184,3 +184,28 @@ def test_compiled_plan_quality(spark, t):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_any_label_and_untyped_edges(spark, t):
+    """The export-query devices: (n) matches every node table, [r]
+    every relationship, type(r)/labels(n) and .key/.label pseudo-props."""
+    assert cypher(t, "MATCH (n) RETURN count(n) AS n").head()["n"] == 12
+    ex = cypher(
+        t, "MATCH (n) OPTIONAL MATCH (n)-[r]->(m) RETURN n, type(r) AS rel_type, m"
+    ).collect()
+    # every node appears; nodes without out-edges carry NULL rel_type
+    assert {x.rel_type for x in ex} >= {"CALLS", "CONTAINS", None}
+    assert len([x for x in ex if x.rel_type is None]) > 0
+    libs = cypher(
+        t, "MATCH (n) WHERE n.label = 'Library' RETURN n.key AS k ORDER BY k"
+    ).collect()
+    assert [x.k for x in libs] == ["kernel32"]
+    # typed anchor + untyped edge: per-type histogram
+    h = cypher(
+        t, "MATCH (b:Binary)-[r]->(m) RETURN type(r) AS rt, count(*) AS n ORDER BY rt"
+    ).collect()
+    assert ("CALLS",) not in {(x.rt,) for x in h}  # binaries never CALL
+    with pytest.raises(ValueError):  # real props stay off any-label vars
+        cypher(t, "MATCH (n) WHERE n.name = 'x' RETURN n.key AS k")
+    with pytest.raises(ValueError):  # typed edge cannot attach to any-label var
+        cypher(t, "MATCH (n) MATCH (n)-[:CALLS]->(m:Function) RETURN m.name AS x")
