@@ -64,6 +64,10 @@ NODE_LABELS: dict[str, tuple[str, str]] = {
 #: node table; such variables expose `.key` / `.label` pseudo-properties
 ANY = "*"
 
+#: pseudo-label for scalar-valued variables (the fulltext CALL's
+#: ``score``) — a single value column, no properties
+SCALAR = "@scalar"
+
 EDGE_TYPES: dict[str, tuple[str, str, str, str, str]] = {
     # type -> (table, src label, src col, dst label, dst col)
     "CONTAINS": ("contains", "Binary", "binary_hash", "Function", "function_uid"),
@@ -106,7 +110,9 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
         kind = m.lastgroup
         val = m.group(m.lastgroup)
         if kind == "word" and val.upper() in _KEYWORDS:
-            out.append(("kw", val.upper()))
+            # keep the original spelling: keyword-colliding words are
+            # also legal aliases/types (`as count`, `[:CONTAINS]`)
+            out.append(("kw", val))
         else:
             out.append((kind, val))
     return out
@@ -135,6 +141,7 @@ class Pattern:
     nodes: list[NodePat]
     edges: list[EdgePat]
     optional: bool = False
+    path_var: str | None = None  # MATCH path = (...) — per-path rows
 
 
 @dataclass
@@ -151,11 +158,46 @@ class BoolExpr:
 
 
 @dataclass
+class ExistsPat:
+    """``EXISTS((a)-[:T|T2]->(b))`` — membership of a bound node pair in
+    the union of the listed edge tables (call_path_analyzer.rs:34,125)."""
+
+    src_var: str
+    types: list[str]
+    dst_var: str
+
+
+@dataclass
+class AllScoped:
+    """``ALL(n IN nodes(path) WHERE EXISTS((b)-[:T|T2]->(n)))`` — every
+    node on the path is inside ``b``'s scope; lowered into per-scope
+    edge-constrained path enumeration (call_path_analyzer.rs:34,298)."""
+
+    iter_var: str
+    path_var: str
+    scope_var: str
+    types: list[str]
+
+
+@dataclass
 class ReturnItem:
-    kind: str  # 'prop' | 'node' | 'count_star' | 'count_var'
+    # 'prop' | 'node' | 'count_star' | 'count_var' | 'count_distinct_var'
+    # | 'path' | 'path_len' | 'path_nodes_prop' | 'path_rels_prop' | 'col'
+    kind: str
     var: str | None
     prop: str | None
     alias: str | None
+
+
+@dataclass
+class FulltextCall:
+    """``CALL db.index.fulltext.queryNodes(index, $q) YIELD node, score``
+    (importer.rs:385-401) — binds ``node`` to scored String rows."""
+
+    index: str
+    pattern: str
+    node_var: str
+    score_var: str
 
 
 @dataclass
@@ -166,6 +208,8 @@ class Query:
     items: list[ReturnItem]
     order: list[tuple[str, bool]]  # (alias or var.prop text, ascending)
     limit: int | None
+    fulltext: FulltextCall | None = None
+    subunion: list["Query"] | None = None  # CALL { q1 UNION q2 } RETURN ...
 
 
 class CypherParser:
@@ -184,15 +228,20 @@ class CypherParser:
         self.pos += 1
         return t
 
+    @staticmethod
+    def _tok_eq(kind: str, v: str, val: str) -> bool:
+        # keyword tokens keep their source spelling; match case-blind
+        return v.upper() == val.upper() if kind == "kw" else v == val
+
     def _expect(self, kind, val=None):
         k, v = self._next()
-        if k != kind or (val is not None and v != val):
+        if k != kind or (val is not None and not self._tok_eq(kind, v, val)):
             raise ValueError(f"cypher: expected {val or kind}, got {v!r}")
         return v
 
     def _accept(self, kind, val=None) -> bool:
         k, v = self._peek()
-        if k == kind and (val is None or v == val):
+        if k == kind and (val is None or self._tok_eq(kind, v, val)):
             self._next()
             return True
         return False
@@ -209,9 +258,26 @@ class CypherParser:
             return v
         raise ValueError(f"cypher: expected name, got {v!r}")
 
+    def _peek_word(self, *names: str) -> bool:
+        k, v = self._peek()
+        return k == "word" and v.upper() in names
+
+    def _accept_word(self, *names: str) -> bool:
+        if self._peek_word(*names):
+            self._next()
+            return True
+        return False
+
     # --- grammar
     def parse(self) -> Query:
+        fulltext = None
         patterns = []
+        if self._peek_word("CALL"):
+            self._next()
+            if self._accept("sym", "{"):
+                return self._call_union()
+            fulltext = self._fulltext_call()
+        wheres: list = []
         while True:
             if self._accept("kw", "OPTIONAL"):
                 self._expect("kw", "MATCH")
@@ -219,12 +285,20 @@ class CypherParser:
                 pat.optional = True
                 patterns.append(pat)
             elif self._accept("kw", "MATCH"):
-                patterns.append(self._pattern())
+                patterns.append(self._match_pattern())
             else:
                 break
-        if not patterns:
-            raise ValueError("cypher: query must start with MATCH")
-        where = self._where() if self._accept("kw", "WHERE") else None
+            # Cypher allows a WHERE per MATCH clause; for inner-join
+            # patterns filtering after all matches is equivalent, so the
+            # clauses AND together (the OPTIONAL divergence is documented
+            # at _compile_optional)
+            if self._accept("kw", "WHERE"):
+                wheres.append(self._where())
+        if not patterns and fulltext is None:
+            raise ValueError("cypher: query must start with MATCH or CALL")
+        where = None
+        for w in wheres:
+            where = w if where is None else BoolExpr("and", [where, w])
         self._expect("kw", "RETURN")
         distinct = self._accept("kw", "DISTINCT")
         items = [self._return_item()]
@@ -236,13 +310,114 @@ class CypherParser:
             order.append(self._order_item())
             while self._accept("sym", ","):
                 order.append(self._order_item())
-        limit = None
-        if self._accept("kw", "LIMIT"):
-            limit = int(self._expect("num"))
+        limit = self._limit()
         k, v = self._peek()
         if k is not None:
             raise ValueError(f"cypher: trailing input at {v!r}")
-        return Query(patterns, where, distinct, items, order, limit)
+        return Query(patterns, where, distinct, items, order, limit, fulltext=fulltext)
+
+    def _limit(self) -> int | None:
+        if not self._accept("kw", "LIMIT"):
+            return None
+        k, _v = self._peek()
+        if k == "param":
+            val = self._literal()
+            if not isinstance(val, int):
+                raise ValueError("cypher: LIMIT parameter must be an integer")
+            return val
+        return int(self._expect("num"))
+
+    def _fulltext_call(self) -> FulltextCall:
+        """``db.index.fulltext.queryNodes('index', $q) YIELD node, score``."""
+        for part in ("db", "index", "fulltext"):
+            if self._name() != part:
+                raise ValueError(f"cypher: CALL supports db.index.fulltext.queryNodes only")
+            self._expect("sym", ".")
+        if self._name() != "queryNodes":
+            raise ValueError("cypher: CALL supports db.index.fulltext.queryNodes only")
+        self._expect("sym", "(")
+        index = self._literal()
+        self._expect("sym", ",")
+        pattern = self._literal()
+        self._expect("sym", ")")
+        if not self._accept_word("YIELD"):
+            raise ValueError("cypher: CALL ... must YIELD node, score")
+        node_var = self._expect("word")
+        self._expect("sym", ",")
+        score_var = self._expect("word")
+        if index != "string_value_fulltext":
+            raise ValueError(
+                f"cypher: unknown fulltext index {index!r} "
+                "(the engine maintains 'string_value_fulltext' over String.value)"
+            )
+        return FulltextCall(str(index), str(pattern), node_var, score_var)
+
+    def _call_union(self) -> Query:
+        """``CALL { q1 UNION q2 } RETURN [DISTINCT] col, ... [ORDER BY/LIMIT]``
+        — the xref query device (importer.rs:554-570).  Branch queries are
+        full MATCH...RETURN queries; the outer RETURN references the
+        branches' output column names."""
+        branches: list[Query] = []
+        while True:
+            branches.append(self._call_branch())
+            if self._accept_word("UNION"):
+                continue
+            self._expect("sym", "}")
+            break
+        self._expect("kw", "RETURN")
+        distinct = self._accept("kw", "DISTINCT")
+
+        def _col() -> ReturnItem:
+            it = ReturnItem("col", self._name(), None, None)
+            if self._accept("kw", "AS"):
+                it.alias = self._name()
+            return it
+
+        items = [_col()]
+        while self._accept("sym", ","):
+            items.append(_col())
+        order: list[tuple[str, bool]] = []
+        if self._accept("kw", "ORDER"):
+            self._expect("kw", "BY")
+            order.append(self._order_item())
+            while self._accept("sym", ","):
+                order.append(self._order_item())
+        limit = self._limit()
+        k, v = self._peek()
+        if k is not None:
+            raise ValueError(f"cypher: trailing input at {v!r}")
+        return Query([], None, distinct, items, order, limit, subunion=branches)
+
+    def _call_branch(self) -> Query:
+        """Parse one CALL-branch query; stops at UNION or the closing brace."""
+        patterns = []
+        wheres: list = []
+        while self._accept("kw", "MATCH"):
+            patterns.append(self._match_pattern())
+            if self._accept("kw", "WHERE"):
+                wheres.append(self._where())
+        if not patterns:
+            raise ValueError("cypher: CALL branch must start with MATCH")
+        where = None
+        for w in wheres:
+            where = w if where is None else BoolExpr("and", [where, w])
+        self._expect("kw", "RETURN")
+        distinct = self._accept("kw", "DISTINCT")
+        items = [self._return_item()]
+        while self._accept("sym", ","):
+            items.append(self._return_item())
+        return Query(patterns, where, distinct, items, [], None)
+
+    def _match_pattern(self) -> Pattern:
+        # `path = (...)` prefix names the pattern → per-path rows
+        path_var = None
+        k, v = self._peek()
+        if k == "word" and self.pos + 1 < len(self.toks) and self.toks[self.pos + 1] == ("sym", "="):
+            path_var = self._next()[1]
+            self._next()
+        pat = self._pattern()
+        pat.path_var = path_var
+        return pat
 
     def _pattern(self) -> Pattern:
         nodes = [self._node()]
@@ -346,23 +521,69 @@ class CypherParser:
     def _unary(self):
         if self._accept("kw", "NOT"):
             return BoolExpr("not", [self._unary()])
+        if self._peek_word("EXISTS"):
+            self._next()
+            return self._exists()
+        if self._peek_word("ALL"):
+            self._next()
+            return self._all_scoped()
         if self._accept("sym", "("):
             inner = self._or()
             self._expect("sym", ")")
             return inner
         return self._comparison()
 
+    def _exists(self) -> ExistsPat:
+        """``EXISTS((a)-[:T|T2]->(b))`` over two bound variables."""
+        self._expect("sym", "(")
+        src = self._node()
+        edge = self._edge()
+        dst = self._node()
+        self._expect("sym", ")")
+        if edge.varlen or not edge.types or edge.direction != "->":
+            raise ValueError(
+                "cypher: EXISTS supports a single typed forward edge "
+                "((a)-[:T|T2]->(b)) between bound variables"
+            )
+        for n in (src, dst):
+            if n.props or n.var.startswith("_anon"):
+                raise ValueError("cypher: EXISTS endpoints must be plain bound variables")
+        return ExistsPat(src.var, edge.types, dst.var)
+
+    def _all_scoped(self) -> AllScoped:
+        """``ALL(n IN nodes(path) WHERE EXISTS((b)-[:T|T2]->(n)))``."""
+        self._expect("sym", "(")
+        iter_var = self._expect("word")
+        if not self._accept_word("IN"):
+            raise ValueError("cypher: ALL(var IN nodes(path) WHERE ...) expected")
+        if self._name() != "nodes":
+            raise ValueError("cypher: ALL iterates nodes(path) only")
+        self._expect("sym", "(")
+        path_var = self._expect("word")
+        self._expect("sym", ")")
+        self._expect("kw", "WHERE")
+        if not self._accept_word("EXISTS"):
+            raise ValueError("cypher: ALL body must be EXISTS((b)-[:T]->(n))")
+        ex = self._exists()
+        self._expect("sym", ")")
+        if ex.dst_var != iter_var:
+            raise ValueError(
+                f"cypher: ALL body must test the iteration variable "
+                f"({iter_var}), got EXISTS(...->({ex.dst_var}))"
+            )
+        return AllScoped(iter_var, path_var, ex.src_var, ex.types)
+
     def _comparison(self) -> Comparison:
         var = self._expect("word")
         self._expect("sym", ".")
         prop = self._expect("word")
         k, v = self._next()
-        if (k, v) == ("kw", "CONTAINS"):
+        if k == "kw" and v.upper() == "CONTAINS":
             op = "contains"
-        elif (k, v) == ("kw", "STARTS"):
+        elif k == "kw" and v.upper() == "STARTS":
             self._expect("kw", "WITH")
             op = "startswith"
-        elif (k, v) == ("kw", "ENDS"):
+        elif k == "kw" and v.upper() == "ENDS":
             self._expect("kw", "WITH")
             op = "endswith"
         elif k == "sym" and v in ("=", "<>", "<", "<=", ">", ">="):
@@ -376,8 +597,38 @@ class CypherParser:
             self._expect("sym", "(")
             if self._accept("sym", "*"):
                 item = ReturnItem("count_star", None, None, None)
+            elif self._accept("kw", "DISTINCT"):
+                item = ReturnItem("count_distinct_var", self._expect("word"), None, None)
             else:
                 item = ReturnItem("count_var", self._expect("word"), None, None)
+            self._expect("sym", ")")
+        elif self._accept("sym", "["):
+            # [node in nodes(path) | node.prop] / [rel in relationships(path) | rel.offset]
+            it_var = self._expect("word")
+            if not self._accept_word("IN"):
+                raise ValueError("cypher: list comprehension expects 'x IN nodes(path)'")
+            src = self._name()
+            if src not in ("nodes", "relationships"):
+                raise ValueError("cypher: comprehensions iterate nodes(p) or relationships(p)")
+            self._expect("sym", "(")
+            pv = self._expect("word")
+            self._expect("sym", ")")
+            self._expect("sym", "|")
+            body_var = self._expect("word")
+            self._expect("sym", ".")
+            prop = self._expect("word")
+            self._expect("sym", "]")
+            if body_var != it_var:
+                raise ValueError(
+                    f"cypher: comprehension body must project the iteration "
+                    f"variable ({it_var}), got {body_var}"
+                )
+            kind = "path_nodes_prop" if src == "nodes" else "path_rels_prop"
+            item = ReturnItem(kind, pv, prop, None)
+        elif self._peek_word("LENGTH") and self.pos + 1 < len(self.toks) and self.toks[self.pos + 1] == ("sym", "("):
+            self._next()
+            self._next()
+            item = ReturnItem("path_len", self._expect("word"), None, None)
             self._expect("sym", ")")
         else:
             var = self._expect("word")
@@ -393,7 +644,7 @@ class CypherParser:
             else:
                 item = ReturnItem("node", var, None, None)
         if self._accept("kw", "AS"):
-            item.alias = self._expect("word")
+            item.alias = self._name()
         return item
 
     def _order_item(self) -> tuple[str, bool]:
@@ -411,6 +662,12 @@ class CypherParser:
 # ----------------------------------------------------------------- compiler
 
 
+def _cy_ckpt(df: DataFrame) -> DataFrame:
+    """Persist + cut lineage between path-enumeration levels (same role
+    as operators/traverse._ckpt: plan depth stays O(1) per level)."""
+    return df.localCheckpoint(eager=True)
+
+
 class CypherCompiler:
     """Compile a parsed query against a dict of node/edge DataFrames
     (the `graph_tables` shape: binaries functions strings libraries
@@ -420,18 +677,374 @@ class CypherCompiler:
         self.tables = tables
 
     def compile(self, q: Query) -> DataFrame:
-        bound: dict[str, str] = {}  # var -> label (ANY for label-less)
+        if q.subunion is not None:
+            return self._compile_union(q)
+        bound: dict[str, str] = {}  # var -> label (ANY / SCALAR for pseudo-vars)
         self._edge_vars: set[str] = set()
+        self._scalar_vars: set[str] = set()
+        self._path_vars: dict[str, dict[str, str]] = {}
+        self._exists_markers: dict[int, str] = {}
+        where, scopes = self._extract_scopes(q.where)
         df: DataFrame | None = None
+        if q.fulltext is not None:
+            df = self._fulltext_df(q.fulltext, bound)
         for pat in q.patterns:
-            if pat.optional:
+            if pat.path_var is not None:
+                df = self._compile_path(df, pat, bound, scopes.pop(pat.path_var, None), where)
+            elif pat.optional:
                 df = self._compile_optional(df, pat, bound)
             else:
                 df = self._compile_pattern(df, pat, bound)
+        if scopes:
+            raise ValueError(
+                f"cypher: ALL(... IN nodes({next(iter(scopes))})) references "
+                "an unknown path variable"
+            )
         assert df is not None
-        if q.where is not None:
-            df = df.filter(self._predicate(q.where, bound))
+        if where is not None:
+            df = self._attach_exists(df, where, bound)
+            df = df.filter(self._predicate(where, bound))
+            df = df.drop(*self._exists_markers.values())
         return self._returns(df, q, bound)
+
+    def _compile_union(self, q: Query) -> DataFrame:
+        """CALL { q1 UNION q2 } RETURN [DISTINCT] cols — compile each
+        branch independently, UNION by column name (Cypher's CALL-UNION
+        dedups: UNION without ALL is distinct), then project the outer
+        items."""
+        frames = [CypherCompiler(self.tables).compile(b) for b in (q.subunion or [])]
+        out = frames[0]
+        for f2 in frames[1:]:
+            out = out.unionByName(f2)
+        out = out.distinct()  # Cypher UNION (no ALL) semantics
+        names: dict[str, str] = {}
+        cols = []
+        for it in q.items:
+            if it.var not in out.columns:
+                raise ValueError(
+                    f"cypher: outer RETURN column {it.var!r} is not produced "
+                    f"by the CALL branches (have: {out.columns})"
+                )
+            name = it.alias or it.var
+            cols.append(F.col(it.var).alias(name))
+            names[it.var] = name
+            names[name] = name
+        out = out.select(cols)
+        if q.distinct:
+            out = out.distinct()
+        out = self._apply_order(out, q.order, names)
+        if q.limit is not None:
+            out = out.limit(q.limit)
+        return out
+
+    # --- WHERE pre-pass helpers
+    @staticmethod
+    def _conjuncts(expr) -> list:
+        """Flatten top-level ANDs."""
+        if isinstance(expr, BoolExpr) and expr.op == "and":
+            out = []
+            for a in expr.args:
+                out.extend(CypherCompiler._conjuncts(a))
+            return out
+        return [expr]
+
+    @staticmethod
+    def _contains_type(expr, ty) -> bool:
+        if isinstance(expr, ty):
+            return True
+        if isinstance(expr, BoolExpr):
+            return any(CypherCompiler._contains_type(a, ty) for a in expr.args)
+        return False
+
+    def _extract_scopes(self, where):
+        """Pull ALL(n IN nodes(p) WHERE EXISTS(...)) conjuncts out of the
+        WHERE tree — they lower into scope-constrained path enumeration,
+        not a per-row predicate."""
+        if where is None:
+            return None, {}
+        scopes: dict[str, tuple[str, list[str]]] = {}
+        rest = []
+        for c in self._conjuncts(where):
+            if isinstance(c, AllScoped):
+                if c.path_var in scopes:
+                    raise ValueError(f"cypher: duplicate ALL(...) over path {c.path_var}")
+                scopes[c.path_var] = (c.scope_var, c.types)
+            else:
+                if self._contains_type(c, AllScoped):
+                    raise ValueError(
+                        "cypher: ALL(...) is supported only as a top-level AND conjunct"
+                    )
+                rest.append(c)
+        out = None
+        for c in rest:
+            out = c if out is None else BoolExpr("and", [out, c])
+        return out, scopes
+
+    @staticmethod
+    def _expr_vars(expr) -> set[str]:
+        if isinstance(expr, Comparison):
+            return {expr.left[0]}
+        if isinstance(expr, ExistsPat):
+            return {expr.src_var, expr.dst_var}
+        if isinstance(expr, BoolExpr):
+            out: set[str] = set()
+            for a in expr.args:
+                out |= CypherCompiler._expr_vars(a)
+            return out
+        return set()
+
+    def _pushable_conjuncts(self, where, bound: dict[str, str]) -> list:
+        """Conjuncts answerable from already-bound variables — applied
+        BEFORE iterative path enumeration (the pushdown Catalyst cannot
+        do across a driver-side loop).  EXISTS terms are excluded (their
+        marker joins happen at filter time); the full WHERE still runs
+        after all patterns, so double application is harmless."""
+        if where is None:
+            return []
+        out = []
+        for c in self._conjuncts(where):
+            if self._contains_type(c, ExistsPat):
+                continue
+            if self._expr_vars(c) and self._expr_vars(c) <= set(bound):
+                out.append(c)
+        return out
+
+    def _attach_exists(self, df: DataFrame, where, bound: dict[str, str]) -> DataFrame:
+        """Left-join a lit(1) marker per EXISTS((a)-[:T|T2]->(b)) term
+        against the DISTINCT union of the listed edge tables; the
+        predicate then reads marker-IS-NOT-NULL (correct under NOT/OR).
+        One broadcast-friendly join per term, no correlated subquery."""
+
+        def walk(expr, df):
+            if isinstance(expr, BoolExpr):
+                for a in expr.args:
+                    df = walk(a, df)
+                return df
+            if not isinstance(expr, ExistsPat):
+                return df
+            if id(expr) in self._exists_markers:
+                return df
+            srcs = {EDGE_TYPES[t][1] for t in expr.types}
+            dsts = {EDGE_TYPES[t][3] for t in expr.types}
+            if len(srcs) != 1 or len(dsts) != 1:
+                raise ValueError("cypher: EXISTS multi-type edges must share endpoint labels")
+            sl, dl = srcs.pop(), dsts.pop()
+            for v, want in ((expr.src_var, sl), (expr.dst_var, dl)):
+                if v not in bound:
+                    raise ValueError(f"cypher: EXISTS references unbound variable {v}")
+                if bound[v] != want:
+                    raise ValueError(
+                        f"cypher: EXISTS(({expr.src_var})-[:{'|'.join(expr.types)}]->"
+                        f"({expr.dst_var})): {v} is :{bound[v]}, needs :{want}"
+                    )
+            mk = f"__exists_{len(self._exists_markers)}"
+            frames = []
+            for t in expr.types:
+                table, _sl, sc, _dl, dc = EDGE_TYPES[t]
+                frames.append(
+                    self.tables[table].select(
+                        F.col(sc).alias("__exs"), F.col(dc).alias("__exd")
+                    )
+                )
+            pairs = frames[0]
+            for f2 in frames[1:]:
+                pairs = pairs.unionByName(f2)
+            pairs = pairs.distinct().withColumn(mk, F.lit(1))
+            skey = F.col(self._key_col(expr.src_var, bound[expr.src_var]))
+            dkey = F.col(self._key_col(expr.dst_var, bound[expr.dst_var]))
+            df = df.join(
+                pairs, (skey == F.col("__exs")) & (dkey == F.col("__exd")), "left"
+            ).drop("__exs", "__exd")
+            self._exists_markers[id(expr)] = mk
+            return df
+
+        return walk(where, df)
+
+    def _fulltext_df(self, ft: FulltextCall, bound: dict[str, str]) -> DataFrame:
+        """Lower the fulltext CALL to the engine's scored token search
+        over String.value (same primitives as the standalone search
+        operators — operators/search.py; importer.rs:385-401): the
+        default query builder turns the pattern into AND-ed ``*tok*``
+        terms, score = total occurrence count across terms."""
+        from .operators.search import default_query_tokens, score_expr, tokens_predicate
+
+        toks = default_query_tokens(ft.pattern)
+        if not toks:
+            raise ValueError("cypher: fulltext pattern has no searchable tokens")
+        strings = self.tables["strings"]
+        df = strings.select([F.col(c).alias(f"{ft.node_var}__{c}") for c in strings.columns])
+        vcol = F.col(f"{ft.node_var}__value")
+        df = df.filter(tokens_predicate(vcol, toks)).withColumn(
+            f"{ft.score_var}____val", score_expr(vcol, toks).cast("double")
+        )
+        bound[ft.node_var] = "String"
+        bound[ft.score_var] = SCALAR
+        self._scalar_vars.add(ft.score_var)
+        return df
+
+    def _compile_path(
+        self,
+        df: DataFrame | None,
+        pat: Pattern,
+        bound: dict[str, str],
+        scope: tuple[str, list[str]] | None,
+        where,
+    ) -> DataFrame:
+        """``MATCH path = (start:Function)-[:CALLS*lo..hi]->(end)`` —
+        one row PER PATH (Cypher multiplicity), with the path's node
+        structs, edge offsets and length carried as array columns
+        (call_path_analyzer.rs:30-38,294-300,344-354).
+
+        Same semantics as operators/traverse.enumerate_paths: no repeated
+        RELATIONSHIP within a path (node revisits allowed — cycles show
+        up), level-by-level frontier joins with per-level localCheckpoint.
+        ``scope`` (from a lowered ALL(n IN nodes(path) WHERE EXISTS(
+        (b)-[...]->(n)))) constrains enumeration to b's subgraph DURING
+        the iteration — each frontier extension joins the scope-filtered
+        edge frame keyed by (b, edge), so out-of-scope paths are pruned
+        at the level they escape, not post-hoc."""
+        if len(pat.edges) != 1:
+            raise ValueError("cypher: a path pattern must be a single [:CALLS*lo..hi] edge")
+        e = pat.edges[0]
+        if not e.varlen or e.types != ["CALLS"] or e.direction != "->":
+            raise ValueError(
+                "cypher: path patterns support (a)-[:CALLS*lo..hi]->(b) only"
+            )
+        lo, hi = e.varlen
+        if not (1 <= lo <= hi <= 10):
+            raise ValueError("cypher: *lo..hi must satisfy 1 <= lo <= hi <= 10")
+        start, end = pat.nodes
+        cycle = end.var == start.var
+        for n in (start, end):
+            have = n.label or bound.get(n.var)
+            if have is not None and have != "Function":
+                raise ValueError(f"cypher: path endpoint ({n.var}:{have}) must be :Function")
+            n.label = "Function"
+        pv = pat.path_var
+        assert pv is not None
+        if pv in bound or pv in self._path_vars:
+            raise ValueError(f"cypher: path variable {pv} is already bound")
+
+        df = self._bind_node(df, start, bound)
+        for c in self._pushable_conjuncts(where, bound):
+            df = df.filter(self._predicate(c, bound))
+
+        nodes_c, offs_c, eids_c, end_c, len_c = (
+            f"__{pv}_nodes", f"__{pv}_offs", f"__{pv}_eids", f"__{pv}_end", f"__{pv}_len",
+        )
+        skey = self._key_col(start.var, "Function")
+        cur = (
+            df.withColumn(
+                nodes_c,
+                F.array(
+                    F.struct(
+                        F.col(f"{start.var}__uid").alias("uid"),
+                        F.col(f"{start.var}__name").alias("name"),
+                        F.col(f"{start.var}__address").alias("address"),
+                    )
+                ),
+            )
+            .withColumn(offs_c, F.array().cast("array<string>"))
+            .withColumn(eids_c, F.array().cast("array<string>"))
+            .withColumn(end_c, F.col(skey))
+        )
+
+        calls = self.tables["calls"]
+        fn = self.tables["functions"].select(
+            F.col("uid").alias("_fuid"), F.col("name").alias("_fname"),
+            F.col("address").alias("_faddr"),
+        )
+        edge = calls.select(
+            F.col("src_uid").alias("_from"), F.col("dst_uid").alias("_to"),
+            F.col("offset").alias("_off"),
+        ).withColumn("_eid", F.concat_ws("→", "_from", "_to"))
+        edge = edge.join(fn, edge._to == fn._fuid)
+
+        scope_key = None
+        if scope is not None:
+            scope_var, types = scope
+            if scope_var not in bound:
+                raise ValueError(f"cypher: ALL-scope variable {scope_var} is not bound")
+            srcs = {EDGE_TYPES[t][1] for t in types}
+            dsts = {EDGE_TYPES[t][3] for t in types}
+            if srcs != {bound[scope_var]} or dsts != {"Function"}:
+                raise ValueError(
+                    "cypher: ALL-scope edge types must run scope-label → Function"
+                )
+            frames = []
+            for t in types:
+                table, _sl, sc, _dl, dc = EDGE_TYPES[t]
+                frames.append(
+                    self.tables[table].select(F.col(sc).alias("__sb"), F.col(dc).alias("__sn"))
+                )
+            pairs = frames[0]
+            for f2 in frames[1:]:
+                pairs = pairs.unionByName(f2)
+            pairs = pairs.distinct()
+            scope_key = self._key_col(scope_var, bound[scope_var])
+            # the start node is on the path too — enforce its membership
+            cur = cur.join(
+                pairs,
+                (F.col(scope_key) == F.col("__sb")) & (F.col(end_c) == F.col("__sn")),
+                "left_semi",
+            )
+            edge = edge.join(pairs, edge._to == F.col("__sn")).drop("__sn")
+
+        edge = _cy_ckpt(edge)
+        base_cols = list(cur.columns)
+        frontier = _cy_ckpt(cur)
+        levels: list[DataFrame] = []
+        for depth in range(1, hi + 1):
+            cond = F.col(end_c) == edge["_from"]
+            if scope_key is not None:
+                cond = cond & (F.col(scope_key) == edge["__sb"])
+            acc = (nodes_c, offs_c, eids_c, end_c)
+            ext = (
+                frontier.join(edge, cond)
+                .filter(~F.array_contains(F.col(eids_c), F.col("_eid")))
+                .select(
+                    *[F.col(c) for c in base_cols if c not in acc],
+                    F.col("_to").alias(end_c),
+                    F.array_append(
+                        F.col(nodes_c),
+                        F.struct(
+                            F.col("_fuid").alias("uid"),
+                            F.col("_fname").alias("name"),
+                            F.col("_faddr").alias("address"),
+                        ),
+                    ).alias(nodes_c),
+                    F.array_append(F.col(offs_c), F.col("_off")).alias(offs_c),
+                    F.array_append(F.col(eids_c), F.col("_eid")).alias(eids_c),
+                )
+                .select(*base_cols)  # restore column order for unionByName
+            )
+            ext = _cy_ckpt(ext)
+            if ext.isEmpty():
+                break
+            if depth >= lo:
+                levels.append(ext.withColumn(len_c, F.lit(depth)))
+            frontier = ext
+
+        if levels:
+            out = levels[0]
+            for lv in levels[1:]:
+                out = out.unionByName(lv)
+        else:
+            out = cur.filter(F.lit(False)).withColumn(len_c, F.lit(0))
+
+        if cycle:
+            out = out.filter(F.col(end_c) == F.col(skey))
+        elif end.var in bound:
+            out = out.filter(F.col(end_c) == F.col(self._key_col(end.var, bound[end.var])))
+        else:
+            end_df = self._node_df(end.var, "Function")
+            out = out.join(end_df, F.col(end_c) == F.col(f"{end.var}__uid"))
+            bound[end.var] = "Function"
+            for p, v in end.props.items():
+                out = out.filter(self._prop_col(end.var, p, bound) == F.lit(v))
+
+        self._path_vars[pv] = {"nodes": nodes_c, "offs": offs_c, "len": len_c}
+        return out.drop(eids_c, end_c)
 
     # --- helpers
     def _node_df(self, var: str, label: str) -> DataFrame:
@@ -464,6 +1077,11 @@ class CypherCompiler:
         any-label nodes (.key/.label), labeled nodes (.key/.label as
         key column / literal), and edge variables (.type)."""
         lbl = bound.get(var)
+        if lbl == SCALAR:
+            raise ValueError(
+                f"cypher: {var} is a scalar (YIELD score) — reference it bare, "
+                f"not as {var}.{prop}"
+            )
         if lbl == ANY:
             if prop in ("key", "label"):
                 return F.col(f"{var}____{prop}")
@@ -650,6 +1268,16 @@ class CypherCompiler:
                 return ~self._predicate(expr.args[0], bound)
             parts = [self._predicate(a, bound) for a in expr.args]
             return parts[0] & parts[1] if expr.op == "and" else parts[0] | parts[1]
+        if isinstance(expr, ExistsPat):
+            mk = self._exists_markers.get(id(expr))
+            if mk is None:
+                raise ValueError("cypher: internal — EXISTS marker not attached")
+            return F.col(mk).isNotNull()
+        if isinstance(expr, AllScoped):
+            raise ValueError(
+                "cypher: ALL(...) is supported only as a top-level AND conjunct "
+                "alongside a path pattern"
+            )
         assert isinstance(expr, Comparison)
         var, prop = expr.left
         col = self._prop_col(var, prop, bound)
@@ -684,56 +1312,115 @@ class CypherCompiler:
             order_cols.append(c.asc() if asc else c.desc())
         return out.orderBy(*order_cols)
 
+    def _path_info(self, var: str | None) -> dict[str, str]:
+        if var not in self._path_vars:
+            raise ValueError(f"cypher: {var} is not a path variable")
+        return self._path_vars[var]
+
+    def _item_cols(self, it: ReturnItem, bound: dict[str, str]) -> list[tuple[str, Column, list[str]]]:
+        """Expand one non-aggregate RETURN item to output columns:
+        (output name, column expr, the ORDER BY spellings that resolve
+        to it).  Whole nodes expand to one column per property."""
+        if it.kind == "prop":
+            name = it.alias or f"{it.var}_{it.prop}"
+            return [(name, self._prop_col(it.var, it.prop, bound), [f"{it.var}.{it.prop}", name])]
+        if it.kind == "path":
+            info = self._path_info(it.var)
+            name = it.alias or it.var
+            # a Path value projects as the ordered array of node keys
+            return [(name, F.transform(F.col(info["nodes"]), lambda x: x["uid"]), [name])]
+        if it.kind == "path_len":
+            info = self._path_info(it.var)
+            name = it.alias or f"length_{it.var}"
+            return [(name, F.col(info["len"]), [name])]
+        if it.kind == "path_nodes_prop":
+            info = self._path_info(it.var)
+            if it.prop not in ("uid", "name", "address"):
+                raise ValueError(
+                    f"cypher: nodes(path) comprehensions support .uid/.name/.address, "
+                    f"not .{it.prop}"
+                )
+            name = it.alias or f"{it.var}_nodes_{it.prop}"
+            prop = it.prop
+            return [(name, F.transform(F.col(info["nodes"]), lambda x: x[prop]), [name])]
+        if it.kind == "path_rels_prop":
+            info = self._path_info(it.var)
+            if it.prop != "offset":
+                raise ValueError(
+                    f"cypher: relationships(path) comprehensions support .offset, "
+                    f"not .{it.prop}"
+                )
+            name = it.alias or f"{it.var}_rels_offset"
+            return [(name, F.col(info["offs"]), [name])]
+        if it.kind == "node":
+            if it.var in self._path_vars:  # bare `RETURN path`
+                info = self._path_info(it.var)
+                name = it.alias or it.var
+                return [(name, F.transform(F.col(info["nodes"]), lambda x: x["uid"]), [name])]
+            label = bound.get(it.var)
+            if label is None:
+                raise ValueError(f"cypher: unbound RETURN variable {it.var}")
+            if label == SCALAR:
+                name = it.alias or it.var
+                return [(name, F.col(f"{it.var}____val"), [it.var, name])]
+            prefix = it.alias or it.var
+            if label == ANY:
+                return [
+                    (f"{prefix}_{c}", F.col(f"{it.var}____{c}"),
+                     [f"{it.var}.{c}", f"{prefix}_{c}"])
+                    for c in ("key", "label")
+                ]
+            table, _k = NODE_LABELS[label]
+            return [
+                (f"{prefix}_{c}", F.col(f"{it.var}__{c}"), [f"{it.var}.{c}", f"{prefix}_{c}"])
+                for c in self.tables[table].columns
+            ]
+        raise ValueError(f"cypher: unsupported RETURN item kind {it.kind}")
+
+    def _count_target(self, var: str, bound: dict[str, str]) -> Column:
+        if var in self._edge_vars:
+            return F.col(f"{var}____type")  # one non-null per matched edge
+        label = bound.get(var)
+        if label is None:
+            raise ValueError(f"cypher: count() of unbound variable {var}")
+        if label == SCALAR:
+            return F.col(f"{var}____val")
+        return F.col(self._key_col(var, label))
+
     def _returns(self, df: DataFrame, q: Query, bound: dict[str, str]) -> DataFrame:
-        agg = [i for i in q.items if i.kind in ("count_star", "count_var")]
+        agg_kinds = ("count_star", "count_var", "count_distinct_var")
+        agg = [i for i in q.items if i.kind in agg_kinds]
         if agg:
             # Cypher's implicit grouping: non-aggregate RETURN items are
             # the grouping keys (RETURN f.name, count(*) groups by name)
             keys, key_names = [], {}
             for it in q.items:
-                if it.kind == "prop":
-                    name = it.alias or f"{it.var}_{it.prop}"
-                    keys.append(self._prop_col(it.var, it.prop, bound).alias(name))
-                    key_names[f"{it.var}.{it.prop}"] = name
-                    key_names[name] = name
-                elif it.kind == "node":
-                    raise ValueError(
-                        "cypher: grouping by a whole node is unsupported — "
-                        "return explicit properties next to count()"
-                    )
+                if it.kind in agg_kinds:
+                    continue
+                for name, col, spellings in self._item_cols(it, bound):
+                    keys.append(col.alias(name))
+                    for s in spellings:
+                        key_names[s] = name
             outs = []
             for i, it in enumerate(agg):
                 name = it.alias or f"count_{i}"
                 key_names[name] = name
                 if it.kind == "count_star":
                     outs.append(F.count(F.lit(1)).alias(name))
+                elif it.kind == "count_distinct_var":
+                    outs.append(F.countDistinct(self._count_target(it.var, bound)).alias(name))
                 else:
-                    outs.append(F.count(F.col(self._key_col(it.var, bound[it.var]))).alias(name))
+                    outs.append(F.count(self._count_target(it.var, bound)).alias(name))
             out = df.groupBy(*keys).agg(*outs) if keys else df.agg(*outs)
             out = self._apply_order(out, q.order, key_names)
         else:
             cols = []
             out_names: dict[str, str] = {}  # 'var.prop' / alias -> output col
             for it in q.items:
-                if it.kind == "prop":
-                    name = it.alias or f"{it.var}_{it.prop}"
-                    cols.append(self._prop_col(it.var, it.prop, bound).alias(name))
-                    out_names[f"{it.var}.{it.prop}"] = name
-                    out_names[name] = name
-                else:  # whole node → expand properties as var_prop
-                    label = bound[it.var]
-                    if label == ANY:
-                        # label-less nodes expand to identity columns
-                        for c in ("key", "label"):
-                            cols.append(F.col(f"{it.var}____{c}").alias(f"{it.var}_{c}"))
-                            out_names[f"{it.var}.{c}"] = f"{it.var}_{c}"
-                            out_names[f"{it.var}_{c}"] = f"{it.var}_{c}"
-                        continue
-                    table, _k = NODE_LABELS[label]
-                    for c in self.tables[table].columns:
-                        cols.append(F.col(f"{it.var}__{c}").alias(f"{it.var}_{c}"))
-                        out_names[f"{it.var}.{c}"] = f"{it.var}_{c}"
-                        out_names[f"{it.var}_{c}"] = f"{it.var}_{c}"
+                for name, col, spellings in self._item_cols(it, bound):
+                    cols.append(col.alias(name))
+                    for s in spellings:
+                        out_names[s] = name
             out = df.select(cols)
             if q.distinct:
                 out = out.distinct()

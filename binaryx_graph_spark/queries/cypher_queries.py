@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..cypher import cypher
-from ..fixtures.micro_graph import HASH_A, HASH_B, UID_HELPER_A
+from ..fixtures.micro_graph import HASH_A, HASH_B, UID_CREATEFILE, UID_HELPER_A
 from ..registry import register
 from .ingest_demo import graph_tables
 
@@ -232,3 +232,191 @@ def cypher_export_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rel_type", F.col("count").cast("long").alias("n"))
         .orderBy("rel_type")
     )
+
+
+@register(
+    "cypher_paths_verbatim",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'main→helper',                      '0x401000→0x401100',                   '0x401010'),
+      (1, 'main→CreateFileA',                 '0x401000→',                           '0x401020'),
+      (2, 'main→helper→worker',               '0x401000→0x401100→0x401200',          '0x401010→0x401110'),
+      (3, 'main→helper→worker→helper',        '0x401000→0x401100→0x401200→0x401100', '0x401010→0x401110→0x401210'),
+      (3, 'main→helper→worker→worker',        '0x401000→0x401100→0x401200→0x401200', '0x401010→0x401110→0x401220')
+    ) AS t(path_length, node_names, node_addresses, call_offsets)
+    ORDER BY path_length, node_names
+    """,
+    tags=("cypher", "graph", "paths"),
+)
+def cypher_paths_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FLAGSHIP path query, VERBATIM TEXT
+    (call_path_analyzer.rs:30-38, depth placeholder = 3): path variable,
+    varlen :CALLS*1..3, binary scoping via
+    ``ALL(n IN nodes(path) WHERE EXISTS((b)-[:CONTAINS|IMPORTS]->(n)))``
+    (lowered to scope-constrained frontier enumeration — out-of-scope
+    paths pruned at the level they escape), nodes()/relationships() list
+    comprehensions, length(path).  The gate projects the array columns
+    to joined strings (the driver hasher takes scalars) and pins all
+    five main-rooted paths with their offsets."""
+    t = graph_tables(spark)
+    out = cypher(
+        t,
+        """MATCH (b:Binary)-[:CONTAINS|IMPORTS]->(start:Function)
+                 MATCH path = (start:Function)-[:CALLS*1..3]->(end:Function)
+                 WHERE (start.name = $function_name OR start.uid = $function_name)
+                   AND (b.filename CONTAINS $binary_name OR b.hash = $binary_name)
+                   AND ALL(n IN nodes(path) WHERE EXISTS((b)-[:CONTAINS|IMPORTS]->(n)))
+                 RETURN path, length(path) as path_length,
+                        [node in nodes(path) | node.name] as node_names,
+                        [node in nodes(path) | node.address] as node_addresses,
+                        [rel in relationships(path) | rel.offset] as call_offsets""",
+        params={"function_name": "main", "binary_name": "mal_a"},
+    )
+    return out.select(
+        F.col("path_length").cast("int").alias("path_length"),
+        F.array_join("node_names", "→").alias("node_names"),
+        F.array_join("node_addresses", "→").alias("node_addresses"),
+        F.array_join("call_offsets", "→").alias("call_offsets"),
+    ).orderBy("path_length", "node_names")
+
+
+@register(
+    "cypher_cycles_verbatim",
+    oracle="""
+    SELECT * FROM (VALUES
+      (2, 'worker', '0x401200', 'worker→helper→worker'),
+      (3, 'worker', '0x401200', 'worker→helper→worker→worker'),
+      (3, 'worker', '0x401200', 'worker→worker→helper→worker')
+    ) AS t(depth, function_name, address, path_nodes)
+    ORDER BY depth, path_nodes
+    """,
+    tags=("cypher", "graph", "paths"),
+)
+def cypher_cycles_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indirect recursion VERBATIM (call_path_analyzer.rs:293-300):
+    cycle-shaped path pattern ``path = (f)-[:CALLS*2..10]->(f)`` — the
+    same variable at both ends — scoped by the ALL/EXISTS clause; every
+    distinct edge-sequence cycle through worker is enumerated (no
+    repeated relationships, Cypher's rule)."""
+    t = graph_tables(spark)
+    out = cypher(
+        t,
+        """MATCH (b:Binary)-[:CONTAINS|IMPORTS]->(f:Function)
+                 MATCH path = (f:Function)-[:CALLS*2..10]->(f)
+                 WHERE (f.name = $function_name OR f.uid = $function_name)
+                   AND (b.filename CONTAINS $binary_name OR b.hash = $binary_name)
+                   AND ALL(n IN nodes(path) WHERE EXISTS((b)-[:CONTAINS|IMPORTS]->(n)))
+                 RETURN length(path) as depth, f.name as function_name, f.address as address,
+                        [node in nodes(path) | node.name] as path_nodes""",
+        params={"function_name": "worker", "binary_name": "mal_a"},
+    )
+    return out.select(
+        F.col("depth").cast("int").alias("depth"),
+        "function_name",
+        "address",
+        F.array_join("path_nodes", "→").alias("path_nodes"),
+    ).orderBy("depth", "path_nodes")
+
+
+@register(
+    "cypher_fulltext_call_verbatim",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('Pay Bitcoin', CAST(1.0 AS DOUBLE), CAST(1 AS BIGINT))
+    ) AS t(value, score, sample_count)
+    """,
+    tags=("cypher", "search"),
+)
+def cypher_fulltext_call_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fulltext procedure call VERBATIM (importer.rs:385-391):
+    ``CALL db.index.fulltext.queryNodes(...) YIELD node, score`` lowered
+    to the engine's scored token search, string-ownership MATCH, implicit
+    grouping with count(DISTINCT b), ORDER BY score DESC, LIMIT $limit."""
+    t = graph_tables(spark)
+    out = cypher(
+        t,
+        """
+            CALL db.index.fulltext.queryNodes('string_value_fulltext', $query) YIELD node, score
+            MATCH (b:Binary)-[:CONTAINS_STRING]->(node)
+            WHERE (b.filename CONTAINS $binary_name OR b.hash = $binary_name)
+            RETURN node AS s, score AS score, count(DISTINCT b) AS sample_count
+            ORDER BY score DESC
+            LIMIT $limit
+        """,
+        params={"query": "Bitcoin", "binary_name": "mal_a", "limit": 10},
+    )
+    return out.select(F.col("s_value").alias("value"), "score", "sample_count")
+
+
+@register(
+    "cypher_xref_union_verbatim",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('helper', 'worker', '0x401110'),
+      ('main',   'helper', '0x401010'),
+      ('worker', 'helper', '0x401210')
+    ) AS t(from_function, to_function, "offset")
+    ORDER BY "offset"
+    """,
+    tags=("cypher", "graph"),
+)
+def cypher_xref_union_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The xref query VERBATIM (importer.rs:553-570): a CALL { ... UNION
+    ... } subquery whose branches interleave MATCH/WHERE clauses, unioned
+    with Cypher's distinct semantics, then DISTINCT-projected — all
+    addresses touching helper's entry point."""
+    t = graph_tables(spark)
+    out = cypher(
+        t,
+        """
+            CALL {
+                MATCH (b:Binary)
+                WHERE (b.filename CONTAINS $binary_name OR b.hash = $binary_name)
+                MATCH (b)-[:CONTAINS|IMPORTS]->(from:Function)-[r:CALLS]->(to:Function)
+                WHERE (from.address = $address OR to.address = $address)
+                RETURN from.name as from_function, to.name as to_function, r.offset as offset
+                UNION
+                MATCH (b:Binary)
+                WHERE (b.filename CONTAINS $binary_name OR b.hash = $binary_name)
+                MATCH (b)-[:CONTAINS|IMPORTS]->(from:Function)-[r:CALLS]->(to:Function)
+                MATCH (b)-[imp:IMPORTS]->(to:Function)
+                WHERE imp.address = $address
+                RETURN from.name as from_function, to.name as to_function, r.offset as offset
+            }
+            RETURN DISTINCT from_function, to_function, offset
+        """,
+        params={"binary_name": "mal_a", "address": "0x401100"},
+    )
+    return out.orderBy("offset")
+
+
+@register(
+    "cypher_exists_callees_verbatim",
+    oracle=f"""
+    SELECT * FROM (VALUES
+      ('{UID_CREATEFILE}', 'CreateFileA'),
+      ('{HASH_A}:0x401100', 'helper'),
+      ('{HASH_A}:0x401200', 'worker')
+    ) AS t(callee_uid, callee_name)
+    ORDER BY callee_name
+    """,
+    tags=("cypher", "graph"),
+)
+def cypher_exists_callees_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoped callees VERBATIM (importer.rs:479-483): varlen reach with
+    the ``EXISTS((b)-[:CONTAINS|IMPORTS]->(callee))`` membership
+    predicate — compiled to a distinct-pair left-join marker, no
+    correlated subquery."""
+    t = graph_tables(spark)
+    out = cypher(
+        t,
+        """MATCH (b:Binary)-[:CONTAINS|IMPORTS]->(f:Function)-[:CALLS*1..3]->(callee:Function)
+                 WHERE (f.name = $function_name OR f.uid = $function_name)
+                   AND (b.filename CONTAINS $binary_name OR b.hash = $binary_name)
+                   AND EXISTS((b)-[:CONTAINS|IMPORTS]->(callee))
+                 RETURN DISTINCT callee""",
+        params={"function_name": "main", "binary_name": "mal_a"},
+    )
+    return out.select(
+        F.col("callee_uid"), F.col("callee_name")
+    ).orderBy("callee_name")
