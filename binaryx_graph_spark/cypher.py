@@ -134,6 +134,7 @@ class EdgePat:
     types: list[str]
     direction: str  # '->' or '<-'
     varlen: tuple[int, int] | None = None
+    props: dict[str, object] = field(default_factory=dict)
 
 
 @dataclass
@@ -454,7 +455,7 @@ class CypherParser:
         back = self._accept("sym", "<-")
         if not back:
             self._expect("sym", "-")
-        var, types, varlen = None, [], None
+        var, types, varlen, eprops = None, [], None, {}
         if self._accept("sym", "["):
             k, v = self._peek()
             if k == "word":
@@ -469,6 +470,14 @@ class CypherParser:
                 self._expect("sym", "..")
                 hi = int(self._expect("num"))
                 varlen = (lo, hi)
+            if self._accept("sym", "{"):
+                while True:
+                    p = self._expect("word")
+                    self._expect("sym", ":")
+                    eprops[p] = self._literal()
+                    if not self._accept("sym", ","):
+                        break
+                self._expect("sym", "}")
             self._expect("sym", "]")
         if back:
             self._expect("sym", "-")
@@ -487,7 +496,9 @@ class CypherParser:
                 raise ValueError(f"cypher: unknown relationship type :{t}")
         if varlen and (len(types) != 1 or types[0] != "CALLS"):
             raise ValueError("cypher: variable length is supported for :CALLS only")
-        return EdgePat(var, types, direction, varlen)
+        if eprops and (varlen or len(types) != 1):
+            raise ValueError("cypher: edge property maps need a single concrete type")
+        return EdgePat(var, types, direction, varlen, eprops)
 
     def _literal(self):
         k, v = self._next()
@@ -1214,6 +1225,10 @@ class CypherCompiler:
         for t in types:
             table, _sl, sc, _dl, dc = EDGE_TYPES[t]
             ed = self.tables[table]
+            for p, v in e.props.items():  # [r:T {prop: lit}] inline filter
+                if p not in ed.columns:
+                    raise ValueError(f"cypher: :{t} has no property {p}")
+                ed = ed.filter(F.col(p) == F.lit(v))
             if identity_only:
                 cols = [
                     F.col(sc).cast("string").alias("__src"),
@@ -1433,3 +1448,169 @@ class CypherCompiler:
 def cypher(tables: dict[str, DataFrame], text: str, params: dict | None = None) -> DataFrame:
     """Parse + compile a Cypher-subset query over the graph tables."""
     return CypherCompiler(tables).compile(CypherParser(text, params).parse())
+
+
+# ------------------------------------------------------- write statements
+
+
+@dataclass
+class WriteStmt:
+    kind: str  # 'merge_node' | 'merge_edge' | 'clear'
+    label: str | None = None  # node label or edge type
+    key_props: dict[str, object] = field(default_factory=dict)
+    set_props: dict[str, object] = field(default_factory=dict)
+    src: tuple[str, str, dict] | None = None  # (label, keycol, props) of MATCH'd src
+    dst: tuple[str, str, dict] | None = None
+
+
+class CypherWriteParser(CypherParser):
+    """The reference's write statements (importer.rs:86-320,
+    connection.rs:170):
+
+    - ``MERGE (v:Label {key: $p}) [SET v.p = $x, ...]`` — node upsert
+    - ``MATCH (a:L1 {k: $p}), (b:L2 {k: $p}) MERGE (a)-[r:TYPE {props}]->(b)
+      [SET r.p = $x, ...]`` — edge upsert between matched nodes
+    - ``MATCH (n) DETACH DELETE n`` — clear database
+    """
+
+    def parse_write(self) -> WriteStmt:
+        if self._accept_word("MERGE"):
+            stmt = self._merge_node()
+        elif self._accept("kw", "MATCH"):
+            stmt = self._match_stmt()
+        else:
+            raise ValueError("cypher write: statement must start with MERGE or MATCH")
+        k, v = self._peek()
+        if k is not None:
+            raise ValueError(f"cypher write: trailing input at {v!r}")
+        return stmt
+
+    def _merge_node(self) -> WriteStmt:
+        n = self._node()
+        if n.label is None or not n.props:
+            raise ValueError("cypher write: MERGE needs (v:Label {key: $param})")
+        _table, key = NODE_LABELS[n.label]
+        if list(n.props) != [key]:
+            raise ValueError(
+                f"cypher write: MERGE on :{n.label} must key on {{{key}}} "
+                f"(the unique constraint), got {list(n.props)}"
+            )
+        return WriteStmt(
+            "merge_node", n.label, dict(n.props), self._set_clause(n.var)
+        )
+
+    def _match_stmt(self) -> WriteStmt:
+        first = self._node()
+        if first.label is None and not first.props:
+            # MATCH (n) DETACH DELETE n
+            if not (self._accept_word("DETACH") and self._accept_word("DELETE")):
+                raise ValueError("cypher write: label-less MATCH supports DETACH DELETE only")
+            if self._name() != first.var:
+                raise ValueError("cypher write: DETACH DELETE must name the matched variable")
+            return WriteStmt("clear")
+        self._expect("sym", ",")
+        second = self._node()
+        for n in (first, second):
+            if n.label is None or not n.props:
+                raise ValueError("cypher write: MATCH endpoints need (v:Label {key: $param})")
+        if not self._accept_word("MERGE"):
+            raise ValueError("cypher write: MATCH ... must be followed by MERGE")
+        lhs = self._node()
+        edge = self._edge()
+        rhs = self._node()
+        by_var = {first.var: first, second.var: second}
+        if lhs.var not in by_var or rhs.var not in by_var or lhs.var == rhs.var:
+            raise ValueError("cypher write: MERGE endpoints must be the two MATCH'd variables")
+        if len(edge.types) != 1 or edge.varlen:
+            raise ValueError("cypher write: MERGE needs a single concrete relationship type")
+        if edge.direction == "<-":
+            lhs, rhs = rhs, lhs
+        sn, dn = by_var[lhs.var], by_var[rhs.var]
+        ty = edge.types[0]
+        table, sl, _sc, dl, _dc = EDGE_TYPES[ty]
+        for n, want in ((sn, sl), (dn, dl)):
+            if n.label != want:
+                raise ValueError(
+                    f"cypher write: ({n.var}:{n.label}) cannot anchor :{ty} (needs :{want})"
+                )
+        set_props = self._set_clause(edge.var) if edge.var else {}
+        return WriteStmt(
+            "merge_edge",
+            ty,
+            dict(edge.props),
+            set_props,
+            src=(sn.label, NODE_LABELS[sn.label][1], dict(sn.props)),
+            dst=(dn.label, NODE_LABELS[dn.label][1], dict(dn.props)),
+        )
+
+    def _set_clause(self, var: str | None) -> dict[str, object]:
+        out: dict[str, object] = {}
+        if not self._accept_word("SET"):
+            return out
+        while True:
+            v = self._expect("word")
+            if var is not None and v != var:
+                raise ValueError(f"cypher write: SET must assign {var}.prop, got {v}")
+            self._expect("sym", ".")
+            prop = self._name()
+            self._expect("sym", "=")
+            out[prop] = self._literal()
+            if not self._accept("sym", ","):
+                break
+        return out
+
+
+def cypher_write(wh, text: str, params: dict | None = None) -> dict:
+    """Execute one reference write statement against the warehouse.
+
+    This is the per-statement compat shim for the reference's importer
+    calls (one MERGE per entity, importer.rs:86-320) — bulk ingestion
+    goes through the CLI's set-oriented ETL.  Node SET semantics match
+    Neo4j: only the listed properties change; unmentioned columns keep
+    their stored values (or NULL on first create).  A MATCH whose
+    endpoints don't exist merges nothing (zero matched rows).
+
+    Returns {"table": name, "rows": 0|1} ("clear" for DETACH DELETE).
+    """
+    from .sources.warehouse import ALL_TABLES, MERGE_KEYS
+
+    stmt = CypherWriteParser(text, params).parse_write()
+    if stmt.kind == "clear":
+        wh.clear()
+        return {"table": "clear", "rows": 0}
+
+    if stmt.kind == "merge_node":
+        table, key = NODE_LABELS[stmt.label]
+        row_key = {key: stmt.key_props[key]}
+        new_props = {**row_key, **stmt.set_props}
+    else:
+        table, _sl, sc, _dl, dc = EDGE_TYPES[stmt.label]
+        sl, skey, sprops = stmt.src
+        dl, dkey, dprops = stmt.dst
+        # MATCH precondition: both endpoints must exist
+        for lbl, kcol, props in (stmt.src, stmt.dst):
+            ntab, _k = NODE_LABELS[lbl]
+            hit = wh.read(ntab).filter(F.col(kcol) == F.lit(props[kcol])).limit(1)
+            if hit.isEmpty():
+                return {"table": table, "rows": 0}
+        row_key = {sc: sprops[skey], dc: dprops[dkey], **stmt.key_props}
+        new_props = {**row_key, **stmt.set_props}
+
+    schema, _k = ALL_TABLES[table]
+    names = [f.name for f in schema.fields]
+    for p in new_props:
+        if p not in names:
+            raise ValueError(f"cypher write: {table} has no column {p}")
+    keys = MERGE_KEYS[table]
+    # partial-SET semantics: start from the stored row when one exists
+    existing = wh.read(table)
+    for k in keys:
+        if k not in new_props:
+            raise ValueError(f"cypher write: MERGE on {table} must bind key column {k}")
+        existing = existing.filter(F.col(k) == F.lit(new_props[k]))
+    stored = existing.limit(1).collect()
+    base = stored[0].asDict() if stored else {n: None for n in names}
+    base.update(new_props)
+    one = wh.spark.createDataFrame([tuple(base[n] for n in names)], schema)
+    wh.merge_batch({table: one})
+    return {"table": table, "rows": 1}
