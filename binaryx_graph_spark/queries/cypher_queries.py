@@ -420,3 +420,52 @@ def cypher_exists_callees_verbatim(spark: SparkSession, sf_dir: str) -> DataFram
     return out.select(
         F.col("callee_uid"), F.col("callee_name")
     ).orderBy("callee_name")
+
+
+@register(
+    "cypher_paths_scaled",
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT CAST(o_orderkey % 500 AS BIGINT) AS src,
+             CAST((o_custkey * 13) % 500 AS BIGINT) AS dst
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    p1 AS (SELECT src AS s0, dst AS s1 FROM e WHERE src = 45),
+    p2 AS (SELECT p1.s0, p1.s1, e.dst AS s2 FROM p1 JOIN e ON e.src = p1.s1
+           WHERE NOT (e.src = p1.s0 AND e.dst = p1.s1)),
+    p3 AS (SELECT p2.s0, p2.s1, p2.s2, e.dst AS s3 FROM p2 JOIN e ON e.src = p2.s2
+           WHERE NOT (e.src = p2.s0 AND e.dst = p2.s1)
+             AND NOT (e.src = p2.s1 AND e.dst = p2.s2))
+    SELECT path_length, n_paths FROM (
+      SELECT 1 AS path_length, CAST(count(*) AS BIGINT) AS n_paths FROM p1
+      UNION ALL SELECT 2 AS path_length, CAST(count(*) AS BIGINT) AS n_paths FROM p2
+      UNION ALL SELECT 3 AS path_length, CAST(count(*) AS BIGINT) AS n_paths FROM p3
+    ) t
+    WHERE n_paths > 0
+    ORDER BY path_length
+    """,
+    tags=("cypher", "graph", "paths", "iterative"),
+)
+def cypher_paths_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compiled PER-PATH enumeration at DATA scale: the path-variable
+    surface (call_path_analyzer.rs:43-49 shape) over the derived dense
+    call graph (edge count scales with orders).  The seed WHERE conjunct
+    is pushed below the driver-side frontier loop by the compiler (the
+    pushdown Catalyst cannot do through iteration), so enumeration
+    starts from ONE seed (45 — derived sources are multiples of 5), not
+    all 500 — the same plan a hand-written
+    traverse would get.  The oracle unrolls three no-repeated-edge hops
+    relationally; per-depth path counts must agree exactly."""
+    from ..plans.graph_project import as_call_tables, derived_edges
+
+    calls, nodes = as_call_tables(derived_edges(spark, sf_dir))
+    t = {"functions": nodes, "calls": calls}
+    out = cypher(
+        t,
+        """MATCH path = (a:Function)-[:CALLS*1..3]->(b:Function)
+           WHERE a.name = $seed
+           RETURN length(path) as path_length, count(*) as n_paths
+           ORDER BY path_length""",
+        params={"seed": "45"},
+    )
+    return out.select(F.col("path_length").cast("int").alias("path_length"), "n_paths")
