@@ -9,6 +9,7 @@
     python -m binaryx_graph_spark query callgraph <fn> [--depth N] [--binary B] [--callers]
     python -m binaryx_graph_spark query call-path <fn> [--max-depth N] [--show-paths]
         [--show-sequences] [--show-recursion] [--show-upward] [--show-context]
+    python -m binaryx_graph_spark query binary --binary-name B
     python -m binaryx_graph_spark query xref <address> [--binary B]
     python -m binaryx_graph_spark db stats|init|clear|optimize|export <path>
 
@@ -126,6 +127,8 @@ def main(argv: list[str] | None = None) -> int:
     qp.add_argument("--binary")
     for flag in ("paths", "sequences", "recursion", "upward", "context"):
         qp.add_argument(f"--show-{flag}", action="store_true")
+    qb = q.add_parser("binary")  # Query binary info (cli.rs:85-90)
+    qb.add_argument("--binary-name", required=True, dest="binary_name")
     qcy = q.add_parser("cypher")
     qcy.add_argument("text", help="Cypher-subset query (see cypher.py docstring)")
     qcy.add_argument("--param", action="append", default=[], metavar="NAME=VALUE",
@@ -239,6 +242,17 @@ def main(argv: list[str] | None = None) -> int:
             k, v = kv.split("=", 1)
             params[k] = int(v) if v.lstrip("-").isdigit() else v
         emit(cypher(t, args.text, params=params), fmt)
+    elif args.what == "binary":
+        # F2: hash-equals OR filename-contains, LIMIT 1 (importer.rs:432-437);
+        # deterministic tiebreak on hash so repeated runs agree
+        b = t["binaries"]
+        emit(
+            b.filter(
+                (F.col("hash") == args.binary_name)
+                | F.col("filename").contains(args.binary_name)
+            ).orderBy("hash").limit(1),
+            fmt,
+        )
     elif args.what == "functions":
         emit(
             search_functions(

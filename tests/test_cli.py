@@ -35,6 +35,16 @@ def test_query_strings_sample_count(wh_root, capsys):
     assert '"sample_count": 2' in out
 
 
+def test_query_binary_info(wh_root, capsys):
+    assert main([
+        "--warehouse", wh_root, "--format", "json", "query", "binary",
+        "--binary-name", "mal_a",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert '"filename": "mal_a.exe"' in out
+    assert '"mal_b' not in out  # LIMIT 1 on the matched binary only
+
+
 def test_query_callgraph(wh_root, capsys):
     assert main(["--warehouse", wh_root, "--format", "json", "query", "callgraph", "main", "--depth", "3"]) == 0
     out = capsys.readouterr().out
