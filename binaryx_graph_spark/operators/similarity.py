@@ -1285,3 +1285,124 @@ def sql_pq_rerank(
       (SELECT {vec_col}::DOUBLE[] AS qv FROM {table} WHERE {id_col} = {query_id}) qq
     ORDER BY cos_sim DESC, vec_id
     LIMIT {k}"""
+
+
+# ----------------------------------------------------- retrieval quality
+
+
+def knn_join_lsh_multiprobe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 10,
+    bits: int = 8,
+    query_id_col: str = "query_id",
+    corpus_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch ANN join: every query scores only its sign-LSH bucket plus
+    the ``bits`` hamming-1 probe buckets — the batch twin of
+    :func:`cosine_topk_lsh_multiprobe`.  Queries (with their probe
+    fan-out, |Q|·(bits+1) rows) broadcast; the corpus never shuffles;
+    per-query top-k is the shared window tail.  Ids drawn from the
+    corpus namespace are excluded from their own neighbor lists."""
+    b = corpus.select(
+        F.col(corpus_id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cv"),
+        sign_bucket(F.col(vec_col), bits).alias("_bkt"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).alias("_qv"),
+        sign_bucket(F.col(vec_col), bits).alias("_qbkt"),
+    )
+    probe_arr = F.array(F.col("_qbkt"), *[_flip_bit(F.col("_qbkt"), i, bits) for i in range(bits)])
+    probes = q.select("_qid", "_qv", F.explode(probe_arr).alias("_pb"))
+    scored = (
+        b.join(F.broadcast(probes), F.col("_bkt") == F.col("_pb"))
+        .filter(F.col("vec_id") != F.col("_qid"))
+        .select(
+            F.col("_qid").alias(query_id_col),
+            "vec_id",
+            cosine(F.col("_cv"), F.col("_qv")).alias("cos_sim"),
+        )
+    )
+    return _topk_per_query(scored, k, query_id_col)
+
+
+def recall_at_k(
+    approx: DataFrame, exact: DataFrame, n_queries_df: DataFrame, *, k: int,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Measured retrieval quality — recall@k of an ANN result against
+    the exact top-k, as a one-row DataFrame
+    ``(n_queries, k, n_hits, recall)``.  The denominator is
+    ``n_queries·k`` (queries with fewer than k approx hits count their
+    misses), so the number is honest about empty buckets."""
+    hits = approx.select(query_id_col, "vec_id").join(
+        exact.select(query_id_col, "vec_id"), [query_id_col, "vec_id"]
+    )
+    # two 1-row aggregates combined on a constant equi-key — a hash
+    # join, not a cartesian (keeps the plan audit's no-NLJ invariant)
+    nq = n_queries_df.agg(F.count(F.lit(1)).cast("long").alias("n_queries")).withColumn(
+        "_j", F.lit(1)
+    )
+    nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")).withColumn("_j", F.lit(1))
+    return nq.join(F.broadcast(nh), "_j").select(
+        "n_queries",
+        F.lit(k).cast("long").alias("k"),
+        "n_hits",
+        F.round(F.col("n_hits") / (F.col("n_queries") * k), 4).alias("recall"),
+    )
+
+
+def sql_recall_lsh_multiprobe(
+    table: str, query_filter: str, *, k: int = 10, bits: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of the LSH-multiprobe recall@k measurement: replays
+    the banded probe join AND the exact baseline, so the recall number
+    itself — approximation misses included — is oracle-pinned."""
+    flips = ", ".join(
+        f"substr(q.bkt, 1, {i}) || (CASE WHEN substr(q.bkt, {i + 1}, 1) = '1' "
+        f"THEN '0' ELSE '1' END) || substr(q.bkt, {i + 2})"
+        for i in range(bits)
+    )
+    cos_lsh = sql_cosine("c.v", "p.v")
+    cos_exact = sql_cosine("c.v", "q.v")
+    return f"""
+    WITH e AS (
+      SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v,
+             {sql_sign_bucket(vec_col, bits)} AS bkt
+      FROM {table}
+    ),
+    q AS (SELECT vec_id AS qid, v, bkt FROM e
+          WHERE vec_id IN (SELECT {id_col} FROM {table} WHERE {query_filter})),
+    probes AS (SELECT qid, v, t.pb FROM q, unnest([q.bkt, {flips}]) AS t(pb)),
+    lsh AS (
+      SELECT qid, vec_id FROM (
+        SELECT p.qid, c.vec_id,
+               row_number() OVER (PARTITION BY p.qid
+                                  ORDER BY {cos_lsh} DESC, c.vec_id) AS rnk
+        FROM e c JOIN probes p ON c.bkt = p.pb
+        WHERE c.vec_id <> p.qid
+      ) t WHERE rnk <= {k}
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, c.vec_id,
+               row_number() OVER (PARTITION BY q.qid
+                                  ORDER BY {cos_exact} DESC, c.vec_id) AS rnk
+        FROM e c CROSS JOIN q
+        WHERE c.vec_id <> q.qid
+      ) t WHERE rnk <= {k}
+    ),
+    counts AS (
+      SELECT (SELECT count(*) FROM q) AS nq,
+             (SELECT count(*) FROM lsh JOIN exact USING (qid, vec_id)) AS nh
+    )
+    SELECT CAST(nq AS BIGINT) AS n_queries, CAST({k} AS BIGINT) AS k,
+           CAST(nh AS BIGINT) AS n_hits,
+           round(CAST(nh AS DOUBLE) / (nq * {k}), 4) AS recall
+    FROM counts
+    """
