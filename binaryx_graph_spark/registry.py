@@ -50,7 +50,13 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     "ann_knn_join_batch", "text_repetition_metrics", "dedup_streaming_incremental",
     "pipeline_pack_chunks", "text_pii_scan", "pipeline_leakage_safe_split",
     "posting_table_topdf", "mg_string_search", "mg_function_search",
-    "mg_string_search_scoped", "stats_approx_distinct", "scope_semi_join",
+    "mg_string_search_scoped", "stats_approx_distinct",
+    # r3-continuation flagship surface: verbatim-Cypher compiler queries
+    # and the oracle-pinned ANN recall probe — witnessed early so the
+    # new parity claims get driver rows, not just the local gate
+    "cypher_paths_verbatim", "cypher_fulltext_call_verbatim",
+    "cypher_xref_union_verbatim", "ann_recall_lsh_multiprobe",
+    "scope_semi_join",
     "unresolved_anti_join", "table_stats", "distinct_users_per_type",
     "topk_events_by_value", "window_topk_per_group", "event_sequences",
     "union_distinct_arms", "pivot_event_counts", "setops_intersect_except",
