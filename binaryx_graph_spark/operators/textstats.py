@@ -311,13 +311,9 @@ def bpe_train_merges(
     return spark.createDataFrame(merges, "step long, pair string, pair_count long")
 
 
-def sql_bpe_train_merges(
-    table: str, text_col: str = "text", *, n_merges: int = 3
-) -> str:
-    """DuckDB twin of :func:`bpe_train_merges` — the same steps unrolled
-    as chained MATERIALIZED CTEs (each w{s} is referenced twice).
-    chr(2)/chr(3) are the BPE_S1/BPE_S2 sentinels; '\\1' is RE2's
-    backreference (Spark's Java regex uses '$1' for the same wrap)."""
+def _sql_bpe_cte_list(table: str, text_col: str, n_merges: int) -> list[str]:
+    """The shared training CTE chain (w0..w{n}, p{s}, b{s}) used by both
+    the trainer twin and the tokenize-apply twin."""
     toks = SQL_TOKENS.format(col=text_col)
     ctes = [
         f"""w0 AS MATERIALIZED (
@@ -355,12 +351,107 @@ def sql_bpe_train_merges(
             f"w{s} AS MATERIALIZED "
             f"(SELECT word, word_count, replace(seq, {pat}, {rep}) AS seq FROM w{s - 1})"
         )
-    body = ",\n    ".join(ctes)
+    return ctes
+
+
+def sql_bpe_train_merges(
+    table: str, text_col: str = "text", *, n_merges: int = 3
+) -> str:
+    """DuckDB twin of :func:`bpe_train_merges` — the same steps unrolled
+    as chained MATERIALIZED CTEs (each w{s} is referenced twice).
+    chr(2)/chr(3) are the BPE_S1/BPE_S2 sentinels; '\\1' is RE2's
+    backreference (Spark's Java regex uses '$1' for the same wrap)."""
+    body = ",\n    ".join(_sql_bpe_cte_list(table, text_col, n_merges))
     final = "\n    UNION ALL ".join(
         f"SELECT CAST({s} AS BIGINT) AS step, pair, pair_count FROM b{s}"
         for s in range(1, n_merges + 1)
     )
     return f"WITH {body}\n    {final}"
+
+
+def bpe_tokenize_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_merges: int = 3,
+) -> DataFrame:
+    """Apply the trained BPE merges to the whole corpus — the tokenizer
+    APPLY pass every pre-training pipeline runs after training — and
+    report per-document subword statistics:
+    (doc_id, n_words, n_subwords, spw_x10k) where spw_x10k =
+    ⌊10⁴·n_subwords / n_words⌋ (integer math; engine-portable).
+
+    Scale design (dictionary trick, same as the trainer and the
+    surprisal scorer): merges apply to the VOCAB-sized word dictionary
+    (``n_merges`` literal replaces on sentinel-wrapped symbol strings),
+    producing a word → subword-count table; the only corpus-sized work
+    is the token explode joined to that broadcast dictionary and a
+    per-doc sum. 100 TB of text never passes through the merge logic.
+    """
+    pairs = [r["pair"] for r in bpe_train_merges(docs, text_col, n_merges=n_merges).collect()]
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .distinct()
+        .select("word", F.regexp_replace("word", "(.)", f"{BPE_S1}$1{BPE_S2}").alias("seq"))
+    )
+    for pair in pairs:
+        a, b = pair.split(" ")
+        words = words.select(
+            "word",
+            F.replace(
+                F.col("seq"),
+                F.lit(f"{BPE_S1}{a}{BPE_S2}{BPE_S1}{b}{BPE_S2}"),
+                F.lit(f"{BPE_S1}{a}{b}{BPE_S2}"),
+            ).alias("seq"),
+        )
+    sep = BPE_S2 + BPE_S1
+    lut = words.select(
+        "word",
+        F.size(F.split(F.expr("substring(seq, 2, length(seq) - 2)"), sep)).cast("long").alias("n_sub"),
+    )
+    stream = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    return (
+        stream.join(F.broadcast(lut), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+        )
+        .select(
+            "doc_id", "n_words", "n_subwords",
+            F.expr("n_subwords * 10000 DIV n_words").cast("long").alias("spw_x10k"),
+        )
+    )
+
+
+def sql_bpe_tokenize_stats(
+    table: str, id_col: str = "doc_id", text_col: str = "text", *, n_merges: int = 3
+) -> str:
+    """DuckDB twin of :func:`bpe_tokenize_stats`: the training CTE chain
+    (shared with the trainer twin), then the final dictionary's subword
+    counts joined to the corpus token stream."""
+    toks = SQL_TOKENS.format(col=text_col)
+    ctes = _sql_bpe_cte_list(table, text_col, n_merges)
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body},
+    lut AS (
+      SELECT word,
+             CAST(len(string_split(substr(seq, 2, length(seq) - 2),
+                                   chr(3) || chr(2))) AS BIGINT) AS n_sub
+      FROM w{n_merges}
+    ),
+    stream AS (SELECT {id_col} AS doc_id, unnest({toks}) AS word FROM {table})
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(l.n_sub) AS BIGINT) AS n_subwords,
+           CAST(sum(l.n_sub) * 10000 // count(*) AS BIGINT) AS spw_x10k
+    FROM stream s JOIN lut l USING (word)
+    GROUP BY s.doc_id
+    """
 
 
 # ------------------------------------------- PMI co-occurrence (top pairs)

@@ -1183,3 +1183,24 @@ def ann_recall_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = knn_join_lsh_multiprobe(q, emb, k=10, bits=8, query_id_col="query_id")
     exact = knn_join(q, emb, k=10, query_id_col="query_id", exclude_self=True)
     return recall_at_k(approx, exact, q, k=10, query_id_col="query_id")
+
+
+from ..operators.textstats import sql_bpe_tokenize_stats as _sql_bpe_apply  # noqa: E402
+
+
+@register(
+    "text_bpe_tokenize_stats",
+    oracle=_sql_bpe_apply("documents", n_merges=3),
+    tags=("text", "tokenizer"),
+)
+def text_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY at corpus scale: the 3 trained BPE merges applied
+    to every document, reporting per-doc word/subword counts and the
+    ⌊10⁴·subwords/words⌋ compression ratio (integer math both engines).
+    Dictionary trick: the merges touch only the vocab-sized word table;
+    the corpus-sized pass is one explode + broadcast-dictionary join +
+    per-doc sum — the same 100 TB shape as the surprisal scorer."""
+    from ..operators.textstats import bpe_tokenize_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_tokenize_stats(docs, "doc_id", "text", n_merges=3)
