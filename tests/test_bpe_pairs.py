@@ -85,3 +85,53 @@ def test_bpe_train_merges_overlap_chains(spark):
         for r in bpe_train_merges(docs, n_merges=3).orderBy("step").collect()
     ]
     assert got == _ref_bpe(wc, 3)
+
+
+def _ref_apply(word_counts, merges):
+    """Apply trained merges to each word; return word -> n_subwords."""
+    seqs = {w: list(w) for w in word_counts}
+    for _step, pair, _c in merges:
+        a, b = pair.split(" ")
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return {w: len(s) for w, s in seqs.items()}
+
+
+def test_bpe_tokenize_stats_matches_reference(spark):
+    from binaryx_graph_spark.operators.textstats import bpe_tokenize_stats
+
+    wc = {"low": 3, "lower": 2, "newest": 5, "widest": 4}
+    words = [w for w, c in wc.items() for _ in range(c)]
+    # two docs with a deterministic split of the word stream
+    d1, d2 = " ".join(words[:7]), " ".join(words[7:])
+    docs = spark.createDataFrame([(1, d1), (2, d2)], "doc_id bigint, text string")
+    merges = _ref_bpe(wc, 3)
+    n_sub = _ref_apply(wc, merges)
+    got = {r["doc_id"]: r for r in bpe_tokenize_stats(docs, n_merges=3).collect()}
+    for doc_id, text in ((1, d1), (2, d2)):
+        ws = text.split()
+        assert got[doc_id]["n_words"] == len(ws)
+        expect_sub = sum(n_sub[w] for w in ws)
+        assert got[doc_id]["n_subwords"] == expect_sub
+        assert got[doc_id]["spw_x10k"] == expect_sub * 10000 // len(ws)
+
+
+def test_bpe_tokenize_stats_overlap_runs(spark):
+    """Same-symbol runs: left-to-right greedy merge application."""
+    from binaryx_graph_spark.operators.textstats import bpe_tokenize_stats
+
+    docs = spark.createDataFrame([(1, "aaaaaa aaaa aa b")], "doc_id bigint, text string")
+    wc = {"aaaaaa": 1, "aaaa": 1, "aa": 1, "b": 1}
+    merges = _ref_bpe(wc, 2)
+    n_sub = _ref_apply(wc, merges)
+    r = bpe_tokenize_stats(docs, n_merges=2).head()
+    assert r["n_words"] == 4
+    assert r["n_subwords"] == sum(n_sub[w] for w in wc)
