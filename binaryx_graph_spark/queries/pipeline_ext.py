@@ -1016,3 +1016,114 @@ def pipeline_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "multimodal_features",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           {", ".join(
+               f"round(CAST(CAST(({_sql_hexval('h', 2*i+1)} * 16 + {_sql_hexval('h', 2*i+2)})"
+               f" / 255.0 AS REAL) AS DOUBLE), 6) AS f{i}"
+               for i in range(8)
+           )}
+    FROM (SELECT doc_id, sha256(text) AS h FROM documents)
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over the binary column (mapInPandas, stands in
+    for a CLIP/audio encoder): the array<float> output contract is
+    gate-verified per element — the oracle recomputes the deterministic
+    kernel from sha256 AND replays the float32 quantization
+    (REAL→DOUBLE→round), so the Arrow float path itself is pinned."""
+    from ..operators.multimodal import extract_features, media_from_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(media_from_documents(docs))
+    return feats.select(
+        "media_id",
+        *[
+            F.round(F.element_at("features", i + 1).cast("double"), 6).alias(f"f{i}")
+            for i in range(8)
+        ],
+    ).orderBy("media_id")
+
+
+@register(
+    "multimodal_frames",
+    oracle="""
+    WITH v AS (
+      -- byte slicing replayed on VARCHAR: the corpus is pure ASCII at
+      -- every SF (octet_length == length verified), so char offsets ==
+      -- byte offsets; a non-ASCII doc would hash-mismatch and flag here
+      SELECT doc_id AS media_id, text AS payload
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    f AS (
+      SELECT media_id, CAST(t.i AS INTEGER) AS frame_no,
+             substring(payload,
+                       CAST(t.i AS INTEGER) * (length(payload) // 4) + 1,
+                       length(payload) // 4) AS fb
+      FROM v, unnest(range(0, 4)) AS t(i)
+    )
+    SELECT media_id, frame_no,
+           CAST(length(fb) AS BIGINT) AS n_bytes,
+           sha256(fb) AS frame_sha
+    FROM f
+    ORDER BY media_id, frame_no
+    """,
+    tags=("multimodal",),
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video payloads (explode → one row per frame,
+    byte-range slicing on the binary column): frame boundaries, sizes
+    and CONTENT (sha256 of each frame's bytes) are oracle-pinned, so
+    the binary-slicing dataflow — not just row counts — is verified."""
+    from ..operators.multimodal import media_from_documents, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(media_from_documents(docs), n_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.length("frame_bytes").cast("long").alias("n_bytes"),
+        F.sha2("frame_bytes", 256).alias("frame_sha"),
+    ).orderBy("media_id", "frame_no")
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    -- byte cycling replayed on VARCHAR (pure-ASCII corpus, see
+    -- multimodal_frames); the empty-payload branch of the fake kernel
+    -- is unreachable on this corpus — a zero-length doc would flag
+    WITH m AS (
+      SELECT doc_id AS media_id, text AS src
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT media_id,
+           CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+           CAST(12288 AS BIGINT) AS n_bytes_out,
+           sha256(substring(repeat(src, CAST(12288 // length(src) + 1 AS INTEGER)),
+                            1, 12288)) AS resized_sha
+    FROM m
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize kernel (mapInPandas; deterministic byte-cycling fake with
+    the real size contract width·height·3): output payload BYTES are
+    oracle-pinned via sha256 — DuckDB replays the cycling with
+    repeat+substring on the blob — so the Arrow binary round trip is
+    verified content-exact, not just size-exact."""
+    from ..operators.multimodal import media_from_documents, resize_media
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    out = resize_media(media_from_documents(docs), width=64, height=64)
+    return out.select(
+        "media_id", "width", "height", "n_bytes_out",
+        F.sha2("resized", 256).alias("resized_sha"),
+    ).orderBy("media_id")
