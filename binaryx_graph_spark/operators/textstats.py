@@ -1143,3 +1143,94 @@ def sql_pii_redact(table: str, id_col: str = "doc_id", text_col: str = "text") -
            {red} <> {text_col} AS redacted
     FROM {table}
     """
+
+
+# ------------------------------------------- linear quality classifier
+
+#: hashed-feature dimension for the linear text classifier
+CLS_DIM = 256
+
+
+def classifier_weights() -> list[tuple[int, int]]:
+    """=== DETERMINISTIC STAND-IN WEIGHTS === (bucket, weight) for the
+    fasttext-style linear quality classifier.  A production pipeline
+    ships trained weights as a small artifact next to the job (like the
+    IVF codebook); this demo derives them reproducibly from sha256 of
+    the bucket id so Spark, the DuckDB oracle, and tests all see the
+    same model.  Fixed-point integers in [-128, 127] — scoring stays
+    exact int64 math end-to-end."""
+    import hashlib
+
+    out = []
+    for b in range(CLS_DIM):
+        h = hashlib.sha256(f"w{b}".encode()).hexdigest()
+        out.append((b, int(h[:2], 16) - 128))
+    return out
+
+
+def _tok_bucket(tok: Column) -> Column:
+    """Portable token → bucket hash: first two hex digits of
+    sha256(token) (identical in DuckDB via the strpos trick)."""
+    h = F.sha2(tok, 256)
+    hexpos = "0123456789abcdef"
+    d1 = F.instr(F.lit(hexpos), F.substring(h, 1, 1)) - 1
+    d2 = F.instr(F.lit(hexpos), F.substring(h, 2, 1)) - 1
+    return (d1 * 16 + d2).cast("int")
+
+
+def classifier_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", *, bias: int = 0
+) -> DataFrame:
+    """Apply a linear bag-of-hashed-tokens text classifier (the
+    CCNet/RefinedWeb-style quality filter shape) at corpus scale →
+    (doc_id, n_tokens, score_q, keep).
+
+    score_q = bias + Σ_tokens w[sha256(tok) mod 256] — all-integer
+    fixed point, so the oracle matches bit-for-bit; ``keep`` is the
+    sign (the logistic is monotone, so thresholding the raw score IS
+    thresholding the probability).  Scale shape: one token explode, a
+    256-row broadcast weight join, one per-doc partial-aggregated sum —
+    the hot path never leaves the JVM."""
+    spark = docs.sparkSession
+    w = spark.createDataFrame(classifier_weights(), "bucket int, w int")
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    return (
+        tok.select("doc_id", _tok_bucket(F.col("tok")).alias("bucket"))
+        .join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (F.sum("w") + F.lit(bias)).cast("long").alias("score_q"),
+        )
+        .select(
+            "doc_id", "n_tokens", "score_q",
+            (F.col("score_q") >= 0).alias("keep"),
+        )
+    )
+
+
+def sql_classifier_score(
+    table: str, id_col: str = "doc_id", text_col: str = "text", *, bias: int = 0
+) -> str:
+    """DuckDB twin of :func:`classifier_score` — the identical weight
+    artifact inlined as VALUES, the identical sha256-prefix bucketing."""
+    toks = SQL_TOKENS.format(col=text_col)
+    values = ", ".join(f"({b}, {w})" for b, w in classifier_weights())
+    hexpos = "0123456789abcdef"
+    bucket = (
+        f"((strpos('{hexpos}', substr(sha256(tok), 1, 1)) - 1) * 16"
+        f" + (strpos('{hexpos}', substr(sha256(tok), 2, 1)) - 1))"
+    )
+    return f"""
+    WITH w(bucket, w) AS (VALUES {values}),
+    t AS (SELECT {id_col} AS doc_id, unnest({toks}) AS tok FROM {table}),
+    b AS (SELECT doc_id, {bucket} AS bucket FROM t)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(w.w) + {bias} AS BIGINT) AS score_q,
+           (CAST(sum(w.w) + {bias} AS BIGINT) >= 0) AS keep
+    FROM b JOIN w USING (bucket)
+    GROUP BY b.doc_id
+    """

@@ -1204,3 +1204,24 @@ def text_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_tokenize_stats(docs, "doc_id", "text", n_merges=3)
+
+
+from ..operators.textstats import sql_classifier_score as _sql_cls  # noqa: E402
+
+
+@register(
+    "text_classifier_score",
+    oracle=_sql_cls("documents"),
+    tags=("text", "quality"),
+)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier APPLY at corpus scale (the fasttext-
+    filter shape every CCNet/RefinedWeb-style pipeline runs): hashed
+    bag-of-tokens features (sha256-prefix buckets, engine-portable),
+    a 256-row broadcast weight artifact, one exact-int64 per-doc sum.
+    Weights are the honestly-labeled deterministic stand-in for a
+    shipped model file; the scoring dataflow is the real contract."""
+    from ..operators.textstats import classifier_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return classifier_score(docs, "doc_id", "text")
