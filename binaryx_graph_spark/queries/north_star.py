@@ -1225,3 +1225,25 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return classifier_score(docs, "doc_id", "text")
+
+
+@register(
+    "streaming_quality_gate",
+    oracle=f"""
+    SELECT CAST(doc_id % 3 AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM ({_sql_cls("documents")}) scored
+    GROUP BY doc_id % 3
+    ORDER BY batch_id
+    """,
+    tags=("streaming", "quality"),
+)
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality classifier as a STREAMING stage: three micro-batch
+    arrivals drained with availableNow, each scored statelessly; the
+    oracle is the batch classifier grouped by the arrival split —
+    stream/batch agreement pinned exactly (same int64 scores)."""
+    from ..streaming.dedup_stream import stream_quality_gate
+
+    return stream_quality_gate(spark, sf_dir, arrival_batches=3)

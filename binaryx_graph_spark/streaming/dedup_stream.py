@@ -181,3 +181,57 @@ def streaming_paragraph_dedup(
     for o in state["outs"][1:]:
         out = out.unionByName(o)
     return out
+
+
+def stream_quality_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    arrival_batches: int = 3,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The quality-classifier gate run as a STREAM: documents arrive in
+    ``arrival_batches`` micro-batches; each batch flows through the
+    linear classifier (stateless per-doc scoring — no cross-batch
+    state, so the streaming plan needs no watermark) and contributes a
+    (batch_id, n_docs, n_keep) row.  The batch twin is the same
+    classifier grouped by the arrival split — stream/batch agreement is
+    the oracle contract, like the windowed-count twins."""
+    from ..operators.textstats import classifier_score
+
+    stage = tempfile.mkdtemp(prefix="bxg_quality_stream_")
+    docs = load_table(spark, sf_dir, "documents")
+    _stage_batches(
+        docs, stage,
+        [F.col("doc_id") % arrival_batches == b for b in range(arrival_batches)],
+    )
+
+    rows: list[DataFrame] = []
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        scored = classifier_score(batch_df, "doc_id", "text")
+        rows.append(
+            scored.groupBy((F.col("doc_id") % arrival_batches).alias("batch_id"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    q = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    if stats is not None:
+        stats["n_batches"] = len(rows)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("batch_id")
