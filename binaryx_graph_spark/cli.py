@@ -105,6 +105,12 @@ def main(argv: list[str] | None = None) -> int:
     imp_dir.add_argument("path")
     imp_dir.add_argument("--pattern", default="*.json")
     imp_dir.add_argument("--validate", action="store_true")
+    # E12 / cli.rs:41 batch_size: files per merge batch. 0 = one
+    # set-oriented bulk merge (the Spark-right default — chunking a bulk
+    # load only adds merge passes); >0 exercises the real incremental
+    # upsert path (per-batch last-write-wins seq), the shape a rolling
+    # daily import runs in production
+    imp_dir.add_argument("--batch-size", type=int, default=0, dest="batch_size")
 
     q = sub.add_parser("query").add_subparsers(dest="what", required=True)
     qf = q.add_parser("functions")
@@ -192,6 +198,29 @@ def main(argv: list[str] | None = None) -> int:
 
     fmt = args.format
     if args.cmd == "import":
+        batch_size = getattr(args, "batch_size", 0)
+        if args.what == "directory" and batch_size > 0:
+            import glob as _glob
+
+            files = sorted(_glob.glob(f"{args.path}/{args.pattern}"))
+            groups = [files[i:i + batch_size] for i in range(0, len(files), batch_size)]
+            last_stats = None
+            for seq, group in enumerate(groups, start=1):
+                docs = read_analysis_json(spark, group)  # list of files
+                if args.validate:
+                    errs = validate_documents(docs)
+                    if not errs.isEmpty():
+                        emit(errs, fmt)
+                        return 2
+                t = build_graph_tables(docs)
+                wh.initialize()
+                wh.merge_batch(
+                    {k: v for k, v in t.items() if k != "import_stats"}, batch_seq=seq
+                )
+                last_stats = t["import_stats"]
+            if last_stats is not None:
+                emit(last_stats, fmt)
+            return 0
         path = args.path if args.what == "json" else f"{args.path}/{args.pattern}"
         docs = read_analysis_json(spark, path)
         if args.validate:

@@ -332,7 +332,7 @@ class CypherParser:
         """``db.index.fulltext.queryNodes('index', $q) YIELD node, score``."""
         for part in ("db", "index", "fulltext"):
             if self._name() != part:
-                raise ValueError(f"cypher: CALL supports db.index.fulltext.queryNodes only")
+                raise ValueError("cypher: CALL supports db.index.fulltext.queryNodes only")
             self._expect("sym", ".")
         if self._name() != "queryNodes":
             raise ValueError("cypher: CALL supports db.index.fulltext.queryNodes only")

@@ -64,9 +64,10 @@ EXPORT_ITEM = "name STRING, address STRING"
 CALL_ITEM = "from_address STRING, to_address STRING, offset STRING, type STRING"
 
 
-def read_analysis_json(spark: SparkSession, path: str) -> DataFrame:
-    """Scan analysis JSON (file, directory, or glob) → one row per document,
-    with ``source_file`` and a deterministic ``ingest_seq``.
+def read_analysis_json(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Scan analysis JSON (file, directory, glob, or an explicit file
+    list) → one row per document, with ``source_file`` and a
+    deterministic ``ingest_seq``.
 
     ``ingest_seq`` reproduces the reference's file-iteration order for
     last-write-wins MERGE semantics (SURVEY.md §7.3 #2): dense rank over

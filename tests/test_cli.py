@@ -210,3 +210,24 @@ def test_warehouse_time_travel_and_rollback(spark, tmp_path, capsys):
     assert "functions: [2]" in capsys.readouterr().out
     assert main(["--warehouse", root, "db", "rollback", "functions", "2"]) == 0
     assert main(["--warehouse", root, "db", "vacuum", "--keep", "1"]) == 0
+
+
+def test_import_directory_batched_equals_bulk(spark, tmp_path, capsys):
+    from .fixtures import write_fixture
+
+    d = write_fixture(tmp_path / "in")
+    bulk_root, batched_root = str(tmp_path / "wh_bulk"), str(tmp_path / "wh_batched")
+    assert main(["--warehouse", bulk_root, "import", "directory", d]) == 0
+    capsys.readouterr()
+    # one file per merge batch: exercises the incremental upsert path
+    assert main([
+        "--warehouse", batched_root, "import", "directory", d, "--batch-size", "1",
+    ]) == 0
+    capsys.readouterr()
+    from binaryx_graph_spark.sources.warehouse import Warehouse
+
+    b, inc = Warehouse(spark, bulk_root), Warehouse(spark, batched_root)
+    for t in ("binaries", "functions", "strings", "libraries", "calls", "contains"):
+        rows_b = sorted(tuple(r) for r in b.read(t).collect())
+        rows_i = sorted(tuple(r) for r in inc.read(t).collect())
+        assert rows_b == rows_i, t
