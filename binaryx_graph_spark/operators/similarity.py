@@ -1342,13 +1342,17 @@ def recall_at_k(
     hits = approx.select(query_id_col, "vec_id").join(
         exact.select(query_id_col, "vec_id"), [query_id_col, "vec_id"]
     )
-    # two 1-row aggregates combined on a constant equi-key — a hash
-    # join, not a cartesian (keeps the plan audit's no-NLJ invariant)
-    nq = n_queries_df.agg(F.count(F.lit(1)).cast("long").alias("n_queries")).withColumn(
-        "_j", F.lit(1)
+    # one tall union + one aggregation — no 1×1 join at all (a lit-key
+    # equi-join constant-folds to always-true and plans as a nested
+    # loop, which the plan audit rightly flags)
+    tall = n_queries_df.select(F.lit("q").alias("_k")).unionByName(
+        hits.select(F.lit("h").alias("_k"))
     )
-    nh = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")).withColumn("_j", F.lit(1))
-    return nq.join(F.broadcast(nh), "_j").select(
+    counts = tall.agg(
+        F.count(F.when(F.col("_k") == "q", 1)).cast("long").alias("n_queries"),
+        F.count(F.when(F.col("_k") == "h", 1)).cast("long").alias("n_hits"),
+    )
+    return counts.select(
         "n_queries",
         F.lit(k).cast("long").alias("k"),
         "n_hits",

@@ -55,6 +55,10 @@ def audit_plan(name: str, plan: str) -> list[str]:
         # corpus is the streamed side) — the intended exact-variant plan;
         # the scale path swaps in IVF/LSH-pruned candidates upstream
         "ann_knn_join_batch",
+        # recall@k measurement: contains the exact kNN baseline by
+        # definition (recall needs the ground truth), so the same
+        # broadcast-query-batch cross as ann_knn_join_batch is intended
+        "ann_recall_lsh_multiprobe",
         # IVF batch kNN: probe selection crosses the broadcast query
         # batch with the n_centroids-row codebook — both dimension-sized
         "ann_knn_join_batch_ivf",
