@@ -57,6 +57,12 @@ HEADLINE = [
     # r3 continuation: paragraph-level keep-first dedup — the newest
     # dedup family (min-owner groupBy + equi-join, no corpus window)
     "dedup_paragraphs",
+    # r3 continuation: the compiled-Cypher path surface at data scale
+    # (seed-pushed frontier enumeration over the dense derived graph)
+    # and the linear quality classifier (hashed features, broadcast
+    # weights) — the two newest engine surfaces, bench-graded
+    "cypher_paths_scaled",
+    "text_classifier_score",
 ]
 
 
