@@ -139,6 +139,8 @@ def main(argv: list[str] | None = None) -> int:
     qcy.add_argument("text", help="Cypher-subset query (see cypher.py docstring)")
     qcy.add_argument("--param", action="append", default=[], metavar="NAME=VALUE",
                      help="query parameter ($NAME); repeatable")
+    qcy.add_argument("--explain", action="store_true",
+                     help="print the Catalyst physical plan instead of rows")
     qx = q.add_parser("xref")
     qx.add_argument("address")
     qx.add_argument("--binary")
@@ -270,7 +272,13 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             k, v = kv.split("=", 1)
             params[k] = int(v) if v.lstrip("-").isdigit() else v
-        emit(cypher(t, args.text, params=params), fmt)
+        out = cypher(t, args.text, params=params)
+        if args.explain:
+            # the proof that pasted Cypher compiles into an optimizable
+            # Catalyst plan, not an interpreter: show it
+            out.explain("formatted")
+            return 0
+        emit(out, fmt)
     elif args.what == "binary":
         # F2: hash-equals OR filename-contains, LIMIT 1 (importer.rs:432-437);
         # deterministic tiebreak on hash so repeated runs agree

@@ -209,3 +209,21 @@ def test_any_label_and_untyped_edges(spark, t):
         cypher(t, "MATCH (n) WHERE n.name = 'x' RETURN n.key AS k")
     with pytest.raises(ValueError):  # typed edge cannot attach to any-label var
         cypher(t, "MATCH (n) MATCH (n)-[:CALLS]->(m:Function) RETURN m.name AS x")
+
+
+def test_cli_cypher_explain(spark, tmp_path, capsys):
+    from binaryx_graph_spark.cli import main
+
+    from .fixtures import write_fixture
+
+    d = write_fixture(tmp_path / "in")
+    root = str(tmp_path / "wh")
+    assert main(["--warehouse", root, "import", "directory", d]) == 0
+    capsys.readouterr()
+    assert main([
+        "--warehouse", root, "query", "cypher",
+        "MATCH (b:Binary)-[:CONTAINS]->(f:Function) RETURN f.name AS name",
+        "--explain",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out
