@@ -1247,3 +1247,94 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.dedup_stream import stream_quality_gate
 
     return stream_quality_gate(spark, sf_dir, arrival_batches=3)
+
+
+@register(
+    "pipeline_pretraining_stats",
+    oracle=f"""
+    WITH kept AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN ({_sql_cls("documents")}) s USING (doc_id)
+      WHERE s.keep
+    ),
+    en AS (
+      SELECT doc_id, text FROM kept
+      WHERE {{lang}} = 'en'
+    ),
+    keyed AS (
+      SELECT doc_id, text,
+             sha256(list_aggregate({{toks}}, 'string_agg', ' ')) AS k
+      FROM en
+    ),
+    exact AS (
+      SELECT e.doc_id, e.text
+      FROM keyed e JOIN (SELECT k, min(doc_id) AS doc_id FROM keyed GROUP BY k) c
+        ON e.k = c.k AND e.doc_id = c.doc_id
+    ),
+    toks AS (SELECT CAST(coalesce(sum({{ntok}}), 0) AS BIGINT) AS total FROM exact)
+    SELECT stage, n FROM (
+      SELECT '1_input' AS stage, CAST(count(*) AS BIGINT) AS n FROM documents
+      UNION ALL SELECT '2_classifier', CAST(count(*) AS BIGINT) FROM kept
+      UNION ALL SELECT '3_english', CAST(count(*) AS BIGINT) FROM en
+      UNION ALL SELECT '4_exact', CAST(count(*) AS BIGINT) FROM exact
+      UNION ALL SELECT '5_chunks', CAST((total + 511) // 512 AS BIGINT) FROM toks
+    ) t
+    ORDER BY stage
+    """.format(
+        lang=__import__(
+            "binaryx_graph_spark.operators.textstats", fromlist=["sql_language_id"]
+        ).sql_language_id("text"),
+        toks=__import__(
+            "binaryx_graph_spark.operators.textstats", fromlist=["SQL_TOKENS"]
+        ).SQL_TOKENS.format(col="text"),
+        ntok=__import__(
+            "binaryx_graph_spark.operators.textstats", fromlist=["sql_token_count"]
+        ).sql_token_count("text"),
+    ),
+    tags=("pipeline", "composed"),
+)
+def pipeline_pretraining_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pre-training data pipeline, v2 composition:
+    classifier quality gate → language filter → exact dedup →
+    512-token sequence packing, with per-stage retention counts — every
+    stage an already-verified operator, the composition itself
+    oracle-checked (the DuckDB twin replays classifier weights, stopword
+    language-ID, content-key dedup and the chunk arithmetic).
+
+    Scale: each stage is one scan/shuffle of the shrinking survivor set;
+    the packing summary needs only the global token total (ceil-div for
+    the chunk count) — no per-token work anywhere."""
+    from ..operators.textstats import classifier_score, language_id, token_count, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = classifier_score(docs, "doc_id", "text")
+    kept = docs.join(
+        scored.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+    en = kept.filter(language_id(F.col("text")) == "en")
+    keyed = en.select(
+        "doc_id", "text",
+        F.sha2(F.concat_ws(" ", tokens(F.col("text"))), 256).alias("_k"),
+    )
+    canon = keyed.groupBy("_k").agg(F.min("doc_id").alias("doc_id"))
+    exact = keyed.join(canon, ["_k", "doc_id"], "left_semi").localCheckpoint(eager=True)
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit(name).alias("stage"), "n"
+        )
+
+    chunks = exact.agg(
+        F.coalesce(F.sum(token_count(F.col("text")).cast("long")), F.lit(0)).alias("_t")
+    ).select(
+        F.lit("5_chunks").alias("stage"),
+        F.expr("(_t + 511) DIV 512").cast("long").alias("n"),  # exact int ceil-div
+    )
+    return (
+        stage("1_input", docs)
+        .unionByName(stage("2_classifier", kept))
+        .unionByName(stage("3_english", en))
+        .unionByName(stage("4_exact", exact))
+        .unionByName(chunks)
+        .orderBy("stage")
+    )
