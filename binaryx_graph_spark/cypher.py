@@ -1045,6 +1045,8 @@ class CypherCompiler:
 
         if cycle:
             out = out.filter(F.col(end_c) == F.col(skey))
+            for p, v in end.props.items():  # props on the closing (f {...})
+                out = out.filter(self._prop_col(start.var, p, bound) == F.lit(v))
         elif end.var in bound:
             out = out.filter(F.col(end_c) == F.col(self._key_col(end.var, bound[end.var])))
         else:
