@@ -146,10 +146,19 @@ class Pattern:
 
 
 @dataclass
+class Ref:
+    """A variable reference on the RIGHT side of a comparison —
+    ``var.prop`` or a bare scalar (WITH alias / YIELD score)."""
+
+    var: str
+    prop: str | None
+
+
+@dataclass
 class Comparison:
-    left: tuple[str, str]  # (var, prop)
+    left: tuple[str, str | None]  # (var, prop); prop None = bare scalar
     op: str
-    right: object  # literal value
+    right: object  # literal value or Ref
 
 
 @dataclass
@@ -202,6 +211,23 @@ class FulltextCall:
 
 
 @dataclass
+class WithStage:
+    """One ``MATCH ... WITH items [WHERE pred]`` pipeline segment: the
+    carried items become the working row set for the next segment
+    (Cypher's horizon operator).  Restricted: items are bare node
+    variables (carried whole), ``var.prop AS alias`` scalars, and
+    aggregates with aliases; aggregates trigger Cypher's implicit
+    grouping; the WHERE after WITH filters the projected rows (HAVING
+    semantics over aggregates)."""
+
+    patterns: list[Pattern]
+    where: object | None
+    distinct: bool
+    items: list[ReturnItem]
+    with_where: object | None
+
+
+@dataclass
 class Query:
     patterns: list[Pattern]
     where: object | None
@@ -211,6 +237,7 @@ class Query:
     limit: int | None
     fulltext: FulltextCall | None = None
     subunion: list["Query"] | None = None  # CALL { q1 UNION q2 } RETURN ...
+    stages: list[WithStage] = field(default_factory=list)  # WITH pipeline
 
 
 class CypherParser:
@@ -279,6 +306,14 @@ class CypherParser:
                 return self._call_union()
             fulltext = self._fulltext_call()
         wheres: list = []
+        stages: list[WithStage] = []
+
+        def fold(ws):
+            out = None
+            for w in ws:
+                out = w if out is None else BoolExpr("and", [out, w])
+            return out
+
         while True:
             if self._accept("kw", "OPTIONAL"):
                 self._expect("kw", "MATCH")
@@ -287,6 +322,17 @@ class CypherParser:
                 patterns.append(pat)
             elif self._accept("kw", "MATCH"):
                 patterns.append(self._match_pattern())
+            elif self._accept("kw", "WITH"):
+                distinct = self._accept("kw", "DISTINCT")
+                items = [self._return_item()]
+                while self._accept("sym", ","):
+                    items.append(self._return_item())
+                with_where = self._where() if self._accept("kw", "WHERE") else None
+                stages.append(
+                    WithStage(patterns, fold(wheres), distinct, items, with_where)
+                )
+                patterns, wheres = [], []
+                continue
             else:
                 break
             # Cypher allows a WHERE per MATCH clause; for inner-join
@@ -295,11 +341,9 @@ class CypherParser:
             # at _compile_optional)
             if self._accept("kw", "WHERE"):
                 wheres.append(self._where())
-        if not patterns and fulltext is None:
+        if not patterns and fulltext is None and not stages:
             raise ValueError("cypher: query must start with MATCH or CALL")
-        where = None
-        for w in wheres:
-            where = w if where is None else BoolExpr("and", [where, w])
+        where = fold(wheres)
         self._expect("kw", "RETURN")
         distinct = self._accept("kw", "DISTINCT")
         items = [self._return_item()]
@@ -315,7 +359,10 @@ class CypherParser:
         k, v = self._peek()
         if k is not None:
             raise ValueError(f"cypher: trailing input at {v!r}")
-        return Query(patterns, where, distinct, items, order, limit, fulltext=fulltext)
+        return Query(
+            patterns, where, distinct, items, order, limit,
+            fulltext=fulltext, stages=stages,
+        )
 
     def _limit(self) -> int | None:
         if not self._accept("kw", "LIMIT"):
@@ -586,8 +633,10 @@ class CypherParser:
 
     def _comparison(self) -> Comparison:
         var = self._expect("word")
-        self._expect("sym", ".")
-        prop = self._expect("word")
+        if self._accept("sym", "."):
+            prop = self._expect("word")
+        else:
+            prop = None  # bare scalar reference (a WITH alias)
         k, v = self._next()
         if k == "kw" and v.upper() == "CONTAINS":
             op = "contains"
@@ -601,6 +650,11 @@ class CypherParser:
             op = v
         else:
             raise ValueError(f"cypher: unsupported operator {v!r}")
+        nk, _nv = self._peek()
+        if nk == "word":  # RHS variable reference: var.prop or bare scalar
+            rvar = self._next()[1]
+            rprop = self._expect("word") if self._accept("sym", ".") else None
+            return Comparison((var, prop), op, Ref(rvar, rprop))
         return Comparison((var, prop), op, self._literal())
 
     def _return_item(self) -> ReturnItem:
@@ -695,11 +749,24 @@ class CypherCompiler:
         self._scalar_vars: set[str] = set()
         self._path_vars: dict[str, dict[str, str]] = {}
         self._exists_markers: dict[int, str] = {}
-        where, scopes = self._extract_scopes(q.where)
         df: DataFrame | None = None
         if q.fulltext is not None:
             df = self._fulltext_df(q.fulltext, bound)
-        for pat in q.patterns:
+        for stage in q.stages:
+            df = self._compile_segment(df, stage.patterns, stage.where, bound)
+            df = self._apply_with(df, stage, bound)
+        df = self._compile_segment(df, q.patterns, q.where, bound)
+        assert df is not None
+        return self._returns(df, q, bound)
+
+    def _compile_segment(
+        self, df: DataFrame | None, patterns: list[Pattern], where, bound: dict[str, str]
+    ) -> DataFrame | None:
+        """Compile one MATCH...WHERE segment (the shared body of plain
+        queries and each WITH-pipeline stage)."""
+        self._exists_markers = {}
+        where, scopes = self._extract_scopes(where)
+        for pat in patterns:
             if pat.path_var is not None:
                 df = self._compile_path(df, pat, bound, scopes.pop(pat.path_var, None), where)
             elif pat.optional:
@@ -711,12 +778,98 @@ class CypherCompiler:
                 f"cypher: ALL(... IN nodes({next(iter(scopes))})) references "
                 "an unknown path variable"
             )
-        assert df is not None
         if where is not None:
+            if df is None:
+                raise ValueError("cypher: WHERE without a preceding MATCH")
             df = self._attach_exists(df, where, bound)
             df = df.filter(self._predicate(where, bound))
             df = df.drop(*self._exists_markers.values())
-        return self._returns(df, q, bound)
+        return df
+
+    def _apply_with(self, df: DataFrame | None, stage: WithStage, bound: dict[str, str]) -> DataFrame:
+        """Project/aggregate the working rows through a WITH clause and
+        rebind the variable horizon: carried node variables keep their
+        full column sets (so later MATCH clauses join on them), scalar
+        expressions become SCALAR pseudo-variables, everything else goes
+        out of scope (Cypher semantics)."""
+        if df is None:
+            raise ValueError("cypher: WITH needs a preceding MATCH")
+        agg_kinds = ("count_star", "count_var", "count_distinct_var")
+        aggs = [i for i in stage.items if i.kind in agg_kinds]
+        new_bound: dict[str, str] = {}
+        carried_cols: list[str] = []
+        scalar_cols: list = []  # Column exprs aliased {alias}____val
+        for it in stage.items:
+            if it.kind in agg_kinds:
+                if not it.alias:
+                    raise ValueError("cypher: aggregates in WITH need AS alias")
+                continue
+            if it.kind == "node":
+                if it.alias and it.alias != it.var:
+                    raise ValueError("cypher: WITH cannot rename a node variable (v1)")
+                lbl = bound.get(it.var)
+                if it.var in self._path_vars or it.var in self._edge_vars:
+                    raise ValueError(
+                        f"cypher: WITH carries nodes and scalars only, not {it.var}"
+                    )
+                if lbl is None:
+                    raise ValueError(f"cypher: WITH references unbound variable {it.var}")
+                if lbl == SCALAR:
+                    carried_cols.append(f"{it.var}____val")
+                    new_bound[it.var] = SCALAR
+                    continue
+                prefix = f"{it.var}____" if lbl == ANY else f"{it.var}__"
+                cols = [c for c in df.columns if c.startswith(prefix)]
+                carried_cols.extend(cols)
+                new_bound[it.var] = lbl
+            elif it.kind == "prop":
+                if not it.alias:
+                    raise ValueError("cypher: WITH expressions need AS alias")
+                scalar_cols.append(
+                    self._prop_col(it.var, it.prop, bound).alias(f"{it.alias}____val")
+                )
+                new_bound[it.alias] = SCALAR
+            else:
+                raise ValueError(f"cypher: unsupported WITH item kind {it.kind}")
+        # the NEW prop-derived scalar columns (carried scalar variables
+        # are already inside carried_cols)
+        scalar_names = [f"{it.alias}____val" for it in stage.items if it.kind == "prop"]
+        if aggs:
+            # keep every input column alongside the computed scalars so
+            # aggregate targets (node keys, edge type markers) resolve,
+            # then group by the carried horizon only
+            pre = df.select("*", *scalar_cols)
+            outs = []
+            for it in aggs:
+                name = f"{it.alias}____val"
+                if it.kind == "count_star":
+                    outs.append(F.count(F.lit(1)).alias(name))
+                elif it.kind == "count_distinct_var":
+                    outs.append(F.countDistinct(self._count_target(it.var, bound)).alias(name))
+                else:
+                    outs.append(F.count(self._count_target(it.var, bound)).alias(name))
+                new_bound[it.alias] = SCALAR
+            keys = carried_cols + scalar_names
+            out = pre.groupBy(*[F.col(c) for c in keys]).agg(*outs) if keys else pre.agg(*outs)
+        else:
+            out = df.select(*[F.col(c) for c in carried_cols], *scalar_cols)
+            if stage.distinct:
+                out = out.distinct()
+        # horizon reset
+        bound.clear()
+        bound.update(new_bound)
+        self._edge_vars = set()
+        self._path_vars = {}
+        self._scalar_vars = {v for v, l in new_bound.items() if l == SCALAR}
+        if stage.with_where is not None:
+            self._exists_markers = {}
+            w, scopes = self._extract_scopes(stage.with_where)
+            if scopes:
+                raise ValueError("cypher: ALL(...) is not supported in a WITH WHERE")
+            out = self._attach_exists(out, w, bound)
+            out = out.filter(self._predicate(w, bound))
+            out = out.drop(*self._exists_markers.values())
+        return out
 
     def _compile_union(self, q: Query) -> DataFrame:
         """CALL { q1 UNION q2 } RETURN [DISTINCT] cols — compile each
@@ -794,7 +947,10 @@ class CypherCompiler:
     @staticmethod
     def _expr_vars(expr) -> set[str]:
         if isinstance(expr, Comparison):
-            return {expr.left[0]}
+            out = {expr.left[0]}
+            if isinstance(expr.right, Ref):
+                out.add(expr.right.var)
+            return out
         if isinstance(expr, ExistsPat):
             return {expr.src_var, expr.dst_var}
         if isinstance(expr, BoolExpr):
@@ -1090,6 +1246,13 @@ class CypherCompiler:
         any-label nodes (.key/.label), labeled nodes (.key/.label as
         key column / literal), and edge variables (.type)."""
         lbl = bound.get(var)
+        if prop is None:
+            if lbl != SCALAR:
+                raise ValueError(
+                    f"cypher: bare {var} in a predicate must be a scalar "
+                    f"(a WITH alias or YIELD score); it is {lbl or 'unbound'}"
+                )
+            return F.col(f"{var}____val")
         if lbl == SCALAR:
             raise ValueError(
                 f"cypher: {var} is a scalar (YIELD score) — reference it bare, "
@@ -1108,6 +1271,8 @@ class CypherCompiler:
             return F.lit(lbl)
         if lbl in NODE_LABELS and prop == "key":
             return F.col(self._key_col(var, lbl))
+        if lbl is None and var not in self._edge_vars:
+            raise ValueError(f"cypher: {var} is not in scope here")
         return F.col(f"{var}__{prop}")
 
     def _bind_node(self, df: DataFrame | None, n: NodePat, bound: dict[str, str]) -> DataFrame:
@@ -1298,18 +1463,21 @@ class CypherCompiler:
         assert isinstance(expr, Comparison)
         var, prop = expr.left
         col = self._prop_col(var, prop, bound)
-        lit = F.lit(expr.right)
+        if isinstance(expr.right, Ref):
+            lit = self._prop_col(expr.right.var, expr.right.prop, bound)
+        else:
+            lit = F.lit(expr.right)
         return {
-            "=": col == lit,
-            "<>": col != lit,
-            "<": col < lit,
-            "<=": col <= lit,
-            ">": col > lit,
-            ">=": col >= lit,
-            "contains": col.contains(expr.right),
-            "startswith": col.startswith(expr.right),
-            "endswith": col.endswith(expr.right),
-        }[expr.op]
+            "=": lambda: col == lit,
+            "<>": lambda: col != lit,
+            "<": lambda: col < lit,
+            "<=": lambda: col <= lit,
+            ">": lambda: col > lit,
+            ">=": lambda: col >= lit,
+            "contains": lambda: col.contains(lit),
+            "startswith": lambda: col.startswith(lit),
+            "endswith": lambda: col.endswith(lit),
+        }[expr.op]()
 
     @staticmethod
     def _apply_order(out: DataFrame, order: list[tuple[str, bool]], names: dict[str, str]) -> DataFrame:

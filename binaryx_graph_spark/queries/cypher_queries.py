@@ -469,3 +469,31 @@ def cypher_paths_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         params={"seed": "45"},
     )
     return out.select(F.col("path_length").cast("int").alias("path_length"), "n_paths")
+
+
+@register(
+    "cypher_with_pipeline",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('mal_a.exe', CAST(3 AS BIGINT), CAST(3 AS BIGINT))
+    ) AS t(bin, n_fn, n_strings)
+    """,
+    tags=("cypher", "agg"),
+)
+def cypher_with_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WITH pipeline operator (Cypher's horizon): aggregate per
+    binary, HAVING-style WHERE on the alias, then a follow-up MATCH
+    joining on the carried node variable — compiled as
+    groupBy → filter → join, one Catalyst plan end to end."""
+    t = graph_tables(spark)
+    return cypher(
+        t,
+        """
+        MATCH (b:Binary)-[:CONTAINS]->(f:Function)
+        WITH b, count(f) AS n_fn
+        WHERE n_fn >= 3
+        MATCH (b)-[:CONTAINS_STRING]->(s:String)
+        RETURN b.filename AS bin, n_fn, count(s) AS n_strings
+        ORDER BY bin
+        """,
+    )

@@ -227,3 +227,62 @@ def test_cli_cypher_explain(spark, tmp_path, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "Scan parquet" in out
+
+
+def test_with_aggregate_having_then_match(spark, t):
+    """WITH pipeline: aggregate, HAVING-style WHERE on the alias, then a
+    follow-up MATCH joining on the carried node variable."""
+    r = cypher(
+        t,
+        """
+        MATCH (b:Binary)-[:CONTAINS]->(f:Function)
+        WITH b, count(f) AS n_fn
+        WHERE n_fn >= 3
+        MATCH (b)-[:CONTAINS_STRING]->(s:String)
+        RETURN b.filename AS bin, n_fn, count(s) AS n_strings
+        ORDER BY bin
+        """,
+    ).collect()
+    assert [(x.bin, x.n_fn, x.n_strings) for x in r] == [("mal_a.exe", 3, 3)]
+
+
+def test_with_scalar_projection_joins_later_match(spark, t):
+    """A projected scalar alias participates in a later WHERE as a join
+    predicate (g.name = fn)."""
+    r = cypher(
+        t,
+        """
+        MATCH (b:Binary)-[:CONTAINS]->(f:Function)
+        WITH DISTINCT f.name AS fn
+        MATCH (g:Function)-[:CALLS]->(h:Function)
+        WHERE g.name = fn
+        RETURN fn, count(*) AS n_calls
+        ORDER BY fn
+        """,
+    ).collect()
+    assert [(x.fn, x.n_calls) for x in r] == [("helper", 1), ("main", 2), ("worker", 2)]
+
+
+def test_with_then_return_directly(spark, t):
+    r = cypher(
+        t,
+        """
+        MATCH (f:Function)-[:CALLS]->(g:Function)
+        WITH f, count(g) AS out_deg
+        RETURN f.name AS fn, out_deg ORDER BY out_deg DESC, fn LIMIT 2
+        """,
+    ).collect()
+    assert [(x.fn, x.out_deg) for x in r] == [("main", 2), ("worker", 2)]
+
+
+def test_with_horizon_drops_old_variables(spark, t):
+    """Variables not carried through WITH go out of scope (Cypher)."""
+    with pytest.raises(ValueError):
+        cypher(
+            t,
+            "MATCH (b:Binary)-[:CONTAINS]->(f:Function) "
+            "WITH b, count(f) AS n "
+            "RETURN f.name AS x",
+        )
+    with pytest.raises(ValueError):  # WITH expressions need AS
+        cypher(t, "MATCH (f:Function) WITH f.name RETURN count(*) AS n")
