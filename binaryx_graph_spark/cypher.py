@@ -225,6 +225,8 @@ class WithStage:
     distinct: bool
     items: list[ReturnItem]
     with_where: object | None
+    order: list[tuple[str, bool]] = field(default_factory=list)
+    limit: int | None = None
 
 
 @dataclass
@@ -327,9 +329,19 @@ class CypherParser:
                 items = [self._return_item()]
                 while self._accept("sym", ","):
                     items.append(self._return_item())
+                order: list[tuple[str, bool]] = []
+                if self._accept("kw", "ORDER"):
+                    self._expect("kw", "BY")
+                    order.append(self._order_item())
+                    while self._accept("sym", ","):
+                        order.append(self._order_item())
+                limit = self._limit()
                 with_where = self._where() if self._accept("kw", "WHERE") else None
                 stages.append(
-                    WithStage(patterns, fold(wheres), distinct, items, with_where)
+                    WithStage(
+                        patterns, fold(wheres), distinct, items, with_where,
+                        order=order, limit=limit,
+                    )
                 )
                 patterns, wheres = [], []
                 continue
@@ -667,6 +679,20 @@ class CypherParser:
             else:
                 item = ReturnItem("count_var", self._expect("word"), None, None)
             self._expect("sym", ")")
+        elif (
+            self._peek_word("SUM", "MIN", "MAX", "AVG")
+            and self.pos + 1 < len(self.toks)
+            and self.toks[self.pos + 1] == ("sym", "(")
+        ):
+            fn = self._next()[1].lower()
+            self._expect("sym", "(")
+            var = self._expect("word")
+            if self._accept("sym", "."):
+                prop = self._expect("word")
+            else:
+                prop = None  # sum(scalar alias)
+            self._expect("sym", ")")
+            item = ReturnItem(f"agg_{fn}", var, prop, None)
         elif self._accept("sym", "["):
             # [node in nodes(path) | node.prop] / [rel in relationships(path) | rel.offset]
             it_var = self._expect("word")
@@ -794,13 +820,13 @@ class CypherCompiler:
         out of scope (Cypher semantics)."""
         if df is None:
             raise ValueError("cypher: WITH needs a preceding MATCH")
-        agg_kinds = ("count_star", "count_var", "count_distinct_var")
-        aggs = [i for i in stage.items if i.kind in agg_kinds]
+        aggs = [i for i in stage.items if self._is_agg(i.kind)]
         new_bound: dict[str, str] = {}
         carried_cols: list[str] = []
         scalar_cols: list = []  # Column exprs aliased {alias}____val
+        order_names: dict[str, str] = {}
         for it in stage.items:
-            if it.kind in agg_kinds:
+            if self._is_agg(it.kind):
                 if not it.alias:
                     raise ValueError("cypher: aggregates in WITH need AS alias")
                 continue
@@ -842,12 +868,7 @@ class CypherCompiler:
             outs = []
             for it in aggs:
                 name = f"{it.alias}____val"
-                if it.kind == "count_star":
-                    outs.append(F.count(F.lit(1)).alias(name))
-                elif it.kind == "count_distinct_var":
-                    outs.append(F.countDistinct(self._count_target(it.var, bound)).alias(name))
-                else:
-                    outs.append(F.count(self._count_target(it.var, bound)).alias(name))
+                outs.append(self._agg_expr(it, bound, name))
                 new_bound[it.alias] = SCALAR
             keys = carried_cols + scalar_names
             out = pre.groupBy(*[F.col(c) for c in keys]).agg(*outs) if keys else pre.agg(*outs)
@@ -861,6 +882,23 @@ class CypherCompiler:
         self._edge_vars = set()
         self._path_vars = {}
         self._scalar_vars = {v for v, l in new_bound.items() if l == SCALAR}
+        # ORDER BY / LIMIT inside WITH (openCypher clause order): the
+        # spellings are scalar aliases and carried var.prop
+        if stage.order or stage.limit is not None:
+            names: dict[str, str] = {}
+            for v, lbl in bound.items():
+                if lbl == SCALAR:
+                    names[v] = f"{v}____val"
+                elif lbl == ANY:
+                    for c in ("key", "label"):
+                        names[f"{v}.{c}"] = f"{v}____{c}"
+                else:
+                    table, _k = NODE_LABELS[lbl]
+                    for c in self.tables[table].columns:
+                        names[f"{v}.{c}"] = f"{v}__{c}"
+            out = self._apply_order(out, stage.order, names)
+            if stage.limit is not None:
+                out = out.limit(stage.limit)
         if stage.with_where is not None:
             self._exists_markers = {}
             w, scopes = self._extract_scopes(stage.with_where)
@@ -1562,6 +1600,26 @@ class CypherCompiler:
             ]
         raise ValueError(f"cypher: unsupported RETURN item kind {it.kind}")
 
+    _AGG_KINDS = ("count_star", "count_var", "count_distinct_var",
+                  "agg_sum", "agg_min", "agg_max", "agg_avg")
+
+    @classmethod
+    def _is_agg(cls, kind: str) -> bool:
+        return kind in cls._AGG_KINDS
+
+    def _agg_expr(self, it: ReturnItem, bound: dict[str, str], name: str) -> Column:
+        if it.kind == "count_star":
+            return F.count(F.lit(1)).alias(name)
+        if it.kind == "count_distinct_var":
+            return F.countDistinct(self._count_target(it.var, bound)).alias(name)
+        if it.kind == "count_var":
+            return F.count(self._count_target(it.var, bound)).alias(name)
+        fn = {"agg_sum": F.sum, "agg_min": F.min, "agg_max": F.max, "agg_avg": F.avg}[it.kind]
+        out = fn(self._prop_col(it.var, it.prop, bound))
+        if it.kind == "agg_avg":
+            out = out.cast("double")
+        return out.alias(name)
+
     def _count_target(self, var: str, bound: dict[str, str]) -> Column:
         if var in self._edge_vars:
             return F.col(f"{var}____type")  # one non-null per matched edge
@@ -1573,14 +1631,13 @@ class CypherCompiler:
         return F.col(self._key_col(var, label))
 
     def _returns(self, df: DataFrame, q: Query, bound: dict[str, str]) -> DataFrame:
-        agg_kinds = ("count_star", "count_var", "count_distinct_var")
-        agg = [i for i in q.items if i.kind in agg_kinds]
+        agg = [i for i in q.items if self._is_agg(i.kind)]
         if agg:
             # Cypher's implicit grouping: non-aggregate RETURN items are
             # the grouping keys (RETURN f.name, count(*) groups by name)
             keys, key_names = [], {}
             for it in q.items:
-                if it.kind in agg_kinds:
+                if self._is_agg(it.kind):
                     continue
                 for name, col, spellings in self._item_cols(it, bound):
                     keys.append(col.alias(name))
@@ -1588,14 +1645,9 @@ class CypherCompiler:
                         key_names[s] = name
             outs = []
             for i, it in enumerate(agg):
-                name = it.alias or f"count_{i}"
+                name = it.alias or f"{it.kind.removeprefix('agg_')}_{i}"
                 key_names[name] = name
-                if it.kind == "count_star":
-                    outs.append(F.count(F.lit(1)).alias(name))
-                elif it.kind == "count_distinct_var":
-                    outs.append(F.countDistinct(self._count_target(it.var, bound)).alias(name))
-                else:
-                    outs.append(F.count(self._count_target(it.var, bound)).alias(name))
+                outs.append(self._agg_expr(it, bound, name))
             out = df.groupBy(*keys).agg(*outs) if keys else df.agg(*outs)
             out = self._apply_order(out, q.order, key_names)
         else:

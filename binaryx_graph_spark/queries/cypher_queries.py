@@ -497,3 +497,31 @@ def cypher_with_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY bin
         """,
     )
+
+
+@register(
+    "cypher_topk_pipeline",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('worker', CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(-1 AS BIGINT))
+    ) AS t(fn, out_deg, n_callers, min_size)
+    """,
+    tags=("cypher", "agg"),
+)
+def cypher_topk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH ORDER BY/LIMIT + the sum/min/max aggregate family: top-2
+    functions by out-degree carried through the horizon, expanded to
+    their callers, min-aggregated — the top-k-then-expand pipeline real
+    graph workloads run, compiled to window-free sort-limit + joins."""
+    t = graph_tables(spark)
+    return cypher(
+        t,
+        """
+        MATCH (f:Function)-[:CALLS]->(g:Function)
+        WITH f, count(g) AS out_deg ORDER BY out_deg DESC, f.name LIMIT 2
+        MATCH (f)<-[:CALLS]-(caller:Function)
+        RETURN f.name AS fn, out_deg, count(caller) AS n_callers,
+               min(caller.size) AS min_size
+        ORDER BY fn
+        """,
+    )

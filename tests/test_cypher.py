@@ -286,3 +286,35 @@ def test_with_horizon_drops_old_variables(spark, t):
         )
     with pytest.raises(ValueError):  # WITH expressions need AS
         cypher(t, "MATCH (f:Function) WITH f.name RETURN count(*) AS n")
+
+
+def test_with_order_limit_topk_then_expand(spark, t):
+    """WITH ... ORDER BY ... LIMIT: top-k inside the pipeline, then a
+    follow-up expansion joins only the survivors."""
+    r = cypher(
+        t,
+        """
+        MATCH (f:Function)-[:CALLS]->(g:Function)
+        WITH f, count(g) AS out_deg ORDER BY out_deg DESC, f.name LIMIT 2
+        MATCH (f)<-[:CALLS]-(caller:Function)
+        RETURN f.name AS fn, out_deg, count(caller) AS n_callers ORDER BY fn
+        """,
+    ).collect()
+    # top-2 by out_deg = main(2), worker(2); main has no callers → dropped
+    assert [(x.fn, x.out_deg, x.n_callers) for x in r] == [("worker", 2, 2)]
+
+
+def test_sum_min_max_aggregates(spark, t):
+    r = cypher(
+        t,
+        """
+        MATCH (b:Binary)-[:CONTAINS]->(f:Function)
+        RETURN b.filename AS bin, sum(f.size) AS total_size,
+               min(f.name) AS first_fn, max(f.size) AS max_size, count(*) AS n
+        ORDER BY bin
+        """,
+    ).collect()
+    assert [(x.bin, x.total_size, x.first_fn, x.max_size, x.n) for x in r] == [
+        ("mal_a.exe", 126, "helper", 128, 3),  # sizes: 128 + (-1) + (-1)
+        ("mal_b.elf", 64, "main", 64, 1),
+    ]
