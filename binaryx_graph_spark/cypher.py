@@ -143,6 +143,7 @@ class Pattern:
     edges: list[EdgePat]
     optional: bool = False
     path_var: str | None = None  # MATCH path = (...) — per-path rows
+    unwind: tuple[str, list] | None = None  # UNWIND $list AS alias
 
 
 @dataclass
@@ -324,6 +325,15 @@ class CypherParser:
                 patterns.append(pat)
             elif self._accept("kw", "MATCH"):
                 patterns.append(self._match_pattern())
+            elif self._peek_word("UNWIND"):
+                self._next()
+                val = self._literal()
+                if not self._accept("kw", "AS"):
+                    raise ValueError("cypher: UNWIND needs AS alias")
+                alias = self._name()
+                if not isinstance(val, (list, tuple)):
+                    raise ValueError("cypher: UNWIND expects a list parameter ($param)")
+                patterns.append(Pattern([], [], unwind=(alias, list(val))))
             elif self._accept("kw", "WITH"):
                 distinct = self._accept("kw", "DISTINCT")
                 items = [self._return_item()]
@@ -793,7 +803,16 @@ class CypherCompiler:
         self._exists_markers = {}
         where, scopes = self._extract_scopes(where)
         for pat in patterns:
-            if pat.path_var is not None:
+            if pat.unwind is not None:
+                alias, vals = pat.unwind
+                if alias in bound:
+                    raise ValueError(f"cypher: UNWIND rebinds {alias}")
+                spark = next(iter(self.tables.values())).sparkSession
+                lit_df = spark.createDataFrame([(v,) for v in vals], [f"{alias}____val"])
+                df = lit_df if df is None else df.crossJoin(F.broadcast(lit_df))
+                bound[alias] = SCALAR
+                self._scalar_vars.add(alias)
+            elif pat.path_var is not None:
                 df = self._compile_path(df, pat, bound, scopes.pop(pat.path_var, None), where)
             elif pat.optional:
                 df = self._compile_optional(df, pat, bound)

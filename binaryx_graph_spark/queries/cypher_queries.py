@@ -525,3 +525,34 @@ def cypher_topk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY fn
         """,
     )
+
+
+@register(
+    "cypher_unwind_batch",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('CreateFileA', CAST(0 AS BIGINT)),
+      ('main',        CAST(2 AS BIGINT)),
+      ('worker',      CAST(2 AS BIGINT))
+    ) AS t(nm, n_callees)
+    ORDER BY nm
+    """,
+    tags=("cypher", "batch"),
+)
+def cypher_unwind_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNWIND batch lookup with OPTIONAL expansion: a parameter list of
+    function names, each resolved and counted (zero-callee names kept
+    by the left join) — the batch-API shape clients wrap around
+    single-entity queries; compiles to one broadcast hash join."""
+    t = graph_tables(spark)
+    return cypher(
+        t,
+        """
+        UNWIND $names AS nm
+        MATCH (f:Function)
+        WHERE f.name = nm
+        OPTIONAL MATCH (f)-[:CALLS]->(g:Function)
+        RETURN nm, count(g) AS n_callees ORDER BY nm
+        """,
+        params={"names": ["main", "worker", "CreateFileA"]},
+    )

@@ -318,3 +318,24 @@ def test_sum_min_max_aggregates(spark, t):
         ("mal_a.exe", 126, "helper", 128, 3),  # sizes: 128 + (-1) + (-1)
         ("mal_b.elf", 64, "main", 64, 1),
     ]
+
+
+def test_unwind_param_batch_lookup(spark, t):
+    """UNWIND $list AS x: parameterized batch lookup; the cross+filter
+    collapses to a BroadcastHashJoin (no cartesian)."""
+    df = cypher(
+        t,
+        """
+        UNWIND $names AS nm
+        MATCH (f:Function)
+        WHERE f.name = nm
+        MATCH (f)-[:CALLS]->(g:Function)
+        RETURN nm, count(g) AS n_callees ORDER BY nm
+        """,
+        params={"names": ["main", "worker", "nosuch"]},
+    )
+    assert [(r.nm, r.n_callees) for r in df.collect()] == [("main", 2), ("worker", 2)]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+    with pytest.raises(ValueError):  # non-list parameter
+        cypher(t, "UNWIND $x AS y MATCH (f:Function) RETURN y", params={"x": 3})
