@@ -227,6 +227,7 @@ class WithStage:
     items: list[ReturnItem]
     with_where: object | None
     order: list[tuple[str, bool]] = field(default_factory=list)
+    skip: int = 0
     limit: int | None = None
 
 
@@ -238,6 +239,7 @@ class Query:
     items: list[ReturnItem]
     order: list[tuple[str, bool]]  # (alias or var.prop text, ascending)
     limit: int | None
+    skip: int = 0
     fulltext: FulltextCall | None = None
     subunion: list["Query"] | None = None  # CALL { q1 UNION q2 } RETURN ...
     stages: list[WithStage] = field(default_factory=list)  # WITH pipeline
@@ -345,12 +347,13 @@ class CypherParser:
                     order.append(self._order_item())
                     while self._accept("sym", ","):
                         order.append(self._order_item())
+                skip = self._skip()
                 limit = self._limit()
                 with_where = self._where() if self._accept("kw", "WHERE") else None
                 stages.append(
                     WithStage(
                         patterns, fold(wheres), distinct, items, with_where,
-                        order=order, limit=limit,
+                        order=order, skip=skip, limit=limit,
                     )
                 )
                 patterns, wheres = [], []
@@ -377,14 +380,27 @@ class CypherParser:
             order.append(self._order_item())
             while self._accept("sym", ","):
                 order.append(self._order_item())
+        skip = self._skip()
         limit = self._limit()
         k, v = self._peek()
         if k is not None:
             raise ValueError(f"cypher: trailing input at {v!r}")
         return Query(
-            patterns, where, distinct, items, order, limit,
+            patterns, where, distinct, items, order, limit, skip=skip,
             fulltext=fulltext, stages=stages,
         )
+
+    def _skip(self) -> int:
+        """Optional ``SKIP n`` (row offset before LIMIT)."""
+        if not self._accept_word("SKIP"):
+            return 0
+        k, _v = self._peek()
+        if k == "param":
+            val = self._literal()
+            if not isinstance(val, int):
+                raise ValueError("cypher: SKIP parameter must be an integer")
+            return val
+        return int(self._expect("num"))
 
     def _limit(self) -> int | None:
         if not self._accept("kw", "LIMIT"):
@@ -903,7 +919,7 @@ class CypherCompiler:
         self._scalar_vars = {v for v, l in new_bound.items() if l == SCALAR}
         # ORDER BY / LIMIT inside WITH (openCypher clause order): the
         # spellings are scalar aliases and carried var.prop
-        if stage.order or stage.limit is not None:
+        if stage.order or stage.skip or stage.limit is not None:
             names: dict[str, str] = {}
             for v, lbl in bound.items():
                 if lbl == SCALAR:
@@ -916,6 +932,8 @@ class CypherCompiler:
                     for c in self.tables[table].columns:
                         names[f"{v}.{c}"] = f"{v}__{c}"
             out = self._apply_order(out, stage.order, names)
+            if stage.skip:
+                out = out.offset(stage.skip)
             if stage.limit is not None:
                 out = out.limit(stage.limit)
         if stage.with_where is not None:
@@ -954,6 +972,8 @@ class CypherCompiler:
         if q.distinct:
             out = out.distinct()
         out = self._apply_order(out, q.order, names)
+        if q.skip:
+            out = out.offset(q.skip)
         if q.limit is not None:
             out = out.limit(q.limit)
         return out
@@ -1681,6 +1701,8 @@ class CypherCompiler:
             if q.distinct:
                 out = out.distinct()
             out = self._apply_order(out, q.order, out_names)
+        if q.skip:
+            out = out.offset(q.skip)
         if q.limit is not None:
             out = out.limit(q.limit)
         return out

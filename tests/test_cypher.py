@@ -339,3 +339,17 @@ def test_unwind_param_batch_lookup(spark, t):
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
     with pytest.raises(ValueError):  # non-list parameter
         cypher(t, "UNWIND $x AS y MATCH (f:Function) RETURN y", params={"x": 3})
+
+
+def test_skip_pagination(spark, t):
+    r = cypher(t, "MATCH (f:Function) RETURN f.name AS n ORDER BY n SKIP 2 LIMIT 2").collect()
+    assert [x.n for x in r] == ["helper", "main"]
+    r2 = cypher(
+        t,
+        """
+        MATCH (f:Function)-[:CALLS]->(g:Function)
+        WITH f, count(g) AS d ORDER BY d DESC, f.name SKIP 1 LIMIT 2
+        RETURN f.name AS n, d ORDER BY n
+        """,
+    ).collect()
+    assert [(x.n, x.d) for x in r2] == [("helper", 1), ("worker", 2)]
