@@ -706,7 +706,7 @@ class CypherParser:
                 item = ReturnItem("count_var", self._expect("word"), None, None)
             self._expect("sym", ")")
         elif (
-            self._peek_word("SUM", "MIN", "MAX", "AVG")
+            self._peek_word("SUM", "MIN", "MAX", "AVG", "COLLECT")
             and self.pos + 1 < len(self.toks)
             and self.toks[self.pos + 1] == ("sym", "(")
         ):
@@ -1640,7 +1640,7 @@ class CypherCompiler:
         raise ValueError(f"cypher: unsupported RETURN item kind {it.kind}")
 
     _AGG_KINDS = ("count_star", "count_var", "count_distinct_var",
-                  "agg_sum", "agg_min", "agg_max", "agg_avg")
+                  "agg_sum", "agg_min", "agg_max", "agg_avg", "agg_collect")
 
     @classmethod
     def _is_agg(cls, kind: str) -> bool:
@@ -1653,6 +1653,15 @@ class CypherCompiler:
             return F.countDistinct(self._count_target(it.var, bound)).alias(name)
         if it.kind == "count_var":
             return F.count(self._count_target(it.var, bound)).alias(name)
+        if it.kind == "agg_collect":
+            # Neo4j's collect() is unordered; we sort for determinism
+            # (documented divergence — a stable list beats a flaky one)
+            target = (
+                self._count_target(it.var, bound)
+                if it.prop is None and bound.get(it.var) not in (SCALAR,)
+                else self._prop_col(it.var, it.prop, bound)
+            )
+            return F.array_sort(F.collect_list(target)).alias(name)
         fn = {"agg_sum": F.sum, "agg_min": F.min, "agg_max": F.max, "agg_avg": F.avg}[it.kind]
         out = fn(self._prop_col(it.var, it.prop, bound))
         if it.kind == "agg_avg":

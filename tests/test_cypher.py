@@ -353,3 +353,21 @@ def test_skip_pagination(spark, t):
         """,
     ).collect()
     assert [(x.n, x.d) for x in r2] == [("helper", 1), ("worker", 2)]
+
+
+def test_collect_aggregate(spark, t):
+    """collect(x.prop) — sorted for determinism (documented divergence
+    from Neo4j's unordered bags); bare collect(n) collects node keys."""
+    r = cypher(
+        t,
+        """
+        MATCH (caller:Function)-[:CALLS]->(callee:Function)
+        RETURN caller.name AS fn, collect(callee.name) AS callees
+        ORDER BY fn
+        """,
+    ).collect()
+    assert [(x.fn, x.callees) for x in r] == [
+        ("helper", ["worker"]),
+        ("main", ["CreateFileA", "helper"]),
+        ("worker", ["helper", "worker"]),
+    ]
