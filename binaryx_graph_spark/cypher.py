@@ -144,6 +144,7 @@ class Pattern:
     optional: bool = False
     path_var: str | None = None  # MATCH path = (...) — per-path rows
     unwind: tuple[str, list] | None = None  # UNWIND $list AS alias
+    shortest: bool = False  # p = shortestPath((a)-[:CALLS*lo..hi]->(b))
 
 
 @dataclass
@@ -497,12 +498,22 @@ class CypherParser:
     def _match_pattern(self) -> Pattern:
         # `path = (...)` prefix names the pattern → per-path rows
         path_var = None
+        shortest = False
         k, v = self._peek()
         if k == "word" and self.pos + 1 < len(self.toks) and self.toks[self.pos + 1] == ("sym", "="):
             path_var = self._next()[1]
             self._next()
+        if self._peek_word("SHORTESTPATH"):
+            self._next()
+            self._expect("sym", "(")
+            shortest = True
         pat = self._pattern()
+        if shortest:
+            self._expect("sym", ")")
+            if path_var is None:
+                raise ValueError("cypher: shortestPath(...) must be bound: p = shortestPath(...)")
         pat.path_var = path_var
+        pat.shortest = shortest
         return pat
 
     def _pattern(self) -> Pattern:
@@ -1236,6 +1247,26 @@ class CypherCompiler:
 
         edge = _cy_ckpt(edge)
         base_cols = list(cur.columns)
+        if pat.shortest:
+            if cycle:
+                raise ValueError(
+                    "cypher: shortestPath over a cycle pattern is unsupported "
+                    "(use the plain path pattern — the engine enumerates cycles)"
+                )
+            out = self._shortest_levels(
+                cur, edge, base_cols, (nodes_c, offs_c, eids_c, end_c),
+                lo, hi, scope_key, len_c,
+            )
+            if end.var in bound:
+                out = out.filter(F.col(end_c) == F.col(self._key_col(end.var, bound[end.var])))
+            else:
+                end_df = self._node_df(end.var, "Function")
+                out = out.join(end_df, F.col(end_c) == F.col(f"{end.var}__uid"))
+                bound[end.var] = "Function"
+                for p, v in end.props.items():
+                    out = out.filter(self._prop_col(end.var, p, bound) == F.lit(v))
+            self._path_vars[pv] = {"nodes": nodes_c, "offs": offs_c, "len": len_c}
+            return out.drop(eids_c, end_c)
         frontier = _cy_ckpt(cur)
         levels: list[DataFrame] = []
         for depth in range(1, hi + 1):
@@ -1291,6 +1322,68 @@ class CypherCompiler:
 
         self._path_vars[pv] = {"nodes": nodes_c, "offs": offs_c, "len": len_c}
         return out.drop(eids_c, end_c)
+
+    def _shortest_levels(
+        self, cur: DataFrame, edge: DataFrame, base_cols: list[str],
+        acc: tuple[str, str, str, str], lo: int, hi: int,
+        scope_key: str | None, len_c: str,
+    ) -> DataFrame:
+        """shortestPath BFS: min-depth frontier with per-(row, node)
+        visited pruning, ONE deterministic path per endpoint pair (ties
+        broken on the lexicographically smallest uid sequence — Neo4j
+        picks an arbitrary shortest path; we pick a stable one)."""
+        from pyspark.sql.window import Window
+
+        nodes_c, offs_c, eids_c, end_c = acc
+        idcols = [c for c in base_cols if c not in acc]
+        visited = _cy_ckpt(cur.select(*idcols, F.col(end_c).alias("_to")).distinct())
+        frontier = _cy_ckpt(cur)
+        levels: list[DataFrame] = []
+        for depth in range(1, hi + 1):
+            cond = F.col(end_c) == edge["_from"]
+            if scope_key is not None:
+                cond = cond & (F.col(scope_key) == edge["__sb"])
+            ext = (
+                frontier.join(edge, cond)
+                .join(visited, idcols + ["_to"], "left_anti")
+                .select(
+                    *[F.col(c) for c in base_cols if c not in acc],
+                    F.col("_to").alias(end_c),
+                    F.array_append(
+                        F.col(nodes_c),
+                        F.struct(
+                            F.col("_fuid").alias("uid"),
+                            F.col("_fname").alias("name"),
+                            F.col("_faddr").alias("address"),
+                        ),
+                    ).alias(nodes_c),
+                    F.array_append(F.col(offs_c), F.col("_off")).alias(offs_c),
+                    F.col(eids_c),
+                )
+                .select(*base_cols)
+            )
+            key = F.array_join(F.transform(F.col(nodes_c), lambda x: x["uid"]), "→")
+            w = Window.partitionBy(*idcols, end_c).orderBy(key.asc())
+            ext = (
+                ext.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            ext = _cy_ckpt(ext)
+            if ext.isEmpty():
+                break
+            if depth >= lo:
+                levels.append(ext.withColumn(len_c, F.lit(depth)))
+            visited = _cy_ckpt(
+                visited.unionByName(ext.select(*idcols, F.col(end_c).alias("_to")))
+            )
+            frontier = ext
+        if levels:
+            out = levels[0]
+            for lv in levels[1:]:
+                out = out.unionByName(lv)
+            return out
+        return cur.filter(F.lit(False)).withColumn(len_c, F.lit(0))
 
     # --- helpers
     def _node_df(self, var: str, label: str) -> DataFrame:

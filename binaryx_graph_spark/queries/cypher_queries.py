@@ -556,3 +556,36 @@ def cypher_unwind_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         params={"names": ["main", "worker", "CreateFileA"]},
     )
+
+
+@register(
+    "cypher_shortest_paths",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('main→CreateFileA',    CAST(1 AS BIGINT)),
+      ('main→helper',         CAST(1 AS BIGINT)),
+      ('main→helper→worker',  CAST(2 AS BIGINT))
+    ) AS t(path_names, len)
+    ORDER BY len, path_names
+    """,
+    tags=("cypher", "graph", "paths"),
+)
+def cypher_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shortestPath() compiled: min-depth BFS with visited pruning, ONE
+    deterministic path per endpoint pair (ties → lexicographically
+    smallest uid sequence; Neo4j returns an arbitrary shortest path —
+    a stable pick is the reproducible superset of that contract)."""
+    t = graph_tables(spark)
+    out = cypher(
+        t,
+        """
+        MATCH p = shortestPath((a:Function)-[:CALLS*1..6]->(b:Function))
+        WHERE a.name = $fn
+        RETURN [n in nodes(p) | n.name] as names, length(p) as len
+        ORDER BY len, names
+        """,
+        params={"fn": "main"},
+    )
+    return out.select(
+        F.array_join("names", "→").alias("path_names"), F.col("len").cast("long").alias("len")
+    ).orderBy("len", "path_names")

@@ -371,3 +371,38 @@ def test_collect_aggregate(spark, t):
         ("main", ["CreateFileA", "helper"]),
         ("worker", ["helper", "worker"]),
     ]
+
+
+def test_shortest_path(spark, t):
+    """shortestPath: ONE min-depth path per endpoint pair, deterministic
+    tie-break (lexicographically smallest uid sequence)."""
+    r = cypher(
+        t,
+        """
+        MATCH p = shortestPath((a:Function)-[:CALLS*1..6]->(b:Function))
+        WHERE a.name = 'main'
+        RETURN [n in nodes(p) | n.name] as names, length(p) as len
+        ORDER BY len, names
+        """,
+    ).collect()
+    assert [(tuple(x.names), x.len) for x in r] == [
+        (("main", "CreateFileA"), 1),
+        (("main", "helper"), 1),
+        (("main", "helper", "worker"), 2),
+    ]
+    # scoped variant: the ALL/EXISTS clause constrains the BFS itself
+    r2 = cypher(
+        t,
+        """
+        MATCH (bin:Binary)-[:CONTAINS|IMPORTS]->(a:Function)
+        MATCH p = shortestPath((a:Function)-[:CALLS*1..6]->(b:Function))
+        WHERE a.name = 'main' AND bin.filename CONTAINS 'mal_a'
+          AND ALL(n IN nodes(p) WHERE EXISTS((bin)-[:CONTAINS|IMPORTS]->(n)))
+        RETURN length(p) as len ORDER BY len
+        """,
+    ).collect()
+    assert [x.len for x in r2] == [1, 1, 2]
+    with pytest.raises(ValueError):  # cycles need the plain pattern
+        cypher(t, "MATCH p = shortestPath((f:Function)-[:CALLS*2..4]->(f)) RETURN length(p) as l")
+    with pytest.raises(ValueError):  # must be bound to a path variable
+        cypher(t, "MATCH shortestPath((a:Function)-[:CALLS*1..2]->(b:Function)) RETURN a.name AS n")
