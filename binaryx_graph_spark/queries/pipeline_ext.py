@@ -1127,3 +1127,45 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "width", "height", "n_bytes_out",
         F.sha2("resized", 256).alias("resized_sha"),
     ).orderBy("media_id")
+
+
+@register(
+    "sketch_hll_merge",
+    oracle=f"""
+    SELECT path, hll_estimate FROM (
+      SELECT 'direct' AS path, hll_estimate FROM ({_sql_hll("events", "event_id")})
+      UNION ALL
+      SELECT 'merged' AS path, hll_estimate FROM ({_sql_hll("events", "event_id")})
+    ) t
+    ORDER BY path
+    """,
+    tags=("sketch", "approx"),
+)
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABILITY property made an explicit gate: per-event-type
+    partial sketches (the shape shards/executors ship at 100 TB) merged
+    with max-per-register must estimate IDENTICALLY to the one-pass
+    global sketch — max is associative, so the oracle's single direct
+    estimate must hash-match both rows.  A merge-path divergence (wrong
+    register key, lossy combine) breaks the value hash."""
+    from ..operators.sketch import HLL_M, hll_estimate, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    # partial sketches: one register table per event_type shard
+    h = F.sha2(F.col("event_id").cast("string"), 256)
+    reg = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % HLL_M).alias("reg")
+    v52 = F.conv(F.substring(h, 5, 13), 16, 10).cast("long")
+    rho = F.when(v52 == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(v52)))
+    partials = (
+        ev.select(F.col("event_type").alias("shard"), reg, rho.cast("long").alias("rho"))
+        .groupBy("shard", "reg")
+        .agg(F.max("rho").alias("m_val"))
+    )
+    merged_regs = partials.groupBy("reg").agg(F.max("m_val").alias("m_val"))
+    merged = hll_estimate(spark, merged_regs).select(
+        F.lit("merged").alias("path"), "hll_estimate"
+    )
+    direct = hll_estimate(spark, hll_registers(ev, F.col("event_id"))).select(
+        F.lit("direct").alias("path"), "hll_estimate"
+    )
+    return direct.unionByName(merged).orderBy("path")
