@@ -589,3 +589,39 @@ def cypher_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.array_join("names", "→").alias("path_names"), F.col("len").cast("long").alias("len")
     ).orderBy("len", "path_names")
+
+
+@register(
+    "cypher_degree_topk_scaled",
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT CAST(o_orderkey % 500 AS BIGINT) AS src,
+             CAST((o_custkey * 13) % 500 AS BIGINT) AS dst
+      FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT CAST(src AS VARCHAR) AS node, CAST(count(*) AS BIGINT) AS out_deg
+    FROM e
+    GROUP BY src
+    ORDER BY out_deg DESC, CAST(src AS VARCHAR)
+    LIMIT 10
+    """,
+    tags=("cypher", "agg", "iterative"),
+)
+def cypher_degree_topk_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WITH top-k pipeline at DATA scale: out-degree ranking over
+    the dense derived call graph (~22k edges at sf0.1) through the
+    compiler — implicit grouping, ORDER BY the aggregate alias, LIMIT
+    with a name tie-break; Catalyst plans the sort-limit as
+    TakeOrderedAndProject, the same plan a hand-written top-k gets."""
+    from ..plans.graph_project import as_call_tables, derived_edges
+
+    calls, nodes = as_call_tables(derived_edges(spark, sf_dir))
+    t = {"functions": nodes, "calls": calls}
+    return cypher(
+        t,
+        """
+        MATCH (a:Function)-[:CALLS]->(b:Function)
+        WITH a, count(b) AS out_deg ORDER BY out_deg DESC, a.name LIMIT 10
+        RETURN a.name AS node, out_deg ORDER BY out_deg DESC, node
+        """,
+    )
