@@ -168,3 +168,37 @@ def test_write_rejections(spark, wh):
     ]:
         with pytest.raises(ValueError):
             cypher_write(wh, bad, params=params)
+
+
+def test_write_parser_fuzz_rejects_cleanly():
+    """Near-miss write statements must raise ValueError (never a crash
+    or a silent no-op parse) — hypothesis over template mutations."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from binaryx_graph_spark.cypher import CypherWriteParser
+
+    templates = [
+        "MERGE (f:{label} {{uid: $u}})",
+        "MERGE (f:{label} {{uid: $u}}) SET f.name = $n",
+        "MATCH (a:{label} {{uid: $u}}), (b:Function {{uid: $v}}) MERGE (a)-[:{ty}]->(b)",
+        "MATCH (n) DETACH DELETE {var}",
+        "MERGE (f:Function {{uid: $u}}) SET {var}.name = $n",
+    ]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.sampled_from(templates),
+        st.sampled_from(["Function", "Binary", "Nope", "CALLS", ""]),
+        st.sampled_from(["CALLS", "CONTAINS", "NOPE", "BELONGS_TO"]),
+        st.sampled_from(["n", "f", "zzz"]),
+    )
+    def run(tpl, label, ty, var):
+        text = tpl.format(label=label, ty=ty, var=var)
+        params = {"u": "u1", "v": "u2", "n": "x"}
+        try:
+            CypherWriteParser(text, params).parse_write()
+        except ValueError:
+            pass  # loud rejection is the contract
+
+    run()
