@@ -1,0 +1,123 @@
+"""Bucketed-table layout: co-located (shuffle-free) fact-fact joins.
+
+At 100 TB the dominant cost of a fact⋈fact join (lineitem ⋈ orders on
+orderkey) is the all-to-all shuffle of BOTH sides — terabytes over the
+network every time the join runs.  Spark's answer is the bucketed table
+layout: write each table once with ``bucketBy(N, key).sortBy(key)`` and
+every subsequent equi-join on that key reads matching buckets 1:1 —
+``SortMergeJoin`` with **no Exchange and no Sort** on either side.  The
+shuffle is paid once at write time and amortized over every downstream
+join, the classic warehouse trade for repeatedly-joined fact tables.
+
+This module materializes bucketed twins of ``orders`` and ``lineitem``
+(external parquet tables under the session warehouse dir, content-keyed
+per source directory so re-runs reuse them) and exposes a plan guard
+that *proves* the join is co-located: it walks the physical plan of the
+join-only DataFrame and raises if Catalyst inserted any Exchange below
+the join.  The guard runs inside the registered query, so the gate
+checks the layout property on every correctness run, not just in a
+pytest.
+
+Scale notes (SCALE.md "bucketed layout"):
+- bucket count is a layout-time knob: 8 here (local testdata); a 100 TB
+  deployment sizes it so one bucket ≈ 100-200 MB per table (e.g. 4096)
+  and both sides MUST agree on it for the 1:1 bucket pairing.
+- the one-off bucketed write is itself a single shuffle of each table —
+  the same cost one un-bucketed join would pay, break-even after the
+  second join.
+- AQE cannot coalesce bucketed scan partitions (they're not shuffle
+  output), so the bucket count also bounds join parallelism — another
+  reason the knob is sized to the cluster, not defaulted.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import load_table
+
+#: Layout-time knob; both join sides must agree (1:1 bucket pairing).
+DEFAULT_BUCKETS = 8
+
+
+def _layout_key(sf_dir: str, buckets: int) -> str:
+    """Content key for the materialized layout: source dir + bucket count."""
+    return hashlib.sha256(f"{sf_dir}|{buckets}".encode()).hexdigest()[:10]
+
+
+def ensure_bucketed_pair(
+    spark: SparkSession, sf_dir: str, buckets: int = DEFAULT_BUCKETS
+) -> tuple[str, str]:
+    """Materialize bucketed twins of orders/lineitem, bucketed+sorted on
+    the orderkey; returns the two table names.  Idempotent per
+    (sf_dir, buckets): re-runs hit the catalog and skip the write."""
+    key = _layout_key(sf_dir, buckets)
+    orders_t = f"bxg_bkt_orders_{key}"
+    lineitem_t = f"bxg_bkt_lineitem_{key}"
+    pairs = (
+        (orders_t, "orders", "o_orderkey"),
+        (lineitem_t, "lineitem", "l_orderkey"),
+    )
+    for table, src, join_key in pairs:
+        if spark.catalog.tableExists(table):
+            continue
+        df = load_table(spark, sf_dir, src)
+        (
+            df.write.format("parquet")
+            .mode("overwrite")
+            .bucketBy(buckets, join_key)
+            .sortBy(join_key)
+            .saveAsTable(table)
+        )
+    return orders_t, lineitem_t
+
+
+def assert_colocated_join(joined: DataFrame) -> None:
+    """Prove the join is shuffle-free: raise if the physical plan of the
+    (join-only) DataFrame contains any Exchange.  A bucketed-bucketed
+    equi-join on the bucket key must satisfy EnsureRequirements from the
+    scan's reported HashClusteredDistribution — if an Exchange appears,
+    the layout contract is broken (bucket counts diverged, the key
+    drifted, or bucketed reads were disabled)."""
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        raise AssertionError(
+            "bucketed join plan contains an Exchange (layout contract broken):\n" + plan
+        )
+
+
+def bucketed_orders_lineitem_join(
+    spark: SparkSession, sf_dir: str, buckets: int = DEFAULT_BUCKETS
+) -> DataFrame:
+    """The co-located join itself: orders ⋈ lineitem on the bucket key,
+    sort-merge forced (``hint("merge")``) so the proof is about the
+    layout, not about one side fitting in a broadcast.  The plan guard
+    runs on the join-only frame — downstream aggregates may of course
+    shuffle their (tiny, post-join) group keys."""
+    orders_t, lineitem_t = ensure_bucketed_pair(spark, sf_dir, buckets)
+    o = spark.table(orders_t).select("o_orderkey", "o_orderpriority")
+    li = spark.table(lineitem_t).select("l_orderkey", "l_extendedprice", "l_discount")
+    joined = o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+    assert_colocated_join(joined)
+    return joined
+
+
+def colocated_priority_revenue(
+    spark: SparkSession, sf_dir: str, buckets: int = DEFAULT_BUCKETS
+) -> DataFrame:
+    """Revenue per order priority over the co-located join — exact
+    integer-cents sum (functions/exact.py convention)."""
+    joined = bucketed_orders_lineitem_join(spark, sf_dir, buckets)
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round((1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(price_c * disc_c) / F.lit(10000.0)).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -105,6 +105,7 @@ def load_all() -> dict[str, Query]:
         graph,
         ingest_demo,
         ingest_scaled,
+        layout_ext,
         north_star,
         pipeline_demo,
         pipeline_ext,
