@@ -796,6 +796,42 @@ def _cy_ckpt(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _path_accessor_usage(q: Query) -> dict[str, set[str]]:
+    """Which path accessors each ``path =`` variable needs downstream:
+    ``nodes`` (nodes(path) / bare RETURN path), ``props`` (node name or
+    address inside a nodes(path) comprehension), ``offs``
+    (relationships(path) offsets).  length(path) is free — the depth
+    counter always exists.  Drives path-column pruning in _compile_path:
+    accessors never referenced are never materialized, and the per-level
+    functions join is skipped when no node property is projected.
+    Unknown item kinds that reference the path variable stay
+    conservative (everything materialized)."""
+    pvs: set[str] = {p.path_var for p in q.patterns if p.path_var}
+    for st in q.stages:
+        pvs |= {p.path_var for p in st.patterns if p.path_var}
+    use: dict[str, set[str]] = {v: set() for v in pvs}
+    items = list(q.items)
+    for st in q.stages:
+        items += list(st.items)
+    for it in items:
+        v = it.var
+        if v not in use:
+            continue
+        if it.kind in ("path", "node"):
+            use[v].add("nodes")
+        elif it.kind == "path_len":
+            pass
+        elif it.kind == "path_nodes_prop":
+            use[v].add("nodes")
+            if it.prop in ("name", "address"):
+                use[v].add("props")
+        elif it.kind == "path_rels_prop":
+            use[v].add("offs")
+        else:
+            use[v].update({"nodes", "props", "offs"})
+    return use
+
+
 class CypherCompiler:
     """Compile a parsed query against a dict of node/edge DataFrames
     (the `graph_tables` shape: binaries functions strings libraries
@@ -811,6 +847,7 @@ class CypherCompiler:
         self._edge_vars: set[str] = set()
         self._scalar_vars: set[str] = set()
         self._path_vars: dict[str, dict[str, str]] = {}
+        self._path_usage = _path_accessor_usage(q)
         self._exists_markers: dict[int, str] = {}
         df: DataFrame | None = None
         if q.fulltext is not None:
@@ -1180,6 +1217,22 @@ class CypherCompiler:
         if pv in bound or pv in self._path_vars:
             raise ValueError(f"cypher: path variable {pv} is already bound")
 
+        # Path-accessor pruning: the column pruning Catalyst cannot do
+        # through the driver-side frontier loop.  When the statement never
+        # projects nodes(path)/relationships(path), the node-struct and
+        # offset arrays (and the per-level functions join that feeds node
+        # properties) are dead weight carried through every iteration —
+        # skip building them.  shortestPath keeps everything: its
+        # deterministic tie-break orders on the uid sequence.
+        use = (
+            {"nodes", "props", "offs"}
+            if pat.shortest
+            else getattr(self, "_path_usage", {}).get(pv, {"nodes", "props", "offs"})
+        )
+        need_nodes = "nodes" in use
+        need_props = "props" in use
+        need_offs = "offs" in use
+
         df = self._bind_node(df, start, bound)
         for c in self._pushable_conjuncts(where, bound):
             df = df.filter(self._predicate(c, bound))
@@ -1188,32 +1241,32 @@ class CypherCompiler:
             f"__{pv}_nodes", f"__{pv}_offs", f"__{pv}_eids", f"__{pv}_end", f"__{pv}_len",
         )
         skey = self._key_col(start.var, "Function")
-        cur = (
-            df.withColumn(
-                nodes_c,
-                F.array(
-                    F.struct(
-                        F.col(f"{start.var}__uid").alias("uid"),
-                        F.col(f"{start.var}__name").alias("name"),
-                        F.col(f"{start.var}__address").alias("address"),
-                    )
-                ),
-            )
-            .withColumn(offs_c, F.array().cast("array<string>"))
-            .withColumn(eids_c, F.array().cast("array<string>"))
-            .withColumn(end_c, F.col(skey))
+        cur = df
+        if need_nodes:
+            start_fields = [F.col(f"{start.var}__uid").alias("uid")]
+            if need_props:
+                start_fields += [
+                    F.col(f"{start.var}__name").alias("name"),
+                    F.col(f"{start.var}__address").alias("address"),
+                ]
+            cur = cur.withColumn(nodes_c, F.array(F.struct(*start_fields)))
+        if need_offs:
+            cur = cur.withColumn(offs_c, F.array().cast("array<string>"))
+        cur = cur.withColumn(eids_c, F.array().cast("array<string>")).withColumn(
+            end_c, F.col(skey)
         )
 
         calls = self.tables["calls"]
-        fn = self.tables["functions"].select(
-            F.col("uid").alias("_fuid"), F.col("name").alias("_fname"),
-            F.col("address").alias("_faddr"),
-        )
         edge = calls.select(
             F.col("src_uid").alias("_from"), F.col("dst_uid").alias("_to"),
             F.col("offset").alias("_off"),
         ).withColumn("_eid", F.concat_ws("→", "_from", "_to"))
-        edge = edge.join(fn, edge._to == fn._fuid)
+        if need_props:
+            fn = self.tables["functions"].select(
+                F.col("uid").alias("_fuid"), F.col("name").alias("_fname"),
+                F.col("address").alias("_faddr"),
+            )
+            edge = edge.join(fn, edge._to == fn._fuid)
 
         scope_key = None
         if scope is not None:
@@ -1269,28 +1322,30 @@ class CypherCompiler:
             return out.drop(eids_c, end_c)
         frontier = _cy_ckpt(cur)
         levels: list[DataFrame] = []
+        acc = tuple(c for c in (nodes_c, offs_c, eids_c, end_c) if c in base_cols)
         for depth in range(1, hi + 1):
             cond = F.col(end_c) == edge["_from"]
             if scope_key is not None:
                 cond = cond & (F.col(scope_key) == edge["__sb"])
-            acc = (nodes_c, offs_c, eids_c, end_c)
+            sel = [F.col(c) for c in base_cols if c not in acc]
+            sel.append(F.col("_to").alias(end_c))
+            if need_nodes:
+                step_fields = [F.col("_to").alias("uid")]
+                if need_props:
+                    step_fields += [
+                        F.col("_fname").alias("name"),
+                        F.col("_faddr").alias("address"),
+                    ]
+                sel.append(
+                    F.array_append(F.col(nodes_c), F.struct(*step_fields)).alias(nodes_c)
+                )
+            if need_offs:
+                sel.append(F.array_append(F.col(offs_c), F.col("_off")).alias(offs_c))
+            sel.append(F.array_append(F.col(eids_c), F.col("_eid")).alias(eids_c))
             ext = (
                 frontier.join(edge, cond)
                 .filter(~F.array_contains(F.col(eids_c), F.col("_eid")))
-                .select(
-                    *[F.col(c) for c in base_cols if c not in acc],
-                    F.col("_to").alias(end_c),
-                    F.array_append(
-                        F.col(nodes_c),
-                        F.struct(
-                            F.col("_fuid").alias("uid"),
-                            F.col("_fname").alias("name"),
-                            F.col("_faddr").alias("address"),
-                        ),
-                    ).alias(nodes_c),
-                    F.array_append(F.col(offs_c), F.col("_off")).alias(offs_c),
-                    F.array_append(F.col(eids_c), F.col("_eid")).alias(eids_c),
-                )
+                .select(*sel)
                 .select(*base_cols)  # restore column order for unionByName
             )
             ext = _cy_ckpt(ext)
