@@ -33,6 +33,9 @@ Scale notes (SCALE.md "bucketed layout"):
 from __future__ import annotations
 
 import hashlib
+import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,9 +55,13 @@ def ensure_bucketed_pair(
     spark: SparkSession, sf_dir: str, buckets: int = DEFAULT_BUCKETS
 ) -> tuple[str, str]:
     """Materialize bucketed twins of orders/lineitem, bucketed+sorted on
-    the orderkey; returns the two table names.  Idempotent per
-    (sf_dir, buckets): re-runs hit the catalog and skip the write."""
+    the orderkey; returns the two table names.  Within a session the
+    catalog entry is reused; across sessions the external location is
+    cleared and rewritten (the metastore is in-memory, so a leftover
+    directory without a catalog entry — e.g. from a killed run — must
+    never be trusted: a partial write would silently corrupt the join)."""
     key = _layout_key(sf_dir, buckets)
+    base = os.path.join(tempfile.gettempdir(), "bxg_bucketed", key)
     orders_t = f"bxg_bkt_orders_{key}"
     lineitem_t = f"bxg_bkt_lineitem_{key}"
     pairs = (
@@ -64,10 +71,13 @@ def ensure_bucketed_pair(
     for table, src, join_key in pairs:
         if spark.catalog.tableExists(table):
             continue
+        path = os.path.join(base, src)
+        shutil.rmtree(path, ignore_errors=True)
         df = load_table(spark, sf_dir, src)
         (
             df.write.format("parquet")
             .mode("overwrite")
+            .option("path", path)
             .bucketBy(buckets, join_key)
             .sortBy(join_key)
             .saveAsTable(table)
