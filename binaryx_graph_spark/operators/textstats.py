@@ -11,7 +11,7 @@ values hash identically.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # whitespace tokenization, lowercased — the engine-wide convention
@@ -1209,6 +1209,121 @@ def classifier_score(
             (F.col("score_q") >= 0).alias("keep"),
         )
     )
+
+
+def classifier_train(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    pos_label: str = "en",
+    epochs: int = 3,
+) -> DataFrame:
+    """TRAIN the linear bag-of-hashed-tokens classifier with the batch
+    perceptron (the distributed-perceptron shape of McDonald et al.
+    2010): per epoch, score every doc under the current weights, find
+    the misclassified set, and add Σ y_i·x_i over it to the weights.
+    Label: +1 if ``label_col == pos_label`` else −1 (the fasttext
+    language-ID/quality setup — the model distills a cheap supervision
+    signal into hashed-token weights usable by :func:`classifier_score`).
+
+    Everything is EXACT int64 — counts × integer weights, η=1 — so the
+    DuckDB oracle (:func:`sql_classifier_train`) replays the identical
+    epochs as unrolled CTEs and every final weight matches bit-for-bit
+    (the PageRank/k-means fixed-point technique).
+
+    Scale shape: the (doc, bucket, cnt, y) design matrix is built ONCE
+    (one explode + groupBy) and checkpointed; each epoch is then a
+    256-row broadcast join + two partial-aggregated shuffles (per-doc
+    score, per-bucket gradient).  Weights live in a 256-row frame the
+    whole time — nothing driver-side but the epoch loop itself.  At
+    100 TB the design matrix persists to storage and epochs stream over
+    it; the weight artifact ships like the IVF codebook.
+
+    Returns (bucket, w_final): CLS_DIM rows.
+    """
+    spark = docs.sparkSession
+    y = F.when(F.col(label_col) == F.lit(pos_label), F.lit(1)).otherwise(F.lit(-1))
+    tb = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            y.cast("long").alias("y"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .select("doc_id", "y", _tok_bucket(F.col("tok")).alias("bucket"))
+        .groupBy("doc_id", "y", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    w = spark.range(CLS_DIM).select(
+        F.col("id").cast("int").alias("bucket"), F.lit(0).cast("long").alias("w")
+    )
+    for _ in range(epochs):
+        scores = (
+            tb.join(F.broadcast(w), "bucket")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(F.col("cnt") * F.col("w")).alias("s"))
+        )
+        miscl = scores.filter(F.col("y") * F.col("s") <= 0).select("doc_id")
+        grad = (
+            tb.join(miscl, "doc_id", "left_semi")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("cnt") * F.col("y")).alias("g"))
+        )
+        w = (
+            w.join(grad, "bucket", "left")
+            .select("bucket", (F.col("w") + F.coalesce(F.col("g"), F.lit(0))).alias("w"))
+            .localCheckpoint(eager=True)  # O(1) lineage per epoch
+        )
+    return w.select("bucket", F.col("w").alias("w_final")).orderBy("bucket")
+
+
+def sql_classifier_train(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    pos_label: str = "en",
+    epochs: int = 3,
+) -> str:
+    """DuckDB twin of :func:`classifier_train`: the identical epochs
+    unrolled as chained CTEs — all-integer math, so the replay is exact
+    whatever the row or partition order."""
+    toks = SQL_TOKENS.format(col=text_col)
+    hexpos = "0123456789abcdef"
+    bucket = (
+        f"((strpos('{hexpos}', substr(sha256(tok), 1, 1)) - 1) * 16"
+        f" + (strpos('{hexpos}', substr(sha256(tok), 2, 1)) - 1))"
+    )
+    ctes = [
+        f"t AS (SELECT {id_col} AS doc_id,"
+        f" CASE WHEN {label_col} = '{pos_label}' THEN 1 ELSE -1 END AS y,"
+        f" unnest({toks}) AS tok FROM {table})",
+        f"tb AS (SELECT doc_id, y, bucket, CAST(count(*) AS BIGINT) AS cnt"
+        f" FROM (SELECT doc_id, y, {bucket} AS bucket FROM t) GROUP BY 1, 2, 3)",
+        f"w0 AS (SELECT CAST(range AS INTEGER) AS bucket, CAST(0 AS BIGINT) AS w"
+        f" FROM range({CLS_DIM}))",
+    ]
+    for k in range(1, epochs + 1):
+        p = k - 1
+        ctes.append(
+            f"s{k} AS (SELECT doc_id, y, CAST(sum(cnt * w) AS BIGINT) AS s"
+            f" FROM tb JOIN w{p} USING (bucket) GROUP BY 1, 2)"
+        )
+        ctes.append(f"m{k} AS (SELECT doc_id FROM s{k} WHERE y * s <= 0)")
+        ctes.append(
+            f"g{k} AS (SELECT bucket, CAST(sum(cnt * y) AS BIGINT) AS g"
+            f" FROM tb WHERE doc_id IN (SELECT doc_id FROM m{k}) GROUP BY 1)"
+        )
+        ctes.append(
+            f"w{k} AS (SELECT w{p}.bucket, w{p}.w + coalesce(g{k}.g, 0) AS w"
+            f" FROM w{p} LEFT JOIN g{k} USING (bucket))"
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT bucket, CAST(w AS BIGINT) AS w_final FROM w{epochs} ORDER BY bucket
+    """
 
 
 def sql_classifier_score(

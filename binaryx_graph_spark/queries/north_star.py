@@ -1227,6 +1227,38 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_score(docs, "doc_id", "text")
 
 
+from ..operators.textstats import sql_classifier_train as _sql_cls_train  # noqa: E402
+
+
+@register(
+    "text_classifier_train",
+    oracle=_sql_cls_train("documents"),
+    tags=("text", "quality", "iterative"),
+)
+def text_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier TRAINING at corpus scale — the other half of the
+    fasttext loop (text_classifier_score is the apply): 3 batch-
+    perceptron epochs distill the corpus's lang label into hashed-token
+    weights.  Pure-integer updates (η=1, counts × int weights) make the
+    training run itself oracle-replayable — DuckDB unrolls the same
+    epochs as chained CTEs and all 256 final weights match bit-for-bit,
+    the same fixed-point contract as PageRank/k-means.  Scale shape:
+    the (doc, bucket, cnt, y) design matrix is built once and
+    checkpointed; each epoch is a 256-row broadcast join plus two
+    partial-aggregated shuffles.
+
+    Honesty note (cf. the multimodal fake-decode label): the synthetic
+    corpus draws every lang's text from ONE vocabulary, so this label is
+    not token-learnable and training correctly converges to the majority
+    predictor — which the oracle replays exactly; that replay is the
+    contract here.  tests/test_classifier_train.py proves the same
+    trainer reaches 100% train accuracy on a separable corpus."""
+    from ..operators.textstats import classifier_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return classifier_train(docs, "doc_id", "text", label_col="lang", pos_label="en")
+
+
 @register(
     "streaming_quality_gate",
     oracle=f"""
