@@ -437,3 +437,84 @@ def sql_kcore_peel(sql_edges: str, *, k: int = 5, rounds: int = 4) -> str:
     GROUP BY src
     """
     )
+
+
+def label_propagation(edges: DataFrame, *, rounds: int = 4) -> DataFrame:
+    """Synchronous label-propagation community detection over the
+    UNDIRECTED simple graph of ``edges`` → (node, community).
+
+    Labels initialize to the node id; each round EVERY node
+    simultaneously adopts its neighbors' most frequent label, ties
+    broken by the smallest label (Raghavan et al. 2007, made
+    deterministic: the synchronous schedule plus the total tie-break
+    removes the algorithm's usual run-to-run variance, so a DuckDB
+    oracle unrolling the same rounds matches every label exactly).
+
+    Scale shape: one shuffle pair per round (neighbor-label join on the
+    edge list, then the (node, label) count aggregation); the per-node
+    argmax is a count-desc/label-asc window — partitioned by node, never
+    global.  ``localCheckpoint`` every second round cuts lineage, same
+    cadence as PageRank.
+    """
+    from pyspark.sql.window import Window
+
+    edges = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        .unionByName(
+            edges.filter(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("u"), F.col("src").alias("w")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("u").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    )
+    win = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("lbl"))
+    for i in range(rounds):
+        counts = (
+            und.join(labels.select(F.col("v").alias("w"), "lbl"), "w")
+            .groupBy(F.col("u").alias("v"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("v", "lbl")
+        )
+        if (i + 1) % 2 == 0 or i == rounds - 1:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select(F.col("v").alias("node"), F.col("lbl").alias("community"))
+
+
+def sql_label_propagation(sql_edges: str, *, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`label_propagation`: identical synchronous
+    rounds unrolled as CTEs, identical count-desc/label-asc argmax."""
+    ctes = [
+        f"edges AS ({sql_edges})",
+        "und AS (SELECT src AS u, dst AS w FROM edges WHERE src <> dst"
+        " UNION SELECT dst, src FROM edges WHERE src <> dst)",
+        "l0 AS (SELECT DISTINCT u AS v, u AS lbl FROM und)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(
+            f"""l{k} AS (
+      SELECT v, lbl FROM (
+        SELECT e.u AS v, l.lbl,
+               row_number() OVER (PARTITION BY e.u
+                                  ORDER BY count(*) DESC, l.lbl ASC) AS rn
+        FROM und e JOIN l{p} l ON e.w = l.v
+        GROUP BY e.u, l.lbl
+      ) WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT v AS node, CAST(lbl AS BIGINT) AS community FROM l{rounds}"""
+    )

@@ -16,8 +16,10 @@ from pyspark.sql.window import Window
 from ..model import load_table
 from ..operators.graphalgo import (
     kcore_peel,
+    label_propagation,
     pagerank_fixed,
     sql_kcore_peel,
+    sql_label_propagation,
     sql_pagerank_fixed,
     sql_personalized_pagerank_fixed,
     sql_triangle_counts,
@@ -65,6 +67,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no float tolerance).  Top-50 by rank."""
     ranks = pagerank_fixed(derived_edges(spark, sf_dir), iters=5)
     return ranks.orderBy(F.desc("rank_fp"), "node").limit(50)
+
+
+@register(
+    "graph_label_propagation",
+    oracle=sql_label_propagation(SQL_EDGES, rounds=4)
+    + " ORDER BY node",
+    tags=("graph", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the derived call graph: 4 synchronous
+    label-propagation rounds (most-frequent neighbor label, smallest-
+    label tie-break).  The deterministic schedule + total tie-break let
+    the DuckDB oracle unroll the identical rounds and match every node's
+    community exactly — no "one arbitrary run" hand-waving."""
+    return label_propagation(derived_edges(spark, sf_dir), rounds=4).orderBy("node")
 
 
 @register(

@@ -97,3 +97,26 @@ def test_kcore_peel_cascades(spark):
     # k=1, 1 round: nothing peels (every node has degree >= 1)
     got1 = {r["node"]: r["degree"] for r in kcore_peel(edges, k=1, rounds=1).collect()}
     assert got1 == {0: 2, 1: 2, 2: 3, 3: 2, 4: 1}
+
+
+def test_label_propagation_two_cliques(spark):
+    from binaryx_graph_spark.operators.graphalgo import label_propagation
+
+    # two triangles bridged by one edge: each clique converges to one
+    # community (its smallest member id); the bridge doesn't merge them
+    clique_a = [(1, 2), (2, 3), (1, 3)]
+    clique_b = [(10, 11), (11, 12), (10, 12)]
+    e = _edges(spark, clique_a + clique_b + [(3, 10)])
+    got = {r.node: r.community for r in label_propagation(e, rounds=4).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[10] == got[11] == got[12]
+    assert got[1] != got[10]
+
+
+def test_label_propagation_deterministic(spark):
+    from binaryx_graph_spark.operators.graphalgo import label_propagation
+
+    e = _edges(spark, [(i, (i * 7) % 23) for i in range(1, 23)])
+    a = sorted(map(tuple, label_propagation(e, rounds=3).collect()))
+    b = sorted(map(tuple, label_propagation(e, rounds=3).collect()))
+    assert a == b
