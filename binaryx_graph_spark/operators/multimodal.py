@@ -175,3 +175,104 @@ def resize_media(media: DataFrame, *, width: int = 224, height: int = 224) -> Da
             )
 
     return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("h0", T.IntegerType(), True),
+        T.StructField("h1", T.IntegerType(), True),
+        T.StructField("h2", T.IntegerType(), True),
+        T.StructField("h3", T.IntegerType(), True),
+    ]
+)
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) over the binary column, as four
+    16-bit bands → (media_id, h0..h3).
+
+    Real impl: resize the decoded image to 8×8 grayscale and threshold
+    each pixel at the mean.  === DETERMINISTIC STAND-IN SAMPLER === (no
+    codecs in this container): the '64 pixels' are 64 evenly-strided
+    payload bytes, mean-thresholded exactly like aHash; swapping in PIL
+    touches only the sampling lines — the Arrow batch path, the banded
+    output shape, and every consumer are real.
+
+    Four 16-bit bands instead of one u64 so (a) no signed-overflow games
+    in either engine and (b) the near-dup join gets its LSH bands for
+    free: hamming(x, y) ≤ 3 ⇒ at least one band equal (pigeonhole) —
+    the candidate join is provably complete at that threshold.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hs: list[list[int]] = [[], [], [], []]
+            for b in pdf["media"]:
+                data = bytes(b) or b"\x00"
+                n = len(data)
+                samp = [data[(i * n) // 64] for i in range(64)]
+                mean = sum(samp) // 64
+                bits = [1 if s > mean else 0 for s in samp]
+                for band in range(4):
+                    v = 0
+                    for j in range(16):
+                        v = v * 2 + bits[band * 16 + j]
+                    hs[band].append(v)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "h0": hs[0],
+                    "h1": hs[1],
+                    "h2": hs[2],
+                    "h3": hs[3],
+                }
+            )
+
+    return media.mapInPandas(batches, PHASH_SCHEMA)
+
+
+def phash_near_dup(media: DataFrame, *, max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash →
+    (media_a, media_b, hamming), hamming ≤ ``max_hamming``.
+
+    One banded equi-join (explode the 4 bands, shuffle on (band, value))
+    generates candidates; pigeonhole makes it COMPLETE for
+    max_hamming ≤ 3, so this equals the quadratic all-pairs scan without
+    ever running one — the multimodal twin of the SimHash banded join.
+    """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("phash_near_dup: banded join is complete only for max_hamming <= 3")
+    ph = perceptual_hash(media)
+    bands = ph.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"h{i}").alias("hv"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", F.col("b.band").alias("band"), F.col("b.hv").alias("hv"))
+    a, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(bb, (F.col("a.band") == F.col("b.band")) & (F.col("a.hv") == F.col("b.hv")))
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("media_a"), F.col("b.media_id").alias("media_b")
+        )
+        .distinct()
+    )
+    pa = ph.select(*[F.col(c).alias(f"a_{c}") for c in ph.columns])
+    pb = ph.select(*[F.col(c).alias(f"b_{c}") for c in ph.columns])
+    ham = sum(
+        F.bit_count(F.col(f"a_h{i}").bitwiseXOR(F.col(f"b_h{i}"))) for i in range(4)
+    )
+    return (
+        cand.join(pa, cand.media_a == pa.a_media_id)
+        .join(pb, cand.media_b == pb.b_media_id)
+        .select("media_a", "media_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("media_a", "media_b")
+    )

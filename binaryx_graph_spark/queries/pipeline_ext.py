@@ -1052,6 +1052,59 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_phash_neardup",
+    oracle="""
+    WITH s AS (
+      -- strided-byte sampling replayed on VARCHAR (pure-ASCII corpus,
+      -- octet_length == length — same contract as multimodal_frames)
+      SELECT doc_id AS media_id, CAST(t.i AS INTEGER) AS i,
+             ascii(substr(text, CAST((t.i * length(text)) // 64 AS INTEGER) + 1, 1)) AS v
+      FROM documents, unnest(range(0, 64)) AS t(i)
+    ),
+    m AS (SELECT media_id, sum(v) // 64 AS mean FROM s GROUP BY media_id),
+    b AS (
+      SELECT s.media_id, s.i, CASE WHEN s.v > m.mean THEN 1 ELSE 0 END AS bit
+      FROM s JOIN m USING (media_id)
+    ),
+    h AS (
+      SELECT media_id, CAST(i // 16 AS INTEGER) AS band,
+             CAST(sum(bit * (1 << CAST(15 - (i % 16) AS INTEGER))) AS INTEGER) AS hv
+      FROM b GROUP BY media_id, i // 16
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS media_a, c.media_id AS media_b
+      FROM h a JOIN h c ON a.band = c.band AND a.hv = c.hv
+      WHERE a.media_id < c.media_id
+    ),
+    ham AS (
+      SELECT cand.media_a, cand.media_b,
+             CAST((SELECT sum(bit_count(xor(x.hv, y.hv)))
+                   FROM h x JOIN h y ON x.band = y.band
+                   WHERE x.media_id = cand.media_a
+                     AND y.media_id = cand.media_b) AS BIGINT) AS hamming
+      FROM cand
+    )
+    SELECT media_a, media_b, hamming FROM ham
+    WHERE hamming <= 3
+    ORDER BY media_a, media_b
+    """,
+    tags=("multimodal", "dedup"),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual average-hash: the
+    aHash kernel runs over the binary column (mapInPandas), its four
+    16-bit bands double as LSH bands, and one banded equi-join finds
+    every pair within hamming ≤ 3 (pigeonhole-complete — no quadratic
+    scan).  The oracle recomputes the hash from the payload bytes and
+    the same banded candidate set, so kernel, banding, and hamming
+    filter are all value-pinned."""
+    from ..operators.multimodal import media_from_documents, phash_near_dup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phash_near_dup(media_from_documents(docs), max_hamming=3)
+
+
+@register(
     "multimodal_frames",
     oracle="""
     WITH v AS (

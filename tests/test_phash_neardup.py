@@ -1,0 +1,73 @@
+"""Perceptual-hash near-dup: the banded candidate join is COMPLETE for
+hamming <= 3 (pigeonhole over 4 16-bit bands) — pinned against the
+brute-force all-pairs scan on a corpus with constructed near-dups."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+from pyspark.sql import functions as F
+
+from binaryx_graph_spark.operators.multimodal import (
+    media_from_documents,
+    perceptual_hash,
+    phash_near_dup,
+)
+
+
+def _docs(spark):
+    base = "spark shuffle partition broadcast join window aggregate scan " * 4
+    rows = [
+        (1, base, "en"),
+        (2, base, "en"),                      # exact dup of 1 → hamming 0
+        (3, base.replace("scan", "sCan", 1), "en"),  # near dup (case flips bytes)
+        (4, "completely different tokens entirely unrelated payload " * 5, "en"),
+        (5, "another unrelated text body with its own byte histogram " * 5, "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dup_has_hamming_zero(spark):
+    pairs = {
+        (r.media_a, r.media_b): r.hamming
+        for r in phash_near_dup(media_from_documents(_docs(spark))).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+
+
+def test_banded_join_equals_brute_force(spark):
+    media = media_from_documents(_docs(spark))
+    banded = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in phash_near_dup(media, max_hamming=3).collect()
+    }
+    ph = perceptual_hash(media)
+    a = ph.select(*[F.col(c).alias(f"a_{c}") for c in ph.columns])
+    b = ph.select(*[F.col(c).alias(f"b_{c}") for c in ph.columns])
+    ham = sum(
+        F.bit_count(F.col(f"a_h{i}").bitwiseXOR(F.col(f"b_h{i}"))) for i in range(4)
+    )
+    brute = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in (
+            a.crossJoin(b)
+            .filter(F.col("a_media_id") < F.col("b_media_id"))
+            .select(
+                F.col("a_media_id").alias("media_a"),
+                F.col("b_media_id").alias("media_b"),
+                ham.cast("long").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= 3)
+            .collect()
+        )
+    }
+    assert banded == brute and (1, 2, 0) in brute
+
+
+def test_threshold_beyond_band_guarantee_rejected(spark):
+    with pytest.raises(ValueError):
+        phash_near_dup(media_from_documents(_docs(spark)), max_hamming=4)
