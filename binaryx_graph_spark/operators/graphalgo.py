@@ -518,3 +518,110 @@ def sql_label_propagation(sql_edges: str, *, rounds: int = 4) -> str:
         + f"""
     SELECT v AS node, CAST(lbl AS BIGINT) AS community FROM l{rounds}"""
     )
+
+
+def community_modularity(edges: DataFrame, *, rounds: int = 4) -> DataFrame:
+    """Newman modularity of the label-propagation communities, in EXACT
+    int64 → (community, n_members, intra_edges, degree_sum, contrib_q).
+
+    Q = Σ_c [in_c/m − (d_c/2m)²] over the undirected simple graph; we
+    emit the integer numerator ``contrib_q = 4·m·in_c − d_c²`` per
+    community (Q = Σ contrib_q / 4m²), so the gate compares pure int64 —
+    no float division order to drift.  Bounds: 4·m·in_c ≤ 4m² and
+    d_c² ≤ 4m², comfortably inside int64 until m ~ 1.5e9 undirected
+    edges PER community-summand; beyond that the sum widens to
+    decimal(38,0) like the cents ledger (functions/exact.py note).
+
+    Scale shape: LPA's rounds (see :func:`label_propagation`) plus three
+    aggregations — canonical-edge dedup, per-node degree, per-community
+    rollup.  ``m`` is one scalar ``count()`` (driver-side by design,
+    like PageRank's ``n``).
+    """
+    labels = label_propagation(edges, rounds=rounds)
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    und = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m = und.count()
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    la = labels.select(F.col("node").alias("a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("node").alias("b"), F.col("community").alias("cb"))
+    intra = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    per_c = (
+        deg.join(labels.select(F.col("node").alias("v"), "community"), "v")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("deg").cast("long").alias("degree_sum"),
+        )
+    )
+    return (
+        per_c.join(intra, "community", "left")
+        .select(
+            "community",
+            "n_members",
+            F.coalesce(F.col("intra_edges"), F.lit(0)).cast("long").alias("intra_edges"),
+            "degree_sum",
+            (
+                F.lit(4 * m) * F.coalesce(F.col("intra_edges"), F.lit(0))
+                - F.col("degree_sum") * F.col("degree_sum")
+            ).cast("long").alias("contrib_q"),
+        )
+        .orderBy("community")
+    )
+
+
+def sql_community_modularity(sql_edges: str, *, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`community_modularity`: the LPA replay as a
+    nested WITH, then the identical integer rollups."""
+    lpa = sql_label_propagation(sql_edges, rounds=rounds)
+    return f"""
+    WITH labels AS ({lpa}),
+    e2 AS ({sql_edges}),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM e2 WHERE src <> dst
+    ),
+    mm AS (SELECT count(*) AS m FROM und),
+    deg AS (
+      SELECT v, count(*) AS deg FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY v
+    ),
+    intra AS (
+      SELECT la.community AS community, count(*) AS intra_edges
+      FROM und
+        JOIN labels la ON und.a = la.node
+        JOIN labels lb ON und.b = lb.node
+      WHERE la.community = lb.community
+      GROUP BY la.community
+    ),
+    per_c AS (
+      SELECT l.community, count(*) AS n_members,
+             CAST(sum(d.deg) AS BIGINT) AS degree_sum
+      FROM deg d JOIN labels l ON d.v = l.node
+      GROUP BY l.community
+    )
+    SELECT per_c.community,
+           CAST(per_c.n_members AS BIGINT) AS n_members,
+           CAST(coalesce(intra.intra_edges, 0) AS BIGINT) AS intra_edges,
+           per_c.degree_sum,
+           CAST(4 * mm.m * coalesce(intra.intra_edges, 0)
+                - per_c.degree_sum * per_c.degree_sum AS BIGINT) AS contrib_q
+    FROM per_c LEFT JOIN intra USING (community), mm
+    ORDER BY per_c.community
+    """

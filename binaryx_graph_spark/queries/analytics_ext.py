@@ -15,9 +15,11 @@ from pyspark.sql.window import Window
 
 from ..model import load_table
 from ..operators.graphalgo import (
+    community_modularity,
     kcore_peel,
     label_propagation,
     pagerank_fixed,
+    sql_community_modularity,
     sql_kcore_peel,
     sql_label_propagation,
     sql_pagerank_fixed,
@@ -82,6 +84,19 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle unroll the identical rounds and match every node's
     community exactly — no "one arbitrary run" hand-waving."""
     return label_propagation(derived_edges(spark, sf_dir), rounds=4).orderBy("node")
+
+
+@register(
+    "graph_community_modularity",
+    oracle=sql_community_modularity(SQL_EDGES, rounds=4),
+    tags=("graph", "iterative"),
+)
+def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metric for the LPA communities: Newman modularity as an
+    exact-int64 per-community numerator (contrib_q = 4·m·in_c − d_c²;
+    Q = Σ/4m²) — detection AND evaluation both oracle-replayable, no
+    float division anywhere in the contract."""
+    return community_modularity(derived_edges(spark, sf_dir), rounds=4)
 
 
 @register(

@@ -120,3 +120,17 @@ def test_label_propagation_deterministic(spark):
     a = sorted(map(tuple, label_propagation(e, rounds=3).collect()))
     b = sorted(map(tuple, label_propagation(e, rounds=3).collect()))
     assert a == b
+
+
+def test_modularity_two_cliques_positive(spark):
+    from binaryx_graph_spark.operators.graphalgo import community_modularity
+
+    # two bridged triangles: strong community structure → Q > 0, and the
+    # integer identity Σ degree_sum == 2m, Σ intra ≤ m must hold
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)])
+    rows = community_modularity(e, rounds=4).collect()
+    m = 7
+    assert sum(r.degree_sum for r in rows) == 2 * m
+    assert sum(r.intra_edges for r in rows) <= m
+    q = sum(r.contrib_q for r in rows) / (4 * m * m)
+    assert 0.0 < q <= 1.0
