@@ -63,6 +63,15 @@ HEADLINE = [
     # weights) — the two newest engine surfaces, bench-graded
     "cypher_paths_scaled",
     "text_classifier_score",
+    # r3 session-2: training (batch-perceptron epochs over the design
+    # matrix), community detection + its exact-int64 modularity rollup,
+    # the banded perceptual-hash near-dup, and the plan-guarded
+    # bucketed co-located join (cheap by design — the point is the
+    # Exchange-free plan the guard certifies on every run)
+    "text_classifier_train",
+    "graph_label_propagation",
+    "multimodal_phash_neardup",
+    "layout_bucketed_join",
 ]
 
 
