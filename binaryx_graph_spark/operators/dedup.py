@@ -603,6 +603,130 @@ def jaccard_pairs_prefix(
     )
 
 
+def containment_pairs_prefix(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact DIRECTED containment join — C(A,B) = |A∩B|/|A| ≥ t →
+    (doc_sub, doc_sup, n_common, n_sub, n_sup, containment) — with the
+    ASYMMETRIC prefix filter (the quotation / doc-in-doc / train-on-
+    subset detector Jaccard misses: a small doc swallowed by a big one
+    has low Jaccard but containment ≈ 1).
+
+    Theorem (asymmetric prefix filter): if |A∩B| ≥ t·|A| then A misses
+    at most (1−t)·|A| of its own df-ordered shingles from B, so at
+    least one of A's first ⌊(1−t)·|A|⌋+1 rarest shingles is in B.  The
+    candidate join therefore probes the SUB side's prefix against the
+    SUP side's FULL shingle list — prefix tokens are globally rare, so
+    the full-side fan-out per key is small by construction.  Length
+    filter: |B| ≥ t·|A| (no upper bound — the whole point).  The
+    threshold test is integer cross-multiplied before the one display
+    division, and verification is the same corpus-cardinality
+    array_intersect as :func:`jaccard_pairs_prefix` — provably exact;
+    the DuckDB oracle runs the naive all-directed-pairs join.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+    )
+    sh = sh.localCheckpoint(eager=True)
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    doc_arrays = (
+        sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_df", "sh"))), lambda s: s["sh"]
+            ).alias("_shs")
+        )
+        .withColumn("n_sh", F.size("_shs").cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    n_docs = doc_arrays.count()
+
+    prefix = doc_arrays.select(
+        "doc_id",
+        "n_sh",
+        F.explode(
+            F.slice(
+                "_shs",
+                1,
+                (F.floor((1 - F.lit(threshold)) * F.col("n_sh")) + 1).cast("int"),
+            )
+        ).alias("sh"),
+    ).select("doc_id", "n_sh", F.xxhash64("sh").alias("shh"))
+    full = doc_arrays.select(
+        "doc_id",
+        "n_sh",
+        F.explode(F.transform("_shs", lambda s: F.xxhash64(s))).alias("shh"),
+    )
+    cand = (
+        prefix.alias("x")
+        .join(full.alias("y"), "shh")
+        .filter(
+            (F.col("x.doc_id") != F.col("y.doc_id"))
+            & (F.col("y.n_sh") >= F.lit(threshold) * F.col("x.n_sh"))
+        )
+        .select(F.col("x.doc_id").alias("doc_sub"), F.col("y.doc_id").alias("doc_sup"))
+        .distinct()
+    )
+
+    hashed = doc_arrays.select(
+        "doc_id", F.transform("_shs", lambda s: F.xxhash64(s)).alias("_hs"), "n_sh"
+    )
+    aa = hashed.select(
+        F.col("doc_id").alias("doc_sub"), F.col("_hs").alias("_ha"), F.col("n_sh").alias("n_sub")
+    )
+    bb = hashed.select(
+        F.col("doc_id").alias("doc_sup"), F.col("_hs").alias("_hb"), F.col("n_sh").alias("n_sup")
+    )
+    if n_docs <= 100_000:
+        aa, bb = F.broadcast(aa), F.broadcast(bb)
+    return (
+        cand.join(aa, "doc_sub")
+        .join(bb, "doc_sup")
+        .select(
+            "doc_sub",
+            "doc_sup",
+            F.size(F.array_intersect("_ha", "_hb")).cast("long").alias("n_common"),
+            "n_sub",
+            "n_sup",
+        )
+        # t = 0.8 == 4/5: integer cross-multiplication, no float threshold
+        .filter(F.col("n_common") * 5 >= F.col("n_sub") * 4)
+        .withColumn("containment", (F.col("n_common") / F.col("n_sub")).cast("double"))
+        .select("doc_sub", "doc_sup", "n_common", "n_sub", "n_sup", "containment")
+    )
+
+
+def sql_containment_pairs(
+    table: str, id_col: str, text_col: str, *, n: int = 3
+) -> str:
+    """DuckDB oracle for :func:`containment_pairs_prefix` at t = 4/5:
+    the naive all-directed-pairs shingle join — different plan, provably
+    identical output (the prefix filter is lossless)."""
+    sh = sql_shingles(text_col, n)
+    return f"""
+    WITH sh AS (
+      SELECT {id_col} AS doc_id, u.sh AS sh
+      FROM {table}, unnest(list_distinct({sh})) AS u(sh)
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_sub, i.doc_sup, i.n_common,
+           sa.n_sh AS n_sub, sb.n_sh AS n_sup,
+           CAST(i.n_common AS DOUBLE) / sa.n_sh AS containment
+    FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_sub
+      JOIN sizes sb ON sb.doc_id = i.doc_sup
+    WHERE i.n_common * 5 >= sa.n_sh * 4
+    """
+
+
 # ------------------------------------------------- near-dup clustering
 
 def connected_components(

@@ -14,6 +14,7 @@ from ..operators.dedup import (
     jaccard_pairs,
     minhash_near_dup,
     simhash,
+    sql_containment_pairs,
     sql_jaccard_pairs,
     sql_minhash_near_dup,
     sql_simhash,
@@ -99,6 +100,29 @@ def dedup_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs_prefix(docs, "doc_id", "text", n=3, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_containment_prefix",
+    oracle=sql_containment_pairs("documents", "doc_id", "text", n=3)
+    + " ORDER BY doc_sub, doc_sup",
+    tags=("dedup",),
+)
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED containment join (C(A,B) = |A∩B|/|A| ≥ 0.8): the
+    doc-in-doc / quotation / train-on-subset detector that Jaccard
+    misses (a small doc inside a big one has low Jaccard, containment
+    ≈ 1).  Candidates from the ASYMMETRIC prefix filter — the sub
+    side's rarest-shingle prefix probed against the sup side's full
+    list, |B| ≥ t·|A| length filter, exact verify.  The oracle is the
+    naive all-directed-pairs join: the hash match proves the asymmetric
+    filter loses nothing."""
+    from ..operators.dedup import containment_pairs_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs_prefix(docs, "doc_id", "text", n=3, threshold=0.8).orderBy(
+        "doc_sub", "doc_sup"
+    )
 
 
 @register(

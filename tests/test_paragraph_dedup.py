@@ -113,3 +113,28 @@ def test_paragraph_dedup_matches_reference_random(spark):
             for r in paragraph_dedup(df, "doc_id", "text", words=2).collect()
         }
         assert got == _ref_paragraph_dedup(rows, 2), f"trial {trial}: {rows}"
+
+
+def test_containment_finds_doc_in_doc(spark):
+    """The case Jaccard misses: a small doc embedded verbatim in a much
+    larger one — containment ~1 while Jaccard is far below 0.5."""
+    from binaryx_graph_spark.operators.dedup import (
+        containment_pairs_prefix,
+        jaccard_pairs_prefix,
+    )
+
+    small = "unique alpha beta gamma delta epsilon zeta phrase " * 3
+    filler = " ".join(f"filler{i} distinct{i} chunk{i} body{i}" for i in range(60))
+    big = filler + " " + small
+    other = "nothing shared with anything else at all here truly " * 10
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, other)], "doc_id long, text string"
+    )
+    cont = {
+        (r.doc_sub, r.doc_sup): r.containment
+        for r in containment_pairs_prefix(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.95
+    assert (2, 1) not in cont  # big is NOT contained in small
+    jac = jaccard_pairs_prefix(docs, "doc_id", "text", threshold=0.5).collect()
+    assert all({r.doc_a, r.doc_b} != {1, 2} for r in jac)  # jaccard misses it
