@@ -138,3 +138,55 @@ def test_containment_finds_doc_in_doc(spark):
     assert (2, 1) not in cont  # big is NOT contained in small
     jac = jaccard_pairs_prefix(docs, "doc_id", "text", threshold=0.5).collect()
     assert all({r.doc_a, r.doc_b} != {1, 2} for r in jac)  # jaccard misses it
+
+
+def test_containment_prefix_filter_lossless_random(spark):
+    """Filter-losslessness on a seeded random corpus with planted
+    containments: the prefix-filtered join must equal the naive
+    all-directed-pairs join exactly (mirrors the DuckDB gate, but over
+    adversarial mixtures the testdata doesn't contain)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from binaryx_graph_spark.operators.dedup import (
+        containment_pairs_prefix,
+        shingles,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(24):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 40)))
+        rows.append((i, body))
+    # plant: doc 100+i = doc i's text embedded in extra filler
+    for i in range(6):
+        extra = " ".join(rng.choice(vocab) for _ in range(10))
+        rows.append((100 + i, rows[i][1] + " " + extra))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.doc_sub, r.doc_sup, r.n_common, r.n_sub, r.n_sup)
+        for r in containment_pairs_prefix(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    sh = docs.select(
+        F.col("doc_id"), F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_sub"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_sup"), "sh")
+    naive = (
+        a.join(b, "sh")
+        .filter(F.col("doc_sub") != F.col("doc_sup"))
+        .groupBy("doc_sub", "doc_sup")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(sizes.select(F.col("doc_id").alias("doc_sub"), F.col("n_sh").alias("n_sub")), "doc_sub")
+        .join(sizes.select(F.col("doc_id").alias("doc_sup"), F.col("n_sh").alias("n_sup")), "doc_sup")
+        .filter(F.col("n_common") * 5 >= F.col("n_sub") * 4)
+    )
+    want = {
+        (r.doc_sub, r.doc_sup, r.n_common, r.n_sub, r.n_sup) for r in naive.collect()
+    }
+    assert got == want
+    assert any(s == i and p == 100 + i for (s, p, *_q) in got for i in range(6))
