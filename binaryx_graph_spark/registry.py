@@ -56,6 +56,9 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     # new parity claims get driver rows, not just the local gate
     "cypher_paths_verbatim", "cypher_fulltext_call_verbatim",
     "cypher_xref_union_verbatim", "ann_recall_lsh_multiprobe",
+    # session-2 flagships: the plan-property gate (a green row certifies
+    # the Exchange-free bucketed join) and the oracle-replayed trainer
+    "layout_bucketed_join", "text_classifier_train",
     "scope_semi_join",
     "unresolved_anti_join", "table_stats", "distinct_users_per_type",
     "topk_events_by_value", "window_topk_per_group", "event_sequences",
