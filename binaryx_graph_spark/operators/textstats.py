@@ -1211,6 +1211,26 @@ def classifier_score(
     )
 
 
+def _design_matrix(
+    docs: DataFrame, id_col: str, text_col: str, label_col: str, pos_label: str
+) -> DataFrame:
+    """(doc_id, y, bucket, cnt): the hashed-feature design matrix shared
+    by training and evaluation — built once, checkpointed (at 100 TB
+    this persists to storage and every epoch/eval pass streams it)."""
+    y = F.when(F.col(label_col) == F.lit(pos_label), F.lit(1)).otherwise(F.lit(-1))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            y.cast("long").alias("y"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .select("doc_id", "y", _tok_bucket(F.col("tok")).alias("bucket"))
+        .groupBy("doc_id", "y", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def classifier_train(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1243,18 +1263,7 @@ def classifier_train(
     Returns (bucket, w_final): CLS_DIM rows.
     """
     spark = docs.sparkSession
-    y = F.when(F.col(label_col) == F.lit(pos_label), F.lit(1)).otherwise(F.lit(-1))
-    tb = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            y.cast("long").alias("y"),
-            F.explode(tokens(F.col(text_col))).alias("tok"),
-        )
-        .select("doc_id", "y", _tok_bucket(F.col("tok")).alias("bucket"))
-        .groupBy("doc_id", "y", "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
+    tb = _design_matrix(docs, id_col, text_col, label_col, pos_label)
     w = spark.range(CLS_DIM).select(
         F.col("id").cast("int").alias("bucket"), F.lit(0).cast("long").alias("w")
     )
@@ -1278,17 +1287,16 @@ def classifier_train(
     return w.select("bucket", F.col("w").alias("w_final")).orderBy("bucket")
 
 
-def sql_classifier_train(
+def _sql_train_ctes(
     table: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    label_col: str = "lang",
-    pos_label: str = "en",
-    epochs: int = 3,
-) -> str:
-    """DuckDB twin of :func:`classifier_train`: the identical epochs
-    unrolled as chained CTEs — all-integer math, so the replay is exact
-    whatever the row or partition order."""
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    pos_label: str,
+    epochs: int,
+) -> list[str]:
+    """Shared CTE chain for the trainer and its evaluator: design
+    matrix + unrolled epochs; the final weights live in ``w{epochs}``."""
     toks = SQL_TOKENS.format(col=text_col)
     hexpos = "0123456789abcdef"
     bucket = (
@@ -1319,10 +1327,88 @@ def sql_classifier_train(
             f"w{k} AS (SELECT w{p}.bucket, w{p}.w + coalesce(g{k}.g, 0) AS w"
             f" FROM w{p} LEFT JOIN g{k} USING (bucket))"
         )
+    return ctes
+
+
+def sql_classifier_train(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    pos_label: str = "en",
+    epochs: int = 3,
+) -> str:
+    """DuckDB twin of :func:`classifier_train`: the identical epochs
+    unrolled as chained CTEs — all-integer math, so the replay is exact
+    whatever the row or partition order."""
+    ctes = _sql_train_ctes(table, id_col, text_col, label_col, pos_label, epochs)
     body = ",\n    ".join(ctes)
     return f"""
     WITH {body}
     SELECT bucket, CAST(w AS BIGINT) AS w_final FROM w{epochs} ORDER BY bucket
+    """
+
+
+def classifier_eval(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    pos_label: str = "en",
+    epochs: int = 3,
+) -> DataFrame:
+    """Train-then-evaluate in one dataflow: the confusion matrix of the
+    batch-perceptron model on its training corpus →
+    ONE row (n_docs, tp, fp, tn, fn).  Prediction is sign(score) with
+    s ≤ 0 counted negative (the training rule's complement), everything
+    int64, so the whole train→score→count chain replays exactly in the
+    oracle.  Docs with zero tokens never enter the design matrix and are
+    excluded on both engines."""
+    w = classifier_train(docs, id_col, text_col, label_col, pos_label, epochs)
+    tb = _design_matrix(docs, id_col, text_col, label_col, pos_label)
+    scored = (
+        tb.join(
+            F.broadcast(w.select("bucket", F.col("w_final").alias("w"))), "bucket"
+        )
+        .groupBy("doc_id", "y")
+        .agg(F.sum(F.col("cnt") * F.col("w")).alias("s"))
+    )
+    pos, s = F.col("y") == 1, F.col("s") > 0
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        flag(pos & s).alias("tp"),
+        flag(~pos & s).alias("fp"),
+        flag(~pos & ~s).alias("tn"),
+        flag(pos & ~s).alias("fn"),
+    )
+
+
+def sql_classifier_eval(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    pos_label: str = "en",
+    epochs: int = 3,
+) -> str:
+    """DuckDB twin of :func:`classifier_eval`: the trainer's CTE chain
+    plus one scoring pass under the final weights and the CASE-counted
+    confusion matrix."""
+    ctes = _sql_train_ctes(table, id_col, text_col, label_col, pos_label, epochs)
+    ctes.append(
+        f"sf AS (SELECT doc_id, y, CAST(sum(cnt * w) AS BIGINT) AS s"
+        f" FROM tb JOIN w{epochs} USING (bucket) GROUP BY 1, 2)"
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN y = 1  AND s > 0  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN y = -1 AND s > 0  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN y = -1 AND s <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           CAST(sum(CASE WHEN y = 1  AND s <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+    FROM sf
     """
 
 

@@ -1283,6 +1283,29 @@ def text_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_train(docs, "doc_id", "text", label_col="lang", pos_label="en")
 
 
+from ..operators.textstats import sql_classifier_eval as _sql_cls_eval  # noqa: E402
+
+
+@register(
+    "text_classifier_eval",
+    oracle=_sql_cls_eval("documents"),
+    tags=("text", "quality", "iterative"),
+)
+def text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train → evaluate in one oracle-replayable dataflow: the confusion
+    matrix (n_docs, tp/fp/tn/fn) of the batch-perceptron model on its
+    training corpus — the metric loop every quality-filter pipeline
+    closes before shipping weights.  On this corpus the lang label is
+    not token-learnable (see text_classifier_train), so the matrix
+    documents the majority-predictor convergence honestly: fn = 0 or
+    tp = 0 style collapses are visible in the gate row, not hidden
+    behind an accuracy scalar."""
+    from ..operators.textstats import classifier_eval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return classifier_eval(docs, "doc_id", "text", label_col="lang", pos_label="en")
+
+
 @register(
     "streaming_quality_gate",
     oracle=f"""

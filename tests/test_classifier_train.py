@@ -59,3 +59,13 @@ def test_training_is_deterministic(spark):
     b = classifier_train(docs, "doc_id", "text").collect()
     assert a == b
     assert len(a) == 256
+
+
+def test_eval_confusion_on_separable_corpus(spark):
+    from binaryx_graph_spark.operators.textstats import classifier_eval
+
+    docs = _corpus(spark)
+    (row,) = classifier_eval(docs, "doc_id", "text").collect()
+    assert row.n_docs == 40
+    assert row.tp == 20 and row.tn == 20 and row.fp == 0 and row.fn == 0
+    assert row.tp + row.fp + row.tn + row.fn == row.n_docs
