@@ -22,10 +22,12 @@ Supported subset (documented; reject-loudly beyond it):
   reference's export query verbatim:
   ``MATCH (n) OPTIONAL MATCH (n)-[r]->(m) RETURN n, type(r), m``.
   A typed edge cannot attach to an any-label variable (fails loudly)
-- variable-length ``[:CALLS*min..max]`` → DISTINCT endpoint pairs with
-  a shortest-connection depth in range (the engine's `reachable`
-  semantics; per-PATH rows are the traverse operators' job — documented
-  divergence from Cypher's one-row-per-path)
+- variable-length ``[:CALLS*min..max]`` with Cypher's one-row-per-
+  relationship-unique-PATH multiplicity (``p = (a)-[:CALLS*..]->(b)``
+  additionally exposes nodes(p)/relationships(p)/length(p)); when the
+  consuming clause is DISTINCT or count(DISTINCT) — provably blind to
+  multiplicity — the compiler swaps in the cheap DISTINCT-endpoint-
+  pairs BFS instead of full path enumeration
 - ``WHERE`` with AND/OR/NOT, parentheses, ``=``, ``<>``, ``<``, ``<=``,
   ``>``, ``>=``, ``CONTAINS``, ``STARTS WITH``, ``ENDS WITH`` over
   ``var.prop`` against literals or ``$params``
@@ -853,11 +855,29 @@ class CypherCompiler:
         if q.fulltext is not None:
             df = self._fulltext_df(q.fulltext, bound)
         for stage in q.stages:
+            self._varlen_distinct_safe = self._multiplicity_insensitive(
+                stage.distinct, stage.items
+            )
             df = self._compile_segment(df, stage.patterns, stage.where, bound)
             df = self._apply_with(df, stage, bound)
+        self._varlen_distinct_safe = self._multiplicity_insensitive(q.distinct, q.items)
         df = self._compile_segment(df, q.patterns, q.where, bound)
         assert df is not None
         return self._returns(df, q, bound)
+
+    def _multiplicity_insensitive(self, distinct: bool, items) -> bool:
+        """True when the consuming clause provably cannot observe row
+        multiplicity, so a var-length pattern may compile to the cheap
+        DISTINCT-endpoint-pairs BFS instead of full path enumeration:
+        either the clause is DISTINCT with no aggregates, or every
+        aggregate is count(DISTINCT x) (group keys and count-distinct
+        are both blind to duplicate rows).  Anything else — count(*),
+        sum, collect, plain projection — sees Cypher's one-row-per-path
+        semantics and gets the per-path plan."""
+        aggs = [i for i in items if self._is_agg(i.kind)]
+        if aggs:
+            return all(i.kind == "count_distinct_var" for i in aggs)
+        return bool(distinct)
 
     def _compile_segment(
         self, df: DataFrame | None, patterns: list[Pattern], where, bound: dict[str, str]
@@ -1545,7 +1565,16 @@ class CypherCompiler:
             cur = pat.nodes[i]
             src_node, dst_node = (cur, nxt) if e.direction == "->" else (nxt, cur)
             if e.varlen:
-                pairs = self._varlen_pairs(e.varlen)
+                if e.var:
+                    raise ValueError(
+                        "cypher: a variable on a var-length edge needs a "
+                        "path pattern (p = (a)-[:CALLS*..]->(b), then "
+                        "relationships(p))"
+                    )
+                if getattr(self, "_varlen_distinct_safe", False):
+                    pairs = self._varlen_pairs(e.varlen)
+                else:
+                    pairs = self._varlen_paths(e.varlen)
             else:
                 pairs = self._edge_pairs(e)
             # join the edge onto the already-bound end, then bind the far end
@@ -1645,10 +1674,63 @@ class CypherCompiler:
         # CONTAINS and IMPORTS matches twice — no dedup here (faithful)
         return out
 
+    def _varlen_paths(self, varlen: tuple[int, int]) -> DataFrame:
+        """One (__src, __dst) row per RELATIONSHIP-UNIQUE :CALLS path of
+        length in [lo, hi] — Cypher's one-row-per-path multiplicity for
+        var-length patterns WITHOUT a path variable (the path variable
+        case is :meth:`_compile_path`).  Relationship identity is the
+        engine's per-type MERGE key (src, dst, offset)
+        (sources/warehouse.py E10), matching the reference's Neo4j
+        store where a re-imported duplicate call row MERGEs into one
+        relationship.  The frontier carries only the eid array needed
+        for the no-repeated-relationship rule; node/offset arrays are
+        never materialized (nothing can project them without a path
+        variable)."""
+        lo, hi = varlen
+        if not (1 <= lo <= hi <= 10):
+            raise ValueError("cypher: *lo..hi must satisfy 1 <= lo <= hi <= 10")
+        edges = _cy_ckpt(
+            self.tables["calls"]
+            .select(
+                F.col("src_uid").alias("__esrc"),
+                F.col("dst_uid").alias("__edst"),
+                F.concat_ws("⊕", "src_uid", "dst_uid", "offset").alias("__eid"),
+            )
+            .distinct()
+        )
+        cur = edges.select(
+            F.col("__esrc").alias("__src"),
+            F.col("__edst").alias("__dst"),
+            F.array("__eid").alias("__eids"),
+        )
+        acc = cur if lo <= 1 else None
+        for depth in range(2, hi + 1):
+            cur = _cy_ckpt(
+                cur.join(edges, F.col("__dst") == F.col("__esrc"))
+                .filter(~F.array_contains(F.col("__eids"), F.col("__eid")))
+                .select(
+                    "__src",
+                    F.col("__edst").alias("__dst"),
+                    F.array_append(F.col("__eids"), F.col("__eid")).alias("__eids"),
+                )
+            )
+            if cur.isEmpty():
+                break
+            if depth >= lo:
+                acc = cur if acc is None else acc.unionByName(cur)
+        if acc is None:
+            acc = cur.filter(F.lit(False))
+        return acc.select("__src", "__dst")
+
     def _varlen_pairs(self, varlen: tuple[int, int]) -> DataFrame:
         """DISTINCT (src, dst) pairs connected by a :CALLS path with
         length in [lo, hi] — frontier iteration with per-level distinct
-        (the reachable() shape; lineage stays hi-bounded)."""
+        (the reachable() shape; lineage stays hi-bounded).  Used ONLY
+        when :meth:`_multiplicity_insensitive` proves the consuming
+        clause cannot observe per-path multiplicity — the scale-correct
+        plan for DISTINCT/count-distinct queries, where full path
+        enumeration would do exponentially more work for an identical
+        result."""
         lo, hi = varlen
         if not (1 <= lo <= hi <= 10):
             raise ValueError("cypher: *lo..hi must satisfy 1 <= lo <= hi <= 10")

@@ -9,14 +9,24 @@ every subsequent equi-join on that key reads matching buckets 1:1 —
 shuffle is paid once at write time and amortized over every downstream
 join, the classic warehouse trade for repeatedly-joined fact tables.
 
+The no-Sort half needs two invariants Spark won't give by default:
+(1) exactly ONE file per bucket — we ``repartition(buckets, key)``
+before the bucketed write (HashPartitioning and bucket-id hashing are
+both Murmur3 pmod N, so output partitions map 1:1 onto buckets), and
+(2) ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` so the
+scan reports the per-file sort order (sound ONLY under invariant 1 —
+with several files per bucket the concatenated bucket is NOT sorted,
+which is exactly why Spark 3 stopped reporting it by default).
+
 This module materializes bucketed twins of ``orders`` and ``lineitem``
-(external parquet tables under the session warehouse dir, content-keyed
-per source directory so re-runs reuse them) and exposes a plan guard
-that *proves* the join is co-located: it walks the physical plan of the
-join-only DataFrame and raises if Catalyst inserted any Exchange below
-the join.  The guard runs inside the registered query, so the gate
-checks the layout property on every correctness run, not just in a
-pytest.
+(external parquet tables under a per-session directory — keyed on the
+Spark application id, so concurrent sessions on the same sf_dir can
+never delete or overwrite each other's registered files) and exposes a
+plan guard that *proves* the join is co-located: it walks the physical
+plan of the join-only DataFrame and raises if Catalyst inserted any
+Exchange **or any Sort** below the join.  The guard runs inside the
+registered query, so the gate checks the layout property on every
+correctness run, not just in a pytest.
 
 Scale notes (SCALE.md "bucketed layout"):
 - bucket count is a layout-time knob: 8 here (local testdata); a 100 TB
@@ -46,24 +56,32 @@ from ..model import load_table
 DEFAULT_BUCKETS = 8
 
 
-def _layout_key(sf_dir: str, buckets: int) -> str:
-    """Content key for the materialized layout: source dir + bucket count."""
-    return hashlib.sha256(f"{sf_dir}|{buckets}".encode()).hexdigest()[:10]
+def _layout_key(spark: SparkSession, sf_dir: str, buckets: int) -> str:
+    """Key for the materialized layout: source dir + bucket count + the
+    Spark APPLICATION id.  The app id makes the on-disk location
+    per-session: two concurrent sessions (bench + pytest) each write and
+    read their own directory, so neither can rmtree files the other's
+    in-memory catalog still points at."""
+    token = f"{sf_dir}|{buckets}|{spark.sparkContext.applicationId}"
+    return hashlib.sha256(token.encode()).hexdigest()[:10]
 
 
 def ensure_bucketed_pair(
     spark: SparkSession, sf_dir: str, buckets: int = DEFAULT_BUCKETS
 ) -> tuple[str, str]:
     """Materialize bucketed twins of orders/lineitem, bucketed+sorted on
-    the orderkey; returns the two table names.  Within a session the
-    catalog entry is reused; across sessions the external location is
-    cleared and rewritten (the metastore is in-memory, so a leftover
-    directory without a catalog entry — e.g. from a killed run — must
-    never be trusted: a partial write would silently corrupt the join)."""
-    key = _layout_key(sf_dir, buckets)
+    the orderkey with exactly ONE file per bucket; returns the two table
+    names.  Within a session the catalog entry is reused; the location
+    is per-session (see :func:`_layout_key`), so a leftover directory
+    from a killed run is never trusted or shared — each session writes
+    fresh before registering."""
+    key = _layout_key(spark, sf_dir, buckets)
     base = os.path.join(tempfile.gettempdir(), "bxg_bucketed", key)
     orders_t = f"bxg_bkt_orders_{key}"
     lineitem_t = f"bxg_bkt_lineitem_{key}"
+    # Sound under the one-file-per-bucket invariant enforced below; lets
+    # the scan report its sort order so the SMJ needs no Sort node.
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     pairs = (
         (orders_t, "orders", "o_orderkey"),
         (lineitem_t, "lineitem", "l_orderkey"),
@@ -75,7 +93,11 @@ def ensure_bucketed_pair(
         shutil.rmtree(path, ignore_errors=True)
         df = load_table(spark, sf_dir, src)
         (
-            df.write.format("parquet")
+            # one output partition per bucket (same Murmur3 pmod N as the
+            # bucket-id function) → one file per bucket → per-file sortBy
+            # order IS the bucket order
+            df.repartition(buckets, F.col(join_key))
+            .write.format("parquet")
             .mode("overwrite")
             .option("path", path)
             .bucketBy(buckets, join_key)
@@ -86,16 +108,24 @@ def ensure_bucketed_pair(
 
 
 def assert_colocated_join(joined: DataFrame) -> None:
-    """Prove the join is shuffle-free: raise if the physical plan of the
-    (join-only) DataFrame contains any Exchange.  A bucketed-bucketed
-    equi-join on the bucket key must satisfy EnsureRequirements from the
-    scan's reported HashClusteredDistribution — if an Exchange appears,
-    the layout contract is broken (bucket counts diverged, the key
-    drifted, or bucketed reads were disabled)."""
+    """Prove the join is shuffle-free AND sort-free: raise if the
+    physical plan of the (join-only) DataFrame contains any Exchange or
+    any Sort.  A bucketed-bucketed equi-join on the bucket key must
+    satisfy EnsureRequirements from the scan's reported
+    HashClusteredDistribution and ordering — an Exchange means the
+    layout contract broke (bucket counts diverged, the key drifted,
+    bucketed reads disabled); a Sort means the one-file-per-bucket
+    invariant broke (a multi-task write snuck in extra files, so Spark
+    stopped trusting the per-file order)."""
     plan = joined._jdf.queryExecution().executedPlan().toString()
     if "Exchange" in plan:
         raise AssertionError(
             "bucketed join plan contains an Exchange (layout contract broken):\n" + plan
+        )
+    if "Sort " in plan:
+        raise AssertionError(
+            "bucketed join plan contains a Sort (one-file-per-bucket "
+            "invariant broken — scan order no longer trusted):\n" + plan
         )
 
 

@@ -618,12 +618,22 @@ def containment_pairs_prefix(
     candidate join therefore probes the SUB side's prefix against the
     SUP side's FULL shingle list — prefix tokens are globally rare, so
     the full-side fan-out per key is small by construction.  Length
-    filter: |B| ≥ t·|A| (no upper bound — the whole point).  The
-    threshold test is integer cross-multiplied before the one display
-    division, and verification is the same corpus-cardinality
-    array_intersect as :func:`jaccard_pairs_prefix` — provably exact;
+    filter: |B| ≥ t·|A| (no upper bound — the whole point).
+
+    The threshold is converted ONCE to an exact rational num/den
+    (``Fraction(threshold).limit_denominator``) and every test — prefix
+    size, candidate length filter, final verification — is an integer
+    cross-multiplication with that same rational, so (a) any caller
+    threshold is honored end-to-end (candidates and verification can
+    never disagree) and (b) no IEEE tie-rounding can drop a true pair,
+    which the losslessness proof forbids.  Verification is the same
+    corpus-cardinality array_intersect as :func:`jaccard_pairs_prefix`;
     the DuckDB oracle runs the naive all-directed-pairs join.
     """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
@@ -650,7 +660,8 @@ def containment_pairs_prefix(
             F.slice(
                 "_shs",
                 1,
-                (F.floor((1 - F.lit(threshold)) * F.col("n_sh")) + 1).cast("int"),
+                # ⌊(1−t)·n⌋ + 1 computed in exact integers: (n·(den−num)) div den
+                (F.expr(f"(n_sh * {den - num}) div {den}") + 1).cast("int"),
             )
         ).alias("sh"),
     ).select("doc_id", "n_sh", F.xxhash64("sh").alias("shh"))
@@ -663,8 +674,10 @@ def containment_pairs_prefix(
         prefix.alias("x")
         .join(full.alias("y"), "shh")
         .filter(
+            # |B|·den ≥ |A|·num — integer cross-multiply, provably a
+            # superset of the verified set (no float tie-rounding)
             (F.col("x.doc_id") != F.col("y.doc_id"))
-            & (F.col("y.n_sh") >= F.lit(threshold) * F.col("x.n_sh"))
+            & (F.col("y.n_sh") * den >= F.col("x.n_sh") * num)
         )
         .select(F.col("x.doc_id").alias("doc_sub"), F.col("y.doc_id").alias("doc_sup"))
         .distinct()
@@ -691,8 +704,9 @@ def containment_pairs_prefix(
             "n_sub",
             "n_sup",
         )
-        # t = 0.8 == 4/5: integer cross-multiplication, no float threshold
-        .filter(F.col("n_common") * 5 >= F.col("n_sub") * 4)
+        # |A∩B|·den ≥ |A|·num — the SAME exact rational the candidate
+        # stage used, so non-default thresholds verify consistently
+        .filter(F.col("n_common") * den >= F.col("n_sub") * num)
         .withColumn("containment", (F.col("n_common") / F.col("n_sub")).cast("double"))
         .select("doc_sub", "doc_sup", "n_common", "n_sub", "n_sup", "containment")
     )

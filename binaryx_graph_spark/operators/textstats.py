@@ -11,7 +11,7 @@ values hash identically.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # whitespace tokenization, lowercased — the engine-wide convention
@@ -1262,8 +1262,15 @@ def classifier_train(
 
     Returns (bucket, w_final): CLS_DIM rows.
     """
-    spark = docs.sparkSession
     tb = _design_matrix(docs, id_col, text_col, label_col, pos_label)
+    return _train_epochs(docs.sparkSession, tb, epochs)
+
+
+def _train_epochs(spark: SparkSession, tb: DataFrame, epochs: int) -> DataFrame:
+    """The perceptron epoch loop over a prebuilt (checkpointed) design
+    matrix — shared by :func:`classifier_train` and
+    :func:`classifier_eval` so the evaluator never rebuilds the matrix
+    (one explode+groupBy pass over the corpus, the dominant cost)."""
     w = spark.range(CLS_DIM).select(
         F.col("id").cast("int").alias("bucket"), F.lit(0).cast("long").alias("w")
     )
@@ -1363,9 +1370,10 @@ def classifier_eval(
     s ≤ 0 counted negative (the training rule's complement), everything
     int64, so the whole train→score→count chain replays exactly in the
     oracle.  Docs with zero tokens never enter the design matrix and are
-    excluded on both engines."""
-    w = classifier_train(docs, id_col, text_col, label_col, pos_label, epochs)
+    excluded on both engines.  The checkpointed design matrix is built
+    ONCE and shared between the training epochs and the scoring pass."""
     tb = _design_matrix(docs, id_col, text_col, label_col, pos_label)
+    w = _train_epochs(docs.sparkSession, tb, epochs)
     scored = (
         tb.join(
             F.broadcast(w.select("bucket", F.col("w_final").alias("w"))), "bucket"

@@ -56,8 +56,10 @@ def cypher_scoped_function_search(spark: SparkSession, sf_dir: str) -> DataFrame
 def cypher_callees_varlen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's G1 callees-to-depth query shape
     (call_path_analyzer.rs:122-132) in Cypher: variable-length
-    :CALLS*1..2 from main → DISTINCT reachable callees (endpoint-pair
-    semantics; per-path rows stay with the traverse operators)."""
+    :CALLS*1..2 from main → DISTINCT reachable callees.  The RETURN
+    DISTINCT makes the clause multiplicity-blind, so the compiler
+    provably may (and does) use the cheap distinct-pairs BFS instead of
+    per-path enumeration — this row gates that fast path."""
     t = graph_tables(spark)
     return cypher(
         t,
@@ -170,33 +172,38 @@ def cypher_optional_callees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cypher_varlen_scaled",
+    # Cypher multiplicity: count(*) over a var-length pattern counts
+    # relationship-unique PATHS — one-hop paths are the edges, two-hop
+    # paths are ordered edge pairs sharing the middle node with the two
+    # relationships distinct (a self-loop cannot pair with itself)
     oracle="""
     WITH e AS MATERIALIZED (
       SELECT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst
       FROM (SELECT DISTINCT o_orderkey % 500 AS src, (o_custkey * 13) % 500 AS dst
             FROM orders WHERE o_orderkey % 5 = 0)
     ),
-    d1 AS (SELECT src, dst FROM e),
-    d2 AS (SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src),
-    pairs AS (SELECT DISTINCT src, dst FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2))
-    SELECT CAST(count(*) AS BIGINT) AS n_pairs
-    FROM pairs
+    d1 AS (SELECT count(*) AS n FROM e),
+    d2 AS (SELECT count(*) AS n
+           FROM e a JOIN e b ON a.dst = b.src
+           WHERE NOT (a.src = b.src AND a.dst = b.dst))
+    SELECT CAST(d1.n + d2.n AS BIGINT) AS n_paths FROM d1, d2
     """,
     tags=("cypher", "graph", "iterative"),
 )
 def cypher_varlen_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The compiler at DATA scale (not just the micro-graph fixture):
-    variable-length :CALLS*1..2 over the derived call graph (~30k
-    edges at sf0.1) — the compiled frontier iteration is the same
-    distinct-pairs BFS the native traverse operators use, and the
-    oracle unrolls the two hops relationally."""
+    variable-length :CALLS*1..2 over the derived call graph (~30k edges
+    at sf0.1) with Cypher's one-row-per-path count(*) multiplicity —
+    the oracle unrolls both hop depths relationally with the
+    no-repeated-relationship rule.  (The DISTINCT-pairs fast path is
+    gated separately by cypher_callees_varlen / cypher_degree_topk.)"""
     from ..plans.graph_project import as_call_tables, derived_edges
 
     calls, nodes = as_call_tables(derived_edges(spark, sf_dir))
     t = {"functions": nodes, "calls": calls}
     return cypher(
         t,
-        "MATCH (a:Function)-[:CALLS*1..2]->(b:Function) RETURN count(*) AS n_pairs",
+        "MATCH (a:Function)-[:CALLS*1..2]->(b:Function) RETURN count(*) AS n_paths",
     )
 
 
@@ -278,6 +285,71 @@ def cypher_paths_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("node_addresses", "→").alias("node_addresses"),
         F.array_join("call_offsets", "→").alias("call_offsets"),
     ).orderBy("path_length", "node_names")
+
+
+@register(
+    "cypher_paths_per_path",
+    # the oracle IS mg_paths_from_main's pinned result set
+    # (call_path_analyzer.rs:29-38): a hash match proves the compiler's
+    # var-length path enumeration and the native traverse operator
+    # (operators/traverse.py enumerate_paths) agree row-for-row
+    oracle="""
+    SELECT * FROM (VALUES
+      ('main→helper',               1),
+      ('main→CreateFileA',          1),
+      ('main→helper→worker',        2),
+      ('main→helper→worker→helper', 3),
+      ('main→helper→worker→worker', 3)
+    ) AS t(path, path_length) ORDER BY path_length, path
+    """,
+    tags=("cypher", "graph"),
+)
+def cypher_paths_per_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-path multiplicity parity: the G3 all-paths surface
+    (call_path_analyzer.rs:20-110) as verbatim Cypher — one row per
+    relationship-unique path, prefixes included, cycles revisit nodes —
+    gated against the native enumerator's already-green result set."""
+    t = graph_tables(spark)
+    out = cypher(
+        t,
+        """
+        MATCH path = (start:Function)-[:CALLS*1..3]->(end:Function)
+        WHERE start.name = 'main'
+        RETURN [node in nodes(path) | node.name] AS names,
+               length(path) AS path_length
+        """,
+    )
+    return out.select(
+        F.array_join("names", "→").alias("path"),
+        F.col("path_length").cast("int").alias("path_length"),
+    ).orderBy("path_length", "path")
+
+
+@register(
+    "cypher_varlen_multiplicity",
+    # Cypher count(*) over a var-length pattern without a path variable
+    # counts PATHS, not endpoint pairs: 10 on the micro-graph.
+    # Depth 1: the 5 call edges.  Depth 2: main→helper→worker,
+    # helper→worker→helper, helper→worker→worker, worker→helper→worker,
+    # worker→worker→helper — and NOT worker→worker→worker, which would
+    # repeat the self-loop relationship.  (Distinct endpoint pairs would
+    # give 7 — the old pre-parity semantics — so this row fails if the
+    # per-path plan ever regresses to pairs.)
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS n_paths
+    """,
+    tags=("cypher", "graph"),
+)
+def cypher_varlen_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-multiplicity gate for var-length WITHOUT a path variable:
+    ``MATCH (a)-[:CALLS*1..2]->(b) RETURN count(*)`` must count
+    relationship-unique paths (Cypher semantics), not distinct endpoint
+    pairs — the exact count on the micro-graph is pinned by hand."""
+    t = graph_tables(spark)
+    return cypher(
+        t,
+        "MATCH (a:Function)-[:CALLS*1..2]->(b:Function) RETURN count(*) AS n_paths",
+    )
 
 
 @register(

@@ -190,3 +190,64 @@ def test_containment_prefix_filter_lossless_random(spark):
     }
     assert got == want
     assert any(s == i and p == 100 + i for (s, p, *_q) in got for i in range(6))
+
+
+def test_containment_nondefault_thresholds_lossless(spark):
+    """Regression for the r3 advice: candidates AND verification must use
+    the caller's threshold as one exact rational — for every t, the
+    prefix-filtered join equals a naive all-directed-pairs join verified
+    with the same integer cross-multiplication."""
+    import random
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from binaryx_graph_spark.operators.dedup import (
+        containment_pairs_prefix,
+        shingles,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(20):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 35)))))
+    for i in range(5):  # planted partial containments at varying overlap
+        keep = rows[i][1].split()
+        cut = keep[: max(4, int(len(keep) * (0.55 + 0.1 * i)))]
+        extra = " ".join(rng.choice(vocab) for _ in range(12))
+        rows.append((100 + i, " ".join(cut) + " " + extra))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = docs.select(
+        F.col("doc_id"), F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_sub"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_sup"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_sub") != F.col("doc_sup"))
+        .groupBy("doc_sub", "doc_sup")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(sizes.select(F.col("doc_id").alias("doc_sub"), F.col("n_sh").alias("n_sub")), "doc_sub")
+        .join(sizes.select(F.col("doc_id").alias("doc_sup"), F.col("n_sh").alias("n_sup")), "doc_sup")
+        .localCheckpoint(eager=True)
+    )
+    for t in (0.5, 0.6, 0.75, 0.9):
+        frac = Fraction(t).limit_denominator(1_000_000)
+        got = {
+            (r.doc_sub, r.doc_sup, r.n_common)
+            for r in containment_pairs_prefix(docs, "doc_id", "text", threshold=t).collect()
+        }
+        want = {
+            (r.doc_sub, r.doc_sup, r.n_common)
+            for r in inter.filter(
+                F.col("n_common") * frac.denominator >= F.col("n_sub") * frac.numerator
+            ).collect()
+        }
+        assert got == want, f"threshold {t}: {got ^ want}"
+    # sanity: lower thresholds admit strictly more planted pairs
+    n_05 = len(containment_pairs_prefix(docs, "doc_id", "text", threshold=0.5).collect())
+    n_09 = len(containment_pairs_prefix(docs, "doc_id", "text", threshold=0.9).collect())
+    assert n_05 > n_09
