@@ -147,6 +147,7 @@ class Pattern:
     path_var: str | None = None  # MATCH path = (...) — per-path rows
     unwind: tuple[str, list] | None = None  # UNWIND $list AS alias
     shortest: bool = False  # p = shortestPath((a)-[:CALLS*lo..hi]->(b))
+    where: object | None = None  # clause-scoped WHERE (OPTIONAL MATCH only)
 
 
 @dataclass
@@ -363,12 +364,19 @@ class CypherParser:
                 continue
             else:
                 break
-            # Cypher allows a WHERE per MATCH clause; for inner-join
-            # patterns filtering after all matches is equivalent, so the
-            # clauses AND together (the OPTIONAL divergence is documented
-            # at _compile_optional)
+            # Cypher scopes a WHERE to its clause.  For inner-join MATCH
+            # patterns filtering after all matches is equivalent, so
+            # those clauses AND together; a WHERE after an OPTIONAL
+            # MATCH attaches to THAT pattern and filters the optional
+            # rows BEFORE the left join (faithful clause scoping —
+            # unmatched rows keep their NULLs instead of being dropped)
             if self._accept("kw", "WHERE"):
-                wheres.append(self._where())
+                w = self._where()
+                if patterns and patterns[-1].optional:
+                    prev = patterns[-1].where
+                    patterns[-1].where = w if prev is None else BoolExpr("and", [prev, w])
+                else:
+                    wheres.append(w)
         if not patterns and fulltext is None and not stages:
             raise ValueError("cypher: query must start with MATCH or CALL")
         where = fold(wheres)
@@ -1598,40 +1606,61 @@ class CypherCompiler:
     def _compile_optional(
         self, df: DataFrame | None, pat: Pattern, bound: dict[str, str]
     ) -> DataFrame:
-        """OPTIONAL MATCH (restricted): the pattern's FIRST node must be
-        an already-bound variable and the rest must be fresh — the whole
-        pattern compiles standalone and LEFT-joins on the shared
-        variable's key, so unmatched rows keep NULLs in the optional
-        columns (count(optVar) then counts matches, Neo4j-style).
-        Divergence: the single trailing WHERE applies AFTER all matches
-        (Cypher scopes a WHERE to its clause) — keep optional-side
-        conditions inside the pattern's property maps."""
-        first = pat.nodes[0]
-        if df is None or first.var not in bound:
-            raise ValueError(
-                "cypher: OPTIONAL MATCH must start from an already-bound variable"
-            )
-        if first.label and first.label != bound[first.var]:
-            raise ValueError(
-                f"cypher: ({first.var}) is :{bound[first.var]}, not :{first.label}"
-            )
-        first.label = bound[first.var]
-        for n in pat.nodes[1:]:
-            if n.var in bound:
-                raise ValueError(
-                    "cypher: OPTIONAL MATCH may reuse only its first variable "
-                    f"({n.var} is already bound)"
-                )
+        """OPTIONAL MATCH, generalized (Neo4j left-join semantics):
+
+        - the pattern compiles STANDALONE, then LEFT-joins the working
+          rows on the keys of EVERY variable it shares with the outer
+          horizon (anchored anywhere in the pattern, or on several
+          variables at once — e.g. ``OPTIONAL MATCH (f)-[:CALLS]->(g)``
+          with both f and g bound tests edge existence, multiplying per
+          matching relationship, Neo4j-style);
+        - a pattern sharing NO variable left-joins on TRUE — Cypher's
+          optional cartesian: every combination when the arm matches
+          anything, one NULL-extended row per outer row when it's empty;
+        - a ``WHERE`` following the OPTIONAL MATCH is CLAUSE-SCOPED
+          (pat.where): it filters the optional rows BEFORE the join, so
+          outer rows whose optional arm fails the predicate survive
+          with NULLs.  The predicate may reference only variables bound
+          inside the pattern (correlated predicates against other outer
+          variables are rejected loudly)."""
+        if df is None:
+            raise ValueError("cypher: OPTIONAL MATCH needs a preceding MATCH")
+        shared: list[str] = []
+        for n in pat.nodes:
+            if n.var in bound and n.var not in shared:
+                if bound[n.var] == SCALAR:
+                    raise ValueError(
+                        f"cypher: OPTIONAL MATCH cannot re-match scalar {n.var}"
+                    )
+                if n.label and n.label != bound[n.var]:
+                    raise ValueError(
+                        f"cypher: ({n.var}) is :{bound[n.var]}, not :{n.label}"
+                    )
+                n.label = bound[n.var]
+                shared.append(n.var)
         sub_bound: dict[str, str] = {}
         sub = self._compile_pattern(
             None, Pattern(pat.nodes, pat.edges), sub_bound
         )
-        key = self._key_col(first.var, first.label)
-        drop = [c for c in sub.columns if c.startswith(f"{first.var}__") and c != key]
-        sub = sub.drop(*drop).withColumnRenamed(key, "__opt_key")
-        out = df.join(sub, F.col(key) == F.col("__opt_key"), "left").drop("__opt_key")
+        if pat.where is not None:
+            sub = self._attach_exists(sub, pat.where, sub_bound)
+            sub = sub.filter(self._predicate(pat.where, sub_bound))
+            sub = sub.drop(*self._exists_markers.values())
+            self._exists_markers = {}
+        cond = None
+        opt_keys: list[str] = []
+        for i, v in enumerate(shared):
+            key = self._key_col(v, bound[v])
+            dup = [c for c in sub.columns if c.startswith(f"{v}__") and c != key]
+            okey = f"__opt_key{i}"
+            sub = sub.drop(*dup).withColumnRenamed(key, okey)
+            opt_keys.append(okey)
+            c = F.col(key) == F.col(okey)
+            cond = c if cond is None else cond & c
+        out = df.join(sub, cond if cond is not None else F.lit(True), "left")
+        out = out.drop(*opt_keys)
         for v, lbl in sub_bound.items():
-            if v != first.var:
+            if v not in bound:
                 bound[v] = lbl
         return out
 

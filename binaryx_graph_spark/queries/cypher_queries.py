@@ -288,6 +288,70 @@ def cypher_paths_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cypher_optional_unanchored",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('kernel32', 'mal_a.exe', 'Pay Bitcoin'),
+      ('kernel32', 'mal_b.elf', 'Pay Bitcoin')
+    ) AS t(lib, filename, val)
+    ORDER BY lib, filename
+    """,
+    tags=("cypher", "join"),
+)
+def cypher_optional_unanchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNANCHORED OPTIONAL MATCH (shares no variable with the outer
+    horizon) + clause-scoped WHERE: Cypher's optional cartesian — every
+    outer row pairs with every match of the standalone arm, and the
+    WHERE filters the arm BEFORE the left join.  One library row fans
+    out to the two Bitcoin-string containments."""
+    t = graph_tables(spark)
+    return cypher(
+        t,
+        """
+        MATCH (l:Library)
+        OPTIONAL MATCH (b:Binary)-[:CONTAINS_STRING]->(s:String)
+        WHERE s.value CONTAINS 'Bitcoin'
+        RETURN l.name AS lib, b.filename AS filename, s.value AS val
+        ORDER BY lib, filename
+        """,
+    )
+
+
+@register(
+    "cypher_optional_where_scoped",
+    # clause-scoped WHERE semantics: functions NOT in kernel32 keep a
+    # NULL lib (the predicate filters the optional arm pre-join); the
+    # old post-join filtering would have dropped those five rows
+    oracle="""
+    SELECT * FROM (VALUES
+      ('CreateFileA', 'kernel32'),
+      ('exported_fn', CAST(NULL AS VARCHAR)),
+      ('helper',      CAST(NULL AS VARCHAR)),
+      ('main',        CAST(NULL AS VARCHAR)),
+      ('main',        CAST(NULL AS VARCHAR)),
+      ('worker',      CAST(NULL AS VARCHAR))
+    ) AS t(fn, lib)
+    ORDER BY fn
+    """,
+    tags=("cypher", "join"),
+)
+def cypher_optional_where_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE inside an OPTIONAL MATCH is scoped to the clause (Cypher
+    semantics): unmatched-or-filtered rows survive with NULLs instead
+    of being dropped by a post-join filter."""
+    t = graph_tables(spark)
+    return cypher(
+        t,
+        """
+        MATCH (f:Function)
+        OPTIONAL MATCH (f)-[:BELONGS_TO]->(l:Library)
+        WHERE l.name = 'kernel32'
+        RETURN f.name AS fn, l.name AS lib ORDER BY fn
+        """,
+    )
+
+
+@register(
     "cypher_paths_per_path",
     # the oracle IS mg_paths_from_main's pinned result set
     # (call_path_analyzer.rs:29-38): a hash match proves the compiler's

@@ -163,10 +163,57 @@ def test_optional_match_left_join(spark, t):
     by_fn = {x.fn: x.lib for x in r2}
     assert by_fn["CreateFileA"] == "kernel32" and by_fn["main"] is None
 
+def test_optional_match_unanchored_cartesian(spark, t):
+    """An OPTIONAL MATCH sharing no variable is Cypher's optional
+    cartesian: outer rows pair with every arm match (6 functions × 5
+    call edges), and with an always-false arm every outer row survives
+    once with NULLs."""
+    r = cypher(
+        t,
+        "MATCH (f:Function) OPTIONAL MATCH (g:Function)-[:CALLS]->(h:Function) "
+        "RETURN f.name AS n, g.name AS caller",
+    ).collect()
+    assert len(r) == 6 * 5 and all(x.caller is not None for x in r)
+    empty = cypher(
+        t,
+        "MATCH (f:Function) OPTIONAL MATCH (g:Function)-[:CALLS]->(h:Function) "
+        "WHERE g.name = 'no_such_fn' RETURN f.name AS n, g.name AS caller",
+    ).collect()
+    assert len(empty) == 6 and all(x.caller is None for x in empty)
+
+
+def test_optional_match_multi_anchor_edge_exists(spark, t):
+    """OPTIONAL MATCH re-using BOTH endpoints tests relationship
+    existence per outer row (Neo4j multiplicity: one row per matching
+    relationship; rows without the CONTAINS edge keep going)."""
+    r = cypher(
+        t,
+        """
+        MATCH (b:Binary)-[:CONTAINS|IMPORTS]->(f:Function)
+        OPTIONAL MATCH (b)-[:CONTAINS]->(f)
+        RETURN b.filename AS bin, f.name AS fn
+        ORDER BY bin, fn
+        """,
+    ).collect()
+    # every scoped (binary, function) row survives — the optional
+    # existence probe adds no columns and drops nothing
+    base = cypher(
+        t,
+        "MATCH (b:Binary)-[:CONTAINS|IMPORTS]->(f:Function) "
+        "RETURN b.filename AS bin, f.name AS fn ORDER BY bin, fn",
+    ).collect()
+    assert [(x.bin, x.fn) for x in r] == [(x.bin, x.fn) for x in base]
+
+
+def test_optional_match_correlated_where_rejected(spark, t):
+    """A WHERE in the optional arm referencing an OUTER variable is
+    out of subset — rejected loudly, never silently mis-scoped."""
     with pytest.raises(ValueError):
-        cypher(t, "MATCH (f:Function) OPTIONAL MATCH (g:Function)-[:CALLS]->(h:Function) RETURN f.name AS n")
-    with pytest.raises(ValueError):  # may not rebind an existing var beyond the anchor
-        cypher(t, "MATCH (f:Function)-[:CALLS]->(g:Function) OPTIONAL MATCH (f)-[:CALLS]->(g) RETURN f.name AS n")
+        cypher(
+            t,
+            "MATCH (f:Function) OPTIONAL MATCH (g:Function)-[:CALLS]->(h:Function) "
+            "WHERE h.name = f.name RETURN f.name AS n",
+        ).collect()
 
 
 def test_compiled_plan_quality(spark, t):
