@@ -72,6 +72,11 @@ HEADLINE = [
     "graph_label_propagation",
     "multimodal_phash_neardup",
     "layout_bucketed_join",
+    # r4: regression-track the round-3 flagship additions — the directed
+    # containment join (asymmetric prefix filter) and a WITH-pipeline
+    # Cypher query (aggregate → pipe → top-k inside the compiler)
+    "dedup_containment_prefix",
+    "cypher_topk_pipeline",
 ]
 
 

@@ -16,3 +16,5 @@ This package re-expresses the whole capability surface Spark-first:
 """
 
 __version__ = "0.1.0"
+
+from .engine import Engine  # noqa: E402,F401

@@ -1,0 +1,145 @@
+"""User-facing façade: one object that opens a warehouse and exposes the
+engine's operator families as methods returning DataFrames.
+
+The registry (`registry.py`) is the *driver* contract — per-query gate
+functions keyed by name.  ``Engine`` is the *library* contract: what a
+user of the reference CLI (`/root/reference` — ingest, search, traverse,
+stats subcommands) gets when they switch to this package:
+
+    from binaryx_graph_spark import Engine
+    eng = Engine(spark, "/path/to/warehouse")
+    eng.ingest("/path/to/analysis_json_dir")      # JSON -> graph upsert
+    eng.search_strings("Bitcoin wallet")          # T2/T4 fulltext
+    eng.cypher("MATCH (b:Binary)-[:CONTAINS]->(f:Function) RETURN ...")
+    eng.callees("main", max_depth=3)              # G1 traversal
+
+Everything returns a lazy DataFrame — compose further or ``.show()``.
+The pipeline operators (dedup/similarity/text) take arbitrary DataFrames
+rather than warehouse tables, so they are exposed as thin pass-throughs
+bound to the session.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .cypher import cypher as _cypher
+from .model import EDGE_TABLES, NODE_TABLES
+from .operators import dedup as _dedup
+from .operators import search as _search
+from .operators import traverse as _traverse
+from .operators import xref as _xref
+from .sources.json_source import read_analysis_json
+from .operators.ingest import build_graph_tables
+from .sources.warehouse import Warehouse
+
+
+class Engine:
+    """Open (or initialize) a parquet warehouse and query it."""
+
+    def __init__(self, spark: SparkSession, warehouse_root: str):
+        self.spark = spark
+        self.warehouse = Warehouse(spark, warehouse_root)
+        self.warehouse.initialize()
+
+    # ------------------------------------------------------------ tables
+    def table(self, name: str) -> DataFrame:
+        return self.warehouse.read(name)
+
+    def tables(self) -> dict[str, DataFrame]:
+        """All node+edge tables, keyed by warehouse name (the dict shape
+        the Cypher compiler consumes)."""
+        return {n: self.warehouse.read(n) for n in {**NODE_TABLES, **EDGE_TABLES}}
+
+    # ------------------------------------------------------------ ingest
+    def ingest(self, json_path: str | list[str], *, batch_seq: int = 1) -> None:
+        """Reference ingest (S1-S2, E1-E11): read analysis JSON, project
+        node/edge tables, MERGE-upsert into the warehouse."""
+        docs = read_analysis_json(self.spark, json_path)
+        self.warehouse.merge_batch(build_graph_tables(docs), batch_seq=batch_seq)
+
+    # ------------------------------------------------------------ search
+    def search_strings(self, pattern: str, *, raw: bool = False,
+                       binary_filter: str | None = None, limit: int = 100) -> DataFrame:
+        """T2/T4 fulltext string search -> (uid, value, score, sample_count)."""
+        return _search.search_strings(
+            self.table("strings"), self.table("contains_string"), pattern,
+            raw=raw, binary_filter=binary_filter,
+            binaries=self.table("binaries"), limit=limit,
+        )
+
+    def search_functions(self, pattern: str, *,
+                         binary_filter: str | None = None, limit: int = 100) -> DataFrame:
+        """F1/F3 substring function search (empty pattern = match all)."""
+        return _search.search_functions(
+            self.table("functions"), self.table("contains"), self.table("imports"),
+            pattern, binary_filter=binary_filter,
+            binaries=self.table("binaries"), limit=limit,
+        )
+
+    # ---------------------------------------------------------- traversal
+    def _seeds(self, function: str) -> DataFrame:
+        fns = self.table("functions")
+        return fns.filter(
+            (F.col("name") == function) | (F.col("uid") == function)
+        ).select("uid")
+
+    def callees(self, function: str, *, max_depth: int = 1) -> DataFrame:
+        """G1: distinct functions reachable via CALLS in 1..N hops."""
+        return _traverse.reachable(
+            self.table("calls"), self._seeds(function),
+            direction="out", max_depth=max_depth,
+        )
+
+    def callers(self, function: str, *, max_depth: int = 1) -> DataFrame:
+        """G2: distinct functions that reach `function` in 1..N hops."""
+        return _traverse.reachable(
+            self.table("calls"), self._seeds(function),
+            direction="in", max_depth=max_depth,
+        )
+
+    def paths_from(self, function: str, *, max_depth: int = 5) -> DataFrame:
+        """G3: every call path of length 1..N from the function."""
+        return _traverse.enumerate_paths(
+            self.table("calls"), self.table("functions"), self._seeds(function),
+            direction="out", max_depth=max_depth,
+        )
+
+    def recursion(self, *, max_depth: int = 10) -> DataFrame:
+        """G6+G7: direct self-calls (cycle_length 1) plus shortest
+        indirect cycles to `max_depth` -> (uid, name, cycle_length)."""
+        calls, fns = self.table("calls"), self.table("functions")
+        direct = _traverse.direct_recursion(calls, fns).select(
+            "uid", F.lit(1).alias("cycle_length")
+        )
+        indirect = _traverse.indirect_recursion(
+            calls, fns.select("uid"), max_depth=max_depth
+        )
+        both = direct.unionByName(indirect).groupBy("uid").agg(
+            F.min("cycle_length").alias("cycle_length")
+        )
+        return both.join(fns.select("uid", "name"), "uid").select(
+            "uid", "name", "cycle_length"
+        )
+
+    # -------------------------------------------------------------- stats
+    def stats(self) -> DataFrame:
+        """A1/A2: per-label node and relationship counts."""
+        return _xref.global_stats(self.tables())
+
+    # -------------------------------------------------------------- cypher
+    def cypher(self, text: str, params: dict | None = None) -> DataFrame:
+        """Run a (reference-compatible) Cypher-subset query verbatim."""
+        return _cypher(self.tables(), text, params)
+
+    # ------------------------------------------------- pipeline operators
+    # Arbitrary-DataFrame operators: bound pass-throughs so `Engine` is
+    # one import for the whole surface.
+    @staticmethod
+    def dedup_exact(df: DataFrame, id_col: str, key) -> DataFrame:
+        return _dedup.exact_dedup_groups(df, id_col, key)
+
+    @staticmethod
+    def dedup_minhash(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
+        return _dedup.minhash_near_dup(df, id_col, text_col, **kw)

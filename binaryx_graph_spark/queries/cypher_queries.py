@@ -297,6 +297,12 @@ def cypher_paths_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY lib, filename
     """,
     tags=("cypher", "join"),
+    expects_cartesian=(
+        "unanchored OPTIONAL MATCH is Cypher's optional cartesian — the "
+        "arm shares no variable with the outer horizon, so a nested-loop "
+        "left join on TRUE is the semantics itself (Neo4j executes the "
+        "same Apply-on-all-rows shape); bounded only by the arm's data"
+    ),
 )
 def cypher_optional_unanchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNANCHORED OPTIONAL MATCH (shares no variable with the outer

@@ -31,6 +31,13 @@ class Query:
     oracle: str | None  # None → driver runs weaker rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    #: Non-empty ⇒ the query INTENTIONALLY contains a cartesian/BNLJ the
+    #: plan audit cannot bound structurally (e.g. an unanchored OPTIONAL
+    #: MATCH — Cypher's optional cartesian, unbounded by semantics).  The
+    #: auditor reports `acknowledged cartesian: <reason>` instead of a
+    #: flag — visible in PLANS.md, never silent, and the ONLY exemption
+    #: channel (no name lists in the auditor).
+    expects_cartesian: str = ""
 
 
 REGISTRY: dict[str, Query] = {}
@@ -92,13 +99,25 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
 )
 
 
-def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    expects_cartesian: str = "",
+):
     """Decorator: add a query to the registry."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, tags=tags, doc=fn.__doc__ or "")
+        REGISTRY[name] = Query(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            tags=tags,
+            doc=fn.__doc__ or "",
+            expects_cartesian=expects_cartesian,
+        )
         return fn
 
     return deco

@@ -1,0 +1,66 @@
+"""Engine façade: the library-user surface (ingest → search → traverse →
+cypher → stats) over the micro-graph fixture, end-to-end through one
+object (README quickstart contract)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from binaryx_graph_spark import Engine
+
+from .fixtures import write_fixture
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    e = Engine(spark, str(tmp_path_factory.mktemp("eng_wh") / "wh"))
+    e.ingest(write_fixture(tmp_path_factory.mktemp("eng_in")))
+    return e
+
+
+def test_search_strings(eng):
+    rows = eng.search_strings("Bitcoin").collect()
+    assert len(rows) == 1 and "Bitcoin" in rows[0].value
+    assert rows[0].sample_count == 2  # the ransom string ships in both binaries
+
+
+def test_search_functions_scoped(eng):
+    names = {r.name for r in eng.search_functions("", binary_filter="mal_a").collect()}
+    assert "main" in names and "CreateFileA" in names
+
+
+def test_traversal(eng):
+    callees = {r.uid for r in eng.callees("main", max_depth=2).collect()}
+    callers = {r.uid for r in eng.callers("CreateFileA", max_depth=3).collect()}
+    assert callees and callers
+    paths = eng.paths_from("main", max_depth=3).collect()
+    assert paths and all(p.path_length == len(p.node_names) - 1 for p in paths)
+
+
+def test_recursion(eng):
+    rec = {r.name: r.cycle_length for r in eng.recursion().collect()}
+    assert rec.get("worker") == 1  # the fixture's direct self-loop
+
+
+def test_cypher_and_stats(eng):
+    n = eng.cypher(
+        "MATCH (b:Binary)-[:CONTAINS]->(f:Function) RETURN count(f) AS n"
+    ).collect()[0].n
+    assert n > 0
+    stats = {r.label: r.n for r in eng.stats().collect()}
+    assert stats["functions"] >= 6 and stats["calls"] >= 5
+
+
+def test_dedup_passthrough(eng, spark):
+    df = spark.createDataFrame(
+        [(1, "aaa bbb ccc"), (2, "aaa bbb ccc"), (3, "zzz")], "id int, text string"
+    )
+    from pyspark.sql import functions as F
+
+    groups = Engine.dedup_exact(df, "id", F.col("text")).collect()
+    assert any(g.n_docs == 2 and g.canonical_id == 1 for g in groups)

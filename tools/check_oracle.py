@@ -6,7 +6,11 @@ order-insensitive canonical value multiset. Strict: any value difference
 (including float ulps) fails — the real driver's hash can't be looser.
 
 Usage:
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [sf_dir] [--json OUT.json] [query ...]
+
+With --json, writes {name: {"ok": bool, "rows": n, "sec": s, "mode":
+"oracle"|"rows_only", "detail": str}} so a full-catalog run is an
+auditable artifact (LOCALGATE_rN.json) without re-running Spark.
 """
 
 from __future__ import annotations
@@ -57,8 +61,14 @@ def frame_multiset(df) -> tuple[list[str], list[str]]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    wanted = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
+    wanted = [a for a in argv if not os.path.isdir(a)]
 
     reg = load_all()
     spark = get_spark("oracle-check")
@@ -69,6 +79,17 @@ def main() -> int:
 
     names = wanted or sorted(reg)
     failures = []
+    report: dict[str, dict] = {}
+
+    def record(name, ok, rows, t0, mode, detail=""):
+        report[name] = {
+            "ok": ok,
+            "rows": rows,
+            "sec": round(time.time() - t0, 2),
+            "mode": mode,
+            "detail": detail[:500],
+        }
+
     for name in names:
         q = reg[name]
         t0 = time.time()
@@ -77,15 +98,18 @@ def main() -> int:
             spark_pd = sdf.toPandas()
         except Exception as e:
             failures.append(name)
+            record(name, False, -1, t0, "oracle", f"spark error: {e}")
             print(f"FAIL {name}: spark error: {e}")
             continue
         if q.oracle is None:
+            record(name, True, len(spark_pd), t0, "rows_only")
             print(f"ok   {name}: rows-only ({len(spark_pd)} rows, {time.time()-t0:.1f}s, no oracle)")
             continue
         try:
             duck_pd = con.execute(q.oracle).fetchdf()
         except Exception as e:
             failures.append(name)
+            record(name, False, len(spark_pd), t0, "oracle", f"duckdb error: {e}")
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         scols, srows = frame_multiset(spark_pd)
@@ -105,11 +129,29 @@ def main() -> int:
             status.append(f"dtypes spark={skinds} duck={dkinds}")
         if status:
             failures.append(name)
+            record(name, False, len(srows), t0, "oracle", "; ".join(status))
             print(f"FAIL {name}: " + "; ".join(status))
         else:
+            record(name, True, len(srows), t0, "oracle")
             print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "total": len(names),
+                    "ok": len(names) - len(failures),
+                    "queries": report,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if failures else 0
 

@@ -25,68 +25,222 @@ from binaryx_graph_spark.session import get_spark  # noqa: E402
 # covers the whole catalog); pass names on the CLI to audit a subset.
 
 
+# --- structural BNLJ build-side verifier -------------------------------
+#
+# A BroadcastNestedLoopJoin is only acceptable when its BUILD side is
+# provably tiny.  Instead of trusting a name whitelist, parse the plan
+# tree, locate each BNLJ's build child, and demand a machine-checkable
+# row bound:
+#
+#   1. scalar aggregate (keys=[])                      -> exactly 1 row
+#   2. limit-N operator, N <= _MAX_BUILD_ROWS          -> <= N rows
+#   3. LocalTableScan (driver-literal relation: probe
+#      lists, codebooks, seed tables)                  -> driver-sized
+#   4. aggregate keyed by a date_trunc() bucket        -> calendar-bounded
+#   5. FileScan point lookup: pushed EqualTo/In on a
+#      column VERIFIED UNIQUE in the actual data at
+#      audit time (duckdb count(*)=count(distinct))    -> <= |In-list| rows
+#
+# Project/Filter/Exchange/Sort wrappers never increase row counts, so the
+# bound of the first row-shaping operator under the BroadcastExchange is
+# the bound of the build side.  Anything else flags the query.
+
+_MAX_BUILD_ROWS = 4096
+_MARKER = re.compile(r"^([ :]*)[+:]- ")
+_PASSTHROUGH = (
+    "BroadcastExchange", "Project", "Filter", "ColumnarToRow",
+    "InputAdapter", "Sort", "Exchange", "AQEShuffleRead",
+    "ShuffleQueryStage", "BroadcastQueryStage", "CoalescedShuffleRead",
+)
+
+_uniq_cache: dict[tuple[str, str], bool] = {}
+
+
+def _col_is_unique(path: str, col: str) -> bool:
+    """Verify (and cache) that `col` is unique in the parquet at `path`
+    (file or dataset directory) — the data fact that turns an EqualTo
+    point-lookup into a <=1-row bound."""
+    key = (path, col)
+    if key not in _uniq_cache:
+        import duckdb
+
+        src = path if path.endswith(".parquet") else f"{path}/*.parquet"
+        try:
+            row = duckdb.sql(
+                f"SELECT count(*) = count(DISTINCT {col}) FROM '{src}'"
+            ).fetchone()
+            _uniq_cache[key] = bool(row[0])
+        except Exception:
+            _uniq_cache[key] = False
+    return _uniq_cache[key]
+
+
+def _depth(line: str) -> int:
+    m = _MARKER.match(line)
+    return len(m.group(1)) if m else (0 if line.strip() else -1)
+
+
+def _subtree_end(lines: list[str], i: int) -> int:
+    d = _depth(lines[i])
+    for j in range(i + 1, len(lines)):
+        dj = _depth(lines[j])
+        if 0 <= dj <= d:
+            return j
+    return len(lines)
+
+
+def _op_name(line: str) -> str:
+    body = _MARKER.sub("", line).strip()
+    body = re.sub(r"^\*\(\d+\) ", "", body)  # WholeStageCodegen prefix
+    return re.split(r"[ (]", body, 1)[0]
+
+
+# equality of a column to a literal (not another column): `(x#12 = foo)`
+_EQ_LIT = re.compile(r"\((\w+)#\d+L? = ([^()#]+?)\)")
+_SCAN_LOC = re.compile(r"Location: [A-Za-z]*FileIndex\(\d+ paths?\)\[file:([^\],]+)\]")
+
+
+def _justify_build(lines: list[str], start: int, end: int) -> str | None:
+    """Row-bound justification for the build subtree, or None."""
+    subtext = "\n".join(lines[start:end])
+    # equality-to-literal predicates harvested from Filter /
+    # InMemoryTableScan wrappers on the way down to the scan — an
+    # un-pushed `col = lit` above the scan bounds rows exactly like a
+    # pushed EqualTo when the underlying column is verified unique
+    eq_cols: list[str] = []
+    for j in range(start, end):
+        line = lines[j]
+        op = _op_name(line)
+        if op in ("Filter", "InMemoryTableScan") and " OR " not in line:
+            # drop negated equalities first — `NOT (x = 5)` bounds nothing
+            eq_cols += [
+                c for c, _v in _EQ_LIT.findall(re.sub(r"NOT \([^()]*\)", "", line))
+            ]
+        if op in _PASSTHROUGH or op in (
+            "Filter",
+            "InMemoryTableScan",
+            "InMemoryRelation",
+        ):
+            continue
+        if op == "ReusedExchange":
+            m = re.search(r"\[plan_id=(\d+)\]", line)
+            if m:
+                pid = m.group(1)
+                for k, other in enumerate(lines):
+                    if (
+                        f"[plan_id={pid}]" in other
+                        and "ReusedExchange" not in other
+                        and "BroadcastExchange" in other
+                    ):
+                        return _justify_build(lines, k, _subtree_end(lines, k))
+            return None
+        if op in ("HashAggregate", "SortAggregate", "ObjectHashAggregate"):
+            if re.search(r"(keys|key)=\[\]", line):
+                return "1 row (scalar aggregate)"
+            if "date_trunc(" in subtext:
+                return "calendar-bounded (aggregate keyed by date_trunc bucket)"
+            return None
+        if op in ("TakeOrderedAndProject", "GlobalLimit", "LocalLimit", "CollectLimit"):
+            m = re.search(r"limit=(\d+)|Limit (\d+)", line)
+            n = int(m.group(1) or m.group(2)) if m else _MAX_BUILD_ROWS + 1
+            return f"<= {n} rows (limit)" if n <= _MAX_BUILD_ROWS else None
+        if op == "LocalTableScan":
+            return "driver-literal LocalTableScan"
+        if op == "Scan" and "ExistingRDD" in line:
+            # createDataFrame over driver data (codebooks, probe lists,
+            # seed tables) — driver-materialized, so driver-sized by
+            # construction
+            return "driver-materialized ExistingRDD (createDataFrame)"
+        if op == "FileScan":
+            # modulo-sample build (query batches: `(col % K) = r`): the
+            # bound is data-dependent, so MEASURE it at the audited SF —
+            # honest for the pinned exact-baseline queries whose build
+            # is a deterministic sample of the corpus
+            ms = re.search(r"\((\w+)#\d+L? % (\d+)\) = (\d+)\)", subtext)
+            loc0 = re.search(r"file:([^\],]+?\.parquet)", subtext)
+            if ms and loc0:
+                col, k, r = ms.groups()
+                import duckdb
+
+                try:
+                    n = duckdb.sql(
+                        f"SELECT count(*) FROM '{loc0.group(1)}' "
+                        f"WHERE {col} % {k} = {r}"
+                    ).fetchone()[0]
+                except Exception:
+                    n = _MAX_BUILD_ROWS + 1
+                if n <= _MAX_BUILD_ROWS:
+                    return (
+                        f"measured {n} rows (1/{k} modulo-sample of "
+                        f"{os.path.basename(loc0.group(1))} at audit SF)"
+                    )
+            pf = re.search(r"PushedFilters: \[([^\]]*)\]", line)
+            loc = re.search(r"file:([^\],]+?\.parquet)", line)
+            if pf and loc:
+                for col in re.findall(r"EqualTo\((\w+),", pf.group(1)):
+                    if _col_is_unique(loc.group(1), col):
+                        return f"<= 1 row (EqualTo on verified-unique {col})"
+                for col, vals in re.findall(r"In\((\w+), \[([^\]]*)\]", pf.group(1)):
+                    if len(vals.split(",")) <= _MAX_BUILD_ROWS and _col_is_unique(
+                        loc.group(1), col
+                    ):
+                        return (
+                            f"<= {len(vals.split(','))} rows "
+                            f"(In-list on verified-unique {col})"
+                        )
+            # un-pushed equality filters (e.g. above an InMemoryRelation):
+            # map the (possibly `var__`-prefixed) filter column back to the
+            # scanned schema and verify uniqueness in the actual data
+            loc2 = _SCAN_LOC.search(line)
+            schema = re.search(r"ReadSchema: struct<([^>\n]*)", line)
+            if loc2 and schema and eq_cols:
+                fields = {f.split(":")[0] for f in schema.group(1).split(",") if ":" in f}
+                for col in eq_cols:
+                    base = col.split("__")[-1]
+                    if base in fields and _col_is_unique(loc2.group(1), base):
+                        return (
+                            f"<= 1 row (equality filter on verified-unique "
+                            f"{base} of {os.path.basename(loc2.group(1))})"
+                        )
+            return None
+        return None  # unknown row-shaping operator — no bound
+    return None
+
+
+def audit_bnlj(plan: str) -> tuple[list[str], list[str]]:
+    """(flags, justifications) for every BNLJ/CartesianProduct in the plan."""
+    lines = plan.split("\n")
+    flags: list[str] = []
+    notes: list[str] = []
+    for i, line in enumerate(lines):
+        op = _op_name(line)
+        if op not in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+            continue
+        d = _depth(lines[i])
+        end = _subtree_end(lines, i)
+        kids = [
+            j
+            for j in range(i + 1, end)
+            if _depth(lines[j]) == d + 3
+        ]
+        if len(kids) < 2:
+            flags.append(f"{op}: could not locate build child in plan tree")
+            continue
+        build = kids[0] if "BuildLeft" in line else kids[1]
+        just = _justify_build(lines, build, _subtree_end(lines, build))
+        if just is None:
+            flags.append(
+                f"{op}: build side has no provable row bound "
+                f"(root: {_op_name(lines[build + 1]) if build + 1 < end else '?'})"
+            )
+        else:
+            notes.append(f"{op} build bounded: {just}")
+    return flags, notes
+
+
 def audit_plan(name: str, plan: str) -> list[str]:
-    flags = []
-    if "CartesianProduct" in plan:
-        # a broadcasted single-row query vector is fine; anything else isn't
-        if "broadcast" not in plan.lower():
-            flags.append("CartesianProduct without broadcast")
-    # the ANN family legitimately broadcasts a SINGLE-ROW query vector
-    # (and IVF its k-row probe list) — a 1-row build side NLJ is the
-    # right plan there, not a leaked cartesian
-    if re.search(r"BroadcastNestedLoopJoin", plan) and name not in (
-        "ann_cosine_topk",
-        "ann_cosine_lsh",
-        "ann_cosine_ivf",
-        # TPC-H scalar-subquery shapes: the build side is a broadcast
-        # 1-ROW aggregate (global total / max / average) compared with a
-        # non-equi predicate — the correct plan for value-vs-global
-        # filters, not a leaked cartesian
-        "q11_important_stock",
-        "q15_top_supplier",
-        "q22_global_sales_opportunity",
-        # 1-row broadcast compositions: PQ broadcasts the single query
-        # vector (like the ann family); the sketch/funnel queries
-        # cross-join 1-row aggregates (estimate × exact count, staged
-        # funnel counts, quantile picks) — constant-size build sides
-        "ann_cosine_pq",
-        "ann_cosine_pq_rerank",
-        # batch kNN: the QUERY BATCH is the broadcast build side (the
-        # corpus is the streamed side) — the intended exact-variant plan;
-        # the scale path swaps in IVF/LSH-pruned candidates upstream
-        "ann_knn_join_batch",
-        # recall@k measurement: contains the exact kNN baseline by
-        # definition (recall needs the ground truth), so the same
-        # broadcast-query-batch cross as ann_knn_join_batch is intended
-        "ann_recall_lsh_multiprobe",
-        # IVF batch kNN: probe selection crosses the broadcast query
-        # batch with the n_centroids-row codebook — both dimension-sized
-        "ann_knn_join_batch_ivf",
-        # vocab coverage: the 1-ROW global token-count total broadcasts
-        # onto the cutoff rows (coverage = cum/total) — constant-size
-        # build side like the sketch queries
-        "text_vocab_coverage",
-        "sketch_hll_distinct",
-        "sketch_histogram_quantiles",
-        "events_funnel_conversion",
-        # unigram LM: the 1-ROW total-token-count aggregate broadcasts
-        # onto the vocab frame (p = c/N needs the global N) — same
-        # constant-size build side as the sketch queries
-        "text_unigram_surprisal",
-        # interval range join: the window dimension (≤ days-in-corpus
-        # rows) broadcasts and the non-equi predicate evaluates at the
-        # probe scan — a broadcast NLJ IS the right plan for a range
-        # join against a dimension-sized interval table
-        "range_join_daily_windows",
-        # domain mixture: the 1-ROW Σweight total broadcasts onto the
-        # source-count dimension (allocation = share of the global
-        # weight sum) — same constant-size build side as the sketches
-        "pipeline_domain_mixture",
-        # PMI: the 1-ROW corpus doc count broadcasts onto the pair
-        # frame (ratio needs the global N) — constant-size build side
-        "text_pmi_cooccurrence",
-    ):
-        flags.append("BroadcastNestedLoopJoin (non-equi join leaked in)")
+    flags, _ = audit_bnlj(plan)
+    del name  # structural checks only — no name-keyed exemptions
     # wide-scan check: count FIELDS in each ReadSchema struct (a field is
     # `name:type`), flag only genuinely wide unpruned scans.  Bounded to
     # one LINE: simple-mode plan strings hard-truncate long lines, which
@@ -133,8 +287,23 @@ def main() -> int:
         df = q.fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         flags = audit_plan(name, plan)
+        _, notes = audit_bnlj(plan)
+        if q.expects_cartesian:
+            # the registration declares an INTENTIONAL cartesian (with a
+            # mandatory reason) — downgrade exactly those flags to a
+            # visible acknowledgment; anything else still flags
+            ack = [
+                f
+                for f in flags
+                if f.startswith(("BroadcastNestedLoopJoin", "CartesianProduct"))
+            ]
+            if ack:
+                flags = [f for f in flags if f not in ack]
+                notes = [f"acknowledged cartesian: {q.expects_cartesian}"] + notes
         any_flags |= bool(flags)
         status = "⚠ " + "; ".join(flags) if flags else "clean"
+        if notes and not flags:
+            status += " (" + "; ".join(notes) + ")"
         print(f"{name}: {status}")
         sections[name] = f"## {name}\n\nstatus: {status}\n\n```\n{plan[:4000]}\n```\n"
     with open(plans_path, "w") as f:
