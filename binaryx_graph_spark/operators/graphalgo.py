@@ -625,3 +625,124 @@ def sql_community_modularity(sql_edges: str, *, rounds: int = 4) -> str:
     FROM per_c LEFT JOIN intra USING (community), mm
     ORDER BY per_c.community
     """
+
+
+# --------------------------------------------------------------------- HITS
+
+HITS_SCALE = 10**9  # L1 mass per score vector: Σ hub = Σ auth = ~1e9 << 2^63
+
+
+def hits_fixed(edges: DataFrame, *, iters: int = 3, scale: int = HITS_SCALE) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) in exact int64 fixed point
+    → (node, hub_fp, auth_fp).
+
+    Per iteration: auth_raw(v) = Σ_{u→v} hub(u), then L1-normalize
+    auth(v) = (auth_raw(v)·scale) // Σ auth_raw (integer division); the
+    hub update mirrors it against the fresh auth.  L1 normalization
+    (instead of the textbook L2) keeps every operation integer, so the
+    result is independent of partitioning, shuffle order, and engine —
+    the same technique as :func:`pagerank_fixed`.  Overflow-safe by the
+    maintained invariant Σ score ≤ scale: every raw value ≤ scale, so
+    raw·scale ≤ 1e18 < 2^63.
+
+    Scale: two shuffle pairs per iteration (join on src / agg on dst,
+    then join on dst / agg on src); the normalization total is a 1-row
+    scalar aggregate broadcast (the plan-audit-bounded cross join);
+    ``localCheckpoint`` every second round cuts lineage.
+
+    Simple-graph semantics: duplicate (src, dst) edges collapse, like
+    :func:`pagerank_fixed` and the oracle's DISTINCT projection.
+    """
+    edges = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).distinct().localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()  # scalar graph property, intentionally driver-side
+    init = scale // n
+    hub = nodes.select("v", F.lit(init).cast("long").alias("hub"))
+
+    def _half(score: DataFrame, col: str, join_on: str, agg_to: str, out: str) -> DataFrame:
+        raw = (
+            edges.join(score, edges[join_on] == score.v)
+            .groupBy(F.col(agg_to).alias("v"))
+            .agg(F.sum(col).alias("s"))
+        )
+        tot = raw.agg(F.sum("s").alias("t"))
+        return (
+            nodes.crossJoin(F.broadcast(tot))
+            .join(raw, "v", "left")
+            .select(
+                "v",
+                F.expr(f"(coalesce(s, CAST(0 AS BIGINT)) * {scale}) div t").alias(out),
+            )
+        )
+
+    for i in range(iters):
+        auth = _half(hub, "hub", "src", "dst", "auth")
+        hub = _half(auth, "auth", "dst", "src", "hub")
+        if i % 2 == 1 or i == iters - 1:
+            auth = auth.localCheckpoint(eager=True)
+            hub = hub.localCheckpoint(eager=True)
+    return (
+        nodes.join(hub, "v", "left")
+        .join(auth.withColumnRenamed("auth", "_a"), "v", "left")
+        .select(
+            F.col("v").alias("node"),
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub_fp"),
+            F.coalesce("_a", F.lit(0)).cast("long").alias("auth_fp"),
+        )
+    )
+
+
+def sql_hits_fixed(sql_edges: str, *, iters: int = 3, scale: int = HITS_SCALE) -> str:
+    """DuckDB twin of :func:`hits_fixed`: the K iterations unrolled as
+    chained CTEs, bit-identical by integer arithmetic."""
+    ctes = [
+        f"edges AS (SELECT DISTINCT src, dst FROM ({sql_edges}))",
+        "nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges)",
+        "params AS (SELECT count(*) AS n FROM nodes)",
+        f"h0 AS (SELECT v, CAST({scale} // n AS BIGINT) AS s FROM nodes, params)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""a{k}raw AS (
+      SELECT e.dst AS v, CAST(sum(h.s) AS BIGINT) AS s
+      FROM edges e JOIN h{k - 1} h ON e.src = h.v GROUP BY e.dst
+    )"""
+        )
+        ctes.append(f"a{k}tot AS (SELECT CAST(sum(s) AS BIGINT) AS t FROM a{k}raw)")
+        ctes.append(
+            f"""a{k} AS (
+      SELECT nd.v, CAST((COALESCE(r.s, 0) * {scale}) // t.t AS BIGINT) AS s
+      FROM nodes nd CROSS JOIN a{k}tot t LEFT JOIN a{k}raw r ON r.v = nd.v
+    )"""
+        )
+        ctes.append(
+            f"""h{k}raw AS (
+      SELECT e.src AS v, CAST(sum(a.s) AS BIGINT) AS s
+      FROM edges e JOIN a{k} a ON e.dst = a.v GROUP BY e.src
+    )"""
+        )
+        ctes.append(f"h{k}tot AS (SELECT CAST(sum(s) AS BIGINT) AS t FROM h{k}raw)")
+        ctes.append(
+            f"""h{k} AS (
+      SELECT nd.v, CAST((COALESCE(r.s, 0) * {scale}) // t.t AS BIGINT) AS s
+      FROM nodes nd CROSS JOIN h{k}tot t LEFT JOIN h{k}raw r ON r.v = nd.v
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT nd.v AS node,
+           CAST(COALESCE(h.s, 0) AS BIGINT) AS hub_fp,
+           CAST(COALESCE(a.s, 0) AS BIGINT) AS auth_fp
+    FROM nodes nd
+    LEFT JOIN h{iters} h ON h.v = nd.v
+    LEFT JOIN a{iters} a ON a.v = nd.v"""
+    )

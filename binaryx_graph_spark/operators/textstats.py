@@ -1443,3 +1443,185 @@ def sql_classifier_score(
     FROM b JOIN w USING (bucket)
     GROUP BY b.doc_id
     """
+
+
+# ----------------------------------------- interpolated bigram language model
+
+_BIGRAM_CACHE: dict[tuple, tuple[list, list]] = {}
+
+#: interpolation weight λ = 0.9 on the bigram term (CCNet-style LM filter)
+BIGRAM_LAMBDA = 0.9
+
+
+def bigram_lm_surprisal(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    top_m: int = 20000,
+    corpus_key: str | None = None,
+):
+    """Per-document surprisal under an interpolated bigram LM trained on
+    the corpus itself — the CCNet-style quality filter (Wenzek et al.
+    2020 use a KenLM 5-gram; this is the same scoring shape with a
+    2-gram): p(w|prev) = 0.9·c(prev,w)/c(prev) + 0.1·c(w)/N, scored over
+    token positions 2..T, reported as avg bits/token.
+
+    Scale design: the corpus-sized work is one posexplode + a lag
+    window partitioned on doc_id (whose hash partitioning the final
+    per-doc groupBy REUSES — one corpus shuffle total) plus the bigram
+    count shuffle.  The driver artifacts are bounded by construction:
+    the unigram vocab (Heaps' law, the unigram_surprisal precedent) and
+    the TOP-``top_m`` bigrams by (count DESC, prev, cur) — a hard cap
+    with a total tie-break, identical in the oracle; tail bigrams back
+    off to the 0.1-weighted unigram term, Katz-style.  Each table row's
+    quantized surprisal q = floor(-log2(p)·4096 + 0.5) is computed ONCE
+    on the driver with libm ``math.log2`` (bit-identical to DuckDB's
+    log2 — the unigram_surprisal precedent), so the distributed plan is
+    pure integer broadcast-join + sum.
+
+    Returns (doc_id, n_scored, total_q, avg_bits_per_token) for docs
+    with ≥2 tokens; total_q is in 2^-12-bit units.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    scale = float(SURPRISAL_SCALE)
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    lagged = tok.withColumn(
+        "prev", F.lag("tok").over(Window.partitionBy("doc_id").orderBy("pos"))
+    )
+    ck = (corpus_key, text_col, top_m) if corpus_key is not None else None
+    cached = _BIGRAM_CACHE.get(ck) if ck is not None else None
+    if cached is None:
+        uni = {
+            r["tok"]: r["_c"]
+            for r in tok.groupBy("tok").agg(F.count(F.lit(1)).alias("_c")).collect()
+        }
+        n = sum(uni.values())
+        top_bi = (
+            lagged.filter(F.col("prev").isNotNull())
+            .groupBy("prev", F.col("tok").alias("cur"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .orderBy(F.desc("_c"), "prev", "cur")
+            .limit(top_m)
+            .collect()
+        )
+        # EXACT float sequencing shared with the oracle: (0.9*c_bi)/c_prev
+        # + (0.1*c_uni)/n, then floor(-log2(p)*4096 + 0.5)
+        bi_rows = [
+            (
+                r["prev"],
+                r["cur"],
+                int(
+                    math.floor(
+                        -math.log2(
+                            (0.9 * r["_c"]) / uni[r["prev"]]
+                            + (0.1 * uni[r["cur"]]) / n
+                        )
+                        * scale
+                        + 0.5
+                    )
+                ),
+            )
+            for r in top_bi
+        ]
+        uni_rows = [
+            (t, int(math.floor(-math.log2((0.1 * c) / n) * scale + 0.5)))
+            for t, c in uni.items()
+        ]
+        cached = (bi_rows, uni_rows)
+        if ck is not None:
+            _BIGRAM_CACHE[ck] = cached
+    bi_rows, uni_rows = cached
+    spark = docs.sparkSession
+    q_bi = spark.createDataFrame(bi_rows, "_bprev string, _bcur string, q_bi long")
+    q_uni = spark.createDataFrame(uni_rows, "tok string, q_uni long")
+    return (
+        lagged.filter(F.col("prev").isNotNull())
+        .join(
+            F.broadcast(q_bi),
+            (F.col("prev") == F.col("_bprev")) & (F.col("tok") == F.col("_bcur")),
+            "left",
+        )
+        .drop("_bprev", "_bcur")
+        .join(F.broadcast(q_uni), "tok")
+        .withColumn("q", F.coalesce("q_bi", "q_uni"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.sum("q").cast("long").alias("total_q"),
+        )
+        .select(
+            "doc_id",
+            "n_scored",
+            "total_q",
+            (
+                (F.col("total_q").cast("double") / F.lit(scale))
+                / F.col("n_scored").cast("double")
+            ).alias("avg_bits_per_token"),
+        )
+    )
+
+
+def sql_bigram_lm_surprisal(
+    table: str, id_col: str = "doc_id", text_col: str = "text", *, top_m: int = 20000
+) -> str:
+    """DuckDB twin of :func:`bigram_lm_surprisal` — identical tokenizer,
+    identical top-M tie-break, identical float sequencing + 2^-12
+    quantization, identical division order."""
+    s = float(SURPRISAL_SCALE)
+    toks = SQL_TOKENS.format(col=text_col)
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}
+    ),
+    tok AS (
+      SELECT doc_id, toks[CAST(u.i AS INTEGER)] AS tok, CAST(u.i AS INTEGER) AS pos
+      FROM base, unnest(range(1, len(toks) + 1)) AS u(i)
+    ),
+    lagged AS (
+      SELECT doc_id, tok, pos,
+             lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM tok
+    ),
+    uni AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+    bi AS (
+      SELECT prev, tok AS cur, count(*) AS c_bi
+      FROM lagged WHERE prev IS NOT NULL
+      GROUP BY prev, tok
+      ORDER BY c_bi DESC, prev, cur
+      LIMIT {top_m}
+    ),
+    q_bi AS (
+      SELECT b.prev, b.cur,
+             CAST(floor(-log2((0.9 * b.c_bi) / pu.c + (0.1 * cu.c) / t.n)
+                        * {s} + 0.5) AS BIGINT) AS q
+      FROM bi b
+        JOIN uni pu ON pu.tok = b.prev
+        JOIN uni cu ON cu.tok = b.cur, tot t
+    ),
+    q_uni AS (
+      SELECT tok, CAST(floor(-log2((0.1 * c) / t.n) * {s} + 0.5) AS BIGINT) AS q
+      FROM uni, tot t
+    ),
+    scored AS (
+      SELECT l.doc_id, COALESCE(qb.q, qu.q) AS q
+      FROM lagged l
+        LEFT JOIN q_bi qb ON qb.prev = l.prev AND qb.cur = l.tok
+        JOIN q_uni qu ON qu.tok = l.tok
+      WHERE l.prev IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(q) AS BIGINT) AS total_q,
+           (CAST(sum(q) AS DOUBLE) / {s}) / CAST(count(*) AS DOUBLE)
+             AS avg_bits_per_token
+    FROM scored
+    GROUP BY doc_id
+    """

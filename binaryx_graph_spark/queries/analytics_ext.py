@@ -16,10 +16,12 @@ from pyspark.sql.window import Window
 from ..model import load_table
 from ..operators.graphalgo import (
     community_modularity,
+    hits_fixed,
     kcore_peel,
     label_propagation,
     pagerank_fixed,
     sql_community_modularity,
+    sql_hits_fixed,
     sql_kcore_peel,
     sql_label_propagation,
     sql_pagerank_fixed,
@@ -69,6 +71,27 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no float tolerance).  Top-50 by rank."""
     ranks = pagerank_fixed(derived_edges(spark, sf_dir), iters=5)
     return ranks.orderBy(F.desc("rank_fp"), "node").limit(50)
+
+
+@register(
+    "graph_hits",
+    oracle=sql_hits_fixed(SQL_EDGES)
+    + """
+    ORDER BY auth_fp DESC, hub_fp DESC, node
+    LIMIT 50
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub/authority centrality (HITS, Kleinberg 1999): 3 mutually-
+    reinforcing iterations over the derived call graph in exact int64
+    L1-normalized fixed point — like graph_pagerank, the DuckDB oracle
+    unrolls the identical iterations and matches every score
+    bit-for-bit.  Top-50 authorities."""
+    scores = hits_fixed(derived_edges(spark, sf_dir), iters=3)
+    return scores.orderBy(
+        F.desc("auth_fp"), F.desc("hub_fp"), "node"
+    ).limit(50)
 
 
 @register(

@@ -632,6 +632,28 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_surprisal(docs, corpus_key=sf_dir).orderBy("doc_id")
 
 
+from ..operators.textstats import sql_bigram_lm_surprisal as _sql_bsup  # noqa: E402
+
+
+@register(
+    "text_bigram_lm_surprisal",
+    oracle=_sql_bsup("documents") + " ORDER BY doc_id",
+    tags=("text",),
+)
+def text_bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality scoring (the CCNet-style filter
+    shape): per-document avg bits/token under p(w|prev) =
+    0.9·c(prev,w)/c(prev) + 0.1·c(w)/N, bigram table hard-capped at the
+    top-M by (count, prev, cur) with unigram backoff for the tail.
+    Per-token surprisal is quantized to the 2^-12-bit integer grid on
+    the driver, so the distributed aggregate is exact int64 math and
+    the oracle hash is stable."""
+    from ..operators.textstats import bigram_lm_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_surprisal(docs, corpus_key=sf_dir).orderBy("doc_id")
+
+
 @register(
     "text_language_id_ngram",
     oracle=None,  # set below after import-time generation

@@ -134,3 +134,58 @@ def test_modularity_two_cliques_positive(spark):
     assert sum(r.intra_edges for r in rows) <= m
     q = sum(r.contrib_q for r in rows) / (4 * m * m)
     assert 0.0 < q <= 1.0
+
+
+def test_hits_star_graph(spark):
+    """Star u→{a,b,c}: u is the pure hub (auth 0), leaves split the
+    authority mass evenly; L1 masses stay ~scale (floor losses only)."""
+    from binaryx_graph_spark.operators.graphalgo import HITS_SCALE, hits_fixed
+
+    e = _edges(spark, [(10, 1), (10, 2), (10, 3)])
+    got = {r.node: (r.hub_fp, r.auth_fp) for r in hits_fixed(e, iters=3).collect()}
+    assert got[10][1] == 0 and got[10][0] > 0  # hub only
+    leaf_auths = {got[v][1] for v in (1, 2, 3)}
+    assert len(leaf_auths) == 1  # symmetric leaves
+    assert sum(a for _h, a in got.values()) <= HITS_SCALE
+    assert sum(a for _h, a in got.values()) >= HITS_SCALE - 10  # floor loss
+
+
+def test_hits_matches_unrolled_oracle(spark):
+    """Bit-exact parity with the DuckDB unrolled-CTE twin on an
+    asymmetric graph (the same contract the registered gate pins)."""
+    import duckdb
+
+    from binaryx_graph_spark.operators.graphalgo import hits_fixed, sql_hits_fixed
+
+    pairs = [(1, 2), (1, 3), (2, 3), (4, 3), (3, 5), (5, 1), (2, 5)]
+    got = {
+        r.node: (r.hub_fp, r.auth_fp)
+        for r in hits_fixed(_edges(spark, pairs), iters=3).collect()
+    }
+    vals = ", ".join(f"({s}, {d})" for s, d in pairs)
+    sql = sql_hits_fixed(f"SELECT * FROM (VALUES {vals}) AS t(src, dst)")
+    want = {
+        int(n): (int(h), int(a))
+        for n, h, a in duckdb.sql(sql).fetchall()
+    }
+    assert got == want
+
+
+def test_bigram_lm_backoff_and_exact_sum(spark):
+    """Docs made of one repeated bigram score ~0 bits on the bigram
+    term; a doc of unseen-in-table transitions falls back to the
+    unigram term and scores strictly higher."""
+    from binaryx_graph_spark.operators.textstats import bigram_lm_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b a b"), (2, "a b a b a b a b"), (3, "c a c a c a")],
+        "doc_id int, text string",
+    )
+    # top_m=2 keeps only the dominant (a,b)/(b,a) transitions — doc 3's
+    # (c,a)/(a,c) bigrams back off to the rarer-unigram term
+    got = {
+        r.doc_id: r
+        for r in bigram_lm_surprisal(docs, top_m=2).collect()
+    }
+    assert got[1].n_scored == 7 and got[1].total_q == got[2].total_q
+    assert got[3].avg_bits_per_token > got[1].avg_bits_per_token
