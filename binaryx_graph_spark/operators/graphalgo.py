@@ -685,9 +685,14 @@ def hits_fixed(edges: DataFrame, *, iters: int = 3, scale: int = HITS_SCALE) -> 
     for i in range(iters):
         auth = _half(hub, "hub", "src", "dst", "auth")
         hub = _half(auth, "auth", "dst", "src", "hub")
+        # hub is the only frame carried into the next round — checkpoint
+        # it on the pagerank cadence (every second round + the last);
+        # auth only needs materializing once, at the final iteration,
+        # for the output join (each round recomputes it from hub anyway)
         if i % 2 == 1 or i == iters - 1:
-            auth = auth.localCheckpoint(eager=True)
             hub = hub.localCheckpoint(eager=True)
+        if i == iters - 1:
+            auth = auth.localCheckpoint(eager=True)
     return (
         nodes.join(hub, "v", "left")
         .join(auth.withColumnRenamed("auth", "_a"), "v", "left")
