@@ -887,3 +887,208 @@ def lateral_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ORDER BY e.value DESC, e.event_id LIMIT 3) t
         ORDER BY u.user_id, t.cents DESC, t.event_id
     """)
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    firstw AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT e.user_id, e.wk, f.cohort
+      FROM ev e JOIN firstw f USING (user_id)
+    ),
+    sizes AS (SELECT cohort, count(*) AS cohort_n FROM firstw GROUP BY cohort),
+    r AS (
+      SELECT cohort,
+             (CAST(epoch(wk) AS BIGINT) - CAST(epoch(cohort) AS BIGINT)) // 604800
+               AS week_k,
+             count(DISTINCT user_id) AS n_active
+      FROM act GROUP BY cohort, week_k
+    )
+    SELECT strftime(r.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(r.week_k AS BIGINT) AS week_k,
+           CAST(r.n_active AS BIGINT) AS n_active,
+           CAST(s.cohort_n AS BIGINT) AS cohort_n,
+           (r.n_active * 100.0) / s.cohort_n AS retention_pct
+    FROM r JOIN sizes s USING (cohort)
+    ORDER BY cohort_week, week_k
+    """,
+    tags=("temporal", "agg"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — the classic product-analytics
+    rollup: users are cohorted by the ISO week of their FIRST event;
+    each later active week counts them at offset k.  retention_pct =
+    active/cohort-size in the shared float order.
+
+    Scale: two user-keyed shuffles (first-week min; distinct activity)
+    and a (cohort, k)-keyed aggregate — cardinality ≤ users + weeks²;
+    no window over the raw event stream, no driver state.  Timestamps
+    leave as formatted strings (hash-stable across engines)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    firstw = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    act = ev.distinct().join(firstw, "user_id")
+    sizes = firstw.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_n"))
+    return (
+        act.withColumn(
+            "week_k",
+            F.expr("(unix_timestamp(wk) - unix_timestamp(cohort)) div 604800"),
+        )
+        .groupBy("cohort", "week_k")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(sizes, "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.col("week_k").cast("long"),
+            F.col("n_active").cast("long"),
+            F.col("cohort_n").cast("long"),
+            ((F.col("n_active") * F.lit(100.0)) / F.col("cohort_n")).alias(
+                "retention_pct"
+            ),
+        )
+        .orderBy("cohort_week", "week_k")
+    )
+
+
+@register(
+    "quality_expectations",
+    oracle="""
+    WITH checks AS (
+      SELECT 'orders' AS tbl, 'fk_custkey_in_customer' AS expectation,
+             CAST((SELECT count(*) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+               AS violations
+      UNION ALL
+      SELECT 'lineitem', 'fk_orderkey_in_orders',
+             CAST((SELECT count(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+      UNION ALL
+      SELECT 'customer', 'pk_custkey_unique',
+             CAST((SELECT count(*) - count(DISTINCT c_custkey) FROM customer) AS BIGINT)
+      UNION ALL
+      SELECT 'part', 'pk_partkey_unique',
+             CAST((SELECT count(*) - count(DISTINCT p_partkey) FROM part) AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem', 'quantity_in_1_50',
+             CAST((SELECT count(*) FROM lineitem
+                   WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+      UNION ALL
+      SELECT 'events', 'user_id_not_null',
+             CAST((SELECT count(*) FROM events WHERE user_id IS NULL) AS BIGINT)
+      UNION ALL
+      SELECT 'documents', 'n_chars_matches_length',
+             CAST((SELECT count(*) FROM documents
+                   WHERE n_chars <> length(text)) AS BIGINT)
+    )
+    SELECT tbl, expectation, violations, violations = 0 AS pass
+    FROM checks
+    ORDER BY tbl, expectation
+    """,
+    tags=("quality", "agg"),
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-test-style data-quality audit as ONE dataflow: referential
+    integrity (anti-join counts), primary-key uniqueness, range and
+    null-rate checks, and a derived-column consistency probe — each a
+    scan+aggregate or anti-join, unioned into a (table, expectation,
+    violations, pass) report.  The pipeline gate a 100 TB ingest runs
+    before promoting a batch.
+
+    Scale: every check is one partial-aggregated scan or one semi/anti
+    join on a key — no cross joins, no driver loops; the report is
+    expectation-cardinality."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+
+    def check(tbl: str, name: str, violations_df: DataFrame) -> DataFrame:
+        return violations_df.agg(F.count(F.lit(1)).alias("violations")).select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(name).alias("expectation"),
+            F.col("violations").cast("long"),
+        )
+
+    def check_scalar(tbl: str, name: str, agg_col) -> DataFrame:
+        return (
+            globals_map[tbl]
+            .agg(agg_col.cast("long").alias("violations"))
+            .select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(name).alias("expectation"),
+                "violations",
+            )
+        )
+
+    globals_map = {
+        "customer": customer,
+        "part": part,
+        "lineitem": lineitem,
+        "events": events,
+        "documents": documents,
+    }
+    checks = (
+        check(
+            "orders",
+            "fk_custkey_in_customer",
+            orders.join(
+                customer.select(F.col("c_custkey").alias("o_custkey")),
+                "o_custkey",
+                "left_anti",
+            ),
+        )
+        .unionByName(
+            check(
+                "lineitem",
+                "fk_orderkey_in_orders",
+                lineitem.join(
+                    orders.select(F.col("o_orderkey").alias("l_orderkey")),
+                    "l_orderkey",
+                    "left_anti",
+                ),
+            )
+        )
+        .unionByName(
+            check_scalar(
+                "customer",
+                "pk_custkey_unique",
+                F.count(F.lit(1)) - F.countDistinct("c_custkey"),
+            )
+        )
+        .unionByName(
+            check_scalar(
+                "part",
+                "pk_partkey_unique",
+                F.count(F.lit(1)) - F.countDistinct("p_partkey"),
+            )
+        )
+        .unionByName(
+            check(
+                "lineitem",
+                "quantity_in_1_50",
+                lineitem.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+            )
+        )
+        .unionByName(
+            check("events", "user_id_not_null", events.filter(F.col("user_id").isNull()))
+        )
+        .unionByName(
+            check(
+                "documents",
+                "n_chars_matches_length",
+                documents.filter(F.col("n_chars") != F.length("text")),
+            )
+        )
+    )
+    return checks.withColumn("pass", F.col("violations") == 0).orderBy(
+        "tbl", "expectation"
+    )
