@@ -16,6 +16,7 @@ Rules enforced by convention here (see tools/check_oracle.py):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -143,9 +144,48 @@ def load_all() -> dict[str, Query]:
         tpch_ext,
     )
 
-    # Reorder so never-witnessed queries iterate first (see _WITNESS_PRIORITY).
-    ordered = {n: REGISTRY[n] for n in _WITNESS_PRIORITY if n in REGISTRY}
+    # Reorder so never-witnessed queries iterate first.  SELF-ROTATING:
+    # the set of already-green names is read from the repo's own
+    # CORRECTNESS_r*.json artifacts (the driver writes one per round),
+    # so each round's 50-query sample automatically lands on queries no
+    # prior round has hash-verified — no manual rotation step.
+    # _WITNESS_PRIORITY only breaks ties among the never-witnessed.
+    # Names, signatures and oracle strings stay byte-stable; only dict
+    # ordering changes.
+    green = _witnessed_green()
+    fresh = {n: REGISTRY[n] for n in _WITNESS_PRIORITY if n in REGISTRY and n not in green}
+    fresh.update((n, q) for n, q in REGISTRY.items() if n not in fresh and n not in green)
+    ordered = fresh
     ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)
     REGISTRY.clear()
     REGISTRY.update(ordered)
     return REGISTRY
+
+
+def _witnessed_green() -> set[str]:
+    """Names with a fully-green (rows+schema+hash) row in ANY prior
+    round's driver correctness artifact.  Rows-only rows (err ==
+    'no_oracle') do NOT count — a query stays at the head until its
+    oracle comparison has been hash-verified by the driver."""
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                seen.add(name)
+    return seen
