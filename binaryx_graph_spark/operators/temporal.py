@@ -53,3 +53,49 @@ def as_of_join(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_r_key", "_r_ts")
     )
+
+
+def interval_bin_join(
+    facts: DataFrame,
+    ts_col: str,
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    *,
+    bin_seconds: int,
+) -> DataFrame:
+    """Range join [start, end) as a pure EQUI-join: the fact×fact scale
+    path a broadcast nested-loop range join cannot take.
+
+    Technique (the standard interval-binning rewrite): bucket time into
+    ``bin_seconds`` bins; each fact row lands in exactly one bin, each
+    interval EXPLODES into the ⌈len/bin⌉(+1) bins it overlaps, and the
+    candidate join is bin-equality — a hash-partitioned shuffle join on
+    an integer key — followed by the exact residual predicate.  Choosing
+    bin_seconds ≈ the typical interval length caps the explode factor at
+    ~2 while keeping bins selective.
+
+    At 100 TB neither side needs to fit in memory: both shuffle on
+    ``_bin`` (skewed bins split by AQE), unlike the broadcast-NLJ
+    formulation which requires a dimension-sized interval table.
+    Returns the joined rows (all columns of both inputs).
+    """
+    b_facts = facts.withColumn(
+        "_bin", F.expr(f"unix_timestamp({ts_col}) div {bin_seconds}")
+    )
+    b_iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_timestamp({start_col}) div {bin_seconds}"),
+                F.expr(f"(unix_timestamp({end_col}) - 1) div {bin_seconds}"),
+            )
+        ),
+    )
+    return (
+        b_facts.join(b_iv, "_bin")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("_bin")
+    )

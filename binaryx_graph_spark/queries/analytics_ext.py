@@ -1092,3 +1092,60 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checks.withColumn("pass", F.col("violations") == 0).orderBy(
         "tbl", "expectation"
     )
+
+
+@register(
+    "range_join_binned_trading_windows",
+    oracle="""
+    WITH w AS (
+      SELECT DISTINCT date_trunc('day', ts) + INTERVAL '9 hours 30 minutes'
+               AS win_start,
+             date_trunc('day', ts) + INTERVAL '15 hours 45 minutes'
+               AS win_end
+      FROM events
+    )
+    SELECT strftime(w.win_start, '%Y-%m-%d %H:%M') AS window_start,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e
+    JOIN w ON e.ts >= w.win_start AND e.ts < w.win_end
+    GROUP BY w.win_start
+    ORDER BY window_start
+    """,
+    tags=("join", "temporal", "scale"),
+)
+def range_join_binned_trading_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BINNED range join (operators/temporal.interval_bin_join):
+    events against daily [09:30, 15:45) windows — deliberately NOT
+    bin-aligned, so each window straddles two 6-hour bins and the
+    explode+equi-join+residual path is fully exercised.  Same semantics
+    as range_join_daily_windows' broadcast-NLJ formulation, but the
+    plan is a hash equi-join on the bin key: the formulation that still
+    works when the interval side is fact-sized (maintenance windows ×
+    telemetry at 100 TB).  The oracle is DuckDB's native range join —
+    different algorithm, identical rows."""
+    from ..operators.temporal import interval_bin_join
+
+    ev = load_table(spark, sf_dir, "events")
+    wins = ev.select(
+        (F.date_trunc("day", "ts") + F.expr("INTERVAL 9 HOURS 30 MINUTES")).alias(
+            "win_start"
+        ),
+        (F.date_trunc("day", "ts") + F.expr("INTERVAL 15 HOURS 45 MINUTES")).alias(
+            "win_end"
+        ),
+    ).distinct()
+    j = interval_bin_join(ev, "ts", wins, "win_start", "win_end", bin_seconds=21600)
+    return (
+        j.groupBy("win_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format("win_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "n_events",
+            "n_users",
+        )
+        .orderBy("window_start")
+    )

@@ -62,3 +62,39 @@ def test_broadcast_salted_join_matches_plain(spark):
 def test_aqe_and_skew_join_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_interval_bin_join_equals_nlj(spark):
+    """The binned equi-join range join returns EXACTLY the rows of the
+    naive non-equi formulation — including intervals straddling bins,
+    facts on interval boundaries (start inclusive, end exclusive), and
+    empty intervals."""
+    from binaryx_graph_spark.operators.temporal import interval_bin_join
+    from pyspark.sql import functions as F
+
+    facts = spark.createDataFrame(
+        [(i, f"2024-01-01 {h:02d}:{m:02d}:00") for i, (h, m) in enumerate(
+            [(0, 0), (5, 59), (6, 0), (9, 30), (11, 0), (15, 44), (15, 45), (23, 59)]
+        )],
+        "fid int, ts_s string",
+    ).select("fid", F.to_timestamp("ts_s").alias("ts"))
+    iv = spark.createDataFrame(
+        [("a", "2024-01-01 09:30:00", "2024-01-01 15:45:00"),   # straddles 6h bins
+         ("b", "2024-01-01 00:00:00", "2024-01-01 06:00:00"),   # bin-aligned
+         ("c", "2024-01-01 22:00:00", "2024-01-01 22:00:01"),   # 1-second window
+         ("d", "2024-01-02 00:00:00", "2024-01-02 01:00:00")],  # no facts
+        "wid string, s_s string, e_s string",
+    ).select("wid", F.to_timestamp("s_s").alias("s"), F.to_timestamp("e_s").alias("e"))
+
+    binned = {
+        (r.fid, r.wid)
+        for r in interval_bin_join(facts, "ts", iv, "s", "e", bin_seconds=21600).collect()
+    }
+    naive = {
+        (r.fid, r.wid)
+        for r in facts.join(
+            iv, (F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e"))
+        ).collect()
+    }
+    assert binned == naive
+    assert (3, "a") in binned and (6, "a") not in binned  # boundary semantics
