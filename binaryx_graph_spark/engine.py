@@ -128,10 +128,30 @@ class Engine:
         """A1/A2: per-label node and relationship counts."""
         return _xref.global_stats(self.tables())
 
+    def xref(self, address: str, *, binary_hash: str | None = None) -> DataFrame:
+        """J4: cross-references touching an address (call + import arms)."""
+        return _xref.xref_address(
+            self.table("calls"), self.table("functions"), self.table("imports"),
+            address, binary_hash=binary_hash,
+        )
+
+    # -------------------------------------------------------------- export
+    def export(self, out_path: str) -> DataFrame:
+        """S4: full-graph export — every edge as (src, rel_type, dst),
+        every node as a NODE:<label> row, written to parquet."""
+        return self.warehouse.export_graph(out_path)
+
     # -------------------------------------------------------------- cypher
     def cypher(self, text: str, params: dict | None = None) -> DataFrame:
         """Run a (reference-compatible) Cypher-subset query verbatim."""
         return _cypher(self.tables(), text, params)
+
+    def cypher_write(self, text: str, params: dict | None = None) -> dict:
+        """Run one reference write statement (MERGE/SET/DETACH DELETE)
+        against the warehouse — the importer-compat surface."""
+        from .cypher import cypher_write as _cw
+
+        return _cw(self.warehouse, text, params)
 
     # ------------------------------------------------- pipeline operators
     # Arbitrary-DataFrame operators: bound pass-throughs so `Engine` is

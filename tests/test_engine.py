@@ -64,3 +64,16 @@ def test_dedup_passthrough(eng, spark):
 
     groups = Engine.dedup_exact(df, "id", F.col("text")).collect()
     assert any(g.n_docs == 2 and g.canonical_id == 1 for g in groups)
+
+
+def test_xref_export_write(eng, tmp_path):
+    # cypher_write MERGE then read back through the façade
+    r = eng.cypher_write("MERGE (l:Library {name: $name})", {"name": "newlib"})
+    assert r == {"table": "libraries", "rows": 1}
+    assert eng.table("libraries").filter("name = 'newlib'").count() == 1
+    # xref on main's address: the call edges touching 0x401000
+    assert eng.xref("0x401000").count() > 0
+    # full-graph export round-trips node rows
+    out = str(tmp_path / "exp")
+    exported = eng.export(out)
+    assert exported.filter("rel_type LIKE 'NODE:%'").count() >= 10
