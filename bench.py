@@ -77,6 +77,11 @@ HEADLINE = [
     # Cypher query (aggregate → pipe → top-k inside the compiler)
     "dedup_containment_prefix",
     "cypher_topk_pipeline",
+    # r4 additions: the interpolated bigram-LM quality filter (newest
+    # text family) and the binned equi-join range join (the fact×fact
+    # scale path whose plan the audit certifies BNLJ-free)
+    "text_bigram_lm_surprisal",
+    "range_join_binned_trading_windows",
 ]
 
 

@@ -37,6 +37,7 @@ def pagerank_fixed(
     *,
     iters: int = 5,
     scale: int = PAGERANK_SCALE,
+    cast_ids: bool = True,
 ) -> DataFrame:
     """Damped PageRank (d=0.85) in exact int64 fixed point →
     (node, rank_fp, rank).
@@ -55,10 +56,16 @@ def pagerank_fixed(
     Simple-graph semantics: duplicate (src, dst) rows are collapsed, so
     a repeated call edge carries no extra weight (matches the oracle's
     DISTINCT edge projection; property-tested against a float reference).
+
+    ``cast_ids=False`` keeps node ids as-is (e.g. word strings for
+    TextRank) — the algorithm only ever equality-joins and groups on
+    them, so the arithmetic contract is unchanged.
     """
-    edges = edges.select(
-        F.col("src").cast("long"), F.col("dst").cast("long")
-    ).distinct()
+    if cast_ids:
+        edges = edges.select(
+            F.col("src").cast("long"), F.col("dst").cast("long")
+        )
+    edges = edges.select("src", "dst").distinct()
     nodes = (
         edges.select(F.col("src").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("v")))

@@ -1439,3 +1439,76 @@ def pipeline_pretraining_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(chunks)
         .orderBy("stage")
     )
+
+
+from ..operators.graphalgo import sql_pagerank_fixed as _sql_prf  # noqa: E402
+from ..operators.textstats import SQL_TOKENS as _SQLTOK  # noqa: E402
+
+_TEXTRANK_EDGES_SQL = f"""
+    WITH trbase AS (
+      SELECT doc_id, {_SQLTOK.format(col='text')} AS toks FROM documents
+    ),
+    trtok AS (
+      SELECT doc_id, toks[CAST(u.i AS INTEGER)] AS tok, CAST(u.i AS INTEGER) AS pos
+      FROM trbase, unnest(range(1, len(toks) + 1)) AS u(i)
+    ),
+    trlag AS (
+      SELECT doc_id, tok,
+             lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM trtok
+    ),
+    trpairs AS (
+      SELECT least(prev, tok) AS a, greatest(prev, tok) AS b, count(*) AS c
+      FROM trlag WHERE prev IS NOT NULL AND prev <> tok
+      GROUP BY a, b
+    ),
+    tredges AS (SELECT a, b FROM trpairs WHERE c >= 5)
+    SELECT a AS src, b AS dst FROM tredges
+    UNION ALL
+    SELECT b AS src, a AS dst FROM tredges
+"""
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=_sql_prf(_TEXTRANK_EDGES_SQL)
+    + """
+    ORDER BY rank_fp DESC, node
+    LIMIT 20
+    """,
+    tags=("text", "graph", "iterative"),
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph — adjacent-token pairs (count ≥ 5,
+    undirected via both directions) ranked by the SAME exact-int64
+    pagerank_fixed the call-graph query uses, with word strings as node
+    ids (cast_ids=False).  Two verified primitives COMPOSED: the corpus
+    pass is one lag window + one pair-count shuffle (dictionary-sized
+    output), then the iterative ranking runs on the word graph, which is
+    vocab²-bounded and in practice Zipf-sparse.  Top-20 keywords."""
+    from pyspark.sql.window import Window
+
+    from ..operators.graphalgo import pagerank_fixed
+    from ..operators.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    lagged = tok.withColumn(
+        "prev", F.lag("tok").over(Window.partitionBy("doc_id").orderBy("pos"))
+    )
+    pairs = (
+        lagged.filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("tok")))
+        .groupBy(
+            F.least("prev", "tok").alias("a"), F.greatest("prev", "tok").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 5)
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    ranks = pagerank_fixed(edges, iters=5, cast_ids=False)
+    return ranks.orderBy(F.desc("rank_fp"), "node").limit(20)
