@@ -674,19 +674,19 @@ def hits_fixed(edges: DataFrame, *, iters: int = 3, scale: int = HITS_SCALE) -> 
     hub = nodes.select("v", F.lit(init).cast("long").alias("hub"))
 
     def _half(score: DataFrame, col: str, join_on: str, agg_to: str, out: str) -> DataFrame:
+        # zero-score nodes are simply ABSENT from the intermediate
+        # frames: they contribute nothing through edges and nothing to
+        # the L1 total, so dropping them changes no surviving value —
+        # two node-sized left joins per half-step saved; the final
+        # output join restores explicit zeros
         raw = (
             edges.join(score, edges[join_on] == score.v)
             .groupBy(F.col(agg_to).alias("v"))
             .agg(F.sum(col).alias("s"))
         )
         tot = raw.agg(F.sum("s").alias("t"))
-        return (
-            nodes.crossJoin(F.broadcast(tot))
-            .join(raw, "v", "left")
-            .select(
-                "v",
-                F.expr(f"(coalesce(s, CAST(0 AS BIGINT)) * {scale}) div t").alias(out),
-            )
+        return raw.crossJoin(F.broadcast(tot)).select(
+            "v", F.expr(f"(s * {scale}) div t").alias(out)
         )
 
     for i in range(iters):
