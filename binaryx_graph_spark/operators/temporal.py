@@ -63,6 +63,7 @@ def interval_bin_join(
     end_col: str,
     *,
     bin_seconds: int,
+    extra_keys: list[str] | None = None,
 ) -> DataFrame:
     """Range join [start, end) as a pure EQUI-join: the fact×fact scale
     path a broadcast nested-loop range join cannot take.
@@ -78,6 +79,9 @@ def interval_bin_join(
     At 100 TB neither side needs to fit in memory: both shuffle on
     ``_bin`` (skewed bins split by AQE), unlike the broadcast-NLJ
     formulation which requires a dimension-sized interval table.
+    ``extra_keys`` (columns present on BOTH sides, e.g. the entity id)
+    join alongside the bin — the usual per-entity temporal-window shape
+    — making the shuffle key (entity, bin) and bin skew a non-issue.
     Returns the joined rows (all columns of both inputs).
     """
     b_facts = facts.withColumn(
@@ -93,7 +97,7 @@ def interval_bin_join(
         ),
     )
     return (
-        b_facts.join(b_iv, "_bin")
+        b_facts.join(b_iv, ["_bin"] + list(extra_keys or []))
         .filter(
             (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
         )

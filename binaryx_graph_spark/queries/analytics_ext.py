@@ -1149,3 +1149,100 @@ def range_join_binned_trading_windows(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("window_start")
     )
+
+
+@register(
+    "events_attribution_touch",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id,
+             ts - INTERVAL 24 HOUR AS w_start, ts AS w_end,
+             CAST(round(value * 100) AS BIGINT) AS conv_cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, ts, event_type, event_id
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    joined AS (
+      SELECT c.conv_id, c.conv_cents, t.event_type, t.ts, t.event_id
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id AND t.ts >= c.w_start AND t.ts < c.w_end
+    ),
+    ranked AS (
+      SELECT conv_id, conv_cents, event_type,
+             row_number() OVER (PARTITION BY conv_id ORDER BY ts, event_id)
+               AS rn_first,
+             row_number() OVER (PARTITION BY conv_id ORDER BY ts DESC, event_id DESC)
+               AS rn_last
+      FROM joined
+    ),
+    per_model AS (
+      SELECT 'first_touch' AS model, event_type, conv_cents
+      FROM ranked WHERE rn_first = 1
+      UNION ALL
+      SELECT 'last_touch', event_type, conv_cents
+      FROM ranked WHERE rn_last = 1
+    )
+    SELECT model, event_type AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(sum(conv_cents) AS BIGINT) AS revenue_cents
+    FROM per_model
+    GROUP BY model, touch_type
+    ORDER BY model, touch_type
+    """,
+    tags=("temporal", "join", "agg"),
+)
+def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch conversion attribution: each purchase
+    is attributed to the user's earliest / latest click-or-view inside
+    a 24 h lookback window — the binned per-entity interval join
+    (operators/temporal.interval_bin_join with extra_keys=[user_id], so
+    the shuffle key is (user, day-bin) and the plan is a pure
+    equi-join), then one min/max-struct aggregate per conversion.
+    Unattributed purchases (no touch in window) drop out, like the
+    inner-join oracle.  Exact integer cents throughout.
+
+    Scale: touches × conversions never cross-join — candidates pair
+    only within (user, adjacent-bin); the attribution pick is a single
+    (conv_id)-keyed aggregate, no window over the raw event stream."""
+    from ..operators.temporal import interval_bin_join
+
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 24 HOURS")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+        F.round(F.col("value") * 100).cast("long").alias("conv_cents"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    joined = interval_bin_join(
+        touch, "ts", conv, "w_start", "w_end", bin_seconds=86400,
+        extra_keys=["user_id"],
+    )
+    picked = joined.groupBy("conv_id", "conv_cents").agg(
+        F.min(F.struct("ts", "event_id", "event_type")).alias("_first"),
+        F.max(F.struct("ts", "event_id", "event_type")).alias("_last"),
+    )
+    per_model = picked.select(
+        F.lit("first_touch").alias("model"),
+        F.col("_first.event_type").alias("touch_type"),
+        "conv_cents",
+    ).unionByName(
+        picked.select(
+            F.lit("last_touch").alias("model"),
+            F.col("_last.event_type").alias("touch_type"),
+            "conv_cents",
+        )
+    )
+    return (
+        per_model.groupBy("model", "touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.sum("conv_cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("model", "touch_type")
+    )

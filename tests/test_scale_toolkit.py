@@ -98,3 +98,26 @@ def test_interval_bin_join_equals_nlj(spark):
     }
     assert binned == naive
     assert (3, "a") in binned and (6, "a") not in binned  # boundary semantics
+
+
+def test_interval_bin_join_extra_keys(spark):
+    """extra_keys joins entity alongside the bin: same-time facts of a
+    DIFFERENT entity never match."""
+    from binaryx_graph_spark.operators.temporal import interval_bin_join
+    from pyspark.sql import functions as F
+
+    facts = spark.createDataFrame(
+        [(1, 7, "2024-01-01 10:00:00"), (2, 8, "2024-01-01 10:00:00")],
+        "fid int, uid int, ts_s string",
+    ).select("fid", "uid", F.to_timestamp("ts_s").alias("ts"))
+    iv = spark.createDataFrame(
+        [("w", 7, "2024-01-01 09:00:00", "2024-01-01 11:00:00")],
+        "wid string, uid int, s_s string, e_s string",
+    ).select("wid", "uid", F.to_timestamp("s_s").alias("s"), F.to_timestamp("e_s").alias("e"))
+    got = {
+        (r.fid, r.wid)
+        for r in interval_bin_join(
+            facts, "ts", iv, "s", "e", bin_seconds=3600, extra_keys=["uid"]
+        ).collect()
+    }
+    assert got == {(1, "w")}
