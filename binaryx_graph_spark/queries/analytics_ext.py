@@ -1246,3 +1246,73 @@ def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model", "touch_type")
     )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(cents, 0.5) AS median_cents
+      FROM base GROUP BY event_type
+    ),
+    dev AS (
+      SELECT b.event_type, b.cents, m.median_cents,
+             abs(CAST(b.cents AS DOUBLE) - m.median_cents) AS d
+      FROM base b JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, median_cents, quantile_cont(d, 0.5) AS mad_cents
+      FROM dev GROUP BY event_type, median_cents
+    )
+    SELECT d.event_type, m.median_cents, m.mad_cents,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN d.d > 3 * m.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.median_cents, m.mad_cents
+    ORDER BY d.event_type
+    """,
+    tags=("agg", "quality"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median / median-absolute-
+    deviation (the estimator that survives the outliers it hunts),
+    flagging |x − med| > 3·MAD.  On integer cents both engines'
+    linear-interpolated percentile lands on exact binary fractions
+    (…,.25,.5), so the float contract is exact — no tolerance.
+
+    Scale: two grouped percentile passes (Spark computes them as
+    per-group sorted aggregates) + a broadcast of the per-type medians
+    (dimension-sized); the raw stream is scanned twice, never
+    windowed globally."""
+    base = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    med = base.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.5)).alias("median_cents")
+    )
+    dev = base.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("cents").cast("double") - F.col("median_cents"))
+    )
+    mad = dev.groupBy("event_type", "median_cents").agg(
+        F.percentile("d", F.lit(0.5)).alias("mad_cents")
+    )
+    return (
+        dev.join(
+            F.broadcast(mad.select("event_type", "mad_cents")), "event_type"
+        )
+        .groupBy("event_type", "median_cents", "mad_cents")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.when(F.col("d") > F.lit(3) * F.col("mad_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
