@@ -1316,3 +1316,98 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_rfm_segments",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    anchor AS (SELECT max(ts) AS a FROM p),
+    per_user AS (
+      SELECT user_id,
+             (CAST(epoch((SELECT a FROM anchor)) AS BIGINT)
+              - CAST(epoch(max(ts)) AS BIGINT)) // 86400 AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(cents) AS BIGINT) AS monetary_cents
+      FROM p GROUP BY user_id
+    ),
+    bounds AS (
+      SELECT quantile_cont(recency_days, 0.2) AS r1, quantile_cont(recency_days, 0.4) AS r2,
+             quantile_cont(recency_days, 0.6) AS r3, quantile_cont(recency_days, 0.8) AS r4,
+             quantile_cont(frequency, 0.2) AS f1, quantile_cont(frequency, 0.4) AS f2,
+             quantile_cont(frequency, 0.6) AS f3, quantile_cont(frequency, 0.8) AS f4,
+             quantile_cont(monetary_cents, 0.2) AS m1, quantile_cont(monetary_cents, 0.4) AS m2,
+             quantile_cont(monetary_cents, 0.6) AS m3, quantile_cont(monetary_cents, 0.8) AS m4
+      FROM per_user
+    ),
+    seg AS (
+      SELECT 1 + (recency_days > r1)::INT + (recency_days > r2)::INT
+               + (recency_days > r3)::INT + (recency_days > r4)::INT AS r_seg,
+             1 + (frequency > f1)::INT + (frequency > f2)::INT
+               + (frequency > f3)::INT + (frequency > f4)::INT AS f_seg,
+             1 + (monetary_cents > m1)::INT + (monetary_cents > m2)::INT
+               + (monetary_cents > m3)::INT + (monetary_cents > m4)::INT AS m_seg
+      FROM per_user, bounds
+    )
+    SELECT CAST(r_seg AS BIGINT) AS r_seg, CAST(f_seg AS BIGINT) AS f_seg,
+           CAST(m_seg AS BIGINT) AS m_seg, CAST(count(*) AS BIGINT) AS n_users
+    FROM seg GROUP BY r_seg, f_seg, m_seg
+    ORDER BY r_seg, f_seg, m_seg
+    """,
+    tags=("agg", "temporal"),
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quintiles) the SCALE-CORRECT way: quintile BOUNDARIES come from one
+    percentile aggregate and each user is bucketed by comparison —
+    never a global un-partitioned ntile window (the single-partition
+    sort the plan audit exists to catch).  Boundary percentiles over
+    integer day/count/cent values are exact binary fractions, so the
+    strict-> bucket assignment is tolerance-free in both engines.
+
+    Scale: one user-keyed aggregate, one 1-row boundary broadcast, one
+    segment-keyed count — three shuffles total, all key-partitioned."""
+    p = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    anchor = p.agg(F.max("ts").alias("a"))
+    per_user = (
+        p.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.expr("(unix_timestamp(first(a)) - unix_timestamp(max(ts))) div 86400")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("cents").cast("long").alias("monetary_cents"),
+        )
+    )
+    bounds = per_user.agg(
+        *[
+            F.percentile(c, F.lit(q)).alias(f"{c[0]}{i}")
+            for c in ("recency_days", "frequency", "monetary_cents")
+            for i, q in enumerate((0.2, 0.4, 0.6, 0.8), start=1)
+        ]
+    )
+
+    def seg(col: str, pfx: str):
+        e = F.lit(1)
+        for i in range(1, 5):
+            e = e + F.when(F.col(col) > F.col(f"{pfx}{i}"), 1).otherwise(0)
+        return e.cast("long")
+
+    return (
+        per_user.crossJoin(F.broadcast(bounds))
+        .select(
+            seg("recency_days", "r").alias("r_seg"),
+            seg("frequency", "f").alias("f_seg"),
+            seg("monetary_cents", "m").alias("m_seg"),
+        )
+        .groupBy("r_seg", "f_seg", "m_seg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("r_seg", "f_seg", "m_seg")
+    )
