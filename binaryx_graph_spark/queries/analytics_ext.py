@@ -1411,3 +1411,29 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("r_seg", "f_seg", "m_seg")
     )
+
+
+from ..operators.graphalgo import (  # noqa: E402
+    betweenness_sampled,
+    sql_betweenness_sampled,
+)
+
+
+@register(
+    "graph_betweenness_sampled",
+    oracle=sql_betweenness_sampled(SQL_EDGES)
+    + """
+    ORDER BY bc_fp DESC, node
+    LIMIT 50
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broker-node centrality: sampled-source depth-bounded Brandes
+    betweenness (8 top-degree sources, depth ≤ 3) over the derived call
+    graph in exact int64 fixed point — forward σ path counts are
+    integer sums, backward δ dependencies floor independently per term,
+    so the DuckDB oracle's unrolled forward/backward CTEs match every
+    score bit-for-bit.  Top-50 brokers."""
+    scores = betweenness_sampled(derived_edges(spark, sf_dir))
+    return scores.orderBy(F.desc("bc_fp"), "node").limit(50)

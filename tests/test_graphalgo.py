@@ -189,3 +189,39 @@ def test_bigram_lm_backoff_and_exact_sum(spark):
     }
     assert got[1].n_scored == 7 and got[1].total_q == got[2].total_q
     assert got[3].avg_bits_per_token > got[1].avg_bits_per_token
+
+
+def test_betweenness_known_path(spark):
+    """Path 1→2→3→4 plus spur 1→5: brokers are 2 and 3.  Hand-computed
+    Brandes with depth≤3 from all out-degree sources {1,2,3}: δ-deps
+    give node2 = 2·SCALE (from source 1) and node3 = SCALE (source 1)
+    + SCALE (source 2)."""
+    from binaryx_graph_spark.operators.graphalgo import (
+        BETWEENNESS_SCALE,
+        betweenness_sampled,
+    )
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 5)])
+    got = {r.node: r.bc_fp for r in betweenness_sampled(e).collect()}
+    assert got == {2: 2 * BETWEENNESS_SCALE, 3: 2 * BETWEENNESS_SCALE}
+
+
+def test_betweenness_matches_unrolled_oracle(spark):
+    """Bit-exact parity with the DuckDB forward/backward CTE twin on a
+    graph with converging shortest paths (σ > 1)."""
+    import duckdb
+
+    from binaryx_graph_spark.operators.graphalgo import (
+        betweenness_sampled,
+        sql_betweenness_sampled,
+    )
+
+    pairs = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (4, 6), (5, 7), (2, 3)]
+    got = {
+        r.node: r.bc_fp
+        for r in betweenness_sampled(_edges(spark, pairs)).collect()
+    }
+    vals = ", ".join(f"({s}, {d})" for s, d in pairs)
+    sql = sql_betweenness_sampled(f"SELECT * FROM (VALUES {vals}) AS t(src, dst)")
+    want = {int(n): int(b) for n, b in duckdb.sql(sql).fetchall()}
+    assert got == want and want  # non-empty
