@@ -1512,3 +1512,59 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank_fixed(edges, iters=5, cast_ids=False)
     return ranks.orderBy(F.desc("rank_fp"), "node").limit(20)
+
+
+@register(
+    "text_heaps_law",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id % 10 AS slot, unnest({_SQLTOK.format(col='text')}) AS tok
+      FROM documents
+    ),
+    firsts AS (SELECT tok, min(slot) AS first_slot FROM tok GROUP BY tok),
+    totals AS (
+      SELECT slot, count(*) AS n_tokens FROM tok GROUP BY slot
+    )
+    SELECT t.k,
+           CAST(sum(tt.n_tokens) AS BIGINT) AS corpus_tokens,
+           (SELECT CAST(count(*) AS BIGINT) FROM firsts WHERE first_slot < t.k)
+             AS vocab_size
+    FROM (SELECT unnest(range(1, 11)) AS k) t
+    JOIN totals tt ON tt.slot < t.k
+    GROUP BY t.k
+    ORDER BY t.k
+    """,
+    tags=("text", "quality"),
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law measurement: vocabulary size vs corpus size over ten
+    nested deterministic corpus prefixes (docs with doc_id % 10 < k) —
+    the measured justification for every driver-collected vocab in this
+    engine (unigram/bigram LM, BPE, vocab coverage): token counts grow
+    linearly while distinct-token counts flatten.
+
+    Scale: one explode + ONE token-keyed aggregate (min first-slot per
+    token) + one slot aggregate — the nested prefixes are derived from
+    the 10-row slot/fraction tables, never by rescanning the corpus per
+    prefix."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 10).alias("slot"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    firsts = tok.groupBy("tok").agg(F.min("slot").alias("first_slot"))
+    totals = tok.groupBy("slot").agg(F.count(F.lit(1)).alias("n_tokens"))
+    ks = spark.range(1, 11).select(F.col("id").cast("bigint").alias("k"))
+    corpus = (
+        ks.join(totals, totals.slot < ks.k)
+        .groupBy("k")
+        .agg(F.sum("n_tokens").cast("long").alias("corpus_tokens"))
+    )
+    vocab = (
+        ks.join(firsts, firsts.first_slot < ks.k)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    )
+    return corpus.join(vocab, "k").select(
+        "k", "corpus_tokens", "vocab_size"
+    ).orderBy("k")

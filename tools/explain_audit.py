@@ -146,6 +146,14 @@ def _justify_build(lines: list[str], start: int, end: int) -> str | None:
             return f"<= {n} rows (limit)" if n <= _MAX_BUILD_ROWS else None
         if op == "LocalTableScan":
             return "driver-literal LocalTableScan"
+        if op == "Range":
+            m = re.search(r"Range \((-?\d+), (-?\d+), step=(-?\d+)", line)
+            if m:
+                lo, hi, step = map(int, m.groups())
+                n = max(0, -(-(hi - lo) // step)) if step else 0
+                if 0 < n <= _MAX_BUILD_ROWS:
+                    return f"{n} rows (literal Range)"
+            return None
         if op == "Scan" and "ExistingRDD" in line:
             # createDataFrame over driver data (codebooks, probe lists,
             # seed tables) — driver-materialized, so driver-sized by
