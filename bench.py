@@ -82,6 +82,10 @@ HEADLINE = [
     # scale path whose plan the audit certifies BNLJ-free)
     "text_bigram_lm_surprisal",
     "range_join_binned_trading_windows",
+    # r4 session-2: the marquee new graph algorithm and the binned
+    # per-entity attribution composite
+    "graph_betweenness_sampled",
+    "events_attribution_touch",
 ]
 
 
