@@ -1568,3 +1568,86 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.join(vocab, "k").select(
         "k", "corpus_tokens", "vocab_size"
     ).orderBy("k")
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SQLTOK.format(col='text')} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             toks[CAST(u.i AS INTEGER)] || ' ' ||
+             toks[CAST(u.i AS INTEGER) + 1] || ' ' ||
+             toks[CAST(u.i AS INTEGER) + 2] AS gram
+      FROM base, unnest(range(1, len(toks) - 1)) AS u(i)
+    ),
+    df AS (SELECT gram, count(*) AS gdf FROM grams GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN d.gdf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique_to_doc,
+           (CAST(sum(CASE WHEN d.gdf = 1 THEN 1 ELSE 0 END) AS DOUBLE) * 100.0)
+             / count(*) AS novelty_pct
+    FROM grams g JOIN df d USING (gram)
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+    tags=("text", "quality"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the memorization/boilerplate
+    signal: the share of a doc's distinct token-trigrams appearing in
+    NO other document (corpus df = 1).  High novelty = original text;
+    low = template/duplicated phrasing.  Complements the dedup family
+    with a per-doc continuous score.
+
+    Scale: one explode to distinct (doc, trigram) pairs, one
+    trigram-keyed df count, one broadcast-free equi-join back (both
+    sides shuffle on the gram hash), one doc-keyed rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    trigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                # Spark sequence DESCENDS when start > stop — short docs
+                # (< 3 tokens) get an explicit empty trigram list, like
+                # DuckDB's end-exclusive range
+                F.when(F.size(toks) >= 3, trigrams).otherwise(
+                    F.array().cast("array<string>")
+                )
+            )
+        ).alias("gram"),
+    )
+    df_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("gdf"))
+    return (
+        grams.join(df_counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("gdf") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique_to_doc"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_unique_to_doc",
+            (
+                (F.col("n_unique_to_doc").cast("double") * F.lit(100.0))
+                / F.col("n_grams").cast("double")
+            ).alias("novelty_pct"),
+        )
+        .orderBy("doc_id")
+    )

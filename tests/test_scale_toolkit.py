@@ -121,3 +121,44 @@ def test_interval_bin_join_extra_keys(spark):
         ).collect()
     }
     assert got == {(1, "w")}
+
+
+def test_interval_bin_join_fuzz(spark):
+    """Randomized equivalence: binned equi-join == naive non-equi join
+    for arbitrary fact times, interval placements, and bin widths."""
+    import random
+
+    from binaryx_graph_spark.operators.temporal import interval_bin_join
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(20260814)
+    base = 1_700_000_000
+    for bin_seconds in (7, 3600):
+        facts_rows = [
+            (i, base + rnd.randrange(0, 5000)) for i in range(60)
+        ]
+        iv_rows = []
+        for w in range(25):
+            s = base + rnd.randrange(0, 5000)
+            iv_rows.append((w, s, s + rnd.randrange(1, 900)))
+        facts = spark.createDataFrame(facts_rows, "fid int, es long").select(
+            "fid", F.timestamp_seconds("es").alias("ts")
+        )
+        iv = spark.createDataFrame(iv_rows, "wid int, ss long, ee long").select(
+            "wid",
+            F.timestamp_seconds("ss").alias("s"),
+            F.timestamp_seconds("ee").alias("e"),
+        )
+        binned = {
+            (r.fid, r.wid)
+            for r in interval_bin_join(
+                facts, "ts", iv, "s", "e", bin_seconds=bin_seconds
+            ).collect()
+        }
+        naive = {
+            (r.fid, r.wid)
+            for r in facts.join(
+                iv, (F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e"))
+            ).collect()
+        }
+        assert binned == naive, f"bin_seconds={bin_seconds}"
