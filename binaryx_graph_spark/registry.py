@@ -43,17 +43,15 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
-# Names the per-round correctness gate has never witnessed green (the driver
-# samples the FIRST 50 queries in registry iteration order — verified against
-# r03: its sample is byte-identical to the registry head — so iteration order
-# decides what gets checked).  These register first until each has a green
-# CORRECTNESS row.  Round-4 rotation: every name with a green r1/r2/r3 row
-# moves to the back; the head is (a) stats_approx_distinct, whose new
-# error-bounds oracle replaces the r03 rows-only check and needs a green hash
-# row, (b) queries added this round, (c) the 82 never-witnessed names —
-# TPC-H extensions, the cypher compiler catalog, graph algos, streaming,
-# sketches, PQ/BPE/multimodal tail.  Positions 51+ here get witnessed in r5.
-# Names, signatures and oracle strings of already-green queries stay
+# PREFERENCE order among queries the per-round correctness gate has not yet
+# witnessed green (the driver samples the FIRST 50 queries in registry
+# iteration order — verified against r03: its sample is byte-identical to the
+# registry head).  The actual rotation is AUTOMATIC: load_all() reads the
+# repo's CORRECTNESS_r*.json artifacts and floats every not-yet-green name to
+# the front (see _witnessed_green), so this tuple only decides which of the
+# unwitnessed go first — (a) the oracle-upgraded stats_approx_distinct,
+# (b) new-in-r4 queries, (c) the reference-parity tail never sampled in
+# r1-r3.  Names, signatures and oracle strings of already-green queries stay
 # byte-stable — only dict ordering changes.
 _WITNESS_PRIORITY: tuple[str, ...] = (
     # (a) upgraded from rows-only to an error-bounds oracle this round
