@@ -38,6 +38,11 @@ def get_spark(app_name: str = "binaryx-graph-spark", master: str | None = None) 
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local[N] runs everything in the driver JVM.  An 8g-vs-24g
+        # bench A/B was inconclusive (host-level noise dominated:
+        # back-to-back identical-config runs varied 28-36s); keeping the
+        # r3-baseline 8g — override via SPARK_GRAFT_DRIVER_MEM when a
+        # workload genuinely needs more heap
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # managed (bucketed) tables land outside the repo; static conf
