@@ -277,3 +277,125 @@ def python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ingest_import_stats",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('mal_a.exe', CAST(6 AS BIGINT), CAST(1 AS BIGINT))
+    ) AS t(filename, calls_total, calls_skipped)
+    """,
+    tags=("ingest", "agg"),
+)
+def ingest_import_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-binary import-statistics accumulation — total call rows
+    seen and rows skipped for unresolved endpoints (the counters the
+    reference CLI prints per imported file).  mal_a.exe carries 6 call
+    rows, 1 unresolvable (`0x999999` maps to no function); mal_b.elf
+    has none and produces no row, like the reference's empty-file
+    accumulator."""
+    t = graph_tables(spark)
+    stats = t["import_stats"]
+    bins = t["binaries"].select(
+        F.col("hash").alias("binary_hash"), "filename"
+    )
+    return (
+        stats.join(F.broadcast(bins), "binary_hash")
+        .select(
+            "filename",
+            F.col("calls_total").cast("long"),
+            F.col("calls_skipped").cast("long"),
+        )
+        .orderBy("filename")
+    )
+
+
+@register(
+    "warehouse_lifecycle_counts",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('1_init',  'binaries', CAST(0 AS BIGINT)), ('1_init', 'calls', CAST(0 AS BIGINT)),
+      ('1_init',  'functions', CAST(0 AS BIGINT)), ('1_init', 'strings', CAST(0 AS BIGINT)),
+      ('2_chunked_merge', 'binaries', CAST(2 AS BIGINT)), ('2_chunked_merge', 'calls', CAST(5 AS BIGINT)),
+      ('2_chunked_merge', 'functions', CAST(6 AS BIGINT)), ('2_chunked_merge', 'strings', CAST(3 AS BIGINT)),
+      ('3_clear', 'binaries', CAST(0 AS BIGINT)), ('3_clear', 'calls', CAST(0 AS BIGINT)),
+      ('3_clear', 'functions', CAST(0 AS BIGINT)), ('3_clear', 'strings', CAST(0 AS BIGINT))
+    ) AS t(phase, tbl, n)
+    ORDER BY phase, tbl
+    """,
+    tags=("ingest", "warehouse"),
+)
+def warehouse_lifecycle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6/E12 as one data-plane gate: schema INIT (empty typed
+    tables), CHUNKED import (one analysis file per batch, successive
+    batch_seq MERGEs — the --chunk-size path), then CLEAR (drop +
+    recreate).  Counts per phase must be exactly the fixture's merge
+    result — chunked == single-batch, proving the MERGE keys make
+    batching invisible — and return to zero after clear."""
+    from ..sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="bxg_lifecycle_"))
+    wh.initialize()
+    watched = ["binaries", "functions", "strings", "calls"]
+
+    def phase(name: str) -> list[tuple]:
+        return [(name, t, wh.read(t).count()) for t in watched]
+
+    rows = phase("1_init")
+    fixture_dir = Path(write_fixture(tempfile.mkdtemp(prefix="bxg_lifecycle_in_")))
+    # E12: one JSON file per chunk, ascending batch_seq — the CLI's
+    # --chunk-size=1 execution shape
+    for seq, f in enumerate(sorted(fixture_dir.glob("*.json")), start=1):
+        docs = read_analysis_json(spark, str(f))
+        tables = build_graph_tables(docs)
+        # merge only the watched tables: same chunked-MERGE semantics,
+        # 60% fewer parquet write jobs in the gate
+        wh.merge_batch(
+            {k: v for k, v in tables.items() if k in watched}, batch_seq=seq
+        )
+    rows += phase("2_chunked_merge")
+    wh.clear()
+    rows += phase("3_clear")
+    return spark.createDataFrame(
+        rows, "phase string, tbl string, n long"
+    ).orderBy("phase", "tbl")
+
+
+@register(
+    "display_escape_truncate",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN length(esc) > 60 THEN substr(esc, 1, 60) || '...'
+                ELSE esc END AS display
+    FROM (
+      SELECT doc_id,
+             replace(replace(text, chr(10), '\\n'), chr(13), '\\r') AS esc
+      FROM documents
+    )
+    ORDER BY doc_id
+    LIMIT 100
+    """,
+    tags=("scalar", "presentation"),
+)
+def display_escape_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/C9 as a data-plane Column kernel: the reference's table-output
+    transform — escape newlines/CRs, truncate to 60 chars + '...'
+    (query.rs:230-236) — applied to the documents corpus (every row
+    exercises the truncate arm).  Twin of the CLI's driver-side
+    ``_truncate_for_table``, which stays pinned to this semantics by
+    tests."""
+    from ..model import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    esc = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "\n", r"\\n"), "\r", r"\\r"
+    )
+    display = F.when(
+        F.length(esc) > 60, F.concat(F.substring(esc, 1, 60), F.lit("..."))
+    ).otherwise(esc)
+    return (
+        docs.select("doc_id", display.alias("display"))
+        .orderBy("doc_id")
+        .limit(100)
+    )
