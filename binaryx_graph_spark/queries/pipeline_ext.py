@@ -1243,3 +1243,59 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("direct").alias("path"), "hll_estimate"
     )
     return direct.unionByName(merged).orderBy("path")
+
+
+@register(
+    "stats_approx_quantiles_bounds",
+    # ERROR-BOUNDS oracle, the stats_approx_distinct pattern: Spark's
+    # approx_percentile (GK sketch) guarantees a RANK error <= n/accuracy;
+    # the boolean verifies rank(estimate) lands inside that window by
+    # COUNTING values <= estimate — a distributed comparison, no sorted
+    # arrays.  DuckDB pins the exact median (interpolated percentiles on
+    # integer cents are exact binary fractions) and asserts TRUE.
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5)
+             AS exact_p50_cents,
+           TRUE AS within_rank_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("agg", "approx"),
+)
+def stats_approx_quantiles_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles at scale with a VERIFIED error bound:
+    approx_percentile(accuracy=1000) per event type, checked by rank —
+    count(x <= estimate) must fall within ⌈n/2⌉ ± (⌈n/1000⌉ + 1).  The
+    sketch value itself is engine-specific; its rank-error contract is
+    not, so the hash pins (n, exact median, bound-holds).  The exact
+    median rides along as the ground truth (exact binary fraction on
+    integer cents in both engines)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    approx = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(cents, 0.5, 1000)").alias("_est"),
+        F.percentile("cents", F.lit(0.5)).alias("exact_p50_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    ranked = (
+        ev.join(F.broadcast(approx.select("event_type", "_est")), "event_type")
+        .groupBy("event_type")
+        .agg(F.sum(F.when(F.col("cents") <= F.col("_est"), 1).otherwise(0)).alias("_rk"))
+    )
+    return (
+        approx.join(ranked, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "exact_p50_cents",
+            (
+                F.abs(F.col("_rk") - F.ceil(F.col("n_events") / 2))
+                <= (F.ceil(F.col("n_events") / 1000) + 1)
+            ).alias("within_rank_bound"),
+        )
+        .orderBy("event_type")
+    )

@@ -65,6 +65,7 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     "events_attribution_touch", "events_anomaly_mad", "events_rfm_segments",
     "graph_betweenness_sampled", "text_heaps_law", "text_ngram_novelty",
     "ingest_import_stats", "warehouse_lifecycle_counts", "display_escape_truncate",
+    "stats_approx_quantiles_bounds",
     # (c) the 82 never-witnessed, reference-parity surface first
     "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "q11_important_stock", "q12_late_priority_counts",
