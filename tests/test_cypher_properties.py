@@ -142,3 +142,70 @@ def test_varlen_paths_match_reference(spark, g, lo, extra):
     got = Counter(tuple(r["path"]) for r in cypher(g["t"], q).collect())
     want = ref_paths(g, lo, hi)
     assert got == want, f"*{lo}..{hi}"
+
+
+# ------------------------------------------- OPTIONAL MATCH (r4 semantics)
+
+
+def ref_optional(g, label, ty, mode, far_val):
+    """Reference left-join semantics: per outer node, one row per arm
+    match; NULL-extended single row when the (WHERE-filtered) arm is
+    empty.  mode 'src'/'dst' anchors the outer var in the arm;
+    'none' is the optional cartesian."""
+    _t, sl, _sc, dl, _dc = EDGE_TYPES[ty]
+    pairs = [(str(s), str(d)) for s, d in g["edges"][ty]]
+    if far_val is not None:
+        pairs = [(s, d) for s, d in pairs if d == far_val]
+    rows = Counter()
+    for o in (str(k) for k in g["nodes"][label]):
+        if mode == "src":
+            ms = [d for s, d in pairs if s == o]
+        elif mode == "dst":
+            ms = [s for s, d in pairs if d == o]
+        else:
+            ms = [s for s, _d in pairs]
+        if ms:
+            for m in ms:
+                rows[(o, m)] += 1
+        else:
+            rows[(o, None)] += 1
+    return rows
+
+
+@st.composite
+def optional_cases(draw):
+    ty = draw(st.sampled_from(EDGE_CHOICES))
+    _t, sl, _sc, dl, _dc = EDGE_TYPES[ty]
+    mode = draw(st.sampled_from(["src", "dst", "none"]))
+    label = {"src": sl, "dst": dl}.get(mode) or draw(
+        st.sampled_from(sorted(NODE_LABELS))
+    )
+    filtered = draw(st.booleans()) and mode != "dst"
+    return ty, label, mode, filtered
+
+
+@settings(max_examples=25, deadline=None)
+@given(optional_cases())
+def test_optional_match_matches_reference(spark, g, case):
+    ty, label, mode, filtered = case
+    _t, sl, _sc, dl, _dc = EDGE_TYPES[ty]
+    far_key = NODE_LABELS[dl][1]
+    outer_key = NODE_LABELS[label][1]
+    far_val = None
+    if filtered:
+        keys = sorted(str(k) for k in g["nodes"][dl]) + ["zz_no_such"]
+        far_val = keys[hash((ty, label)) % len(keys)]  # deterministic pick
+    where = f" WHERE x.{far_key} = '{far_val}'" if far_val is not None else ""
+    if mode == "src":
+        arm, ret_b = f"(o)-[:{ty}]->(x:{dl})", f"x.{far_key}"
+    elif mode == "dst":
+        arm, ret_b = f"(y:{sl})-[:{ty}]->(o)", f"y.{NODE_LABELS[sl][1]}"
+    else:
+        arm, ret_b = f"(y:{sl})-[:{ty}]->(x:{dl})", f"y.{NODE_LABELS[sl][1]}"
+    q = (
+        f"MATCH (o:{label}) OPTIONAL MATCH {arm}{where} "
+        f"RETURN o.{outer_key} AS a, {ret_b} AS b"
+    )
+    got = Counter((r["a"], r["b"]) for r in cypher(g["t"], q).collect())
+    want = ref_optional(g, label, ty, mode, far_val)
+    assert got == want, f"case={case} val={far_val}\nquery={q}"
