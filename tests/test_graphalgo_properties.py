@@ -88,3 +88,70 @@ def test_pagerank_tracks_float_reference(spark, pairs):
         # fixed-point floor loses < (iters · max_outdeg) quanta of 1e-12
         # plus the int division of the damping term — far below 1e-6
         assert abs(got[v] - ref[v]) < 1e-6, (v, got[v], ref[v])
+
+
+# ---------------------------------------- betweenness (r4) differential
+
+
+def _py_betweenness(pairs, n_sources=8, max_depth=3, scale=None):
+    """Independent fixed-point Brandes with the operator's exact rules:
+    top-out-degree sources (id tie-break), BFS levels with sigma sums,
+    backward delta with per-term floor, absent-successor delta = 0."""
+    from collections import Counter, defaultdict
+
+    from binaryx_graph_spark.operators.graphalgo import BETWEENNESS_SCALE
+
+    scale = scale or BETWEENNESS_SCALE
+    edges = sorted(set(pairs))
+    adj = defaultdict(list)
+    outdeg = Counter()
+    for s, d in edges:
+        adj[s].append(d)
+        outdeg[s] += 1
+    sources = [s for s, _ in sorted(outdeg.items(), key=lambda kv: (-kv[1], kv[0]))][:n_sources]
+    bc = Counter()
+    for src in sources:
+        levels = [{src: 1}]
+        seen = {src}
+        for _ in range(max_depth):
+            nxt = Counter()
+            for v, sg in levels[-1].items():
+                for w in adj[v]:
+                    if w not in seen:
+                        nxt[w] += sg
+            nxt = dict(nxt)
+            levels.append(nxt)
+            seen |= set(nxt)
+        delta = {v: 0 for v in levels[max_depth]}
+        for d in range(max_depth - 1, 0, -1):
+            nd = {}
+            for v, sg in levels[d].items():
+                t = 0
+                hit = False
+                for w in adj[v]:
+                    if w in levels[d + 1]:
+                        hit = True
+                        t += (sg * (scale + delta.get(w, 0))) // levels[d + 1][w]
+                if hit:
+                    nd[v] = t
+                    bc[v] += t
+            delta = nd
+    return {v: c for v, c in bc.items() if c > 0}
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=3,
+        max_size=25,
+    )
+)
+def test_betweenness_matches_python_reference(spark, pairs):
+    from binaryx_graph_spark.operators.graphalgo import betweenness_sampled
+
+    # self-loops stay in: inert in BFS (target already visited) and in
+    # the backward pass (v cannot sit on two levels) — both sides agree
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r.node: r.bc_fp for r in betweenness_sampled(e).collect()}
+    assert got == _py_betweenness(pairs), f"pairs={sorted(set(pairs))}"
