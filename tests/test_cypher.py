@@ -453,3 +453,43 @@ def test_shortest_path(spark, t):
         cypher(t, "MATCH p = shortestPath((f:Function)-[:CALLS*2..4]->(f)) RETURN length(p) as l")
     with pytest.raises(ValueError):  # must be bound to a path variable
         cypher(t, "MATCH shortestPath((a:Function)-[:CALLS*1..2]->(b:Function)) RETURN a.name AS n")
+
+
+def test_optional_match_two_hop_arm(spark, t):
+    """A multi-edge optional arm compiles standalone and left-joins on
+    the shared anchor: binaries keep a row even when no 2-hop
+    contains→calls chain exists."""
+    r = cypher(
+        t,
+        """
+        MATCH (b:Binary)
+        OPTIONAL MATCH (b)-[:CONTAINS]->(f:Function)-[:CALLS]->(g:Function)
+        RETURN b.filename AS bin, g.name AS callee ORDER BY bin, callee
+        """,
+    ).collect()
+    bins = {x.bin for x in r}
+    assert "mal_b.elf" in bins  # no CONTAINS→CALLS chain: NULL-extended
+    assert any(x.bin == "mal_b.elf" and x.callee is None for x in r)
+    assert any(x.bin == "mal_a.exe" and x.callee is not None for x in r)
+
+
+def test_optional_chained_on_optional_null_anchor(spark, t):
+    """An OPTIONAL MATCH anchored on a variable bound by a PREVIOUS
+    optional: rows where that variable is NULL cannot match (NULL keys
+    never equi-join) and stay NULL-extended — Neo4j semantics."""
+    r = cypher(
+        t,
+        """
+        MATCH (b:Binary)
+        OPTIONAL MATCH (b)-[:IMPORTS]->(f:Function)
+        OPTIONAL MATCH (f)-[:BELONGS_TO]->(l:Library)
+        RETURN b.filename AS bin, f.name AS fn, l.name AS lib
+        ORDER BY bin, fn
+        """,
+    ).collect()
+    by_bin = {}
+    for x in r:
+        by_bin.setdefault(x.bin, []).append((x.fn, x.lib))
+    # both binaries import CreateFileA which belongs to kernel32
+    assert ("CreateFileA", "kernel32") in by_bin["mal_a.exe"]
+    assert ("CreateFileA", "kernel32") in by_bin["mal_b.elf"]
