@@ -1579,7 +1579,15 @@ class CypherCompiler:
                         "path pattern (p = (a)-[:CALLS*..]->(b), then "
                         "relationships(p))"
                     )
-                if getattr(self, "_varlen_distinct_safe", False):
+                # The DISTINCT-pairs fast path is sound ONLY for lo == 1:
+                # there, every walk a→b contains a relationship-unique
+                # path a→b of some length in [1, hi] (strip repeated-edge
+                # cycles), so walk-endpoints == path-endpoints as SETS.
+                # For lo >= 2 the sets genuinely differ (a lone self-loop
+                # 1→1 has a length-2 WALK but no rel-unique length-2
+                # path), so multiplicity-insensitivity is not enough —
+                # those queries take the per-path plan.
+                if getattr(self, "_varlen_distinct_safe", False) and e.varlen[0] == 1:
                     pairs = self._varlen_pairs(e.varlen)
                 else:
                     pairs = self._varlen_paths(e.varlen)
@@ -1756,11 +1764,24 @@ class CypherCompiler:
         length in [lo, hi] — frontier iteration with per-level distinct
         (the reachable() shape; lineage stays hi-bounded).  Used ONLY
         when :meth:`_multiplicity_insensitive` proves the consuming
-        clause cannot observe per-path multiplicity — the scale-correct
-        plan for DISTINCT/count-distinct queries, where full path
-        enumeration would do exponentially more work for an identical
-        result."""
+        clause cannot observe per-path multiplicity AND lo == 1 — the
+        scale-correct plan for DISTINCT/count-distinct queries, where
+        full path enumeration would do exponentially more work for an
+        identical result.
+
+        lo == 1 is load-bearing, not an optimization detail: this
+        iteration enumerates WALK endpoints (an edge may repeat across
+        levels), while Cypher var-length semantics count only
+        relationship-unique paths.  At lo == 1 the endpoint SETS
+        coincide (any walk a→b contains a rel-unique path a→b of length
+        in [1, hi]); at lo >= 2 they can differ (self-loop 1→1: walk of
+        length 2 exists, rel-unique path of length 2 does not), so the
+        caller never routes lo >= 2 here."""
         lo, hi = varlen
+        if lo != 1:
+            raise ValueError(
+                "cypher: _varlen_pairs is only walk≡path-correct for lo == 1"
+            )
         if not (1 <= lo <= hi <= 10):
             raise ValueError("cypher: *lo..hi must satisfy 1 <= lo <= hi <= 10")
         edges = self.tables["calls"].select(

@@ -74,6 +74,15 @@ def pagerank_fixed(
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = nodes.count()  # scalar graph property, intentionally driver-side
+    if n == 0:
+        # empty graph: the DuckDB twin's CTE chain yields no rows;
+        # mirror that instead of ZeroDivisionError on scale // n
+        # (node keeps the caller's id type — string under cast_ids=False)
+        return edges.select(
+            F.col("src").alias("node"),
+            F.lit(0).cast("long").alias("rank_fp"),
+            F.lit(0.0).alias("rank"),
+        ).limit(0)
     init = scale // n
     base = (15 * init) // 100
 
@@ -670,6 +679,13 @@ def hits_fixed(edges: DataFrame, *, iters: int = 3, scale: int = HITS_SCALE) -> 
         .localCheckpoint(eager=True)
     )
     n = nodes.count()  # scalar graph property, intentionally driver-side
+    if n == 0:
+        # empty graph: mirror the DuckDB twin (its CTE chain yields no
+        # rows) instead of ZeroDivisionError on scale // n — the same
+        # empty-frame guard as betweenness_sampled / pagerank_fixed
+        return edges.sparkSession.createDataFrame(
+            [], "node long, hub_fp long, auth_fp long"
+        )
     init = scale // n
     hub = nodes.select("v", F.lit(init).cast("long").alias("hub"))
 
@@ -685,8 +701,14 @@ def hits_fixed(edges: DataFrame, *, iters: int = 3, scale: int = HITS_SCALE) -> 
             .agg(F.sum(col).alias("s"))
         )
         tot = raw.agg(F.sum("s").alias("t"))
-        return raw.crossJoin(F.broadcast(tot)).select(
-            "v", F.expr(f"(s * {scale}) div t").alias(out)
+        # t == 0 (all surviving mass zero — degenerate but reachable on
+        # adversarial graphs) would turn `div t` into NULL rows; drop
+        # them instead, which the final left-join restores as explicit
+        # zeros — matching the DuckDB twin, whose zero-total rows vanish
+        return (
+            raw.crossJoin(F.broadcast(tot))
+            .filter(F.col("t") > 0)
+            .select("v", F.expr(f"(s * {scale}) div t").alias(out))
         )
 
     for i in range(iters):

@@ -165,15 +165,36 @@ def load_all() -> dict[str, Query]:
     return REGISTRY
 
 
+def oracle_fingerprint(oracle: str | None) -> str:
+    """Stable fingerprint of a query's oracle SQL (the semantic identity
+    the witness ledger keys on).  ``None`` oracles hash a sentinel."""
+    import hashlib
+
+    return hashlib.sha256((oracle or "\x00no_oracle").encode()).hexdigest()[:16]
+
+
 def _witnessed_green() -> set[str]:
     """Names with a fully-green (rows+schema+hash) row in ANY prior
-    round's driver correctness artifact.  Rows-only rows (err ==
-    'no_oracle') do NOT count — a query stays at the head until its
-    oracle comparison has been hash-verified by the driver."""
+    round's driver correctness artifact WHOSE ORACLE IS UNCHANGED since
+    that witnessing.  Rows-only rows (err == 'no_oracle') do NOT count.
+
+    The oracle check reads tools/witness_fps.json — a checked-in ledger
+    mapping name → sha256-prefix of the oracle string at witness time
+    (tools/update_witness_fps.py appends newly-green names each round,
+    run BEFORE any oracle edits).  A query whose oracle has since been
+    edited no longer matches its recorded fingerprint, so it re-floats
+    to the sampled head for fresh driver witnessing — prior green rows
+    cannot vouch for semantics they never tested.  A green name missing
+    from the ledger entirely also re-floats (fail-closed)."""
     import glob
     import json
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        with open(os.path.join(repo, "tools", "witness_fps.json")) as f:
+            fps: dict[str, str] = json.load(f)
+    except Exception:
+        fps = {}
     seen: set[str] = set()
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         try:
@@ -190,5 +211,7 @@ def _witnessed_green() -> set[str]:
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                seen.add(name)
+                q = REGISTRY.get(name)
+                if q is not None and fps.get(name) == oracle_fingerprint(q.oracle):
+                    seen.add(name)
     return seen

@@ -95,6 +95,34 @@ def _op_name(line: str) -> str:
     return re.split(r"[ (]", body, 1)[0]
 
 
+def _strip_date_trunc(txt: str) -> str:
+    """Remove every balanced `date_trunc(...)` span (args may nest
+    `cast(...)` etc.) plus the expression's own trailing exprId/alias
+    (`#NN` / ` AS x#NN`), so any #NN left in the residue is a genuine
+    NON-calendar grouping key."""
+    out: list[str] = []
+    i = 0
+    while True:
+        j = txt.find("date_trunc(", i)
+        if j < 0:
+            out.append(txt[i:])
+            break
+        out.append(txt[i:j])
+        k = j + len("date_trunc(")
+        depth = 1
+        while k < len(txt) and depth:
+            if txt[k] == "(":
+                depth += 1
+            elif txt[k] == ")":
+                depth -= 1
+            k += 1
+        m = re.match(r"(?: AS \w+)?#\d+L?", txt[k:])
+        if m:
+            k += m.end()
+        i = k
+    return "".join(out)
+
+
 # equality of a column to a literal (not another column): `(x#12 = foo)`
 _EQ_LIT = re.compile(r"\((\w+)#\d+L? = ([^()#]+?)\)")
 _SCAN_LOC = re.compile(r"Location: [A-Za-z]*FileIndex\(\d+ paths?\)\[file:([^\],]+)\]")
@@ -137,8 +165,19 @@ def _justify_build(lines: list[str], start: int, end: int) -> str | None:
         if op in ("HashAggregate", "SortAggregate", "ObjectHashAggregate"):
             if re.search(r"(keys|key)=\[\]", line):
                 return "1 row (scalar aggregate)"
-            if "date_trunc(" in subtext:
-                return "calendar-bounded (aggregate keyed by date_trunc bucket)"
+            # calendar-bounded ONLY when date_trunc is in the aggregate's
+            # OWN keys=[...] list and every other key is also calendar-
+            # shaped — an agg keyed by (user_id, date_trunc(day)) is
+            # unbounded in users and must NOT pass.  Strip date_trunc(..)
+            # spans from the keys text; any surviving column reference
+            # (#NN) means a non-calendar grouping key.
+            km = re.search(r"keys=\[(.*?)\], functions=", line)
+            if km:
+                keys_txt = km.group(1)
+                if "date_trunc(" in keys_txt:
+                    residue = _strip_date_trunc(keys_txt)
+                    if not re.search(r"#\d+", residue):
+                        return "calendar-bounded (aggregate keyed only by date_trunc buckets)"
             return None
         if op in ("TakeOrderedAndProject", "GlobalLimit", "LocalLimit", "CollectLimit"):
             m = re.search(r"limit=(\d+)|Limit (\d+)", line)
