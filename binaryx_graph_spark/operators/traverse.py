@@ -208,8 +208,22 @@ def indirect_recursion(
     Reports the SHORTEST cycle per origin ≥2 (the reference enumerates
     all cycle paths; we return one row per origin+length — the shape its
     client dedupes to anyway).
+
+    Self-loop edges are EXCLUDED before traversal: the pair iteration
+    enumerates closed WALKS, and on a loop-free graph the shortest
+    closed walk of length ≥2 through f equals the shortest
+    relationship-unique cycle through f (decompose the walk into
+    edge-disjoint cycles; one passes through f and is no longer).  With
+    loops kept, a self-loop-only node would report a length-2 "cycle"
+    (the loop twice) that Neo4j's rel-unique semantics reject — and no
+    genuine cycle of length ≥2 ever needs a loop edge (dropping a loop
+    from a closed path of length L ≥ 3 leaves a closed path of L-1;
+    loop+loop at length 2 repeats the relationship).  Length-1
+    recursion is G6's surface (:func:`direct_recursion`).
     """
-    edges = _ckpt(_edges(calls, "out"))
+    edges = _ckpt(
+        _edges(calls, "out").filter(F.col("_from") != F.col("_to"))
+    )
     pairs = seeds.select(F.col("uid").alias("origin"), F.col("uid").alias("cur"))
     pairs = _ckpt(pairs)
     hits: list[DataFrame] = []

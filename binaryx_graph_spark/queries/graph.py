@@ -258,9 +258,10 @@ def graph_path_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_cycle_detection",
     oracle=f"""
     WITH RECURSIVE
-    edges AS ({SQL_EDGES}),
+    all_edges AS ({SQL_EDGES}),
+    edges AS (SELECT * FROM all_edges WHERE src <> dst),
     walk(origin, cur, depth) AS (
-      SELECT src, src, 0 FROM (SELECT DISTINCT src FROM edges WHERE src % 20 = 0)
+      SELECT src, src, 0 FROM (SELECT DISTINCT src FROM all_edges WHERE src % 20 = 0)
       UNION
       SELECT w.origin, e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.cur
       WHERE w.depth < 6
@@ -274,7 +275,9 @@ def graph_path_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_cycle_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G7 at scale: shortest cycle (2..6) back to each seed node; oracle
-    via recursive CTE over (origin, current) pairs."""
+    via recursive CTE over (origin, current) pairs.  Self-loops are
+    excluded on both sides (indirect_recursion's rel-unique semantics —
+    a loop walked twice is not a Neo4j cycle of length 2)."""
     edges = derived_edges(spark, sf_dir)
     calls, _nodes = as_call_tables(edges)
     seeds = (

@@ -5,8 +5,11 @@ CORRECTNESS_r*.json artifact but no entry in the ledger yet, record the
 CURRENT oracle fingerprint.  Run this FIRST THING each round, before any
 oracle is edited, so the recorded hash is the one the driver actually
 verified.  Existing entries are never overwritten (an oracle edit after
-witnessing must invalidate, not refresh — delete the entry by hand only
-together with the re-witnessing).
+witnessing must invalidate, not refresh).  PROTOCOL for deliberately
+changing a witnessed query's oracle: delete its ledger entry in the SAME
+commit as the oracle edit — the query re-floats to the sampled head, and
+this tool re-adds the fresh fingerprint after the next driver round
+witnesses it green.
 
 Usage: python -m tools.update_witness_fps
 """
