@@ -79,6 +79,49 @@ def write_fixture(tmpdir: str | Path) -> str:
     return str(d)
 
 
+# Seeded malformed documents exercising EVERY validation branch of the
+# reference's validate_data (src/api/client.rs:42-81): missing/non-object
+# binary_info, each missing required subfield, and each non-array section.
+# The two valid docs (DOC_A/DOC_B) ride along to pin the no-error case.
+_BI_OK = {
+    "name": "ok.exe",
+    "file_path": "/samples/ok.exe",
+    "file_size": 1,
+    "file_type": {"type": "PE32", "architecture": "x86"},
+    "hashes": {"sha256": "c" * 64},
+}
+
+MALFORMED_DOCS: dict[str, dict | list] = {
+    # binary_info absent entirely (two docs → the aggregate sees n=2)
+    "v1_no_binary_info.json": {"functions": []},
+    "v2_no_binary_info.json": {"strings": []},
+    # binary_info present but not an object
+    "v3_binary_info_string.json": {"binary_info": "not an object"},
+    # object missing four of the five required fields
+    "v4_missing_fields.json": {"binary_info": {"name": "x.exe"}},
+    # required-field check independent of the array checks
+    "v5_missing_name_bad_exports.json": {
+        "binary_info": {k: v for k, v in _BI_OK.items() if k != "name"},
+        "exports": {"name": "oops"},
+    },
+    # every non-binary_info section with the wrong JSON type
+    "v6_bad_arrays.json": {
+        "binary_info": _BI_OK,
+        "functions": {"name": "not-a-list"},
+        "strings": "oops",
+        "imports": 7,
+    },
+}
+
+
+def write_validation_fixture(tmpdir: str | Path) -> str:
+    """Valid docs + MALFORMED_DOCS — the S3 gate query's input batch."""
+    d = Path(write_fixture(tmpdir))
+    for name, doc in MALFORMED_DOCS.items():
+        (d / name).write_text(json.dumps(doc))
+    return str(d)
+
+
 UID_MAIN_A = f"{HASH_A}:0x401000"
 UID_HELPER_A = f"{HASH_A}:0x401100"
 UID_WORKER_A = f"{HASH_A}:0x401200"

@@ -399,3 +399,45 @@ def display_escape_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+@register(
+    "ingest_validation_errors",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('binary_info is required',                        CAST(2 AS BIGINT)),
+      ('binary_info missing required field: file_path',  CAST(1 AS BIGINT)),
+      ('binary_info missing required field: file_size',  CAST(1 AS BIGINT)),
+      ('binary_info missing required field: file_type',  CAST(1 AS BIGINT)),
+      ('binary_info missing required field: hashes',     CAST(1 AS BIGINT)),
+      ('binary_info missing required field: name',       CAST(1 AS BIGINT)),
+      ('binary_info must be an object',                  CAST(1 AS BIGINT)),
+      ('exports must be an array',                       CAST(1 AS BIGINT)),
+      ('functions must be an array',                     CAST(1 AS BIGINT)),
+      ('imports must be an array',                       CAST(1 AS BIGINT)),
+      ('strings must be an array',                       CAST(1 AS BIGINT))
+    ) AS t(error, n)
+    ORDER BY error
+    """,
+    tags=("ingest", "validation"),
+)
+def ingest_validation_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 direct gate: the reference's validate_data error catalog
+    (src/api/client.rs:42-81) over a seeded batch — two valid docs plus
+    MALFORMED_DOCS covering every branch (missing/non-object
+    binary_info, each required subfield, each non-array section).
+    Validation runs on the RAW JSON text (sources/json_source.py
+    validate_raw_json), before schema-on-read coercion can mask type
+    errors; the aggregate is one error-keyed shuffle over per-document
+    error rows.  The valid docs contribute zero rows, pinning the
+    no-false-positive side."""
+    from ..fixtures.micro_graph import write_validation_fixture
+    from ..sources.json_source import validate_raw_json
+
+    d = write_validation_fixture(tempfile.mkdtemp(prefix="bxg_validate_"))
+    errs = validate_raw_json(spark, d)
+    return (
+        errs.groupBy("error")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("error")
+    )

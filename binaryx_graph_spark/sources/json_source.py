@@ -111,3 +111,65 @@ def validate_documents(docs: DataFrame) -> DataFrame:
         F.array(*[F.when(cond, F.lit(msg)) for cond, msg in checks])
     )
     return docs.select("source_file", errs.alias("errors")).filter(F.size("errors") > 0)
+
+
+#: required binary_info subfields, reference order (client.rs:51)
+_REQUIRED_BI_FIELDS = ("name", "file_path", "file_size", "file_type", "hashes")
+#: top-level sections that must be JSON arrays when present (client.rs:61-74)
+_ARRAY_FIELDS = ("functions", "strings", "imports", "exports")
+
+
+def validate_raw_json(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """S3, faithful to the reference's ``validate_data``
+    (src/api/client.rs:42-81): STRUCTURAL validation of the raw JSON
+    text, before any schema-on-read coercion can mask type errors —
+    `spark.read.json` with ANALYSIS_SCHEMA silently nulls a non-array
+    ``functions``, but the reference reports "functions must be an
+    array".  Returns (source_file, error) — one row per violation.
+
+    All checks are JVM-side JSON builtins (json_object_keys /
+    get_json_object), no Python UDF: key PRESENCE via json_object_keys
+    (distinguishes a missing key from an explicit JSON null, matching
+    serde's ``get(field).is_none()``), object-ness via json_object_keys
+    returning NULL on non-objects, array-ness via the extracted
+    value's leading character.
+    """
+    raw = (
+        spark.read.text(path, wholetext=True)
+        .withColumn("source_file", F.input_file_name())
+    )
+    top_keys = F.json_object_keys("value")
+    bi_txt = F.get_json_object("value", "$.binary_info")
+    bi_keys = F.json_object_keys(bi_txt)
+    def _has(keys, fld: str):
+        # NULL-safe key test: a non-object (keys == NULL) has no fields
+        return F.coalesce(F.array_contains(keys, F.lit(fld)), F.lit(False))
+
+    checks: list = [
+        (~_has(top_keys, "binary_info"), "binary_info is required"),
+        (
+            _has(top_keys, "binary_info") & bi_keys.isNull(),
+            "binary_info must be an object",
+        ),
+    ]
+    for fld in _REQUIRED_BI_FIELDS:
+        checks.append(
+            (
+                bi_keys.isNotNull() & ~_has(bi_keys, fld),
+                f"binary_info missing required field: {fld}",
+            )
+        )
+    for fld in _ARRAY_FIELDS:
+        checks.append(
+            (
+                _has(top_keys, fld)
+                & (F.substring(F.trim(F.get_json_object("value", f"$.{fld}")), 1, 1) != "["),
+                f"{fld} must be an array",
+            )
+        )
+    errs = F.array_compact(
+        F.array(*[F.when(cond, F.lit(msg)) for cond, msg in checks])
+    )
+    return (
+        raw.select("source_file", F.explode(errs).alias("error"))
+    )

@@ -42,6 +42,36 @@ def test_validation_passes_fixture(spark, tmp_path_factory):
     assert validate_documents(docs).count() == 0
 
 
+def test_raw_validation_catalog(spark, tmp_path_factory):
+    """validate_raw_json reproduces the reference's validate_data error
+    catalog (client.rs:42-81) per seeded file; valid docs error-free."""
+    from binaryx_graph_spark.fixtures.micro_graph import write_validation_fixture
+    from binaryx_graph_spark.sources.json_source import validate_raw_json
+
+    d = write_validation_fixture(tmp_path_factory.mktemp("rawval"))
+    rows = validate_raw_json(spark, d).collect()
+    by_file: dict[str, set[str]] = {}
+    for r in rows:
+        name = r["source_file"].rsplit("/", 1)[-1]
+        by_file.setdefault(name, set()).add(r["error"])
+    assert "a.json" not in by_file and "b.json" not in by_file
+    assert by_file["v1_no_binary_info.json"] == {"binary_info is required"}
+    assert by_file["v3_binary_info_string.json"] == {"binary_info must be an object"}
+    assert by_file["v4_missing_fields.json"] == {
+        f"binary_info missing required field: {f}"
+        for f in ("file_path", "file_size", "file_type", "hashes")
+    }
+    assert by_file["v5_missing_name_bad_exports.json"] == {
+        "binary_info missing required field: name",
+        "exports must be an array",
+    }
+    assert by_file["v6_bad_arrays.json"] == {
+        "functions must be an array",
+        "strings must be an array",
+        "imports must be an array",
+    }
+
+
 def test_binaries(tables):
     rows = {r["hash"]: r for r in tables["binaries"].collect()}
     assert set(rows) == {HASH_A, HASH_B}
