@@ -1459,6 +1459,7 @@ def bigram_lm_surprisal(
     text_col: str = "text",
     *,
     top_m: int = 20000,
+    min_count: int = 1,
     corpus_key: str | None = None,
 ):
     """Per-document surprisal under an interpolated bigram LM trained on
@@ -1480,6 +1481,19 @@ def bigram_lm_surprisal(
     log2 — the unigram_surprisal precedent), so the distributed plan is
     pure integer broadcast-join + sum.
 
+    ``min_count`` is the driver-table hard floor for ADVERSARIAL
+    (linear-vocabulary) corpora where Heaps' law does not hold — e.g.
+    every token a fresh random hex string.  With ``min_count > 1`` only
+    tokens seen >= min_count times are collected; the tail pools into a
+    single OOV bucket whose count is the mean tail count (floored, min
+    1), scored through the SAME 0.1·c/N unigram term, and bigrams
+    touching an OOV token are excluded from the top-M table (their
+    bigram count is < min_count anyway) so they back off Katz-style.
+    The driver table is then bounded by N/min_count types regardless of
+    vocabulary growth.  ``min_count=1`` (the default, and the
+    registered query's setting) is byte-identical to the historical
+    behavior, so the oracle is unchanged.
+
     Returns (doc_id, n_scored, total_q, avg_bits_per_token) for docs
     with ≥2 tokens; total_q is in 2^-12-bit units.
     """
@@ -1495,21 +1509,40 @@ def bigram_lm_surprisal(
     lagged = tok.withColumn(
         "prev", F.lag("tok").over(Window.partitionBy("doc_id").orderBy("pos"))
     )
-    ck = (corpus_key, text_col, top_m) if corpus_key is not None else None
+    ck = (corpus_key, text_col, top_m, min_count) if corpus_key is not None else None
     cached = _BIGRAM_CACHE.get(ck) if ck is not None else None
     if cached is None:
-        uni = {
-            r["tok"]: r["_c"]
-            for r in tok.groupBy("tok").agg(F.count(F.lit(1)).alias("_c")).collect()
-        }
-        n = sum(uni.values())
-        top_bi = (
+        uni_counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+        if min_count > 1:
+            uni_counts = uni_counts.localCheckpoint(eager=True)  # reused 3×
+            kept_df = uni_counts.filter(F.col("_c") >= min_count)
+            tail = uni_counts.filter(F.col("_c") < min_count).agg(
+                F.coalesce(F.sum("_c"), F.lit(0)).alias("s"),
+                F.count(F.lit(1)).alias("t"),
+            ).collect()[0]
+            tail_sum, tail_types = int(tail["s"]), int(tail["t"])
+        else:
+            kept_df = uni_counts
+            tail_sum, tail_types = 0, 0
+        uni = {r["tok"]: r["_c"] for r in kept_df.collect()}
+        n = sum(uni.values()) + tail_sum
+        c_oov = max(1, tail_sum // tail_types) if tail_types else 0
+        bi_counts = (
             lagged.filter(F.col("prev").isNotNull())
             .groupBy("prev", F.col("tok").alias("cur"))
             .agg(F.count(F.lit(1)).alias("_c"))
-            .orderBy(F.desc("_c"), "prev", "cur")
-            .limit(top_m)
-            .collect()
+        )
+        if min_count > 1:
+            # exclude OOV-touching bigrams BEFORE the top-M cut so the
+            # table holds exactly M scorable rows
+            kept_toks = kept_df.select("tok")
+            bi_counts = bi_counts.join(
+                kept_toks.withColumnRenamed("tok", "prev"), "prev", "left_semi"
+            ).join(
+                kept_toks.withColumnRenamed("tok", "cur"), "cur", "left_semi"
+            )
+        top_bi = (
+            bi_counts.orderBy(F.desc("_c"), "prev", "cur").limit(top_m).collect()
         )
         # EXACT float sequencing shared with the oracle: (0.9*c_bi)/c_prev
         # + (0.1*c_uni)/n, then floor(-log2(p)*4096 + 0.5)
@@ -1534,10 +1567,15 @@ def bigram_lm_surprisal(
             (t, int(math.floor(-math.log2((0.1 * c) / n) * scale + 0.5)))
             for t, c in uni.items()
         ]
-        cached = (bi_rows, uni_rows)
+        q_oov = (
+            int(math.floor(-math.log2((0.1 * c_oov) / n) * scale + 0.5))
+            if c_oov
+            else None
+        )
+        cached = (bi_rows, uni_rows, q_oov)
         if ck is not None:
             _BIGRAM_CACHE[ck] = cached
-    bi_rows, uni_rows = cached
+    bi_rows, uni_rows, q_oov = cached
     spark = docs.sparkSession
     q_bi = spark.createDataFrame(bi_rows, "_bprev string, _bcur string, q_bi long")
     q_uni = spark.createDataFrame(uni_rows, "tok string, q_uni long")
@@ -1549,8 +1587,15 @@ def bigram_lm_surprisal(
             "left",
         )
         .drop("_bprev", "_bcur")
-        .join(F.broadcast(q_uni), "tok")
-        .withColumn("q", F.coalesce("q_bi", "q_uni"))
+        .join(F.broadcast(q_uni), "tok", "left" if q_oov is not None else "inner")
+        .withColumn(
+            "q",
+            F.coalesce(
+                "q_bi",
+                "q_uni",
+                *([F.lit(q_oov)] if q_oov is not None else []),
+            ),
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_scored"),

@@ -66,3 +66,58 @@ def test_bigram_lm_matches_python_reference(spark, top_m):
         for r in bigram_lm_surprisal(docs, top_m=top_m).collect()
     }
     assert got == _py_reference(texts, top_m)
+
+
+def test_min_count_floor_bounds_driver_table(spark):
+    """SCALE.md ceiling #6 closure: an adversarial linear-vocabulary
+    corpus (every token a fresh hex string) must NOT produce a
+    vocabulary-sized driver table when min_count > 1 — the tail pools
+    into one OOV bucket and every position still scores."""
+    import hashlib
+
+    from binaryx_graph_spark.operators.textstats import _BIGRAM_CACHE
+
+    n_docs, toks_per_doc = 60, 8
+    texts = {
+        i: " ".join(
+            "common" if j == 0 else
+            hashlib.sha256(f"{i}:{j}".encode()).hexdigest()[:12]
+            for j in range(toks_per_doc)
+        )
+        for i in range(n_docs)
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    key = "lin_vocab_stress"
+    out = bigram_lm_surprisal(
+        docs, top_m=1000, min_count=2, corpus_key=key
+    ).collect()
+    bi_rows, uni_rows, q_oov = _BIGRAM_CACHE[("lin_vocab_stress", "text", 1000, 2)]
+    # vocab is ~n_docs*toks_per_doc fresh types + 1 common; only tokens
+    # with count >= 2 may reach the driver
+    assert len(uni_rows) == 1 and uni_rows[0][0] == "common"
+    assert q_oov is not None
+    # bigrams touching OOV are excluded -> no scorable bigram repeats
+    assert all(p == "common" or c == "common" for p, c, _q in bi_rows)
+    # every doc still fully scored through the OOV bucket
+    got = {r.doc_id: r.n_scored for r in out}
+    assert got == {i: toks_per_doc - 1 for i in range(n_docs)}
+
+
+def test_min_count_floor_inactive_when_all_tokens_frequent(spark):
+    """min_count=2 must be bit-identical to min_count=1 on a corpus
+    where every token already appears >= 2 times (empty tail)."""
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat ate the mat on sat",
+        3: "sat on ate cat",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    base = {
+        (r.doc_id): (r.n_scored, r.total_q)
+        for r in bigram_lm_surprisal(docs, top_m=50).collect()
+    }
+    floored = {
+        (r.doc_id): (r.n_scored, r.total_q)
+        for r in bigram_lm_surprisal(docs, top_m=50, min_count=2).collect()
+    }
+    assert base == floored
