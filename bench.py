@@ -89,6 +89,22 @@ HEADLINE = [
 ]
 
 
+def _calibrate(spark) -> float:
+    """Fixed-cost host-speed probe: median of 3 × sum over range(1e8) —
+    a pure-CPU whole-stage-codegen loop with no I/O, so its wall time
+    moves with host load/thermal state, not with this repo's code.
+    Round-over-round bench deltas divide out the probe ratio to separate
+    code regressions from host noise (r4 verdict: identical-config runs
+    varied 28-36s on this box)."""
+    spark.range(100_000_000).selectExpr("sum(id)").collect()  # JIT warm
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(100_000_000).selectExpr("sum(id)").collect()
+        samples.append(time.time() - t0)
+    return round(sorted(samples)[1], 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -109,15 +125,20 @@ def main() -> None:
                 except Exception:
                     pass
 
+    calib_start = _calibrate(spark)
+
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         if name not in reg:
             continue
         q = reg[name]
-        # best of 2 runs: steady-state latency, damps JVM/GC noise
-        best, n = None, 0
+        # 3 runs: report min (steady-state floor) AND median (what a
+        # user sees) — the spread is the per-query noise band
+        runs: list[float] = []
+        n = 0
         failed = False
-        for _attempt in range(2):
+        for _attempt in range(3):
             t0 = time.time()
             try:
                 df = q.fn(spark, sf_dir)
@@ -126,12 +147,18 @@ def main() -> None:
                 print(f"# {name}: FAILED {e}", file=sys.stderr)
                 failed = True
                 break
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            runs.append(time.time() - t0)
         if failed:
             continue
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
+        print(
+            f"# {name}: min {timings[name]}s / med {medians[name]}s ({n} rows)",
+            file=sys.stderr,
+        )
+
+    calib_end = _calibrate(spark)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -141,6 +168,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "total_median": round(sum(medians.values()), 3),
+                # host-speed probe (see _calibrate): divide a
+                # round-over-round query delta by the probe ratio before
+                # calling it a regression
+                "calib_start_sec": calib_start,
+                "calib_end_sec": calib_end,
                 "sf": sf,
             }
         )

@@ -123,6 +123,40 @@ class Engine:
             "uid", "name", "cycle_length"
         )
 
+    def call_sequences(self, function: str, *, direction: str = "out") -> DataFrame:
+        """O1/O2: a function's call edges in the reference's display
+        order (lexicographic hex offset) — ``direction='out'`` lists its
+        callees (the reference CLI's sequences view), ``'in'`` its
+        callers."""
+        fns = self.table("functions")
+        pred = (F.col("name") == function) | (F.col("uid") == function)
+        return _traverse.call_sequences(
+            self.table("calls"), fns, pred, direction=direction
+        )
+
+    def path_histogram(self, function: str, *, max_depth: int = 5) -> DataFrame:
+        """G4/A5: depth histogram of every enumerated path from the
+        function (the reference client's HashMap count,
+        src/commands/query.rs:442-452) -> (path_length, n_paths)."""
+        return (
+            self.paths_from(function, max_depth=max_depth)
+            .groupBy("path_length")
+            .agg(F.count(F.lit(1)).alias("n_paths"))
+            .orderBy("path_length")
+        )
+
+    def longest_paths(self, function: str, *, max_depth: int = 5, k: int = 10) -> DataFrame:
+        """G4/K5: top-k longest paths from the function, name-joined
+        (src/commands/query.rs:454-458) -> (path, path_length)."""
+        return (
+            self.paths_from(function, max_depth=max_depth)
+            .select(
+                F.concat_ws("→", "node_names").alias("path"), "path_length"
+            )
+            .orderBy(F.desc("path_length"), "path")
+            .limit(k)
+        )
+
     # -------------------------------------------------------------- stats
     def stats(self) -> DataFrame:
         """A1/A2: per-label node and relationship counts."""
