@@ -77,3 +77,22 @@ def test_xref_export_write(eng, tmp_path):
     out = str(tmp_path / "exp")
     exported = eng.export(out)
     assert exported.filter("rel_type LIKE 'NODE:%'").count() >= 10
+
+
+def test_call_sequences_and_path_histogram(eng):
+    # O1: main's outgoing calls in lexicographic offset order
+    seq = eng.call_sequences("main").collect()
+    assert [r["order"] for r in seq] == list(range(1, len(seq) + 1))
+    offs = [r["offset"] for r in seq]
+    assert offs == sorted(offs)
+    # O2: helper's callers
+    callers = eng.call_sequences("helper", direction="in").collect()
+    assert callers and all(r["peer_name"] for r in callers)
+    # G4/A5: histogram counts sum to the path count
+    hist = {r.path_length: r.n_paths for r in eng.path_histogram("main", max_depth=3).collect()}
+    n_paths = eng.paths_from("main", max_depth=3).count()
+    assert sum(hist.values()) == n_paths and set(hist) == {1, 2, 3}
+    # G4/K5: longest paths ordered by length desc
+    top = eng.longest_paths("main", max_depth=3, k=10).collect()
+    lens = [r.path_length for r in top]
+    assert lens == sorted(lens, reverse=True) and top[0].path.startswith("main")
