@@ -1670,3 +1670,173 @@ def sql_bigram_lm_surprisal(
     FROM scored
     GROUP BY doc_id
     """
+
+
+# ------------------------------------------------------------------ BM25
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+):
+    """BM25 top-k retrieval (Robertson-Sparck Jones probabilistic
+    weighting, the Okapi formulation) → (doc_id, score_fp, score).
+
+    score(d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl)),
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)  [the +1 'plus' variant —
+    always positive, standard in Lucene].
+
+    Determinism across engines (the unigram/bigram precedent): each
+    (doc, term) contribution is quantized to the 2^-12 integer grid
+    with ONE float expression whose operand order is identical in the
+    Spark plan and the DuckDB twin; the per-document total is then an
+    exact int64 sum — order-independent — and idf's ln() runs on the
+    driver with libm (bit-identical to DuckDB's ln).
+
+    Scale design: per-doc length dl = size(tokens(text)) is a pure
+    PROJECTION (no shuffle) carried through the explode; tf rows are
+    fenced to query terms by a broadcast semi-join BEFORE the (doc,
+    term) aggregate, so the only corpus-sized shuffle is over documents
+    actually containing a query term; df/N/avgdl are three scalar-ish
+    aggregates (df ≤ |query| rows collected).  Top-k via
+    TakeOrderedAndProject on (score DESC, doc_id).
+    """
+    import math
+
+    scale = float(SURPRISAL_SCALE)
+    spark = docs.sparkSession
+    qterms = sorted(set(query_terms))
+    qdf = spark.createDataFrame([(t,) for t in qterms], "tok string")
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    n_total = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.size("_toks")), F.lit(0)).alias("tot"),
+    ).collect()[0]
+    n_docs, tot_tokens = int(n_total["n"]), int(n_total["tot"])
+    avgdl = tot_tokens / n_docs  # same IEEE division as the twin
+
+    tf = (
+        base.select("doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("tok"))
+        .join(F.broadcast(qdf), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_counts = {
+        r["tok"]: r["_df"]
+        for r in tf.groupBy("tok").agg(F.count(F.lit(1)).alias("_df")).collect()
+    }
+    idf_rows = [
+        (
+            t,
+            int(
+                math.floor(
+                    math.log(((n_docs - df) + 0.5) / (df + 0.5) + 1.0) * scale + 0.5
+                )
+            ),
+        )
+        for t, df in sorted(df_counts.items())
+    ]
+    if not idf_rows:
+        return spark.createDataFrame([], "doc_id long, score_fp long, score double")
+    idf = spark.createDataFrame(idf_rows, "tok string, idf_fp long")
+
+    contrib = (
+        tf.join(F.broadcast(idf), "tok")
+        .select(
+            "doc_id",
+            F.floor(
+                F.col("idf_fp")
+                * (
+                    (F.col("tf") * F.lit(k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (F.lit(1.0 - b) + (F.lit(b) * F.col("dl")) / F.lit(avgdl))
+                    )
+                )
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("c_fp"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c_fp").cast("long").alias("score_fp"))
+        .select(
+            "doc_id",
+            "score_fp",
+            (F.col("score_fp").cast("double") / F.lit(scale)).alias("score"),
+        )
+        .orderBy(F.desc("score_fp"), "doc_id")
+        .limit(k)
+    )
+
+
+def sql_bm25_topk(
+    table: str,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` — identical tokenizer, identical
+    float operand order (literals embedded via repr so non-exact
+    doubles like k1+1 fold to the SAME bit pattern), identical 2^-12
+    quantization, exact int64 sum."""
+    s = float(SURPRISAL_SCALE)
+    toks = SQL_TOKENS.format(col=text_col)
+    qvals = ", ".join(f"('{t}')" for t in sorted(set(query_terms)))
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS doc_id, {toks} AS _toks FROM {table}
+    ),
+    stats AS (
+      SELECT count(*) AS n, CAST(coalesce(sum(len(_toks)), 0) AS BIGINT) AS tot
+      FROM base
+    ),
+    q(tok) AS (VALUES {qvals}),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf, any_value(dl) AS dl
+      FROM (
+        SELECT doc_id, len(_toks) AS dl, unnest(_toks) AS tok FROM base
+      ) x JOIN q USING (tok)
+      GROUP BY doc_id, tok
+    ),
+    idf AS (
+      SELECT tok,
+             CAST(floor(ln(((n - df) + 0.5) / (df + 0.5) + 1.0) * {s!r} + 0.5) AS BIGINT)
+               AS idf_fp
+      FROM (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok), stats
+    ),
+    contrib AS (
+      SELECT doc_id,
+             CAST(floor(
+               idf_fp * ((tf * {k1 + 1.0!r})
+                 / (tf + {k1!r} * ({1.0 - b!r} + ({b!r} * dl) / (SELECT CAST(tot AS DOUBLE) / n FROM stats))))
+               + 0.5) AS BIGINT) AS c_fp
+      FROM tf JOIN idf USING (tok)
+    )
+    SELECT doc_id,
+           CAST(sum(c_fp) AS BIGINT) AS score_fp,
+           CAST(sum(c_fp) AS DOUBLE) / {s!r} AS score
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY score_fp DESC, doc_id
+    LIMIT {k}
+    """

@@ -1651,3 +1651,28 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+from ..operators.textstats import sql_bm25_topk as _sql_bm25  # noqa: E402
+
+_BM25_QUERY = ["spark", "join", "window"]
+
+
+@register(
+    "text_bm25_topk",
+    oracle=_sql_bm25("documents", _BM25_QUERY, k=25),
+    tags=("text", "search"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-25 retrieval over the documents corpus for a fixed
+    3-term query — the classic probabilistic IR ranking (Okapi BM25,
+    Lucene's '+1' idf variant).  Per-(doc, term) contributions quantize
+    to the 2^-12 grid with one identically-sequenced float expression
+    in both engines, so the per-doc total is an exact int64 sum and
+    the ranking replays bit-for-bit; dl is a shuffle-free projection,
+    tf is fenced to query terms by a broadcast semi-join before the
+    aggregate."""
+    from ..operators.textstats import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERY, k=25)
