@@ -188,3 +188,83 @@ def test_compiled_cycles_vs_native_indirect_recursion(spark, edges):
 
     assert compiled == want, f"compiled cycles diverge: edges={edges}"
     assert native == want, f"native cycles diverge: edges={edges}"
+
+
+@settings(max_examples=15, deadline=None)
+@given(edge_sets())
+def test_compiled_shortest_path_vs_reference(spark, edges):
+    """shortestPath(): ONE row per reachable (a,b) pair with 1 <= dist
+    <= 4, length == BFS min distance, node sequence == the
+    lexicographically smallest among min-length paths (the compiler's
+    documented deterministic strengthening of Neo4j's arbitrary pick)."""
+    t, _fns, _calls = _tables(spark, edges)
+    q = (
+        "MATCH p = shortestPath((a:Function)-[:CALLS*1..4]->(b:Function)) "
+        "RETURN a.uid AS a, b.uid AS b, [n in nodes(p) | n.uid] AS names, length(p) AS len"
+    )
+    rows = cypher(t, q).collect()
+    got = {(r["a"], r["b"]): (int(r["len"]), tuple(r["names"])) for r in rows}
+    assert len(rows) == len(got), f"duplicate (a,b) rows: edges={edges}"
+
+    # reference: BFS min distance per ordered pair (a != b — the
+    # compiler, like Neo4j, never reports a zero- or cycle-length
+    # shortestPath back to the start), then the lexicographically
+    # smallest path of exactly that length via lex-ordered DFS
+    nodes = sorted({str(v) for e in edges for v in e})
+    adj: dict[str, list[str]] = {v: [] for v in nodes}
+    for s, d in edges:
+        adj[str(s)].append(str(d))
+    for v in adj:
+        adj[v].sort()
+
+    def lex_path(a, b, dmin):
+        best = None
+
+        def dfs(u, path):
+            nonlocal best
+            if best is not None:
+                return
+            if len(path) - 1 == dmin:
+                if path[-1] == b:
+                    best = tuple(path)
+                return
+            for w in adj[u]:
+                dfs(w, path + [w])
+
+        dfs(a, [a])
+        return best
+
+    want = {}
+    for a in nodes:
+        dist = {a: 0}
+        frontier = [a]
+        for depth in range(1, 5):
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = depth
+                        nxt.append(w)
+            frontier = nxt
+        for b in nodes:
+            if b != a and b in dist and 1 <= dist[b] <= 4:
+                want[(a, b)] = (dist[b], lex_path(a, b, dist[b]))
+    assert got == want, f"edges={edges}"
+
+
+@settings(max_examples=12, deadline=None)
+@given(edge_sets())
+def test_compiled_exists_vs_reference(spark, edges):
+    """J2 surface: EXISTS((a)-[:CALLS]->(b)) over the (a, b) cross
+    product — exactly the distinct edge set, one row per pair (the
+    membership-filter shape the reference embeds,
+    call_path_analyzer.rs ALL/EXISTS clause)."""
+    t, _fns, _calls = _tables(spark, edges)
+    q = (
+        "MATCH (a:Function) MATCH (b:Function) "
+        "WHERE EXISTS((a)-[:CALLS]->(b)) "
+        "RETURN a.uid AS a, b.uid AS b"
+    )
+    got = sorted((r["a"], r["b"]) for r in cypher(t, q).collect())
+    want = sorted({(str(s), str(d)) for s, d in edges})
+    assert got == want, f"edges={edges}"
