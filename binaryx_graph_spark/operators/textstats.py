@@ -1840,3 +1840,129 @@ def sql_bm25_topk(
     ORDER BY score_fp DESC, doc_id
     LIMIT {k}
     """
+
+
+# ---------------------------------------------------- chunking / mining
+
+
+def chunk_overlap(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    size: int = 32,
+    stride: int = 24,
+):
+    """Overlapping token-window chunking (the RAG / training splitter):
+    chunk k covers tokens [1 + k·stride, 1 + k·stride + size) with
+    k = 0 .. ⌈max(0, n_tokens - size) / stride⌉, so every token lands
+    in ≥1 chunk, consecutive chunks overlap by size - stride tokens,
+    and a short document yields exactly one chunk.  Returns (doc_id,
+    chunk_idx, n_chunk_tokens, chunk_text).
+
+    Pure built-ins — one projection (tokens + integer k bound) + one
+    posexplode; no shuffle at all (chunking is embarrassingly row-
+    local; downstream packing/grouping pays the only shuffle)."""
+    if not (1 <= stride <= size):
+        raise ValueError("chunk_overlap: need 1 <= stride <= size")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    k_max = F.greatest(
+        F.lit(0),
+        ((n - F.lit(size)) + F.lit(stride - 1)) / F.lit(stride),
+    ).cast("int")
+    starts = F.sequence(F.lit(0), k_max)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("_toks"),
+            F.posexplode(starts).alias("chunk_idx", "_k"),
+        )
+        .filter(F.size("_toks") > 0)
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.slice("_toks", F.col("_k") * stride + 1, size).alias("_chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("_chunk").cast("long").alias("n_chunk_tokens"),
+            F.array_join("_chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+def sql_chunk_overlap(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    size: int = 32,
+    stride: int = 24,
+) -> str:
+    """DuckDB twin of :func:`chunk_overlap` — identical tokenizer and
+    integer chunk-count rule (⌈·⌉ via (x + stride - 1) // stride)."""
+    toks = SQL_TOKENS.format(col=text_col)
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS doc_id, {toks} AS _toks FROM {table}
+    ),
+    ks AS (
+      SELECT doc_id, _toks,
+             unnest(generate_series(0,
+               greatest(0, ((len(_toks) - {size}) + {stride - 1}) // {stride}))) AS k
+      FROM base WHERE len(_toks) > 0
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS chunk_idx,
+           CAST(len(_toks[k * {stride} + 1 : k * {stride} + {size}]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(_toks[k * {stride} + 1 : k * {stride} + {size}], ' ')
+             AS chunk_text
+    FROM ks
+    """
+
+
+def frequent_ngrams(
+    docs,
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    k: int = 50,
+):
+    """Corpus-wide top-k frequent word n-grams → (ngram, n_occurrences,
+    n_docs) — the boilerplate-mining pass quality pipelines use to
+    build stop-phrase filter lists (headers, navigation text, license
+    blurbs repeat verbatim across documents).
+
+    One explode + ONE (ngram)-keyed shuffle computing occurrences and
+    document frequency together (count + count(distinct doc) in the
+    same aggregate); top-k via TakeOrderedAndProject with a total
+    (count DESC, ngram) tie-break."""
+    sh = docs.select(
+        F.col("doc_id").alias("_doc"), F.explode(shingles(F.col(text_col), n)).alias("ngram")
+    )
+    return (
+        sh.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("_doc").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "ngram")
+        .limit(k)
+    )
+
+
+def sql_frequent_ngrams(table: str, text_col: str = "text", *, n: int = 3, k: int = 50) -> str:
+    """DuckDB twin of :func:`frequent_ngrams`."""
+    sh = sql_shingles(text_col, n)
+    return f"""
+    SELECT ngram,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (SELECT doc_id, unnest({sh}) AS ngram FROM {table})
+    GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram
+    LIMIT {k}
+    """

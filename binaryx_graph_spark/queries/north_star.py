@@ -1676,3 +1676,41 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, _BM25_QUERY, k=25)
+
+
+from ..operators.textstats import sql_chunk_overlap as _sql_chunk  # noqa: E402
+from ..operators.textstats import sql_frequent_ngrams as _sql_fng  # noqa: E402
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=_sql_chunk("documents", size=32, stride=24)
+    + " ORDER BY doc_id, chunk_idx",
+    tags=("text", "pipeline"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (RAG / training splitter):
+    size-32 windows at stride 24 (8-token overlap), every token covered,
+    short docs yield one chunk.  Shuffle-free — one projection + one
+    posexplode; the oracle replays the identical integer chunk-count
+    rule and slicing."""
+    from ..operators.textstats import chunk_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_overlap(docs, size=32, stride=24).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "text_frequent_ngrams",
+    oracle=_sql_fng("documents", n=3, k=50),
+    tags=("text", "agg"),
+)
+def text_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 frequent trigram mining (boilerplate / stop-
+    phrase list construction): one explode + one ngram-keyed aggregate
+    computing occurrences and document frequency together, top-k with a
+    total tie-break."""
+    from ..operators.textstats import frequent_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frequent_ngrams(docs, n=3, k=50)

@@ -63,3 +63,44 @@ def test_bm25_matches_python_reference(spark):
 def test_bm25_no_term_in_corpus(spark):
     docs = spark.createDataFrame([(1, "alpha beta")], "doc_id int, text string")
     assert bm25_topk(docs, ["ghost"], k=5).count() == 0
+
+
+def test_chunk_overlap_coverage_and_overlap(spark):
+    """Every token covered, consecutive chunks overlap by size-stride,
+    short doc -> exactly one chunk, empty doc -> no rows."""
+    from binaryx_graph_spark.operators.textstats import chunk_overlap
+
+    texts = {
+        1: " ".join(f"t{i}" for i in range(10)),  # 10 tokens
+        2: "a b c",                                # short: one chunk
+        3: "",                                     # empty: no rows
+        4: " ".join(f"w{i}" for i in range(9)),    # exactly size+stride boundary
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    rows = chunk_overlap(docs, size=4, stride=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc
+    assert [r.chunk_text for r in by_doc[2]] == ["a b c"]
+    # doc 1: starts 1,4,7,10 -> ceil((10-4)/3)=2 -> k=0,1,2 -> starts 1,4,7
+    chunks = [r.chunk_text.split() for r in by_doc[1]]
+    assert chunks[0] == ["t0", "t1", "t2", "t3"]
+    assert chunks[1] == ["t3", "t4", "t5", "t6"]
+    assert chunks[2] == ["t6", "t7", "t8", "t9"]
+    covered = {t for c in chunks for t in c}
+    assert covered == {f"t{i}" for i in range(10)}
+    # overlap = size - stride = 1 token between consecutive chunks
+    assert chunks[0][-1] == chunks[1][0] and chunks[1][-1] == chunks[2][0]
+
+
+def test_frequent_ngrams_counts(spark):
+    from binaryx_graph_spark.operators.textstats import frequent_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "the quick fox the quick fox"), (2, "the quick fox jumps")],
+        "doc_id int, text string",
+    )
+    rows = {r.ngram: (r.n_occurrences, r.n_docs) for r in frequent_ngrams(docs, n=3, k=5).collect()}
+    assert rows["the quick fox"] == (3, 2)
+    assert rows["quick fox the"] == (1, 1)
