@@ -86,6 +86,11 @@ HEADLINE = [
     # per-entity attribution composite
     "graph_betweenness_sampled",
     "events_attribution_touch",
+    # r5 additions: BM25 retrieval (explode + query-fenced tf shuffle +
+    # integer-quantized scoring) and the shuffle-free overlapping
+    # chunker — the two newest text-pipeline surfaces
+    "text_bm25_topk",
+    "text_chunk_overlap",
 ]
 
 
