@@ -268,3 +268,28 @@ def test_compiled_exists_vs_reference(spark, edges):
     got = sorted((r["a"], r["b"]) for r in cypher(t, q).collect())
     want = sorted({(str(s), str(d)) for s, d in edges})
     assert got == want, f"edges={edges}"
+
+
+@settings(max_examples=12, deadline=None)
+@given(edge_sets(), st.integers(1, 2), st.booleans())
+def test_with_pipeline_aggregate_having_vs_reference(spark, edges, thresh, rev):
+    """WITH-pipeline: implicit grouping + aggregate + HAVING-style WHERE
+    on the horizon, then projection — out-degree (or in-degree) counts
+    per node vs a pure-Python Counter.  Duplicate (src,dst) edges are
+    collapsed upstream, so count(b) is the distinct-neighbor degree."""
+    t, _fns, _calls = _tables(spark, edges)
+    arrow = "<-[:CALLS]-" if rev else "-[:CALLS]->"
+    q = (
+        f"MATCH (a:Function){arrow}(b:Function) "
+        f"WITH a, count(b) AS d WHERE d >= {thresh} "
+        f"RETURN a.uid AS a, d ORDER BY d DESC, a"
+    )
+    got = [(r["a"], r["d"]) for r in cypher(t, q).collect()]
+    deg = Counter()
+    for s, d in edges:
+        deg[str(d) if rev else str(s)] += 1
+    want = sorted(
+        ((v, c) for v, c in deg.items() if c >= thresh),
+        key=lambda vc: (-vc[1], vc[0]),
+    )
+    assert got == want, f"edges={edges} thresh={thresh} rev={rev}\n{q}"
