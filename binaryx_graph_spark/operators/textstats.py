@@ -1725,6 +1725,10 @@ def bm25_topk(
         F.coalesce(F.sum(F.size("_toks")), F.lit(0)).alias("tot"),
     ).collect()[0]
     n_docs, tot_tokens = int(n_total["n"]), int(n_total["tot"])
+    if n_docs == 0:
+        # empty corpus: mirror the twin's empty CTE chain, never a
+        # ZeroDivisionError on avgdl
+        return spark.createDataFrame([], "doc_id long, score_fp long, score double")
     avgdl = tot_tokens / n_docs  # same IEEE division as the twin
 
     tf = (

@@ -162,3 +162,32 @@ def test_interval_bin_join_fuzz(spark):
             ).collect()
         }
         assert binned == naive, f"bin_seconds={bin_seconds}"
+
+
+def test_audit_calendar_key_resolution():
+    """BNLJ build-bound auditor: calendar-keyed aggregates pass only
+    when EVERY key reduces to date_trunc arithmetic — direct, or
+    resolved through a defining alias; any raw-column key fails
+    (the r4-advice (user_id, date_trunc) hole)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from explain_audit import _keys_all_calendar
+
+    sub = (
+        "HashAggregate(keys=[win_start#100, win_end#101], functions=[])\n"
+        "  Project [date_trunc(day, cast(ts#5 as timestamp), Some(UTC)) + INTERVAL '09:30' HOUR AS win_start#100, "
+        "date_trunc(day, ts#6, Some(UTC)) AS win_end#101]\n"
+    )
+    # resolved aliases, both calendar -> pass
+    assert _keys_all_calendar("win_start#100, win_end#101", sub)
+    # direct date_trunc key -> pass
+    assert _keys_all_calendar(
+        "date_trunc(day, ts#5, Some(UTC))#9", "FileScan parquet [ts#5]"
+    )
+    # raw column alongside a calendar key -> FAIL (unbounded in users)
+    assert not _keys_all_calendar("user_id#7L, win_start#100", sub)
+    # alias resolving to a NON-calendar expression -> FAIL
+    sub2 = sub + "  Project [concat(a#8, b#9) AS win_start#102]\n"
+    assert not _keys_all_calendar("win_start#102", sub2)
+    # no date_trunc anywhere -> FAIL
+    assert not _keys_all_calendar("k#1", "Project [x#2 AS k#1]")

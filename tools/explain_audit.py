@@ -123,6 +123,53 @@ def _strip_date_trunc(txt: str) -> str:
     return "".join(out)
 
 
+def _defining_expr(subtext: str, ref: str) -> str | None:
+    """The expression aliased `<expr> AS <ref>` anywhere in the subtree
+    (Project/Aggregate output lists) — scanned backwards from the AS to
+    the enclosing comma/bracket at paren depth 0; None if `ref` is a
+    raw scan column (never aliased)."""
+    idx = subtext.find(f" AS {ref}")
+    if idx < 0:
+        return None
+    depth = 0
+    i = idx - 1
+    while i >= 0:
+        c = subtext[i]
+        if c in ")]":
+            depth += 1
+        elif c in "([":
+            if depth == 0:
+                break
+            depth -= 1
+        elif c == "," and depth == 0:
+            break
+        i -= 1
+    return subtext[i + 1 : idx]
+
+
+def _keys_all_calendar(keys_txt: str, subtext: str) -> bool:
+    """True when EVERY grouping key is calendar-shaped: either a direct
+    date_trunc(...) expression in the keys list, or an attribute
+    reference whose defining expression (resolved down the build
+    subtree) reduces to date_trunc plus calendar arithmetic (INTERVAL
+    offsets etc.) — i.e. stripping date_trunc spans leaves NO column
+    references.  A key like user_id (a raw scan column, no defining
+    alias) or a mixed (user_id, date_trunc(day)) key list fails, which
+    is the unbounded case the r4-advice finding targeted."""
+    if "date_trunc(" not in keys_txt and "date_trunc(" not in subtext:
+        return False
+    residue = _strip_date_trunc(keys_txt)
+    saw_calendar = "date_trunc(" in keys_txt
+    for ref in re.findall(r"\w+#\d+L?", residue):
+        expr = _defining_expr(subtext, ref)
+        if expr is None or "date_trunc(" not in expr:
+            return False
+        if re.search(r"#\d+", _strip_date_trunc(expr)):
+            return False
+        saw_calendar = True
+    return saw_calendar
+
+
 # equality of a column to a literal (not another column): `(x#12 = foo)`
 _EQ_LIT = re.compile(r"\((\w+)#\d+L? = ([^()#]+?)\)")
 _SCAN_LOC = re.compile(r"Location: [A-Za-z]*FileIndex\(\d+ paths?\)\[file:([^\],]+)\]")
@@ -172,12 +219,8 @@ def _justify_build(lines: list[str], start: int, end: int) -> str | None:
             # spans from the keys text; any surviving column reference
             # (#NN) means a non-calendar grouping key.
             km = re.search(r"keys=\[(.*?)\], functions=", line)
-            if km:
-                keys_txt = km.group(1)
-                if "date_trunc(" in keys_txt:
-                    residue = _strip_date_trunc(keys_txt)
-                    if not re.search(r"#\d+", residue):
-                        return "calendar-bounded (aggregate keyed only by date_trunc buckets)"
+            if km and _keys_all_calendar(km.group(1), subtext):
+                return "calendar-bounded (aggregate keyed only by date_trunc buckets)"
             return None
         if op in ("TakeOrderedAndProject", "GlobalLimit", "LocalLimit", "CollectLimit"):
             m = re.search(r"limit=(\d+)|Limit (\d+)", line)
