@@ -1214,3 +1214,125 @@ def sql_leakage_safe_split(
                 THEN 'train' ELSE 'test' END AS split
     FROM rep
     """
+
+
+# ------------------------------------------- content-defined chunking
+
+CDC_BOUNDARY_NIBBLE = "0"  # P(boundary) = 1/16 → mean chunk ≈ 16 tokens
+
+
+def cdc_chunks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content-defined chunking (the Rabin/LBFS idea at token
+    granularity): a token ENDS a chunk when md5(token) ends in
+    :data:`CDC_BOUNDARY_NIBBLE`.  Boundaries depend only on LOCAL
+    content, so inserting or deleting a token resynchronizes within one
+    chunk — unlike fixed-size windows, where a single leading insertion
+    shifts every window and kills all sharing (pinned by test).
+
+    → (doc_id, chunk_id, n_tokens, chunk_md5, chunk_text), one row per
+    chunk.  md5 is the boundary oracle because BOTH engines ship the
+    identical RFC 1321 hex (the portable-hash constraint; xxhash64 has
+    no DuckDB twin).
+
+    Scale design: ONE doc_id shuffle — the boundary-prefix-count window
+    (rows-frame running sum) and the per-chunk reassembly groupBy share
+    the same (doc_id) hash partitioning; chunk sizes are geometric
+    (mean 16 tokens), so per-group state is tiny and skew-free."""
+    from pyspark.sql.window import Window
+
+    from .textstats import tokens
+
+    pos = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    flag = (F.substring(F.md5("tok"), 32, 1) == CDC_BOUNDARY_NIBBLE).cast("long")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = pos.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(F.sum(flag).over(w), F.lit(0)).alias("chunk_id"),
+    )
+    return (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.getField("tok"),
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_md5", F.md5("chunk_text"))
+        .select("doc_id", "chunk_id", "n_tokens", "chunk_md5", "chunk_text")
+    )
+
+
+def cdc_duplicate_chunks(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 50
+) -> DataFrame:
+    """Corpus-wide duplicated-chunk mining over :func:`cdc_chunks`:
+    chunks whose content recurs (boilerplate, quoted blocks, shared
+    licenses) → (chunk_md5, n_tokens, n_occurrences, n_docs), top-k by
+    (occurrences DESC, chunk_md5).  One chunk-key shuffle after the
+    chunker's doc_id shuffle."""
+    ch = cdc_chunks(df, id_col, text_col)
+    return (
+        ch.groupBy("chunk_md5", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy(F.desc("n_occurrences"), "chunk_md5")
+        .limit(k)
+    )
+
+
+def sql_cdc_duplicate_chunks(
+    table: str, id_col: str = "doc_id", text_col: str = "text", *, k: int = 50
+) -> str:
+    """DuckDB twin of :func:`cdc_duplicate_chunks` — identical tokenizer,
+    identical md5 boundary rule, identical running-sum chunk ids."""
+    from .textstats import SQL_TOKENS
+
+    toks = SQL_TOKENS.format(col=text_col)
+    return f"""
+    WITH pos AS (
+      SELECT {id_col} AS doc_id,
+             generate_subscripts({toks}, 1) AS pos,
+             unnest({toks}) AS tok
+      FROM {table}
+    ),
+    chunked AS (
+      SELECT doc_id, pos, tok,
+             coalesce(sum(CASE WHEN substr(md5(tok), 32, 1) = '{CDC_BOUNDARY_NIBBLE}'
+                               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_id
+      FROM pos
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+      FROM chunked
+      GROUP BY doc_id, chunk_id
+    )
+    SELECT chunk_md5, n_tokens,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM chunks
+    GROUP BY chunk_md5, n_tokens
+    HAVING count(*) > 1
+    ORDER BY n_occurrences DESC, chunk_md5
+    LIMIT {k}
+    """

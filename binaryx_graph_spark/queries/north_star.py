@@ -1714,3 +1714,23 @@ def text_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return frequent_ngrams(docs, n=3, k=50)
+
+
+from ..operators.dedup import sql_cdc_duplicate_chunks as _sql_cdc  # noqa: E402
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=_sql_cdc("documents", k=50),
+    tags=("dedup",),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (Rabin/LBFS at token granularity):
+    md5-boundary chunks (mean 16 tokens, insertion-robust — a leading
+    edit resynchronizes within one chunk, unlike fixed windows), then
+    corpus-wide duplicated-chunk mining.  One doc_id shuffle (window +
+    reassembly share the partitioning) + one chunk-key shuffle."""
+    from ..operators.dedup import cdc_duplicate_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_duplicate_chunks(docs, "doc_id", "text", k=50)
