@@ -358,6 +358,10 @@ def kmeans_codebook(
 
     try:
         seeds = base.orderBy("_id").limit(n_centroids).select("_id", "_vq").collect()
+        if not seeds:
+            # empty corpus: no codebook (callers return the empty typed
+            # frame) — never an IndexError on seeds[0]
+            return {}
         dim = len(seeds[0]["_vq"])
         cents: dict[int, tuple[list[int], int]] = {
             int(r["_id"]): (list(r["_vq"]), 1) for r in seeds
@@ -508,6 +512,12 @@ def cosine_topk_ivf(
         )
         _codebook_cache_put(ck, codebook)
     qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).head()
+    if not codebook or qrow is None:
+        # empty corpus / unknown query id: empty typed frame, like the
+        # brute-force baseline's empty cross join
+        return embeddings.select(
+            F.col(id_col), F.lit(0.0).alias("cos_sim")
+        ).limit(0)
     qv = [float(x) for x in qrow[0]]
     qn = _py_sqrt_norm(qv)
     scored = sorted(
@@ -1070,6 +1080,13 @@ def cosine_topk_pq(
         vec_col=vec_col,
         corpus_key=corpus_key,
     )
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).first()
+    if qrow is None or any(not b for b in books):
+        # empty corpus / unknown query id: empty typed frame (the
+        # kmeans_codebook empty-seed guard yields empty books)
+        return embeddings.select(
+            F.col(id_col), F.lit(0.0).alias("approx_dot")
+        ).limit(0)
     # the single query vector resolves driver-side: each subspace's
     # q_sub · centroid dots become LITERALS folded into the argmax
     # structs (same in-order Python fold the codebook norms use — bit-
@@ -1077,12 +1094,7 @@ def cosine_topk_pq(
     # that mapped code → reconstructed centroid re-evaluated the argmax
     # (an interpreted HOF, no CSE) 8× per subspace — measured 8.4s →
     # 3.4s at sf0.1.
-    q_vals = [
-        float(x)
-        for x in embeddings.filter(F.col(id_col) == query_id)
-        .select(vec_col)
-        .first()[0]
-    ]
+    q_vals = [float(x) for x in qrow[0]]
 
     def pydot(a: list[float], b: list[float]) -> float:
         acc = 0.0

@@ -106,7 +106,15 @@ def test_textstats_on_empty_corpus(spark, empty_docs):
 
 
 def test_similarity_on_empty_embeddings(spark):
-    from binaryx_graph_spark.operators.similarity import cosine_topk
+    from binaryx_graph_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+        cosine_topk_pq,
+    )
 
     emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert cosine_topk(emb, 1, k=5).count() == 0
+    assert cosine_topk_lsh(emb, 1, k=5).count() == 0
+    assert cosine_topk_ivf(emb, 1, k=5).count() == 0
+    assert cosine_topk_pq(emb, 1, k=5).count() == 0
