@@ -293,3 +293,19 @@ def test_with_pipeline_aggregate_having_vs_reference(spark, edges, thresh, rev):
         key=lambda vc: (-vc[1], vc[0]),
     )
     assert got == want, f"edges={edges} thresh={thresh} rev={rev}\n{q}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(edge_sets())
+def test_call_union_vs_reference(spark, edges):
+    """CALL { q1 UNION q2 }: Cypher UNION (no ALL) dedups — callers ∪
+    callees == the node set touched by any edge, exactly once each."""
+    t, _fns, _calls = _tables(spark, edges)
+    q = (
+        "CALL { MATCH (a:Function)-[:CALLS]->(b:Function) RETURN a.uid AS x "
+        "UNION MATCH (c:Function)-[:CALLS]->(d:Function) RETURN d.uid AS x } "
+        "RETURN x ORDER BY x"
+    )
+    got = [r["x"] for r in cypher(t, q).collect()]
+    want = sorted({str(v) for e in edges for v in e})
+    assert got == want, f"edges={edges}"
