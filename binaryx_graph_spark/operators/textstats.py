@@ -1970,3 +1970,90 @@ def sql_frequent_ngrams(table: str, text_col: str = "text", *, n: int = 3, k: in
     ORDER BY n_occurrences DESC, ngram
     LIMIT {k}
     """
+
+
+def boilerplate_share(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    top_k: int = 50,
+):
+    """Per-document boilerplate share: the fraction of a document's
+    word n-grams that belong to the corpus-wide top-``top_k`` most
+    frequent n-grams (:func:`frequent_ngrams`) — the duplicated-n-gram
+    quality signal curation pipelines threshold on (headers, navigation
+    chrome, license blurbs inflate it).
+
+    → (doc_id, n_ngrams, n_boiler, boiler_share); docs with fewer than
+    n tokens report 0 ngrams and share 0.0.
+
+    Scale: the top-k list is corpus-aggregated once (the
+    frequent_ngrams shuffle) and then BROADCAST — per-doc work is one
+    explode + a broadcast semi-join-shaped conditional count, grouped
+    back on doc_id.  share = n_boiler/n_ngrams is one double division,
+    identical in the oracle."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(shingles(F.col(text_col), n)).alias("ngram"),
+    )
+    top = (
+        frequent_ngrams(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")), "text", n=n, k=top_k)
+        .select("ngram")
+        .withColumn("_boiler", F.lit(1))
+    )
+    return (
+        sh.join(F.broadcast(top), "ngram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("ngram").cast("long").alias("n_ngrams"),
+            F.coalesce(F.sum("_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_boiler",
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.col("n_boiler").cast("double") / F.col("n_ngrams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("boiler_share"),
+        )
+    )
+
+
+def sql_boilerplate_share(
+    table: str, id_col: str = "doc_id", text_col: str = "text", *, n: int = 3, top_k: int = 50
+) -> str:
+    """DuckDB twin of :func:`boilerplate_share`."""
+    sh = sql_shingles(text_col, n)
+    return f"""
+    WITH grams AS (
+      SELECT {id_col} AS doc_id, unnest({sh}) AS ngram FROM {table}
+    ),
+    top AS (
+      SELECT ngram, 1 AS _boiler FROM (
+        SELECT ngram, count(*) AS n_occurrences
+        FROM grams GROUP BY ngram
+        ORDER BY n_occurrences DESC, ngram
+        LIMIT {top_k}
+      )
+    ),
+    counted AS (
+      SELECT g.doc_id,
+             CAST(count(g.ngram) AS BIGINT) AS n_ngrams,
+             CAST(coalesce(sum(t._boiler), 0) AS BIGINT) AS n_boiler
+      FROM grams g LEFT JOIN top t USING (ngram)
+      GROUP BY g.doc_id
+    ),
+    base AS (SELECT {id_col} AS doc_id FROM {table})
+    SELECT b.doc_id,
+           coalesce(c.n_ngrams, 0) AS n_ngrams,
+           coalesce(c.n_boiler, 0) AS n_boiler,
+           CASE WHEN coalesce(c.n_ngrams, 0) > 0
+                THEN CAST(c.n_boiler AS DOUBLE) / CAST(c.n_ngrams AS DOUBLE)
+                ELSE 0.0 END AS boiler_share
+    FROM base b LEFT JOIN counted c USING (doc_id)
+    """

@@ -1734,3 +1734,23 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cdc_duplicate_chunks(docs, "doc_id", "text", k=50)
+
+
+from ..operators.textstats import sql_boilerplate_share as _sql_bshare  # noqa: E402
+
+
+@register(
+    "text_boilerplate_share",
+    oracle=_sql_bshare("documents", n=3, top_k=50) + " ORDER BY doc_id",
+    tags=("text", "quality"),
+)
+def text_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate share: fraction of the doc's trigrams
+    that fall in the corpus top-50 duplicated-trigram list — the
+    duplicated-n-gram quality signal curation pipelines threshold on.
+    Top list aggregated once and broadcast; per-doc work is one explode
+    + broadcast left join + doc_id groupBy."""
+    from ..operators.textstats import boilerplate_share
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_share(docs, n=3, top_k=50).orderBy("doc_id")

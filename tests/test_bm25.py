@@ -104,3 +104,19 @@ def test_frequent_ngrams_counts(spark):
     rows = {r.ngram: (r.n_occurrences, r.n_docs) for r in frequent_ngrams(docs, n=3, k=5).collect()}
     assert rows["the quick fox"] == (3, 2)
     assert rows["quick fox the"] == (1, 1)
+
+
+def test_boilerplate_share(spark):
+    from binaryx_graph_spark.operators.textstats import boilerplate_share
+
+    boiler = "the quick fox " * 10  # one dominant trigram family
+    docs = spark.createDataFrame(
+        [(1, boiler), (2, boiler + " unique tail words here"),
+         (3, "completely fresh text with no repeats at all"), (4, "ab")],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in boilerplate_share(docs, n=3, top_k=5).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].boiler_share == 1.0                  # pure boilerplate
+    assert 0.0 < rows[2].boiler_share < 1.0             # mixed
+    assert rows[4].n_ngrams == 0 and rows[4].boiler_share == 0.0  # < n tokens
