@@ -958,3 +958,78 @@ def sql_betweenness_sampled(
     GROUP BY v
     HAVING sum(delta) > 0"""
     )
+
+
+def scc_bounded(edges: DataFrame, *, max_depth: int = 6) -> DataFrame:
+    """Strongly connected components by MUTUAL REACHABILITY within
+    ``max_depth`` hops → (node, scc_id), scc_id = the minimum node id
+    in the component.  u and v share a component iff u →* v AND
+    v →* u; with paths bounded at ``max_depth`` this is EXACT whenever
+    max_depth ≥ the longest shortest path between co-component nodes
+    (any digraph on ≤ max_depth+1 nodes qualifies — the differential
+    fuzz exploits that), and a documented under-approximation beyond —
+    the same bounded-estimator contract as :func:`betweenness_sampled`.
+
+    Plan: ONE forward reachability pair-set (iterated distinct
+    (u, v)-pair edge joins, the betweenness forward-phase shape — all
+    sources advance together, never a per-source loop), then mutuality
+    is a SELF-join of the pair set against its own swap and scc_id one
+    (node)-keyed min aggregate.  Pair count is Σ|reach(v)| — bounded by
+    n·|V| like the (source, v) frames in betweenness; production SCC on
+    a 100 TB graph would move to pivot-based FW-BW once Σ|reach|
+    outgrows the cluster, exactly as IVF supersedes brute-force ANN.
+
+    Every step is set arithmetic on integer pairs — the DuckDB twin
+    (:func:`sql_scc_bounded`) replays it with a bounded recursive CTE,
+    bit-for-bit."""
+    edges = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).distinct().localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    reach = nodes.select(F.col("v").alias("u"), F.col("v").alias("w"))
+    frontier = reach
+    for _d in range(max_depth):
+        frontier = (
+            frontier.join(edges, frontier.w == edges.src)
+            .select("u", F.col("dst").alias("w"))
+            .distinct()
+            .join(reach, ["u", "w"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        reach = reach.unionByName(frontier).localCheckpoint(eager=True)
+    mutual = reach.join(
+        reach.select(F.col("w").alias("u"), F.col("u").alias("w")),
+        ["u", "w"],
+        "left_semi",
+    )
+    return (
+        mutual.groupBy(F.col("u").alias("node"))
+        .agg(F.min("w").cast("long").alias("scc_id"))
+    )
+
+
+def sql_scc_bounded(sql_edges: str, *, max_depth: int = 6) -> str:
+    """DuckDB twin of :func:`scc_bounded`: bounded recursive reachability
+    CTE, mutual self-join, min-id aggregate."""
+    return f"""
+    WITH RECURSIVE
+    edges AS (SELECT DISTINCT src, dst FROM ({sql_edges})),
+    nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+    reach(u, w, d) AS (
+      SELECT v, v, 0 FROM nodes
+      UNION
+      SELECT r.u, e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.w
+      WHERE r.d < {max_depth}
+    ),
+    pairs AS (SELECT DISTINCT u, w FROM reach)
+    SELECT p.u AS node, CAST(min(p.w) AS BIGINT) AS scc_id
+    FROM pairs p JOIN pairs q ON q.u = p.w AND q.w = p.u
+    GROUP BY p.u
+    """

@@ -1437,3 +1437,21 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     score bit-for-bit.  Top-50 brokers."""
     scores = betweenness_sampled(derived_edges(spark, sf_dir))
     return scores.orderBy(F.desc("bc_fp"), "node").limit(50)
+
+
+from ..operators.graphalgo import scc_bounded, sql_scc_bounded  # noqa: E402
+
+
+@register(
+    "graph_scc",
+    oracle=sql_scc_bounded(SQL_EDGES, max_depth=6) + " ORDER BY node",
+    tags=("graph", "iterative"),
+)
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (bounded mutual reachability,
+    depth ≤ 6) over the derived call graph — completing the component
+    family next to the undirected WCC.  scc_id = min member id; the
+    forward pair-set advances all sources together (the betweenness
+    forward shape), mutuality is one self-join of the pair set against
+    its swap, and the oracle replays it with a bounded recursive CTE."""
+    return scc_bounded(derived_edges(spark, sf_dir), max_depth=6).orderBy("node")

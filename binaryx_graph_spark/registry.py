@@ -107,7 +107,7 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     # 53-query tail above; these five get witnessed in r6
     "ingest_validation_errors", "graph_cycle_detection",
     "text_bm25_topk", "text_chunk_overlap", "text_frequent_ngrams",
-    "dedup_cdc_chunks", "text_boilerplate_share",
+    "dedup_cdc_chunks", "text_boilerplate_share", "graph_scc",
 )
 
 

@@ -155,3 +155,77 @@ def test_betweenness_matches_python_reference(spark, pairs):
     e = spark.createDataFrame(pairs, "src long, dst long")
     got = {r.node: r.bc_fp for r in betweenness_sampled(e).collect()}
     assert got == _py_betweenness(pairs), f"pairs={sorted(set(pairs))}"
+
+
+def test_scc_bounded_matches_tarjan(spark):
+    """scc_bounded vs an independent iterative Tarjan on 15 random
+    digraphs with self-loops/cycles — exact because max_depth=6 covers
+    every path on <= 6 nodes."""
+    import random
+
+    from binaryx_graph_spark.operators.graphalgo import scc_bounded
+
+    rng = random.Random(20260814)
+    for _case in range(15):
+        n = rng.randint(2, 6)
+        m = rng.randint(2, 12)
+        edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.scc_id for r in scc_bounded(e, max_depth=6).collect()}
+
+        # iterative Tarjan
+        nodes = sorted({v for t in edges for v in t})
+        adj = {v: [] for v in nodes}
+        for s, d in edges:
+            adj[s].append(d)
+        index = {}
+        low = {}
+        on_stack = set()
+        stack = []
+        sccs = []
+        counter = [0]
+
+        def strongconnect(root):
+            work = [(root, 0)]
+            while work:
+                v, pi = work[-1]
+                if pi == 0:
+                    index[v] = low[v] = counter[0]
+                    counter[0] += 1
+                    stack.append(v)
+                    on_stack.add(v)
+                recurse = False
+                for i in range(pi, len(adj[v])):
+                    w = adj[v][i]
+                    if w not in index:
+                        work[-1] = (v, i + 1)
+                        work.append((w, 0))
+                        recurse = True
+                        break
+                    if w in on_stack:
+                        low[v] = min(low[v], index[w])
+                if recurse:
+                    continue
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on_stack.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    sccs.append(comp)
+                work.pop()
+                if work:
+                    u, _ = work[-1]
+                    low[u] = min(low[u], low[v])
+
+        for v in nodes:
+            if v not in index:
+                strongconnect(v)
+        want = {}
+        for comp in sccs:
+            mid = min(comp)
+            for v in comp:
+                want[v] = mid
+        assert got == want, f"edges={edges}"
