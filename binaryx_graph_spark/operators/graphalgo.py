@@ -1033,3 +1033,94 @@ def sql_scc_bounded(sql_edges: str, *, max_depth: int = 6) -> str:
     FROM pairs p JOIN pairs q ON q.u = p.w AND q.w = p.u
     GROUP BY p.u
     """
+
+
+def topo_layers(edges: DataFrame, *, max_depth: int = 10) -> DataFrame:
+    """Dependency layering of a (possibly cyclic) digraph → (node,
+    scc_id, layer): condense strongly connected components
+    (:func:`scc_bounded`) into a DAG, then layer(c) = the longest
+    condensed path ending at c, computed as ``max_depth`` rounds of
+    max-propagation — leaf dependencies at layer 0, each consumer above
+    everything it depends on (the build-order / init-order analytics a
+    call-graph user asks next after cycles).  Exact when ``max_depth``
+    covers the condensed DAG's depth; bounded-estimator contract beyond,
+    as in :func:`scc_bounded`/:func:`betweenness_sampled`.
+
+    Plan: the condensed edge list is two broadcast-or-hash joins onto
+    the SCC map + distinct; each round is ONE edge join + ONE max
+    aggregate on condensed ids (strictly fewer than |V|); walks in the
+    condensed DAG cannot revisit a component, so the frontier dies at
+    the true depth.  The DuckDB twin replays walks with a bounded
+    recursive CTE and takes the same max."""
+    edges = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).distinct().localCheckpoint(eager=True)
+    scc = scc_bounded(edges, max_depth=max_depth).localCheckpoint(eager=True)
+    cmap_src = scc.select(F.col("node").alias("src"), F.col("scc_id").alias("_ca"))
+    cmap_dst = scc.select(F.col("node").alias("dst"), F.col("scc_id").alias("_cb"))
+    cedges = (
+        edges.join(cmap_src, "src")
+        .join(cmap_dst, "dst")
+        .filter(F.col("_ca") != F.col("_cb"))
+        .select(F.col("_ca").alias("csrc"), F.col("_cb").alias("cdst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    layer = scc.select(F.col("scc_id").alias("c")).distinct().withColumn(
+        "layer", F.lit(0).cast("long")
+    )
+    frontier = layer
+    for _d in range(max_depth):
+        frontier = (
+            frontier.join(cedges, frontier.c == cedges.csrc)
+            .groupBy(F.col("cdst").alias("c"))
+            .agg((F.max("layer") + 1).alias("layer"))
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        layer = (
+            layer.unionByName(frontier)
+            .groupBy("c")
+            .agg(F.max("layer").alias("layer"))
+            .localCheckpoint(eager=True)
+        )
+    return scc.join(layer, scc.scc_id == layer.c).select(
+        "node", "scc_id", F.col("layer").cast("long").alias("layer")
+    )
+
+
+def sql_topo_layers(sql_edges: str, *, max_depth: int = 10) -> str:
+    """DuckDB twin of :func:`topo_layers`: SCC CTE + bounded walk
+    recursion over the condensed DAG, max depth per component."""
+    return f"""
+    WITH RECURSIVE
+    edges AS (SELECT DISTINCT src, dst FROM ({sql_edges})),
+    nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+    reach(u, w, d) AS (
+      SELECT v, v, 0 FROM nodes
+      UNION
+      SELECT r.u, e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.w
+      WHERE r.d < {max_depth}
+    ),
+    pairs AS (SELECT DISTINCT u, w FROM reach),
+    scc AS (
+      SELECT p.u AS node, CAST(min(p.w) AS BIGINT) AS scc_id
+      FROM pairs p JOIN pairs q ON q.u = p.w AND q.w = p.u
+      GROUP BY p.u
+    ),
+    cedges AS (
+      SELECT DISTINCT a.scc_id AS csrc, b.scc_id AS cdst
+      FROM edges e JOIN scc a ON a.node = e.src JOIN scc b ON b.node = e.dst
+      WHERE a.scc_id <> b.scc_id
+    ),
+    walk(c, d) AS (
+      SELECT DISTINCT scc_id, 0 FROM scc
+      UNION
+      SELECT w2.cdst, walk.d + 1 FROM walk JOIN cedges w2 ON w2.csrc = walk.c
+      WHERE walk.d < {max_depth}
+    ),
+    layers AS (SELECT c, CAST(max(d) AS BIGINT) AS layer FROM walk GROUP BY c)
+    SELECT s.node, s.scc_id, l.layer
+    FROM scc s JOIN layers l ON l.c = s.scc_id
+    """

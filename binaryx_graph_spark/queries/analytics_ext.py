@@ -1455,3 +1455,23 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     forward shape), mutuality is one self-join of the pair set against
     its swap, and the oracle replays it with a bounded recursive CTE."""
     return scc_bounded(derived_edges(spark, sf_dir), max_depth=6).orderBy("node")
+
+
+from ..operators.graphalgo import sql_topo_layers, topo_layers  # noqa: E402
+
+
+@register(
+    "graph_topo_layers",
+    oracle=sql_topo_layers(SQL_EDGES, max_depth=10)
+    + " ORDER BY layer, scc_id, node",
+    tags=("graph", "iterative"),
+)
+def graph_topo_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency layering of the derived call graph: SCC condensation
+    (cycles collapse to one unit) then longest-path layers — leaves at
+    0, every caller above everything it can reach.  The build/init-
+    order analytics; per round one condensed-edge join + one max
+    aggregate, frontier dies at the condensed DAG's true depth."""
+    return topo_layers(derived_edges(spark, sf_dir), max_depth=10).orderBy(
+        "layer", "scc_id", "node"
+    )

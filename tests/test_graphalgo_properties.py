@@ -229,3 +229,31 @@ def test_scc_bounded_matches_tarjan(spark):
             for v in comp:
                 want[v] = mid
         assert got == want, f"edges={edges}"
+
+
+def test_topo_layers_matches_reference(spark):
+    """topo_layers vs independent Python longest-path on the condensed
+    DAG — 12 random digraphs with cycles."""
+    import random
+    from functools import lru_cache
+
+    from binaryx_graph_spark.operators.graphalgo import scc_bounded, topo_layers
+
+    rng = random.Random(5150)
+    for _case in range(12):
+        n = rng.randint(2, 6)
+        m = rng.randint(2, 12)
+        edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: (r.scc_id, r.layer) for r in topo_layers(e, max_depth=10).collect()}
+
+        scc = {r.node: r.scc_id for r in scc_bounded(e, max_depth=10).collect()}
+        cedges = sorted({(scc[s], scc[d]) for s, d in edges if scc[s] != scc[d]})
+
+        @lru_cache(maxsize=None)
+        def layer(c):
+            preds = [a for a, b in cedges if b == c]
+            return 0 if not preds else 1 + max(layer(a) for a in preds)
+
+        want = {v: (scc[v], layer(scc[v])) for v in scc}
+        assert got == want, f"edges={edges}"
