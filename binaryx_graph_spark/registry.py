@@ -104,7 +104,7 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     "raw_query_range", "raw_query_proximity", "raw_query_boost",
     # (d) r5 additions + the one r5 oracle-change re-float — APPENDED
     # (never prepended) so the r5 driver sample lands entirely on the
-    # 53-query tail above; these five get witnessed in r6
+    # 53-query tail above; this block gets witnessed in r6
     "ingest_validation_errors", "graph_cycle_detection",
     "text_bm25_topk", "text_chunk_overlap", "text_frequent_ngrams",
     "dedup_cdc_chunks", "text_boilerplate_share", "graph_scc",
