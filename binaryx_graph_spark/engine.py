@@ -197,3 +197,51 @@ class Engine:
     @staticmethod
     def dedup_minhash(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
         return _dedup.minhash_near_dup(df, id_col, text_col, **kw)
+
+    @staticmethod
+    def dedup_cdc(df: DataFrame, id_col: str, text_col: str, **kw) -> DataFrame:
+        from .operators.dedup import cdc_duplicate_chunks
+
+        return cdc_duplicate_chunks(df, id_col, text_col, **kw)
+
+    @staticmethod
+    def bm25(df: DataFrame, query_terms: list[str], **kw) -> DataFrame:
+        from .operators.textstats import bm25_topk
+
+        return bm25_topk(df, query_terms, **kw)
+
+    # ------------------------------------------------- graph analytics
+    # Edge-frame analytics ((src, dst) columns) — the call graph is
+    # `eng.table("calls")` renamed, but ANY edge list works.
+    @staticmethod
+    def pagerank(edges: DataFrame, **kw) -> DataFrame:
+        from .operators.graphalgo import pagerank_fixed
+
+        return pagerank_fixed(edges, **kw)
+
+    @staticmethod
+    def scc(edges: DataFrame, **kw) -> DataFrame:
+        from .operators.graphalgo import scc_bounded
+
+        return scc_bounded(edges, **kw)
+
+    @staticmethod
+    def topo_layers(edges: DataFrame, **kw) -> DataFrame:
+        from .operators.graphalgo import topo_layers as _tl
+
+        return _tl(edges, **kw)
+
+    @staticmethod
+    def betweenness(edges: DataFrame, **kw) -> DataFrame:
+        from .operators.graphalgo import betweenness_sampled
+
+        return betweenness_sampled(edges, **kw)
+
+    def call_graph_edges(self) -> DataFrame:
+        """The warehouse call graph as a generic (src, dst) edge frame —
+        feed to :meth:`pagerank`/:meth:`scc`/:meth:`topo_layers`/
+        :meth:`betweenness` (ids stay function-uid strings; pass
+        ``cast_ids=False`` where the operator takes it)."""
+        return self.table("calls").select(
+            F.col("src_uid").alias("src"), F.col("dst_uid").alias("dst")
+        )

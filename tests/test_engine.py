@@ -96,3 +96,15 @@ def test_call_sequences_and_path_histogram(eng):
     top = eng.longest_paths("main", max_depth=3, k=10).collect()
     lens = [r.path_length for r in top]
     assert lens == sorted(lens, reverse=True) and top[0].path.startswith("main")
+
+
+def test_graph_analytics_passthroughs(eng):
+    edges = eng.call_graph_edges()
+    pr = eng.pagerank(edges, cast_ids=False).collect()
+    assert pr and all(r.rank_fp > 0 for r in pr)
+    scc = {r.node: r.scc_id for r in eng.scc(edges.selectExpr(
+        "xxhash64(src) as src", "xxhash64(dst) as dst")).collect()}
+    assert scc  # uid strings hashed to longs for the id-typed operator
+    layers = eng.topo_layers(edges.selectExpr(
+        "xxhash64(src) as src", "xxhash64(dst) as dst")).collect()
+    assert layers and {r.node for r in layers} == set(scc)
