@@ -309,3 +309,36 @@ def test_call_union_vs_reference(spark, edges):
     got = [r["x"] for r in cypher(t, q).collect()]
     want = sorted({str(v) for e in edges for v in e})
     assert got == want, f"edges={edges}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(edge_sets())
+def test_collect_aggregate_vs_reference(spark, edges):
+    """collect(b.uid) per caller (sorted-for-determinism contract) ==
+    the sorted adjacency list, with per-edge MULTIPLICITY (collect is a
+    bag, deduped (src,dst) here so each neighbor once)."""
+    t, _fns, _calls = _tables(spark, edges)
+    q = (
+        "MATCH (a:Function)-[:CALLS]->(b:Function) "
+        "RETURN a.uid AS a, collect(b.uid) AS cs ORDER BY a"
+    )
+    got = [(r["a"], list(r["cs"])) for r in cypher(t, q).collect()]
+    adj: dict[str, list[str]] = {}
+    for s, d in edges:
+        adj.setdefault(str(s), []).append(str(d))
+    want = [(a, sorted(v)) for a, v in sorted(adj.items())]
+    assert got == want, f"edges={edges}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(edge_sets(), st.integers(0, 3), st.integers(1, 4))
+def test_skip_limit_pagination_vs_reference(spark, edges, skip, limit):
+    """SKIP/LIMIT over a totally-ordered projection == python slicing."""
+    t, _fns, _calls = _tables(spark, edges)
+    q = (
+        "MATCH (a:Function)-[:CALLS]->(b:Function) "
+        f"RETURN a.uid AS a, b.uid AS b ORDER BY a, b SKIP {skip} LIMIT {limit}"
+    )
+    got = [(r["a"], r["b"]) for r in cypher(t, q).collect()]
+    allrows = sorted((str(s), str(d)) for s, d in edges)
+    assert got == allrows[skip : skip + limit], f"edges={edges} skip={skip} limit={limit}"
