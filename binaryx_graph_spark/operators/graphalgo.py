@@ -269,6 +269,12 @@ def personalized_pagerank_fixed(
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n_seeds = nodes.filter("is_seed").count()
+    if n_seeds == 0:
+        # empty graph or a seed predicate matching nothing: mirror the
+        # DuckDB twin's empty CTE chain instead of ZeroDivisionError
+        return edges.sparkSession.createDataFrame(
+            [], "node long, rank_fp long, rank double"
+        )
     init = scale // n_seeds
     base = (15 * init) // 100
 

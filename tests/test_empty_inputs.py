@@ -118,3 +118,15 @@ def test_similarity_on_empty_embeddings(spark):
     assert cosine_topk_lsh(emb, 1, k=5).count() == 0
     assert cosine_topk_ivf(emb, 1, k=5).count() == 0
     assert cosine_topk_pq(emb, 1, k=5).count() == 0
+
+
+def test_personalized_pagerank_empty_seeds(spark, empty_edges):
+    from pyspark.sql import functions as F
+
+    from binaryx_graph_spark.operators.graphalgo import personalized_pagerank_fixed
+
+    # empty graph
+    assert personalized_pagerank_fixed(empty_edges, F.col("v") >= 0).count() == 0
+    # non-empty graph, seed predicate matching nothing
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert personalized_pagerank_fixed(e, F.col("v") > 99).count() == 0
