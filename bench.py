@@ -91,6 +91,11 @@ HEADLINE = [
     # chunker — the two newest text-pipeline surfaces
     "text_bm25_topk",
     "text_chunk_overlap",
+    # r5 session-2: content-defined chunking dedup (window + two
+    # shuffles) and bounded-SCC mutual reachability (the pair-set
+    # growth axis measured in SCALE.md addendum 30)
+    "dedup_cdc_chunks",
+    "graph_scc",
 ]
 
 
