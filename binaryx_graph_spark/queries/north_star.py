@@ -1754,3 +1754,20 @@ def text_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return boilerplate_share(docs, n=3, top_k=50).orderBy("doc_id")
+
+
+@register(
+    "dedup_streaming_cdc",
+    oracle=_sql_cdc("documents", k=50),
+    tags=("dedup", "streaming", "text"),
+)
+def dedup_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous CDC duplicate-chunk mining: 3 ascending doc_id-range
+    micro-batches, each chunking only its own docs and merging chunk
+    stats into the accumulated index (doc-disjoint batches make both
+    occurrence and distinct-doc counts exactly additive).  The oracle
+    is the GLOBAL cdc_duplicate_chunks pass — streaming replay equals
+    the batch pass bit-for-bit."""
+    from ..streaming.dedup_stream import streaming_cdc_dedup
+
+    return streaming_cdc_dedup(spark, sf_dir, k=50, arrival_batches=3)

@@ -235,3 +235,84 @@ def stream_quality_gate(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("batch_id")
+
+
+def streaming_cdc_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = 50,
+    arrival_batches: int = 3,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Continuous content-defined-chunk duplicate mining: the corpus
+    replayed as ascending doc_id-range micro-batches; each foreachBatch
+    chunkifies ONLY its own documents (:func:`~binaryx_graph_spark.
+    operators.dedup.cdc_chunks`) and merges per-chunk stats into the
+    accumulated index by summing.
+
+    Contract (gate-pinned): batches partition the documents, so
+    occurrence counts AND distinct-doc counts are exactly additive —
+    the final index equals the global ``cdc_duplicate_chunks`` pass
+    bit-for-bit.  State carried across batches is the chunk-stat index
+    (chunk-cardinality, never corpus text); per batch the cost is the
+    batch's own chunking + one chunk-key merge."""
+    from ..operators.dedup import cdc_chunks
+
+    stage = tempfile.mkdtemp(prefix="bxg_cdc_stream_")
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]  # setup-only scalar
+    bounds = [(i * (max_id + 1)) // arrival_batches for i in range(arrival_batches + 1)]
+    _stage_batches(
+        docs, stage,
+        [(F.col("doc_id") >= bounds[b]) & (F.col("doc_id") < bounds[b + 1])
+         for b in range(arrival_batches)],
+    )
+
+    state = {
+        "index": spark.createDataFrame(
+            [], "chunk_md5 string, n_tokens long, n_occurrences long, n_docs long"
+        ).localCheckpoint(eager=True),
+        "n_batches": 0,
+    }
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        part = (
+            cdc_chunks(batch_df.localCheckpoint(eager=True), "doc_id", "text")
+            .groupBy("chunk_md5", "n_tokens")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+                F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            )
+        )
+        state["index"] = (
+            state["index"].unionByName(part)
+            .groupBy("chunk_md5", "n_tokens")
+            .agg(
+                F.sum("n_occurrences").cast("long").alias("n_occurrences"),
+                F.sum("n_docs").cast("long").alias("n_docs"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        state["n_batches"] += 1
+
+    q = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    if stats is not None:
+        stats["n_batches"] = state["n_batches"]
+        stats["index_size"] = state["index"].count()
+    return (
+        state["index"]
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy(F.desc("n_occurrences"), "chunk_md5")
+        .limit(k)
+        .select("chunk_md5", "n_tokens", "n_occurrences", "n_docs")
+    )

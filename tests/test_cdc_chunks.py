@@ -69,3 +69,27 @@ def test_cdc_duplicate_mining(spark):
     dups = cdc_duplicate_chunks(docs, "doc_id", "text", k=10).collect()
     assert dups and all(r.n_occurrences >= 2 for r in dups)
     assert any(r.n_docs == 2 for r in dups)
+
+
+def test_streaming_cdc_equals_global_pass(spark, tmp_path):
+    """The streaming chunk-stat index after draining all micro-batches
+    equals the global cdc_duplicate_chunks pass (stats dict pins batch
+    count and chunk-cardinality state)."""
+    from binaryx_graph_spark.streaming.dedup_stream import streaming_cdc_dedup
+
+    sf_dir = "/root/testdata/sf0.001"
+    stats: dict = {}
+    got = {
+        (r.chunk_md5, r.n_tokens): (r.n_occurrences, r.n_docs)
+        for r in streaming_cdc_dedup(spark, sf_dir, k=1000, arrival_batches=4, stats=stats).collect()
+    }
+    from binaryx_graph_spark.model import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        (r.chunk_md5, r.n_tokens): (r.n_occurrences, r.n_docs)
+        for r in cdc_duplicate_chunks(docs, "doc_id", "text", k=1000).collect()
+    }
+    assert got == want
+    assert stats["n_batches"] == 4
+    assert stats["index_size"] > 0
