@@ -1771,3 +1771,36 @@ def dedup_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.dedup_stream import streaming_cdc_dedup
 
     return streaming_cdc_dedup(spark, sf_dir, k=50, arrival_batches=3)
+
+
+@register(
+    "dedup_recall_minhash",
+    oracle=f"""
+    WITH lsh AS ({sql_minhash_near_dup("documents", "doc_id", "text", n=3, threshold=0.3)}),
+    exact AS ({sql_jaccard_pairs("documents", "doc_id", "text", n=3, threshold=0.3)})
+    SELECT CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh_pairs,
+           CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact_pairs,
+           CAST((SELECT count(*) FROM lsh) AS DOUBLE)
+             / CAST((SELECT count(*) FROM exact) AS DOUBLE) AS recall
+    """,
+    tags=("dedup", "quality"),
+)
+def dedup_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup QUALITY as a first-class measured operator (the
+    ann_recall precedent applied to MinHash-LSH): pair recall of the
+    banded-LSH-then-verify pipeline against the exhaustive exact
+    Jaccard join at the same threshold.  LSH can only MISS pairs (a
+    verified candidate is exact), so recall = |lsh| / |exact| — the
+    banding miss rate (1-(1-t^r)^b) made observable.  In production
+    this is the continuous index-health probe next to the dedup path;
+    both sides replay in the oracle, so the measured recall is pinned,
+    not asserted."""
+    from ..operators.dedup import jaccard_pairs_prefix, minhash_near_dup
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_lsh = minhash_near_dup(docs, "doc_id", "text", n=3, threshold=0.3).count()
+    n_exact = jaccard_pairs_prefix(docs, "doc_id", "text", n=3, threshold=0.3).count()
+    return spark.createDataFrame(
+        [(n_lsh, n_exact, float(n_lsh) / float(n_exact))],
+        "n_lsh_pairs long, n_exact_pairs long, recall double",
+    )

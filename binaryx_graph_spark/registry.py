@@ -108,7 +108,7 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     "ingest_validation_errors", "graph_cycle_detection",
     "text_bm25_topk", "text_chunk_overlap", "text_frequent_ngrams",
     "dedup_cdc_chunks", "text_boilerplate_share", "graph_scc",
-    "graph_topo_layers", "dedup_streaming_cdc",
+    "graph_topo_layers", "dedup_streaming_cdc", "dedup_recall_minhash",
 )
 
 
