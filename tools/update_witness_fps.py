@@ -6,10 +6,14 @@ CURRENT oracle fingerprint.  Run this FIRST THING each round, before any
 oracle is edited, so the recorded hash is the one the driver actually
 verified.  Existing entries are never overwritten (an oracle edit after
 witnessing must invalidate, not refresh).  PROTOCOL for deliberately
-changing a witnessed query's oracle: delete its ledger entry in the SAME
-commit as the oracle edit — the query re-floats to the sampled head, and
-this tool re-adds the fresh fingerprint after the next driver round
-witnesses it green.
+changing a witnessed query's oracle: delete its ledger entry AND add a
+tombstone row ``{name: N}`` to tools/witness_tombstones.json (N = the
+next driver round) in the SAME commit as the oracle edit — the query
+re-floats to the sampled head, and this tool re-adds the fresh
+fingerprint only once a CORRECTNESS_r{>=N} artifact witnesses it green.
+Without the tombstone, a green row from a PRE-change round would vouch
+for the post-change oracle it never tested (the r5→r6
+graph_cycle_detection near-miss).
 
 Usage: python -m tools.update_witness_fps
 """
@@ -36,11 +40,24 @@ def main() -> None:
         ledger = {}
 
     load_all()
+    try:
+        with open(os.path.join(repo, "tools", "witness_tombstones.json")) as f:
+            tombstones: dict[str, int] = json.load(f)
+    except Exception:
+        tombstones = {}
+
     green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        base = os.path.basename(path)  # CORRECTNESS_r05.json
+        try:
+            rnd = int(base.split("_r")[1].split(".")[0])
+        except (IndexError, ValueError):
+            rnd = 0
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
+            if rnd < tombstones.get(name, 0):
+                continue  # green row predates the oracle change; cannot vouch
             if (
                 isinstance(row, dict)
                 and row.get("rows_match")
