@@ -122,6 +122,36 @@ def write_validation_fixture(tmpdir: str | Path) -> str:
     return str(d)
 
 
+# Edge cases the leading-character array test used to miss (r5 ADVICE,
+# reference client.rs:61-74 Value::is_array): explicit JSON null and
+# string scalars must BOTH report "<fld> must be an array".  The one
+# documented residual — a string whose CONTENT is valid JSON-array text
+# — extracts unquoted and probes as an array; v4 pins that accepted
+# divergence so any future change to it is a loud diff.
+MALFORMED_NULL_DOCS: dict[str, dict] = {
+    # explicit nulls: serde sees Value::Null, not a missing key
+    "n1_null_sections.json": {"binary_info": _BI_OK, "functions": None, "strings": None},
+    # string scalar (content does NOT look like an array)
+    "n2_string_exports.json": {"binary_info": _BI_OK, "exports": "oops"},
+    # boolean scalar
+    "n3_bool_imports.json": {"binary_info": _BI_OK, "imports": True},
+    # RESIDUAL: string whose content parses as a JSON array — passes
+    # (out-of-contract; see validate_raw_json docstring)
+    "n4_arraylike_string.json": {"binary_info": _BI_OK, "exports": "[1,2]"},
+}
+
+
+def write_validation_nulls_fixture(tmpdir: str | Path) -> str:
+    """MALFORMED_NULL_DOCS plus one fully-valid doc (DOC_B) — input for
+    the ingest_validation_null_arrays gate query."""
+    d = Path(tmpdir) / "analysis_json_nulls"
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "ok.json").write_text(json.dumps(DOC_B))
+    for name, doc in MALFORMED_NULL_DOCS.items():
+        (d / name).write_text(json.dumps(doc))
+    return str(d)
+
+
 UID_MAIN_A = f"{HASH_A}:0x401000"
 UID_HELPER_A = f"{HASH_A}:0x401100"
 UID_WORKER_A = f"{HASH_A}:0x401200"

@@ -709,8 +709,13 @@ def hits_fixed(edges: DataFrame, *, iters: int = 3, scale: int = HITS_SCALE) -> 
         tot = raw.agg(F.sum("s").alias("t"))
         # t == 0 (all surviving mass zero — degenerate but reachable on
         # adversarial graphs) would turn `div t` into NULL rows; drop
-        # them instead, which the final left-join restores as explicit
-        # zeros — matching the DuckDB twin, whose zero-total rows vanish
+        # them instead, and the final left-join restores explicit
+        # zeros.  NOTE: the DuckDB twin diverges here — its `// 0`
+        # yields NULL, so the twin reports NULL scores for every node
+        # in this degenerate case while we report zeros.  Accepted as
+        # out-of-contract: unreachable on the gate corpora (any edge
+        # with surviving mass keeps t > 0), and zeros are the saner
+        # production answer.
         return (
             raw.crossJoin(F.broadcast(tot))
             .filter(F.col("t") > 0)

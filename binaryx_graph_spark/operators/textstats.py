@@ -1931,6 +1931,7 @@ def sql_chunk_overlap(
 def frequent_ngrams(
     docs,
     text_col: str = "text",
+    id_col: str = "doc_id",
     *,
     n: int = 3,
     k: int = 50,
@@ -1945,7 +1946,7 @@ def frequent_ngrams(
     same aggregate); top-k via TakeOrderedAndProject with a total
     (count DESC, ngram) tie-break."""
     sh = docs.select(
-        F.col("doc_id").alias("_doc"), F.explode(shingles(F.col(text_col), n)).alias("ngram")
+        F.col(id_col).alias("_doc"), F.explode(shingles(F.col(text_col), n)).alias("ngram")
     )
     return (
         sh.groupBy("ngram")

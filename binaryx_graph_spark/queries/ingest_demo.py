@@ -441,3 +441,38 @@ def ingest_validation_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("error")
     )
+
+
+@register(
+    "ingest_validation_null_arrays",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('exports must be an array',   CAST(1 AS BIGINT)),
+      ('functions must be an array', CAST(1 AS BIGINT)),
+      ('imports must be an array',   CAST(1 AS BIGINT)),
+      ('strings must be an array',   CAST(1 AS BIGINT))
+    ) AS t(error, n)
+    ORDER BY error
+    """,
+    tags=("ingest", "validation"),
+)
+def ingest_validation_null_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 edge-case gate (r5 ADVICE): the reference's Value::is_array
+    check (src/api/client.rs:61-74) rejects explicit JSON nulls and
+    string/boolean scalars in the four section fields — cases a
+    leading-character probe misses because get_json_object returns SQL
+    NULL for nulls and unquoted content for strings.  Fixture seeds one
+    doc with ``functions: null, strings: null``, one string-typed
+    exports, one boolean imports, one valid doc (zero rows), and the
+    documented residual (string content ``"[1,2]"`` probes as an array
+    → intentionally absent from the expected errors)."""
+    from ..fixtures.micro_graph import write_validation_nulls_fixture
+    from ..sources.json_source import validate_raw_json
+
+    d = write_validation_nulls_fixture(tempfile.mkdtemp(prefix="bxg_validate_n_"))
+    errs = validate_raw_json(spark, d)
+    return (
+        errs.groupBy("error")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("error")
+    )

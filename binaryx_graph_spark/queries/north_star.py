@@ -1800,7 +1800,12 @@ def dedup_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_lsh = minhash_near_dup(docs, "doc_id", "text", n=3, threshold=0.3).count()
     n_exact = jaccard_pairs_prefix(docs, "doc_id", "text", n=3, threshold=0.3).count()
+    # Degenerate corpus (no exact near-dup pairs at the threshold):
+    # recall is undefined — emit NULL rather than raise (r5 ADVICE).
+    # Out-of-contract vs the oracle's 0/0 division, which never runs
+    # at the gate SFs (the corpus seeds near-duplicates by design).
+    recall = float(n_lsh) / float(n_exact) if n_exact else None
     return spark.createDataFrame(
-        [(n_lsh, n_exact, float(n_lsh) / float(n_exact))],
+        [(n_lsh, n_exact, recall)],
         "n_lsh_pairs long, n_exact_pairs long, recall double",
     )

@@ -109,6 +109,9 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     "text_bm25_topk", "text_chunk_overlap", "text_frequent_ngrams",
     "dedup_cdc_chunks", "text_boilerplate_share", "graph_scc",
     "graph_topo_layers", "dedup_streaming_cdc", "dedup_recall_minhash",
+    # (e) r6 additions — APPENDED after the 14-query r5 tail so the r6
+    # driver sample witnesses that tail first, then these
+    "ingest_validation_null_arrays",
 )
 
 

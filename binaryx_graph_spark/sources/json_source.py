@@ -131,8 +131,15 @@ def validate_raw_json(spark: SparkSession, path: str | list[str]) -> DataFrame:
     get_json_object), no Python UDF: key PRESENCE via json_object_keys
     (distinguishes a missing key from an explicit JSON null, matching
     serde's ``get(field).is_none()``), object-ness via json_object_keys
-    returning NULL on non-objects, array-ness via the extracted
-    value's leading character.
+    returning NULL on non-objects, array-ness via json_array_length
+    probing of the extracted value.  Matching the reference's
+    ``Value::is_array`` (client.rs:61-74): an explicit JSON null
+    (``"functions": null`` → get_json_object yields SQL NULL) and a
+    string scalar (``"exports": "oops"``) are both "must be an array"
+    errors.  One documented residual: a STRING whose content is itself
+    valid JSON-array text (``"exports": "[1,2]"``) extracts unquoted
+    and probes as an array — indistinguishable without a raw-text
+    parser; accepted as out-of-contract.
     """
     raw = (
         spark.read.text(path, wholetext=True)
@@ -160,10 +167,14 @@ def validate_raw_json(spark: SparkSession, path: str | list[str]) -> DataFrame:
             )
         )
     for fld in _ARRAY_FIELDS:
+        v = F.get_json_object("value", f"$.{fld}")
+        # Not an array ⇔ explicit null (extraction is SQL NULL) OR the
+        # extracted text does not parse as a JSON array (objects,
+        # numbers, booleans, and plain strings all probe NULL here).
         checks.append(
             (
                 _has(top_keys, fld)
-                & (F.substring(F.trim(F.get_json_object("value", f"$.{fld}")), 1, 1) != "["),
+                & (v.isNull() | F.json_array_length(v).isNull()),
                 f"{fld} must be an array",
             )
         )

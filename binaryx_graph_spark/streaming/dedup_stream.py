@@ -262,6 +262,13 @@ def streaming_cdc_dedup(
     stage = tempfile.mkdtemp(prefix="bxg_cdc_stream_")
     docs = load_table(spark, sf_dir, "documents")
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]  # setup-only scalar
+    if max_id is None:  # empty corpus: nothing to stream (r5 ADVICE)
+        if stats is not None:
+            stats["n_batches"] = 0
+            stats["index_size"] = 0
+        return spark.createDataFrame(
+            [], "chunk_md5 string, n_tokens long, n_occurrences long, n_docs long"
+        )
     bounds = [(i * (max_id + 1)) // arrival_batches for i in range(arrival_batches + 1)]
     _stage_batches(
         docs, stage,

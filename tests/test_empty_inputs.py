@@ -130,3 +130,32 @@ def test_personalized_pagerank_empty_seeds(spark, empty_edges):
     # non-empty graph, seed predicate matching nothing
     e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
     assert personalized_pagerank_fixed(e, F.col("v") > 99).count() == 0
+
+
+def test_streaming_cdc_on_empty_corpus(spark, tmp_path):
+    """r5 ADVICE: max(doc_id) is None on an empty documents table —
+    must return the empty typed index frame, not TypeError."""
+    from binaryx_graph_spark.streaming.dedup_stream import streaming_cdc_dedup
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    stats: dict = {}
+    out = streaming_cdc_dedup(spark, sf_dir, stats=stats)
+    assert out.count() == 0
+    assert out.columns == ["chunk_md5", "n_tokens", "n_occurrences", "n_docs"]
+    assert stats == {"n_batches": 0, "index_size": 0}
+
+
+def test_frequent_ngrams_custom_id_col(spark):
+    """r5 ADVICE: id_col is a parameter (default doc_id), so frames
+    with a differently-named id column work without pre-renaming."""
+    from binaryx_graph_spark.operators.textstats import frequent_ngrams
+
+    rows = [(1, "a b c a b c"), (2, "a b c x y z")]
+    named = spark.createDataFrame(rows, "item_id long, text string")
+    default = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {tuple(r) for r in frequent_ngrams(named, "text", "item_id", n=3, k=5).collect()}
+    want = {tuple(r) for r in frequent_ngrams(default, "text", n=3, k=5).collect()}
+    assert got == want and got  # same result, non-empty

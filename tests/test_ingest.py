@@ -72,6 +72,31 @@ def test_raw_validation_catalog(spark, tmp_path_factory):
     }
 
 
+def test_raw_validation_null_and_string_arrays(spark, tmp_path_factory):
+    """r5 ADVICE: explicit JSON null and string scalars in section
+    fields are 'must be an array' errors (client.rs:61-74
+    Value::is_array); the array-like-string residual is pinned as the
+    accepted divergence."""
+    from binaryx_graph_spark.fixtures.micro_graph import write_validation_nulls_fixture
+    from binaryx_graph_spark.sources.json_source import validate_raw_json
+
+    d = write_validation_nulls_fixture(tmp_path_factory.mktemp("rawvaln"))
+    rows = validate_raw_json(spark, d).collect()
+    by_file: dict[str, set[str]] = {}
+    for r in rows:
+        name = r["source_file"].rsplit("/", 1)[-1]
+        by_file.setdefault(name, set()).add(r["error"])
+    assert "ok.json" not in by_file
+    assert by_file["n1_null_sections.json"] == {
+        "functions must be an array",
+        "strings must be an array",
+    }
+    assert by_file["n2_string_exports.json"] == {"exports must be an array"}
+    assert by_file["n3_bool_imports.json"] == {"imports must be an array"}
+    # documented residual: string content that parses as JSON-array text
+    assert "n4_arraylike_string.json" not in by_file
+
+
 def test_binaries(tables):
     rows = {r["hash"]: r for r in tables["binaries"].collect()}
     assert set(rows) == {HASH_A, HASH_B}
