@@ -476,3 +476,49 @@ def ingest_validation_null_arrays(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("error")
     )
+
+
+@register(
+    "streaming_ingest_counts",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('1_stream', 'binaries',  CAST(2 AS BIGINT)), ('1_stream', 'calls',   CAST(5 AS BIGINT)),
+      ('1_stream', 'functions', CAST(6 AS BIGINT)), ('1_stream', 'strings', CAST(3 AS BIGINT)),
+      ('2_replay', 'binaries',  CAST(2 AS BIGINT)), ('2_replay', 'calls',   CAST(5 AS BIGINT)),
+      ('2_replay', 'functions', CAST(6 AS BIGINT)), ('2_replay', 'strings', CAST(3 AS BIGINT))
+    ) AS t(phase, tbl, n)
+    ORDER BY phase, tbl
+    """,
+    tags=("ingest", "streaming", "warehouse"),
+)
+def streaming_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the reference's directory-batch import
+    (src/commands/import.rs:106-233): the fixture's analysis JSON
+    drained through readStream → foreachBatch MERGE with
+    maxFilesPerTrigger=1 — one micro-batch per file, the streaming
+    analog of --chunk-size=1 — then the WHOLE stream REPLAYED into the
+    same warehouse.  Phase 1 counts must equal the one-shot batch
+    ingest (micro-batching invisible: per-file dense-rank ingest_seq +
+    keyed MERGE — the same additivity argument as the CDC dedup twin);
+    phase 2 counts must be identical (idempotent upsert ⇒ at-least-once
+    delivery has exactly-once effect).  Expected counts are the
+    warehouse_lifecycle_counts '2_chunked_merge' phase."""
+    from ..streaming.ingest_stream import stream_analysis_json
+
+    watched = ("binaries", "functions", "strings", "calls")
+    fixture = write_fixture(tempfile.mkdtemp(prefix="bxg_sting_in_"))
+    root = tempfile.mkdtemp(prefix="bxg_sting_wh_")
+    from ..sources.warehouse import Warehouse
+
+    rows: list[tuple] = []
+    for phase in ("1_stream", "2_replay"):
+        q = stream_analysis_json(
+            spark, fixture, root,
+            max_files_per_trigger=1, merge_tables=watched,
+        )
+        q.awaitTermination()
+        wh = Warehouse(spark, root)
+        rows += [(phase, t, wh.read(t).count()) for t in watched]
+    return spark.createDataFrame(
+        rows, "phase string, tbl string, n long"
+    ).orderBy("phase", "tbl")

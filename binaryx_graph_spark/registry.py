@@ -111,7 +111,7 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     "graph_topo_layers", "dedup_streaming_cdc", "dedup_recall_minhash",
     # (e) r6 additions — APPENDED after the 14-query r5 tail so the r6
     # driver sample witnesses that tail first, then these
-    "ingest_validation_null_arrays",
+    "ingest_validation_null_arrays", "streaming_ingest_counts",
 )
 
 

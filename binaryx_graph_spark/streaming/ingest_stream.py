@@ -35,19 +35,33 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def stream_analysis_json(spark: SparkSession, input_dir: str, warehouse_root: str):
+def stream_analysis_json(
+    spark: SparkSession,
+    input_dir: str,
+    warehouse_root: str,
+    *,
+    max_files_per_trigger: int | None = None,
+    merge_tables: tuple[str, ...] | None = None,
+):
     """Streaming graph ingest: each micro-batch runs the SAME batch ETL
     (build_graph_tables) and MERGEs into the warehouse — foreachBatch
-    gives exactly-once upsert semantics over the idempotent merge."""
+    gives exactly-once upsert semantics over the idempotent merge.
+
+    ``max_files_per_trigger`` bounds each micro-batch (availableNow
+    respects it), making the N-batch execution shape deterministic for
+    the gate; ``merge_tables`` optionally restricts which graph tables
+    are merged (fewer parquet write jobs when the gate only watches a
+    subset)."""
     wh = Warehouse(spark, warehouse_root)
     wh.initialize()
 
-    docs = (
+    reader = (
         spark.readStream.schema(ANALYSIS_SCHEMA)
         .option("multiLine", "true")
-        .json(input_dir)
-        .withColumn("source_file", F.input_file_name())
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    docs = reader.json(input_dir).withColumn("source_file", F.input_file_name())
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql.window import Window
@@ -64,8 +78,11 @@ def stream_analysis_json(spark: SparkSession, input_dir: str, warehouse_root: st
             .withColumn("ingest_seq", F.dense_rank().over(w))
         )
         tables = build_graph_tables(batch_df.join(F.broadcast(seq), "source_file"))
+        keep = merge_tables if merge_tables is not None else tuple(
+            k for k in tables if k != "import_stats"
+        )
         wh.merge_batch(
-            {k: v for k, v in tables.items() if k != "import_stats"},
+            {k: v for k, v in tables.items() if k in keep},
             batch_seq=epoch_id + 1,
         )
 
