@@ -971,7 +971,9 @@ def sql_betweenness_sampled(
     )
 
 
-def scc_bounded(edges: DataFrame, *, max_depth: int = 6) -> DataFrame:
+def scc_bounded(
+    edges: DataFrame, *, max_depth: int = 6, strategy: str = "pairs"
+) -> DataFrame:
     """Strongly connected components by MUTUAL REACHABILITY within
     ``max_depth`` hops → (node, scc_id), scc_id = the minimum node id
     in the component.  u and v share a component iff u →* v AND
@@ -992,7 +994,33 @@ def scc_bounded(edges: DataFrame, *, max_depth: int = 6) -> DataFrame:
 
     Every step is set arithmetic on integer pairs — the DuckDB twin
     (:func:`sql_scc_bounded`) replays it with a bounded recursive CTE,
-    bit-for-bit."""
+    bit-for-bit.
+
+    ``strategy`` picks the physical plan (semantics of the RESULT differ
+    only where the bounded estimator under-approximates):
+
+    - ``"pairs"`` (default): the Σ|reach| pair-set above — exact iff
+      ``max_depth`` covers co-component shortest paths.
+    - ``"fwbw"``: :func:`scc_fwbw` — EXACT SCCs by recursive pivot
+      forward/backward partitioning; ``max_depth`` is ignored (closures
+      run to fixpoint).  The 100 TB escape hatch promoted from SCALE.md
+      addendum 30: state never exceeds O(|V|) per round instead of
+      Σ|reach| pairs.
+    - ``"auto"``: ``"pairs"`` while the node count is ≤ 20k (pair set
+      provably ≤ 4·10⁸ and in practice ∝ reachability), else
+      ``"fwbw"``."""
+    if strategy == "auto":
+        n_nodes = (
+            edges.select(F.col("src").alias("v"))
+            .unionByName(edges.select(F.col("dst").alias("v")))
+            .distinct()
+            .count()
+        )
+        strategy = "pairs" if n_nodes <= 20_000 else "fwbw"
+    if strategy == "fwbw":
+        return scc_fwbw(edges)
+    if strategy != "pairs":
+        raise ValueError(f"unknown SCC strategy: {strategy!r}")
     edges = edges.select(
         F.col("src").cast("long"), F.col("dst").cast("long")
     ).distinct().localCheckpoint(eager=True)
@@ -1044,6 +1072,207 @@ def sql_scc_bounded(sql_edges: str, *, max_depth: int = 6) -> str:
     FROM pairs p JOIN pairs q ON q.u = p.w AND q.w = p.u
     GROUP BY p.u
     """
+
+
+def sql_scc_exact(sql_edges: str) -> str:
+    """DuckDB twin of :func:`scc_fwbw`: EXACT SCCs — reachability
+    recursion to fixpoint (no depth bound; UNION dedup terminates it),
+    mutual self-join, min-id aggregate.  Strategy-free: any exact SCC
+    algorithm must hash-match this."""
+    return f"""
+    WITH RECURSIVE
+    edges AS (SELECT DISTINCT src, dst FROM ({sql_edges})),
+    nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+    reach(u, w) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT r.u, e.dst FROM reach r JOIN edges e ON e.src = r.w
+    )
+    SELECT p.u AS node, CAST(min(p.w) AS BIGINT) AS scc_id
+    FROM reach p JOIN reach q ON q.u = p.w AND q.w = p.u
+    GROUP BY p.u
+    """
+
+
+def scc_fwbw(edges: DataFrame, *, max_rounds: int = 60) -> DataFrame:
+    """EXACT strongly connected components by distributed pivot FW-BW
+    (Fleischer/Hendrickson/Pinar 2000) → (node, scc_id), scc_id = the
+    minimum node id in the component — the 100 TB strategy behind
+    ``scc_bounded(strategy="fwbw")``.
+
+    Each outer round first TRIMS: nodes with no incoming or no outgoing
+    edge among still-active nodes cannot lie on a cycle and are emitted
+    immediately as singleton SCCs (capped peel, 8 layers/round) — the
+    MultiStep hybrid (Slota/Rajamanickam/Madduri, IPDPS 2014), which
+    confines the closure work to the cyclic core.  Then EVERY active
+    partition advances together (never a
+    per-partition loop): the pivot is the partition's MINIMUM node id,
+    forward and backward reachability closures run restricted to
+    partition-internal edges, and SCC(pivot) = FW ∩ BW.  Because the
+    pivot is the partition minimum and SCC ⊆ partition ∋ pivot,
+    min(SCC) == pivot — the emitted scc_id needs no extra aggregate.
+    The three remainders (FW∖SCC, BW∖SCC, REST) each wholly contain
+    every surviving SCC (the FW-BW partition theorem), and are re-keyed
+    by their own minimum node id for the next round.
+
+    State: O(|V|) rows per frame (partition map, FW/BW closures) — never
+    the Σ|reach| pair set of the "pairs" strategy; per inner step ONE
+    partition-labeled edge join + anti-join dedup, lineage cut by
+    localCheckpoint exactly like the other iterative operators.  With
+    min-id pivots the expected round count is logarithmic on real
+    graphs; if ``max_rounds`` is exhausted (adversarial chains of tiny
+    SCCs), the small remainder falls back to the exact pair-set path
+    (depth = remaining node count, so still exact).
+
+    Strategy equivalence: on any graph where ``max_depth`` covers
+    co-component shortest paths, output is BIT-IDENTICAL to
+    ``scc_bounded`` (both emit min-member ids) — pinned by the
+    differential fuzz in tests/test_graphalgo_properties.py against an
+    independent Tarjan."""
+    edges = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Partition map (v, p); p = min node id of the partition.  Seed: one
+    # partition per weakly-anything — a single global partition keyed by
+    # the global min works, but splitting by isolated structure is the
+    # first round's job anyway.
+    gmin = nodes.agg(F.min("v")).collect()[0][0]  # setup-only scalar
+    if gmin is None:
+        return nodes.select(F.col("v").alias("node"), F.col("v").alias("scc_id"))
+    part = nodes.select("v", F.lit(gmin).cast("long").alias("p")).localCheckpoint(
+        eager=True
+    )
+    done: list[DataFrame] = []
+
+    def _closure(piv: DataFrame, pedges: DataFrame, src: str, dst: str) -> DataFrame:
+        """All (p, v) reachable from each partition's pivot via
+        partition-internal edges, walking src→dst (pass dst/src swapped
+        for the backward closure).  All partitions advance together."""
+        reach = piv.select("p", F.col("pivot").alias("v"))
+        frontier = reach
+        while True:
+            frontier = (
+                frontier.join(
+                    pedges,
+                    (frontier.p == pedges.ep) & (frontier.v == pedges[src]),
+                )
+                .select(F.col("ep").alias("p"), F.col(dst).alias("v"))
+                .distinct()
+                .join(reach, ["p", "v"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if frontier.isEmpty():
+                return reach.localCheckpoint(eager=True)
+            reach = reach.unionByName(frontier)
+
+    for _round in range(max_rounds):
+        # --- trim phase (the MultiStep hybrid, Slota/Rajamanickam/
+        # Madduri IPDPS 2014): a node with no incoming OR no outgoing
+        # edge among still-active nodes cannot lie on a cycle — it is a
+        # singleton SCC.  Peeling these first confines the (closure-
+        # depth-bounded) pivot rounds to the cyclic core, which on call
+        # graphs is a small fraction of |V|; without it, min-id pivots
+        # burn one diameter-deep closure pair per acyclic chain layer.
+        # Capped per round: anything the cap leaves behind is still
+        # handled exactly by the FW-BW partition theorem below.
+        for _t in range(8):
+            act_edges = (
+                edges.join(part.select(F.col("v").alias("src")), "src", "left_semi")
+                .join(part.select(F.col("v").alias("dst")), "dst", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            keep = (
+                act_edges.select(F.col("src").alias("v"))
+                .distinct()
+                .join(act_edges.select(F.col("dst").alias("v")).distinct(), "v")
+            )
+            trimmed = part.join(keep, "v", "left_anti").localCheckpoint(eager=True)
+            if trimmed.isEmpty():
+                break
+            done.append(
+                trimmed.select(F.col("v").alias("node"), F.col("v").alias("scc_id"))
+            )
+            part = part.join(keep, "v", "left_semi").localCheckpoint(eager=True)
+        if part.isEmpty():
+            part = None
+            break
+        # trim may have removed a partition's minimum node — re-key so
+        # the scc_id == pivot == partition-min invariant holds
+        rekey = part.groupBy("p").agg(F.min("v").alias("np"))
+        part = (
+            part.join(rekey, "p")
+            .select("v", F.col("np").alias("p"))
+            .localCheckpoint(eager=True)
+        )
+        piv = part.groupBy("p").agg(F.min("v").alias("pivot"))
+        # partition-internal edges, labeled with their partition id
+        pedges = (
+            edges.join(part.select(F.col("v").alias("src"), F.col("p").alias("ep")), "src")
+            .join(part.select(F.col("v").alias("dst"), F.col("p").alias("_pd")), "dst")
+            .filter(F.col("ep") == F.col("_pd"))
+            .select("src", "dst", "ep")
+            .localCheckpoint(eager=True)
+        )
+        fw = _closure(piv, pedges, "src", "dst")
+        bw = _closure(piv, pedges, "dst", "src")
+        scc = fw.join(bw, ["p", "v"], "left_semi")
+        # scc_id == p: pivot is the partition min, and pivot ∈ SCC
+        done.append(
+            scc.select(F.col("v").alias("node"), F.col("p").alias("scc_id"))
+            .localCheckpoint(eager=True)
+        )
+        rem = part.join(scc, ["p", "v"], "left_anti")
+        if rem.isEmpty():
+            part = None
+            break
+        # tag: 1 = FW∖SCC, 2 = BW∖SCC, 3 = REST; re-key by (p, tag) min
+        tagged = (
+            rem.join(fw.withColumn("_f", F.lit(1)), ["p", "v"], "left")
+            .join(bw.withColumn("_b", F.lit(1)), ["p", "v"], "left")
+            .select(
+                "v",
+                "p",
+                F.when(F.col("_f") == 1, F.lit(1))
+                .when(F.col("_b") == 1, F.lit(2))
+                .otherwise(F.lit(3))
+                .alias("tag"),
+            )
+        )
+        keys = tagged.groupBy("p", "tag").agg(F.min("v").alias("np"))
+        part = (
+            tagged.join(keys, ["p", "tag"])
+            .select("v", F.col("np").alias("p"))
+            .localCheckpoint(eager=True)
+        )
+    if part is not None and not part.isEmpty():
+        # max_rounds exhausted: finish the (small) remainder exactly with
+        # the pair-set path, depth = remaining node count (always enough)
+        rem_nodes = part.select("v").distinct()
+        rem_edges = (
+            edges.join(rem_nodes.withColumnRenamed("v", "src"), "src", "left_semi")
+            .join(rem_nodes.withColumnRenamed("v", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+        depth = rem_nodes.count()
+        tail = scc_bounded(rem_edges, max_depth=depth)
+        # isolated remainder nodes (no surviving internal edges) are
+        # their own singleton components
+        iso = rem_nodes.join(
+            tail.select(F.col("node").alias("v")), "v", "left_anti"
+        ).select(F.col("v").alias("node"), F.col("v").alias("scc_id"))
+        done.append(tail.unionByName(iso))
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 def topo_layers(edges: DataFrame, *, max_depth: int = 10) -> DataFrame:

@@ -1457,6 +1457,29 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scc_bounded(derived_edges(spark, sf_dir), max_depth=6).orderBy("node")
 
 
+from ..operators.graphalgo import scc_fwbw, sql_scc_exact  # noqa: E402
+
+
+@register(
+    "graph_scc_fwbw",
+    oracle=sql_scc_exact(SQL_EDGES) + " ORDER BY node",
+    tags=("graph", "iterative"),
+)
+def graph_scc_fwbw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SCCs over the derived call graph via distributed pivot
+    FW-BW (the scc_bounded strategy="fwbw" escape hatch promoted to a
+    gate row): per round every active partition advances together —
+    min-id pivot, partition-internal forward/backward closures to
+    fixpoint, SCC = FW ∩ BW, remainders re-keyed by their min node.
+    State is O(|V|) per frame (never the Σ|reach| pair set), the 100 TB
+    posture.  The oracle is strategy-free exact SCC (fixpoint recursion
+    + mutual self-join), so any under-approximation here is a hash
+    mismatch — on this graph the depth-6 bounded estimator happens to
+    agree, making graph_scc vs graph_scc_fwbw also a strategy-
+    equivalence witness."""
+    return scc_fwbw(derived_edges(spark, sf_dir)).orderBy("node")
+
+
 from ..operators.graphalgo import sql_topo_layers, topo_layers  # noqa: E402
 
 

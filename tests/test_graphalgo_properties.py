@@ -229,6 +229,46 @@ def test_scc_bounded_matches_tarjan(spark):
             for v in comp:
                 want[v] = mid
         assert got == want, f"edges={edges}"
+        if _case % 3 == 0:
+            # strategy equivalence: pivot FW-BW is exact on every graph,
+            # so it matches Tarjan (and the bounded pairs result) here
+            from binaryx_graph_spark.operators.graphalgo import scc_fwbw
+
+            got_fw = {r.node: r.scc_id for r in scc_fwbw(e).collect()}
+            assert got_fw == want, f"fwbw edges={edges}"
+
+
+def test_scc_fwbw_exact_beyond_bounded_depth(spark):
+    """A 12-cycle: depth-6 mutual reachability sees only antipodal
+    mutual pairs, but FW-BW (closures to fixpoint) recovers the full
+    cycle as ONE component — the exactness the escape hatch buys."""
+    from binaryx_graph_spark.operators.graphalgo import scc_bounded, scc_fwbw
+
+    n = 12
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.scc_id for r in scc_fwbw(e).collect()}
+    assert got == {v: 0 for v in range(n)}
+    # same result through the strategy knob (max_depth ignored)
+    via_knob = {
+        r.node: r.scc_id
+        for r in scc_bounded(e, max_depth=6, strategy="fwbw").collect()
+    }
+    assert via_knob == got
+    # and the bounded estimator genuinely under-approximates here
+    bounded = {r.node: r.scc_id for r in scc_bounded(e, max_depth=6).collect()}
+    assert bounded != got
+
+
+def test_scc_fwbw_max_rounds_fallback(spark):
+    """max_rounds=1 forces the pair-set fallback on the remainder —
+    still exact (two disjoint 3-cycles + an isolated bridge node)."""
+    from binaryx_graph_spark.operators.graphalgo import scc_fwbw
+
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (2, 5), (5, 10)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.scc_id for r in scc_fwbw(e, max_rounds=1).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 5: 5, 10: 10, 11: 10, 12: 10}
 
 
 def test_topo_layers_matches_reference(spark):
