@@ -31,9 +31,16 @@ Supported subset (documented; reject-loudly beyond it):
 - ``WHERE`` with AND/OR/NOT, parentheses, ``=``, ``<>``, ``<``, ``<=``,
   ``>``, ``>=``, ``CONTAINS``, ``STARTS WITH``, ``ENDS WITH`` over
   ``var.prop`` against literals or ``$params``
-- ``RETURN [DISTINCT] var.prop [AS alias] | var | count(*) | count(x)``
-  (a bare ``var`` expands to all its properties as ``var_prop``)
-- ``ORDER BY`` (aliases or var.prop, ASC/DESC), ``LIMIT n``
+- ``RETURN [DISTINCT] var.prop [AS alias] | var | count(*) | count(x)
+  | count(DISTINCT x) | sum/min/max/avg(var[.prop]) | collect(x)``
+  (a bare ``var`` expands to all its properties as ``var_prop``);
+  aggregates use Cypher's IMPLICIT grouping — the non-aggregate items
+  are the group keys — and work identically in ``WITH`` (aliased),
+  where a following ``WHERE`` over an aggregate alias is HAVING
+- ``ORDER BY`` (aliases or var.prop, ASC/DESC), ``SKIP n``, ``LIMIT n``
+  — in RETURN and in WITH (pagination applies to the grouped rows
+  before any later clause sees them; differential fuzz:
+  tests/test_cypher_agg_properties.py)
 
 Label/relationship mapping (FIXTURES.md §1-2; importer.rs:143-260):
 

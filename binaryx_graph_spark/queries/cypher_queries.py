@@ -767,3 +767,73 @@ def cypher_degree_topk_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         RETURN a.name AS node, out_deg ORDER BY out_deg DESC, node
         """,
     )
+
+
+@register(
+    "cypher_agg_stats",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('mal_a.exe', CAST(3 AS BIGINT), CAST(126 AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(128 AS BIGINT), CAST(42.0 AS DOUBLE)),
+      ('mal_b.elf', CAST(1 AS BIGINT), CAST(64 AS BIGINT),
+       CAST(64 AS BIGINT), CAST(64 AS BIGINT), CAST(64.0 AS DOUBLE))
+    ) AS t(file, n, total_size, smallest, biggest, mean_size)
+    ORDER BY file
+    """,
+    tags=("cypher", "agg"),
+)
+def cypher_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full RETURN aggregate surface in one implicit-grouping clause:
+    sum/min/max/avg over a node property plus count(*), grouped by the
+    non-aggregate item (b.filename) — the reference's stats shapes
+    (importer.rs:73, client.rs:98) generalized beyond count.  The -1s
+    are engine semantics, not accident: mal_a's `main` is re-MERGEd by
+    its export entry (no size → -1 sentinel, session.rs:226), and
+    `worker` never had one — sum/min see the sentinels exactly as the
+    reference's LWW store does."""
+    t = graph_tables(spark)
+    return cypher(
+        t,
+        """
+        MATCH (b:Binary)-[:CONTAINS]->(f:Function)
+        WITH b.filename AS file, count(*) AS n, sum(f.size) AS total_size,
+             min(f.size) AS smallest, max(f.size) AS biggest, avg(f.size) AS mean_size
+        RETURN file, n, total_size, smallest, biggest, mean_size
+        ORDER BY file
+        """,
+    )
+
+
+@register(
+    "cypher_agg_pipeline",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS total_calls, CAST(2 AS BIGINT) AS n_callers,
+           CAST(1.5 AS DOUBLE) AS mean_calls, CAST(-1 AS BIGINT) AS min_callee_size,
+           'worker' AS last_caller
+    """,
+    tags=("cypher", "agg"),
+)
+def cypher_agg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregation PIPELINE end-to-end: implicit grouping in WITH
+    (count + min over a joined node property), ORDER BY the aggregate
+    alias with a deterministic name tie-break, SKIP 1 LIMIT 2
+    pagination, then a SECOND aggregation stage over the surviving
+    aliases (sum/avg/min/max over WITH-created scalars).  Pins the
+    clause-ordering semantics reference users hit with
+    `WITH ... ORDER BY ... SKIP` combos: pagination applies to the
+    grouped rows BEFORE the re-aggregation sees them — dropping `main`
+    (rank 1) leaves worker+helper, hence total 3 of 5 calls."""
+    t = graph_tables(spark)
+    return cypher(
+        t,
+        """
+        MATCH (caller:Function)-[:CALLS]->(callee:Function)
+        WITH caller.name AS caller, count(*) AS n_calls,
+             min(callee.size) AS smallest_callee
+        ORDER BY n_calls DESC, caller ASC
+        SKIP 1 LIMIT 2
+        RETURN sum(n_calls) AS total_calls, count(*) AS n_callers,
+               avg(n_calls) AS mean_calls, min(smallest_callee) AS min_callee_size,
+               max(caller) AS last_caller
+        """,
+    )

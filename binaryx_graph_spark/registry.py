@@ -112,7 +112,7 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     # (e) r6 additions — APPENDED after the 14-query r5 tail so the r6
     # driver sample witnesses that tail first, then these
     "ingest_validation_null_arrays", "streaming_ingest_counts",
-    "graph_scc_fwbw",
+    "graph_scc_fwbw", "cypher_agg_stats", "cypher_agg_pipeline",
 )
 
 
