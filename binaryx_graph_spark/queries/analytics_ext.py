@@ -1498,3 +1498,59 @@ def graph_topo_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topo_layers(derived_edges(spark, sf_dir), max_depth=10).orderBy(
         "layer", "scc_id", "node"
     )
+
+
+@register(
+    "graph_longest_paths_scaled",
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT CAST(o_orderkey % 500 AS BIGINT) AS src,
+             CAST((o_custkey * 13) % 500 AS BIGINT) AS dst
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    p1 AS (SELECT src AS s0, dst AS s1 FROM e WHERE src = 45),
+    p2 AS (SELECT p1.s0, p1.s1, e.dst AS s2 FROM p1 JOIN e ON e.src = p1.s1
+           WHERE NOT (e.src = p1.s0 AND e.dst = p1.s1)),
+    p3 AS (SELECT p2.s0, p2.s1, p2.s2, e.dst AS s3 FROM p2 JOIN e ON e.src = p2.s2
+           WHERE NOT (e.src = p2.s0 AND e.dst = p2.s1)
+             AND NOT (e.src = p2.s1 AND e.dst = p2.s2)),
+    all_paths AS (
+      SELECT CAST(s0 AS VARCHAR) || '→' || CAST(s1 AS VARCHAR) AS path,
+             1 AS path_length FROM p1
+      UNION ALL
+      SELECT CAST(s0 AS VARCHAR) || '→' || CAST(s1 AS VARCHAR) || '→' ||
+             CAST(s2 AS VARCHAR), 2 FROM p2
+      UNION ALL
+      SELECT CAST(s0 AS VARCHAR) || '→' || CAST(s1 AS VARCHAR) || '→' ||
+             CAST(s2 AS VARCHAR) || '→' || CAST(s3 AS VARCHAR), 3 FROM p3
+    )
+    SELECT path, path_length FROM all_paths
+    ORDER BY path_length DESC, path LIMIT 10
+    """,
+    tags=("graph", "paths", "iterative"),
+)
+def graph_longest_paths_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4/K5 at DATA scale: the reference's top-10-longest-paths
+    post-processing (src/commands/query.rs:454-458) over the sf-derived
+    call graph instead of the micro fixture — native enumerate_paths
+    from one seed (no-repeated-relationship, prefixes included), path
+    strings joined client-shape, ORDER BY length DESC with the full
+    path string as deterministic tie-break, hard LIMIT 10.  Catalyst
+    plans the sort-limit as TakeOrderedAndProject on top of the
+    frontier loop's per-level checkpoints; path strings are unique
+    (node sequence determines edges), so the cut is total-ordered.
+    The oracle unrolls the three no-repeated-edge hops relationally."""
+    from ..operators.traverse import enumerate_paths
+    from ..plans.graph_project import as_call_tables, derived_edges
+
+    calls, nodes = as_call_tables(derived_edges(spark, sf_dir))
+    seeds = nodes.filter(F.col("uid") == "45").select("uid")
+    paths = enumerate_paths(calls, nodes, seeds, direction="out", max_depth=3)
+    return (
+        paths.select(
+            F.concat_ws("→", "node_names").alias("path"),
+            F.col("path_length").cast("int").alias("path_length"),
+        )
+        .orderBy(F.desc("path_length"), "path")
+        .limit(10)
+    )

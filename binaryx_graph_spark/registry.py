@@ -113,6 +113,7 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     # driver sample witnesses that tail first, then these
     "ingest_validation_null_arrays", "streaming_ingest_counts",
     "graph_scc_fwbw", "cypher_agg_stats", "cypher_agg_pipeline",
+    "graph_longest_paths_scaled",
 )
 
 
