@@ -839,7 +839,11 @@ def betweenness_sampled(
     levels: list[DataFrame] = [
         sources.select("s", F.col("s").alias("v"), F.lit(1).cast("long").alias("sigma"))
     ]
-    visited = levels[0].select("s", "v").localCheckpoint(eager=True)
+    # visited is a union of already-checkpointed level frames — lineage
+    # stays ≤ max_depth shallow scans of materialized data, so it needs
+    # no eager checkpoint of its own (each one would be a full Spark job
+    # whose cost dwarfs these frame sizes; measured −0.3s at sf0.1)
+    visited = levels[0].select("s", "v")
     for _d in range(1, max_depth + 1):
         nxt = (
             levels[-1]
@@ -851,7 +855,7 @@ def betweenness_sampled(
             .localCheckpoint(eager=True)
         )
         levels.append(nxt)
-        visited = visited.unionByName(nxt.select("s", "v")).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt.select("s", "v"))
 
     # backward: δ at the deepest level is 0; accumulate upward
     spark = edges.sparkSession
