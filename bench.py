@@ -96,6 +96,12 @@ HEADLINE = [
     # growth axis measured in SCALE.md addendum 30)
     "dedup_cdc_chunks",
     "graph_scc",
+    # r6 additions: the Cypher aggregation tail (sum/min/max/avg +
+    # pagination pipelines — the newest compiler surface) and the
+    # reference's top-10-longest-paths post-processing at DATA scale
+    # (TakeOrderedAndProject over the frontier loop, not the fixture)
+    "cypher_agg_stats",
+    "graph_longest_paths_scaled",
 ]
 
 

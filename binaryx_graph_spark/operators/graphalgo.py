@@ -1121,8 +1121,13 @@ def scc_fwbw(edges: DataFrame, *, max_rounds: int = 60) -> DataFrame:
 
     State: O(|V|) rows per frame (partition map, FW/BW closures) — never
     the Σ|reach| pair set of the "pairs" strategy; per inner step ONE
-    partition-labeled edge join + anti-join dedup, lineage cut by
-    localCheckpoint exactly like the other iterative operators.  With
+    partition-labeled edge join + anti-join dedup.  Lineage is cut by
+    :func:`~binaryx_graph_spark.plans.lineage.checkpoint_cut`, NOT the
+    plain localCheckpoint the linear frontier loops use: each FW-BW
+    round's plan is a product of several previous-round frames, so the
+    size statistics LogicalRDD carries over a checkpoint compound
+    multiplicatively (~4× bits/round measured) until Catalyst's BigInt
+    size arithmetic dominates planning — the stats reset bounds it.  With
     min-id pivots the expected round count is logarithmic on real
     graphs; if ``max_rounds`` is exhausted (adversarial chains of tiny
     SCCs), the small remainder falls back to the exact pair-set path
@@ -1133,16 +1138,18 @@ def scc_fwbw(edges: DataFrame, *, max_rounds: int = 60) -> DataFrame:
     ``scc_bounded`` (both emit min-member ids) — pinned by the
     differential fuzz in tests/test_graphalgo_properties.py against an
     independent Tarjan."""
+    from ..plans.lineage import checkpoint_cut as _cut
+
     edges = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_cut)
     )
     nodes = (
         edges.select(F.col("src").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_cut)
     )
     # Partition map (v, p); p = min node id of the partition.  Seed: one
     # partition per weakly-anything — a single global partition keyed by
@@ -1151,9 +1158,7 @@ def scc_fwbw(edges: DataFrame, *, max_rounds: int = 60) -> DataFrame:
     gmin = nodes.agg(F.min("v")).collect()[0][0]  # setup-only scalar
     if gmin is None:
         return nodes.select(F.col("v").alias("node"), F.col("v").alias("scc_id"))
-    part = nodes.select("v", F.lit(gmin).cast("long").alias("p")).localCheckpoint(
-        eager=True
-    )
+    part = nodes.select("v", F.lit(gmin).cast("long").alias("p")).transform(_cut)
     done: list[DataFrame] = []
 
     def _closure(piv: DataFrame, pedges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -1171,10 +1176,10 @@ def scc_fwbw(edges: DataFrame, *, max_rounds: int = 60) -> DataFrame:
                 .select(F.col("ep").alias("p"), F.col(dst).alias("v"))
                 .distinct()
                 .join(reach, ["p", "v"], "left_anti")
-                .localCheckpoint(eager=True)
+                .transform(_cut)
             )
             if frontier.isEmpty():
-                return reach.localCheckpoint(eager=True)
+                return reach.transform(_cut)
             reach = reach.unionByName(frontier)
 
     for _round in range(max_rounds):
@@ -1191,20 +1196,20 @@ def scc_fwbw(edges: DataFrame, *, max_rounds: int = 60) -> DataFrame:
             act_edges = (
                 edges.join(part.select(F.col("v").alias("src")), "src", "left_semi")
                 .join(part.select(F.col("v").alias("dst")), "dst", "left_semi")
-                .localCheckpoint(eager=True)
+                .transform(_cut)
             )
             keep = (
                 act_edges.select(F.col("src").alias("v"))
                 .distinct()
                 .join(act_edges.select(F.col("dst").alias("v")).distinct(), "v")
             )
-            trimmed = part.join(keep, "v", "left_anti").localCheckpoint(eager=True)
+            trimmed = part.join(keep, "v", "left_anti").transform(_cut)
             if trimmed.isEmpty():
                 break
             done.append(
                 trimmed.select(F.col("v").alias("node"), F.col("v").alias("scc_id"))
             )
-            part = part.join(keep, "v", "left_semi").localCheckpoint(eager=True)
+            part = part.join(keep, "v", "left_semi").transform(_cut)
         if part.isEmpty():
             part = None
             break
@@ -1214,7 +1219,7 @@ def scc_fwbw(edges: DataFrame, *, max_rounds: int = 60) -> DataFrame:
         part = (
             part.join(rekey, "p")
             .select("v", F.col("np").alias("p"))
-            .localCheckpoint(eager=True)
+            .transform(_cut)
         )
         piv = part.groupBy("p").agg(F.min("v").alias("pivot"))
         # partition-internal edges, labeled with their partition id
@@ -1223,7 +1228,7 @@ def scc_fwbw(edges: DataFrame, *, max_rounds: int = 60) -> DataFrame:
             .join(part.select(F.col("v").alias("dst"), F.col("p").alias("_pd")), "dst")
             .filter(F.col("ep") == F.col("_pd"))
             .select("src", "dst", "ep")
-            .localCheckpoint(eager=True)
+            .transform(_cut)
         )
         fw = _closure(piv, pedges, "src", "dst")
         bw = _closure(piv, pedges, "dst", "src")
@@ -1231,7 +1236,7 @@ def scc_fwbw(edges: DataFrame, *, max_rounds: int = 60) -> DataFrame:
         # scc_id == p: pivot is the partition min, and pivot ∈ SCC
         done.append(
             scc.select(F.col("v").alias("node"), F.col("p").alias("scc_id"))
-            .localCheckpoint(eager=True)
+            .transform(_cut)
         )
         rem = part.join(scc, ["p", "v"], "left_anti")
         if rem.isEmpty():
@@ -1254,7 +1259,7 @@ def scc_fwbw(edges: DataFrame, *, max_rounds: int = 60) -> DataFrame:
         part = (
             tagged.join(keys, ["p", "tag"])
             .select("v", F.col("np").alias("p"))
-            .localCheckpoint(eager=True)
+            .transform(_cut)
         )
     if part is not None and not part.isEmpty():
         # max_rounds exhausted: finish the (small) remainder exactly with

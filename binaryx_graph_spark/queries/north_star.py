@@ -1794,7 +1794,12 @@ def dedup_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding miss rate (1-(1-t^r)^b) made observable.  In production
     this is the continuous index-health probe next to the dedup path;
     both sides replay in the oracle, so the measured recall is pinned,
-    not asserted."""
+    not asserted.
+
+    PROBE PATTERN (intentional exception): this is the one registered
+    query whose result frame is constructed driver-side — the operator
+    IS the two counted actions; the 3-scalar summary is the product.
+    Every other registered query returns a lazy distributed plan."""
     from ..operators.dedup import jaccard_pairs_prefix, minhash_near_dup
 
     docs = load_table(spark, sf_dir, "documents")
