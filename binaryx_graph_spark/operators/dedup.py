@@ -767,15 +767,25 @@ def connected_components(
       driver JVM is modestly sized (1M-edge lists measured in the
       hundreds of MB; see SCALE.md).
     - **large graphs**: iterative min-label propagation with pointer
-      jumping (label-of-label), O(log diameter) rounds, per-round
-      localCheckpoint — the 100 TB path; flip ``local_max_edges=0`` to
-      force it (tests pin both strategies equal).
+      jumping (label-of-label), O(log diameter) rounds — the 100 TB
+      path; flip ``local_max_edges=0`` to force it (tests pin both
+      strategies equal).  Each round checkpoints via
+      :func:`~binaryx_graph_spark.plans.lineage.checkpoint_cut`, not
+      plain localCheckpoint: the round joins THREE views of the
+      previous label frame (labels ⋈ neighbor-min ⋈ pointer), so the
+      size statistics LogicalRDD carries across a checkpoint DOUBLE
+      per round (measured 36 → 11,823 bits over 9 rounds on a 256-node
+      chain) — on long-diameter graphs Catalyst's BigInt size
+      arithmetic would dominate planning; the stats reset bounds it
+      (SCALE.md addendum 32).
     """
+    from ..plans.lineage import checkpoint_cut as _cut
+
     edges = (
         pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
         .unionByName(pairs.select(F.col(b).alias("x"), F.col(a).alias("y")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(_cut)
     )
     if edges.count() <= local_max_edges:
         rows = edges.collect()
@@ -807,7 +817,7 @@ def connected_components(
         edges.select(F.col("x").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint(eager=True)
+        .transform(_cut)
     )
     while True:
         neighbor_min = (
@@ -832,7 +842,7 @@ def connected_components(
                     F.coalesce(F.col("_pcl"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_cut)
         )
         # the old label rides along in the checkpoint, so the
         # convergence check is a filter on materialized data — no
