@@ -245,3 +245,12 @@ class Engine:
         return self.table("calls").select(
             F.col("src_uid").alias("src"), F.col("dst_uid").alias("dst")
         )
+
+    @staticmethod
+    def drift_psi(df: DataFrame, bin_col: str, cur_col: str, **kw) -> DataFrame:
+        """Population Stability Index between two slices (reference
+        cur=0 / current cur=1) of an integer-binned metric — the
+        data-admission drift gate; see operators/sketch.drift_psi."""
+        from .operators.sketch import drift_psi as _psi
+
+        return _psi(df, bin_col, cur_col, **kw)

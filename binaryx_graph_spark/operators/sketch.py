@@ -197,3 +197,72 @@ def sql_hll_estimate(table: str, key_expr: str) -> str:
            AS hll_estimate
     FROM padded
     """
+
+
+# ----------------------------------------------------------------- drift
+
+#: 2^-20 quantization of per-bin PSI contributions (log base 2 — see
+#: queries/analytics_ext.events_drift_psi for the libm-equivalence
+#: contract that makes base-2 oracle-replayable and ln() not).
+PSI_SCALE = 1 << 20
+
+
+def drift_psi(
+    df: DataFrame, bin_col: str, cur_col: str, *, n_bins: int = 10, scale: int = PSI_SCALE
+) -> DataFrame:
+    """Population Stability Index between two slices of one frame →
+    (bin, ref_n, cur_n, psi_q_bits): ``bin_col`` an integer bin id in
+    [0, n_bins), ``cur_col`` 0 for the reference slice / 1 for the
+    current one.  Add-one smoothing keeps empty bins finite; the
+    contribution is (cur% − ref%)·log2(cur%/ref%) quantized to
+    1/``scale`` bits.
+
+    Plan: ONE partial-agg shuffle on ≤ n_bins keys, an n_bins-row spine
+    left-join, and the log2 computed ONCE per bin on the driver over
+    exact integer-count ratios (libm-equivalent to the DuckDB twin's
+    log2 on this domain), broadcast-joined back.  Total PSI = the sum
+    of ``psi_q_bits``/scale; the monitoring convention flags > 0.1
+    (ln-based) ≈ 0.144 bits."""
+    import math
+
+    spark = df.sparkSession
+    counts_raw = df.groupBy(F.col(bin_col).alias("bin")).agg(
+        F.sum(F.when(F.col(cur_col) == 0, 1).otherwise(0)).cast("long").alias("ref_n"),
+        F.sum(F.when(F.col(cur_col) == 1, 1).otherwise(0)).cast("long").alias("cur_n"),
+    )
+    spine = spark.range(n_bins).select(F.col("id").alias("bin"))
+    counts = (
+        spine.join(counts_raw, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ref_n", F.lit(0)).cast("long").alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).cast("long").alias("cur_n"),
+        )
+        .localCheckpoint(eager=True)  # reused: collected for the driver
+        # PSI table AND returned as the result spine
+    )
+    rows = counts.collect()  # exactly n_bins rows, bounded by construction
+    rt = sum(r["ref_n"] for r in rows)
+    ct = sum(r["cur_n"] for r in rows)
+    lit = [
+        (
+            r["bin"],
+            int(
+                math.floor(
+                    (
+                        (r["cur_n"] + 1) / (ct + n_bins)
+                        - (r["ref_n"] + 1) / (rt + n_bins)
+                    )
+                    * math.log2(
+                        ((r["cur_n"] + 1) * (rt + n_bins))
+                        / ((r["ref_n"] + 1) * (ct + n_bins))
+                    )
+                    * scale
+                    + 0.5
+                )
+            ),
+        )
+        for r in rows
+    ]
+    psi = spark.createDataFrame(lit, "bin long, psi_q_bits long")
+    return counts.join(F.broadcast(psi), "bin").orderBy("bin")

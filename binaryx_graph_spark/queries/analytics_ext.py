@@ -1628,7 +1628,7 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE partial-agg shuffle on ≤10 keys (map-side combine makes
     the hot keys flat), a 10-row spine left-join, and a 10-row
     broadcast — the corpus is scanned once, projected to 2 ints."""
-    import math
+    from ..operators.sketch import drift_psi
 
     ev = load_table(spark, sf_dir, "events").select(
         F.round(F.col("value") * 100).cast("long").alias("cents"),
@@ -1638,43 +1638,4 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(PSI_BINS - 1), F.expr(f"cents div {PSI_BIN_CENTS}")).alias("bin"),
         "cur",
     )
-    counts_raw = binned.groupBy("bin").agg(
-        F.sum(F.when(F.col("cur") == 0, 1).otherwise(0)).cast("long").alias("ref_n"),
-        F.sum(F.when(F.col("cur") == 1, 1).otherwise(0)).cast("long").alias("cur_n"),
-    )
-    spine = spark.range(PSI_BINS).select(F.col("id").alias("bin"))
-    counts = (
-        spine.join(counts_raw, "bin", "left")
-        .select(
-            "bin",
-            F.coalesce("ref_n", F.lit(0)).cast("long").alias("ref_n"),
-            F.coalesce("cur_n", F.lit(0)).cast("long").alias("cur_n"),
-        )
-        .localCheckpoint(eager=True)  # reused: collected for the driver
-        # PSI table AND returned as the result spine
-    )
-    rows = counts.collect()  # exactly PSI_BINS rows, bounded by construction
-    rt = sum(r["ref_n"] for r in rows)
-    ct = sum(r["cur_n"] for r in rows)
-    lit = [
-        (
-            r["bin"],
-            int(
-                math.floor(
-                    (
-                        (r["cur_n"] + 1) / (ct + PSI_BINS)
-                        - (r["ref_n"] + 1) / (rt + PSI_BINS)
-                    )
-                    * math.log2(
-                        ((r["cur_n"] + 1) * (rt + PSI_BINS))
-                        / ((r["ref_n"] + 1) * (ct + PSI_BINS))
-                    )
-                    * PSI_SCALE
-                    + 0.5
-                )
-            ),
-        )
-        for r in rows
-    ]
-    psi = spark.createDataFrame(lit, "bin long, psi_q_bits long")
-    return counts.join(F.broadcast(psi), "bin").orderBy("bin")
+    return drift_psi(binned, "bin", "cur", n_bins=PSI_BINS, scale=PSI_SCALE)

@@ -108,3 +108,25 @@ def test_graph_analytics_passthroughs(eng):
     layers = eng.topo_layers(edges.selectExpr(
         "xxhash64(src) as src", "xxhash64(dst) as dst")).collect()
     assert layers and {r.node for r in layers} == set(scc)
+
+
+def test_drift_psi_passthrough(eng, spark):
+    from pyspark.sql import functions as F
+
+    # identical slice distributions -> every contribution quantizes to 0;
+    # a shifted current slice -> nonzero total
+    same = spark.range(200).select(
+        (F.col("id") % 5).alias("bin"), (F.col("id") % 2).alias("cur")
+    )
+    out = {r.bin: r for r in eng.drift_psi(same, "bin", "cur", n_bins=5).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert all(r.psi_q_bits == 0 for r in out.values())
+    shifted = spark.range(200).select(
+        F.when(F.col("id") % 2 == 0, F.col("id") % 3)
+        .otherwise(3 + F.col("id") % 2)
+        .alias("bin"),
+        (F.col("id") % 2).alias("cur"),
+    )
+    rows = eng.drift_psi(shifted, "bin", "cur", n_bins=5).collect()
+    assert sum(r.psi_q_bits for r in rows) > 0  # disjoint supports drift hard
+    assert sum(r.ref_n + r.cur_n for r in rows) == 200
