@@ -213,23 +213,36 @@ def drift_psi(
     """Population Stability Index between two slices of one frame →
     (bin, ref_n, cur_n, psi_q_bits): ``bin_col`` an integer bin id in
     [0, n_bins), ``cur_col`` 0 for the reference slice / 1 for the
-    current one.  Add-one smoothing keeps empty bins finite; the
-    contribution is (cur% − ref%)·log2(cur%/ref%) quantized to
-    1/``scale`` bits.
+    current one.  Counting stage here; scoring in
+    :func:`drift_psi_from_counts` (shared with the streaming twin,
+    whose state IS the counts frame).
 
-    Plan: ONE partial-agg shuffle on ≤ n_bins keys, an n_bins-row spine
-    left-join, and the log2 computed ONCE per bin on the driver over
-    exact integer-count ratios (libm-equivalent to the DuckDB twin's
-    log2 on this domain), broadcast-joined back.  Total PSI = the sum
-    of ``psi_q_bits``/scale; the monitoring convention flags > 0.1
-    (ln-based) ≈ 0.144 bits."""
-    import math
-
-    spark = df.sparkSession
+    Plan: ONE partial-agg shuffle on ≤ n_bins keys, then the
+    counts-level scorer."""
     counts_raw = df.groupBy(F.col(bin_col).alias("bin")).agg(
         F.sum(F.when(F.col(cur_col) == 0, 1).otherwise(0)).cast("long").alias("ref_n"),
         F.sum(F.when(F.col(cur_col) == 1, 1).otherwise(0)).cast("long").alias("cur_n"),
     )
+    return drift_psi_from_counts(counts_raw, n_bins=n_bins, scale=scale)
+
+
+def drift_psi_from_counts(
+    counts_raw: DataFrame, *, n_bins: int = 10, scale: int = PSI_SCALE
+) -> DataFrame:
+    """PSI scorer over a per-bin count frame (bin, ref_n, cur_n)
+    covering any SUBSET of [0, n_bins) — spine-completes missing bins
+    to zero, add-one smoothing keeps them finite, per-bin contribution
+    (cur% − ref%)·log2(cur%/ref%) quantized to 1/``scale`` bits.
+
+    The log2 runs ONCE per bin on the driver over exact integer-count
+    ratios (libm-equivalent to the DuckDB twin's log2 on this domain;
+    see queries/analytics_ext.events_drift_psi) and broadcast-joins
+    back into the distributed count spine.  Total PSI =
+    Σ psi_q_bits / scale; the monitoring convention flags > 0.1
+    (ln-based) ≈ 0.144 bits."""
+    import math
+
+    spark = counts_raw.sparkSession
     spine = spark.range(n_bins).select(F.col("id").alias("bin"))
     counts = (
         spine.join(counts_raw, "bin", "left")

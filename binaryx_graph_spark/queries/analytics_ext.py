@@ -1639,3 +1639,54 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cur",
     )
     return drift_psi(binned, "bin", "cur", n_bins=PSI_BINS, scale=PSI_SCALE)
+
+
+@register(
+    "streaming_drift_psi",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS cur
+      FROM events
+    ),
+    binned AS (
+      SELECT LEAST({PSI_BINS - 1}, cents // {PSI_BIN_CENTS}) AS bin, cur FROM ev
+    ),
+    counts_raw AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN cur = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+             CAST(sum(CASE WHEN cur = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+      FROM binned GROUP BY bin
+    ),
+    spine AS (SELECT unnest(range({PSI_BINS})) AS bin),
+    counts AS (
+      SELECT s.bin,
+             CAST(coalesce(c.ref_n, 0) AS BIGINT) AS ref_n,
+             CAST(coalesce(c.cur_n, 0) AS BIGINT) AS cur_n
+      FROM spine s LEFT JOIN counts_raw c ON c.bin = s.bin
+    ),
+    tot AS (SELECT CAST(sum(ref_n) AS BIGINT) AS rt,
+                   CAST(sum(cur_n) AS BIGINT) AS ct FROM counts)
+    SELECT bin, ref_n, cur_n,
+           CAST(floor((((cur_n + 1) / CAST(ct + {PSI_BINS} AS DOUBLE)
+                        - (ref_n + 1) / CAST(rt + {PSI_BINS} AS DOUBLE))
+                       * log2(((cur_n + 1) * (rt + {PSI_BINS}))
+                              / CAST((ref_n + 1) * (ct + {PSI_BINS}) AS DOUBLE)))
+                      * {PSI_SCALE} + 0.5) AS BIGINT) AS psi_q_bits
+    FROM counts, tot
+    ORDER BY bin
+    """,
+    tags=("streaming", "quality", "temporal"),
+)
+def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_drift_psi (same oracle: the drained
+    result must equal the batch pass bit-for-bit): reference histogram
+    computed once over days 1-15; the CURRENT slice (days 16+) arrives
+    as 3 ascending event_id-range micro-batches whose per-bin counts
+    merge additively into O(n_bins) state — no raw events retained —
+    then the shared driver-libm PSI scorer runs on the drained
+    histogram.  The additivity argument is the CDC-twin precedent:
+    batches partition the slice, counts sum exactly."""
+    from ..streaming.drift_stream import streaming_drift_psi as _run
+
+    return _run(spark, sf_dir, n_bins=PSI_BINS, bin_cents=PSI_BIN_CENTS)
