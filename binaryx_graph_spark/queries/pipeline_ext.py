@@ -1299,3 +1299,81 @@ def stats_approx_quantiles_bounds(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+_PGM_HEX = "0123456789abcdef"
+
+
+def _pgm_hexpair(src: str, pos: str) -> str:
+    """SQL int value of the hex byte at 0-based byte offset ``pos`` of
+    hex string ``src`` (two chars per byte)."""
+    return (
+        f"(strpos('{_PGM_HEX}', substr({src}, 2*({pos})+1, 1)) - 1) * 16"
+        f" + (strpos('{_PGM_HEX}', substr({src}, 2*({pos})+2, 1)) - 1)"
+    )
+
+
+@register(
+    "multimodal_decode_pgm_real",
+    oracle=f"""
+    WITH seeds AS (SELECT doc_id, sha256(text) AS seed FROM documents),
+    dims AS (
+      SELECT doc_id, seed,
+             4 + ({_pgm_hexpair('seed', '0')}) % 29 AS w,
+             4 + ({_pgm_hexpair('seed', '1')}) % 29 AS h
+      FROM seeds
+    ),
+    blocks AS (
+      SELECT doc_id, b.j AS b,
+             sha256(seed || ':' || CAST(b.j AS VARCHAR)) AS dg
+      FROM dims, UNNEST(range((w*h + 31) // 32)) AS b(j)
+    ),
+    px AS (
+      SELECT d.doc_id, bl.b*32 + k.j AS pos,
+             {_pgm_hexpair('bl.dg', 'k.j')} AS p
+      FROM dims d JOIN blocks bl USING (doc_id), UNNEST(range(32)) AS k(j)
+      WHERE bl.b*32 + k.j < d.w*d.h
+    ),
+    sums AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS pixel_sum FROM px GROUP BY doc_id),
+    samp AS (
+      SELECT d.doc_id, g.j AS gidx,
+             ((g.j // 8) * d.h) // 8 * d.w + ((g.j % 8) * d.w) // 8 AS pos
+      FROM dims d, UNNEST(range(64)) AS g(j)
+    ),
+    sampv AS (
+      SELECT s.doc_id, s.gidx, p.p
+      FROM samp s JOIN px p ON p.doc_id = s.doc_id AND p.pos = s.pos
+    ),
+    asum AS (SELECT doc_id, sum(p) AS ssum FROM sampv GROUP BY doc_id),
+    abits AS (
+      SELECT v.doc_id,
+             string_agg(CASE WHEN 64*v.p > a.ssum THEN '1' ELSE '0' END,
+                        '' ORDER BY v.gidx) AS ahash
+      FROM sampv v JOIN asum a USING (doc_id) GROUP BY v.doc_id
+    )
+    SELECT d.doc_id AS media_id, CAST(d.w AS INTEGER) AS width,
+           CAST(d.h AS INTEGER) AS height, CAST(255 AS INTEGER) AS maxval,
+           CAST(d.w*d.h AS BIGINT) AS n_pixels, s.pixel_sum AS pixel_sum,
+           ab.ahash AS ahash
+    FROM dims d JOIN sums s USING (doc_id) JOIN abits ab USING (doc_id)
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def multimodal_decode_pgm_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal path with NO fake anywhere (unlike the labeled
+    stand-ins behind multimodal_decode, which model codec formats this
+    container can't parse): documents become valid binary PGM images
+    (synthesize_pgm), the decoder does REAL header parsing on the raw
+    bytes, and the kernels — pixel sum, nearest-neighbor 8×8 resample,
+    integer average-hash — run on real pixel data
+    (operators/multimodal.decode_pgm).  The oracle recomputes expected
+    outputs from the synthesis definition in pure SQL (sha256 byte
+    stream replayed hex-pair by hex-pair), so a green row proves
+    parse(synthesize(doc)) round-trips bit-for-bit and pins every
+    kernel.  Scale: one Arrow mapInPandas pass per stage, no shuffle
+    until the final sort."""
+    from ..operators.multimodal import decode_pgm, synthesize_pgm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_pgm(synthesize_pgm(docs)).orderBy("media_id")

@@ -71,3 +71,31 @@ def test_banded_join_equals_brute_force(spark):
 def test_threshold_beyond_band_guarantee_rejected(spark):
     with pytest.raises(ValueError):
         phash_near_dup(media_from_documents(_docs(spark)), max_hamming=4)
+
+
+def test_pgm_real_roundtrip(spark):
+    """decode_pgm does REAL binary parsing: a handcrafted 3x2 PGM with
+    multi-digit dims and known pixels decodes to exact metadata, pixel
+    sum, and average-hash computed by hand."""
+    from binaryx_graph_spark.operators.multimodal import decode_pgm, synthesize_pgm
+
+    payload = b"P5\n13 2\n255\n" + bytes(range(26))
+    df = spark.createDataFrame([(7, payload)], "media_id long, media binary")
+    row = decode_pgm(df).collect()[0]
+    assert (row.width, row.height, row.maxval) == (13, 2, 255)
+    assert row.n_pixels == 26 and row.pixel_sum == sum(range(26))
+    # hand-check the 8x8 nearest resample + average hash
+    px = list(range(26))
+    samp = [px[((r * 2) // 8) * 13 + (c * 13) // 8] for r in range(8) for c in range(8)]
+    want = "".join("1" if 64 * p > sum(samp) else "0" for p in samp)
+    assert row.ahash == want
+
+    # synthesize -> decode round-trips the synthesis parameters
+    import hashlib
+
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    out = decode_pgm(synthesize_pgm(docs)).collect()[0]
+    seed = hashlib.sha256(b"hello world").hexdigest()
+    assert out.width == 4 + int(seed[0:2], 16) % 29
+    assert out.height == 4 + int(seed[2:4], 16) % 29
+    assert out.n_pixels == out.width * out.height
