@@ -10,10 +10,12 @@ feature-vector output shape — is real and tested; swapping in PIL/ffmpeg
 touches only the marked lines.
 
 The UNCOMPRESSED path at the bottom (:func:`synthesize_pgm` /
-:func:`decode_pgm`) has NO fake anywhere: binary PGM needs no codec, so
-the decoder really parses bytes and the pixel kernels (sum, nearest-
-neighbor resample, average-hash) run on real pixel data, gate-pinned
-against a pure-SQL replay of the synthesis (multimodal_decode_pgm_real).
+:func:`decode_pgm`, :func:`synthesize_wav` / :func:`decode_wav`) has NO
+fake anywhere: binary PGM and RIFF PCM16 WAVE need no codec, so the
+decoders really parse bytes (header tokens, chunk walk, LE int16) and
+the kernels (pixel sum, nearest-neighbor resample, average-hash; sample
+sum, energy, peak) run on real data, gate-pinned against pure-SQL
+replays of the synthesis (multimodal_decode_pgm_real / _wav_real).
 """
 
 from __future__ import annotations
@@ -372,4 +374,97 @@ def decode_pgm(media: DataFrame) -> DataFrame:
         batches,
         "media_id long, width int, height int, maxval int, "
         "n_pixels long, pixel_sum long, ahash string",
+    )
+
+
+def synthesize_wav(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL audio synthesis → (media_id, media binary):
+    each document becomes a valid RIFF/WAVE file — mono PCM16, sample
+    rate 8/16/24 kHz and sample count 64..256 from the text's sha256,
+    samples the sha256(seed:block) byte stream as little-endian int16."""
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = hashlib.sha256(str(text).encode("utf-8")).hexdigest()
+                n = 64 + int(seed[0:2], 16) % 193
+                rate = 8000 * (1 + int(seed[2], 16) % 3)
+                raw = bytearray()
+                b = 0
+                while len(raw) < 2 * n:
+                    raw.extend(hashlib.sha256(f"{seed}:{b}".encode()).digest())
+                    b += 1
+                data = bytes(raw[: 2 * n])
+                fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+                payload = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                ids.append(doc_id)
+                blobs.append(payload)
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return docs.mapInPandas(batches, "media_id long, media binary")
+
+
+def decode_wav(media: DataFrame) -> DataFrame:
+    """REAL RIFF/WAVE decoder + sample kernels, Arrow-batched: validates
+    the RIFF/WAVE magics, walks the chunk list (fmt then data), reads
+    PCM16 little-endian samples, then integer kernels — sample sum,
+    energy (sum of squares), peak |amplitude| — the loudness/clipping
+    stats an audio curation pass filters on.
+    → (media_id, sample_rate, n_samples, sum_samples, sum_squares,
+    peak_abs)."""
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                data = bytes(blob)
+                if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE payload")
+                idx, rate, samples = 12, None, None
+                while idx + 8 <= len(data):
+                    tag = data[idx : idx + 4]
+                    (size,) = struct.unpack_from("<I", data, idx + 4)
+                    body = data[idx + 8 : idx + 8 + size]
+                    if tag == b"fmt ":
+                        afmt, nch, rate, _br, _ba, bits = struct.unpack_from(
+                            "<HHIIHH", body
+                        )
+                        if (afmt, nch, bits) != (1, 1, 16):
+                            raise ValueError("expected mono PCM16")
+                    elif tag == b"data":
+                        samples = struct.unpack(f"<{size // 2}h", body)
+                    idx += 8 + size + (size & 1)  # RIFF chunks pad to even
+                if rate is None or samples is None:
+                    raise ValueError("missing fmt/data chunk")
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        len(samples),
+                        sum(samples),
+                        sum(v * v for v in samples),
+                        max(abs(v) for v in samples),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "sum_samples", "sum_squares", "peak_abs",
+                ],
+            )
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, sample_rate int, n_samples long, "
+        "sum_samples long, sum_squares long, peak_abs int",
     )

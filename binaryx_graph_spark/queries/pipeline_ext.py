@@ -1377,3 +1377,57 @@ def multimodal_decode_pgm_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_pgm(synthesize_pgm(docs)).orderBy("media_id")
+
+
+@register(
+    "multimodal_decode_wav_real",
+    oracle=f"""
+    WITH seeds AS (SELECT doc_id, sha256(text) AS seed FROM documents),
+    par AS (
+      SELECT doc_id, seed,
+             64 + ({_pgm_hexpair('seed', '0')}) % 193 AS n,
+             8000 * (1 + (strpos('{_PGM_HEX}', substr(seed, 3, 1)) - 1) % 3) AS rate
+      FROM seeds
+    ),
+    blocks AS (
+      SELECT doc_id, b.j AS b,
+             sha256(seed || ':' || CAST(b.j AS VARCHAR)) AS dg
+      FROM par, UNNEST(range((2*n + 31) // 32)) AS b(j)
+    ),
+    smp AS (
+      SELECT p.doc_id, bl.b*16 + k.j AS sidx,
+             ({_pgm_hexpair('bl.dg', '2*k.j')})
+             + 256 * ({_pgm_hexpair('bl.dg', '2*k.j+1')}) AS u
+      FROM par p JOIN blocks bl USING (doc_id), UNNEST(range(16)) AS k(j)
+      WHERE bl.b*16 + k.j < p.n
+    ),
+    sv AS (
+      SELECT doc_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+      FROM smp
+    )
+    SELECT p.doc_id AS media_id, CAST(p.rate AS INTEGER) AS sample_rate,
+           CAST(p.n AS BIGINT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sum_samples,
+           CAST(sum(v*v) AS BIGINT) AS sum_squares,
+           CAST(max(abs(v)) AS INTEGER) AS peak_abs
+    FROM par p JOIN sv USING (doc_id)
+    GROUP BY p.doc_id, p.rate, p.n
+    ORDER BY media_id
+    """,
+    tags=("multimodal",),
+)
+def multimodal_decode_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio twin of multimodal_decode_pgm_real — NO fake anywhere:
+    documents become VALID RIFF/WAVE files (mono PCM16, rate and length
+    from the text sha256, samples the sha256 byte stream as LE int16),
+    the decoder really walks the chunk list and unpacks samples, and
+    the kernels — sample sum, energy (Σv²), peak |amplitude| — are the
+    integer loudness/clipping stats an audio curation pass filters on.
+    Oracle replays the synthesis in pure SQL (hex pairs → LE int16 with
+    two's-complement fold), so the green row proves the RIFF round-trip
+    and pins every kernel.  Scale: one Arrow mapInPandas pass per
+    stage, no shuffle until the final sort."""
+    from ..operators.multimodal import decode_wav, synthesize_wav
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_wav(synthesize_wav(docs)).orderBy("media_id")

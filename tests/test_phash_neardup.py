@@ -99,3 +99,38 @@ def test_pgm_real_roundtrip(spark):
     assert out.width == 4 + int(seed[0:2], 16) % 29
     assert out.height == 4 + int(seed[2:4], 16) % 29
     assert out.n_pixels == out.width * out.height
+
+
+def test_wav_real_roundtrip(spark):
+    """decode_wav really parses RIFF: a handcrafted file with known
+    samples (including a padded odd-size leading LIST chunk) decodes to
+    exact kernels; synthesize->decode round-trips the parameters."""
+    import struct
+
+    from binaryx_graph_spark.operators.multimodal import decode_wav, synthesize_wav
+
+    samples = [0, 1000, -1000, 32767, -32768]
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    lst = b"odd"  # 3-byte chunk: exercises the even-padding walk
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(lst) + 1 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"LIST" + struct.pack("<I", len(lst)) + lst + b"\x00"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    df = spark.createDataFrame([(3, payload)], "media_id long, media binary")
+    row = decode_wav(df).collect()[0]
+    assert (row.sample_rate, row.n_samples) == (16000, 5)
+    assert row.sum_samples == sum(samples)
+    assert row.sum_squares == sum(v * v for v in samples)
+    assert row.peak_abs == 32768
+
+    import hashlib
+
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    out = decode_wav(synthesize_wav(docs)).collect()[0]
+    seed = hashlib.sha256(b"hello world").hexdigest()
+    assert out.n_samples == 64 + int(seed[0:2], 16) % 193
+    assert out.sample_rate == 8000 * (1 + int(seed[2], 16) % 3)
