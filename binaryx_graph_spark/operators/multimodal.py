@@ -10,12 +10,15 @@ feature-vector output shape — is real and tested; swapping in PIL/ffmpeg
 touches only the marked lines.
 
 The UNCOMPRESSED path at the bottom (:func:`synthesize_pgm` /
-:func:`decode_pgm`, :func:`synthesize_wav` / :func:`decode_wav`) has NO
-fake anywhere: binary PGM and RIFF PCM16 WAVE need no codec, so the
-decoders really parse bytes (header tokens, chunk walk, LE int16) and
-the kernels (pixel sum, nearest-neighbor resample, average-hash; sample
-sum, energy, peak) run on real data, gate-pinned against pure-SQL
-replays of the synthesis (multimodal_decode_pgm_real / _wav_real).
+:func:`decode_pgm`, :func:`synthesize_wav` / :func:`decode_wav`,
+:func:`synthesize_y4m` / :func:`decode_y4m`) has NO fake anywhere —
+one REAL format per modality: binary PGM images, RIFF PCM16 WAVE
+audio, and YUV4MPEG2 video need no codec, so the decoders really parse
+bytes (header tokens; chunk walk + LE int16; FRAME-marker walk) and the
+kernels (pixel sum, nearest-neighbor resample, average-hash; sample
+sum, energy, peak; per-frame plane sums) run on real data, each
+gate-pinned against a pure-SQL replay of the synthesis
+(multimodal_decode_{{pgm,wav,y4m}}_real).
 """
 
 from __future__ import annotations
@@ -467,4 +470,83 @@ def decode_wav(media: DataFrame) -> DataFrame:
         batches,
         "media_id long, sample_rate int, n_samples long, "
         "sum_samples long, sum_squares long, peak_abs int",
+    )
+
+
+def synthesize_y4m(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL video synthesis → (media_id, media binary):
+    each document becomes a valid YUV4MPEG2 stream — mono plane, 4..16
+    px dims and 2..5 frames from the text's sha256, frame f's pixels
+    the sha256(seed:f:block) byte stream."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = hashlib.sha256(str(text).encode("utf-8")).hexdigest()
+                w = 4 + int(seed[0:2], 16) % 13
+                h = 4 + int(seed[2:4], 16) % 13
+                nf = 2 + int(seed[4], 16) % 4
+                out = bytearray(b"YUV4MPEG2 W%d H%d F25:1 Cmono\n" % (w, h))
+                for f in range(nf):
+                    px = bytearray()
+                    b = 0
+                    while len(px) < w * h:
+                        px.extend(
+                            hashlib.sha256(f"{seed}:{f}:{b}".encode()).digest()
+                        )
+                        b += 1
+                    out += b"FRAME\n" + bytes(px[: w * h])
+                ids.append(doc_id)
+                blobs.append(bytes(out))
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return docs.mapInPandas(batches, "media_id long, media binary")
+
+
+def decode_y4m(media: DataFrame) -> DataFrame:
+    """REAL YUV4MPEG2 decoder + per-frame kernel, Arrow-batched: parses
+    the stream header (magic + W/H/F/C parameter tokens), walks the
+    FRAME markers extracting each raw plane — the real frame-sampling
+    dataflow `sample_frames` stands in for on codec formats — and emits
+    one row per frame with its integer pixel sum.
+    → (media_id, width, height, n_frames, frame_no, frame_sum)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                data = bytes(blob)
+                nl = data.index(b"\n")
+                tokens = data[:nl].split(b" ")
+                if tokens[0] != b"YUV4MPEG2":
+                    raise ValueError("not a YUV4MPEG2 payload")
+                params = {t[:1]: t[1:] for t in tokens[1:]}
+                w, h = int(params[b"W"]), int(params[b"H"])
+                if params.get(b"C", b"mono") != b"mono":
+                    raise ValueError("expected mono plane")
+                idx, frames = nl + 1, []
+                while idx < len(data):
+                    if data[idx : idx + 6] != b"FRAME\n":
+                        raise ValueError("frame marker missing")
+                    idx += 6
+                    plane = data[idx : idx + w * h]
+                    if len(plane) != w * h:
+                        raise ValueError("frame truncated")
+                    frames.append(plane)
+                    idx += w * h
+                for f, plane in enumerate(frames):
+                    rows.append((mid, w, h, len(frames), f, sum(plane)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height",
+                    "n_frames", "frame_no", "frame_sum",
+                ],
+            )
+
+    return media.mapInPandas(
+        batches,
+        "media_id long, width int, height int, n_frames int, "
+        "frame_no int, frame_sum long",
     )

@@ -1431,3 +1431,55 @@ def multimodal_decode_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_wav(synthesize_wav(docs)).orderBy("media_id")
+
+
+@register(
+    "multimodal_decode_y4m_real",
+    oracle=f"""
+    WITH seeds AS (SELECT doc_id, sha256(text) AS seed FROM documents),
+    dims AS (
+      SELECT doc_id, seed,
+             4 + ({_pgm_hexpair('seed', '0')}) % 13 AS w,
+             4 + ({_pgm_hexpair('seed', '1')}) % 13 AS h,
+             2 + (strpos('{_PGM_HEX}', substr(seed, 5, 1)) - 1) % 4 AS nf
+      FROM seeds
+    ),
+    frames AS (
+      SELECT doc_id, f.j AS f FROM dims, UNNEST(range(nf)) AS f(j)
+    ),
+    blocks AS (
+      SELECT d.doc_id, fr.f, b.j AS b,
+             sha256(d.seed || ':' || CAST(fr.f AS VARCHAR)
+                    || ':' || CAST(b.j AS VARCHAR)) AS dg
+      FROM dims d JOIN frames fr USING (doc_id),
+           UNNEST(range((d.w*d.h + 31) // 32)) AS b(j)
+    ),
+    px AS (
+      SELECT d.doc_id, bl.f, {_pgm_hexpair('bl.dg', 'k.j')} AS p
+      FROM dims d JOIN blocks bl USING (doc_id), UNNEST(range(32)) AS k(j)
+      WHERE bl.b*32 + k.j < d.w*d.h
+    )
+    SELECT d.doc_id AS media_id, CAST(d.w AS INTEGER) AS width,
+           CAST(d.h AS INTEGER) AS height, CAST(d.nf AS INTEGER) AS n_frames,
+           CAST(px.f AS INTEGER) AS frame_no,
+           CAST(sum(px.p) AS BIGINT) AS frame_sum
+    FROM dims d JOIN px USING (doc_id)
+    GROUP BY d.doc_id, d.w, d.h, d.nf, px.f
+    ORDER BY media_id, frame_no
+    """,
+    tags=("multimodal",),
+)
+def multimodal_decode_y4m_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video twin of the real PGM/WAV paths — NO fake anywhere:
+    documents become VALID YUV4MPEG2 streams (mono plane, dims and
+    frame count from the text sha256), the decoder really parses the
+    parameter header and walks the FRAME markers extracting each raw
+    plane — the true frame-sampling dataflow the labeled stand-in
+    `sample_frames` models for codec formats — and emits one row per
+    frame with its integer pixel sum.  Oracle replays the synthesis in
+    pure SQL per (frame, block, byte), pinning the container walk and
+    the kernel.  Scale: one Arrow mapInPandas pass, rows ∝ frames."""
+    from ..operators.multimodal import decode_y4m, synthesize_y4m
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_y4m(synthesize_y4m(docs)).orderBy("media_id", "frame_no")

@@ -134,3 +134,24 @@ def test_wav_real_roundtrip(spark):
     seed = hashlib.sha256(b"hello world").hexdigest()
     assert out.n_samples == 64 + int(seed[0:2], 16) % 193
     assert out.sample_rate == 8000 * (1 + int(seed[2], 16) % 3)
+
+
+def test_y4m_real_roundtrip(spark):
+    """decode_y4m really walks FRAME markers: handcrafted 2-frame 3x2
+    stream decodes to exact per-frame sums; synth->decode round-trips."""
+    from binaryx_graph_spark.operators.multimodal import decode_y4m, synthesize_y4m
+
+    f0, f1 = bytes(range(6)), bytes(range(10, 16))
+    payload = b"YUV4MPEG2 W3 H2 F25:1 Cmono\n" + b"FRAME\n" + f0 + b"FRAME\n" + f1
+    df = spark.createDataFrame([(9, payload)], "media_id long, media binary")
+    rows = sorted(decode_y4m(df).collect(), key=lambda r: r.frame_no)
+    assert [(r.width, r.height, r.n_frames) for r in rows] == [(3, 2, 2)] * 2
+    assert [r.frame_sum for r in rows] == [sum(f0), sum(f1)]
+
+    import hashlib
+
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    out = decode_y4m(synthesize_y4m(docs)).collect()
+    seed = hashlib.sha256(b"hello world").hexdigest()
+    assert len(out) == 2 + int(seed[4], 16) % 4
+    assert out[0].width == 4 + int(seed[0:2], 16) % 13
