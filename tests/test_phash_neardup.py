@@ -155,3 +155,34 @@ def test_y4m_real_roundtrip(spark):
     seed = hashlib.sha256(b"hello world").hexdigest()
     assert len(out) == 2 + int(seed[4], 16) % 4
     assert out[0].width == 4 + int(seed[0:2], 16) % 13
+
+
+def test_real_decoders_fail_loudly_on_malformed_payloads(spark):
+    """The real parsers reject corrupt inputs instead of silently
+    degrading (the engine-wide loud-failure contract)."""
+    import pytest
+
+    from binaryx_graph_spark.operators.multimodal import (
+        decode_pgm,
+        decode_wav,
+        decode_y4m,
+    )
+
+    bad_pgm = spark.createDataFrame(
+        [(1, b"P5\n4 4\n255\n" + bytes(7))], "media_id long, media binary"
+    )  # raster truncated: 7 of 16 bytes
+    with pytest.raises(Exception, match="truncated"):
+        decode_pgm(bad_pgm).collect()
+
+    bad_wav = spark.createDataFrame(
+        [(1, b"RIFX" + bytes(20))], "media_id long, media binary"
+    )  # wrong magic
+    with pytest.raises(Exception, match="RIFF"):
+        decode_wav(bad_wav).collect()
+
+    bad_y4m = spark.createDataFrame(
+        [(1, b"YUV4MPEG2 W3 H2 F25:1 Cmono\nFRAM!" + bytes(6))],
+        "media_id long, media binary",
+    )  # corrupt frame marker
+    with pytest.raises(Exception, match="marker"):
+        decode_y4m(bad_y4m).collect()
