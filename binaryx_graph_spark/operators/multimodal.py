@@ -327,6 +327,35 @@ def synthesize_pgm(docs: DataFrame) -> DataFrame:
     return docs.mapInPandas(batches, "media_id long, media binary")
 
 
+def _pgm_stats(data: bytes) -> tuple:
+    """Shared per-payload REAL parse + kernels for both decode lanes:
+    whitespace-tokenized P5 header, raster bounds check, integer pixel
+    sum, nearest-neighbor GRID×GRID resample, average-hash bits
+    (GRID²·p > Σ samples — integer cross-multiply, no float mean).
+    → (width, height, maxval, n_pixels, pixel_sum, ahash)."""
+    g = PGM_AHASH_GRID
+    if data[:2] != b"P5":
+        raise ValueError("not a binary PGM payload")
+    idx, tokens = 2, []
+    while len(tokens) < 3:
+        while data[idx : idx + 1].isspace():
+            idx += 1
+        start = idx
+        while not data[idx : idx + 1].isspace():
+            idx += 1
+        tokens.append(int(data[start:idx]))
+    idx += 1  # the single whitespace byte before the raster
+    w, h, maxval = tokens
+    n = w * h
+    px = data[idx : idx + n]
+    if len(px) != n:
+        raise ValueError(f"raster truncated: {len(px)} != {n}")
+    samp = [px[((r * h) // g) * w + (c * w) // g] for r in range(g) for c in range(g)]
+    ssum = sum(samp)
+    bits = "".join("1" if len(samp) * p > ssum else "0" for p in samp)
+    return (w, h, maxval, n, sum(px), bits)
+
+
 def decode_pgm(media: DataFrame) -> DataFrame:
     """REAL binary PGM decoder + pixel kernels, Arrow-batched:
     whitespace-tokenized header parse (magic / width / height / maxval,
@@ -334,37 +363,12 @@ def decode_pgm(media: DataFrame) -> DataFrame:
     sum, nearest-neighbor GRID×GRID resample, and average-hash bits
     (GRID²·p > Σ samples — integer cross-multiply, no float mean).
     → (media_id, width, height, maxval, n_pixels, pixel_sum, ahash)."""
-    g = PGM_AHASH_GRID
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for mid, blob in zip(pdf["media_id"], pdf["media"]):
-                data = bytes(blob)
-                if data[:2] != b"P5":
-                    raise ValueError("not a binary PGM payload")
-                idx, tokens = 2, []
-                while len(tokens) < 3:
-                    while data[idx : idx + 1].isspace():
-                        idx += 1
-                    start = idx
-                    while not data[idx : idx + 1].isspace():
-                        idx += 1
-                    tokens.append(int(data[start:idx]))
-                idx += 1  # the single whitespace byte before the raster
-                w, h, maxval = tokens
-                n = w * h
-                px = data[idx : idx + n]
-                if len(px) != n:
-                    raise ValueError(f"raster truncated: {len(px)} != {n}")
-                samp = [
-                    px[((r * h) // g) * w + (c * w) // g]
-                    for r in range(g)
-                    for c in range(g)
-                ]
-                ssum = sum(samp)
-                bits = "".join("1" if len(samp) * p > ssum else "0" for p in samp)
-                rows.append((mid, w, h, maxval, n, sum(px), bits))
+            rows = [
+                (mid,) + _pgm_stats(bytes(blob))
+                for mid, blob in zip(pdf["media_id"], pdf["media"])
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -549,4 +553,51 @@ def decode_y4m(media: DataFrame) -> DataFrame:
         batches,
         "media_id long, width int, height int, n_frames int, "
         "frame_no int, frame_sum long",
+    )
+
+
+def decode_pgm_arrow(media: DataFrame) -> DataFrame:
+    """The ARROW-NATIVE lane for the real PGM decoder: ``mapInArrow``
+    hands each partition slice as a ``pyarrow.RecordBatch`` — binary
+    payloads stay Arrow buffers end-to-end, skipping the pandas
+    object-dtype copy ``mapInPandas`` pays per blob (the copy IS the
+    cost center when the column is multi-MB media at 100 TB).  Same
+    parse + kernels (:func:`_pgm_stats`), same output contract, same
+    oracle — the gate pins lane equivalence."""
+    import pyarrow as pa
+
+    out_fields = pa.schema(
+        [
+            ("media_id", pa.int64()),
+            ("width", pa.int32()),
+            ("height", pa.int32()),
+            ("maxval", pa.int32()),
+            ("n_pixels", pa.int64()),
+            ("pixel_sum", pa.int64()),
+            ("ahash", pa.string()),
+        ]
+    )
+
+    def batches(it):
+        for rb in it:
+            ids = rb.column(rb.schema.get_field_index("media_id"))
+            blobs = rb.column(rb.schema.get_field_index("media"))
+            stats = [_pgm_stats(blobs[i].as_py()) for i in range(rb.num_rows)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array([s[0] for s in stats], pa.int32()),
+                    pa.array([s[1] for s in stats], pa.int32()),
+                    pa.array([s[2] for s in stats], pa.int32()),
+                    pa.array([s[3] for s in stats], pa.int64()),
+                    pa.array([s[4] for s in stats], pa.int64()),
+                    pa.array([s[5] for s in stats], pa.string()),
+                ],
+                schema=out_fields,
+            )
+
+    return media.mapInArrow(
+        batches,
+        "media_id long, width int, height int, maxval int, "
+        "n_pixels long, pixel_sum long, ahash string",
     )

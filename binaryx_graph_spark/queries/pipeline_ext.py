@@ -1483,3 +1483,30 @@ def multimodal_decode_y4m_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_y4m(synthesize_y4m(docs)).orderBy("media_id", "frame_no")
+
+
+from ..registry import REGISTRY as _REG  # noqa: E402  (oracle reuse below)
+
+
+@register(
+    "multimodal_decode_pgm_arrow",
+    # byte-identical oracle to multimodal_decode_pgm_real: the two
+    # queries differ ONLY in the Python-boundary lane (mapInArrow vs
+    # mapInPandas), so the same expected output pins lane equivalence
+    oracle=_REG["multimodal_decode_pgm_real"].oracle,
+    tags=("multimodal", "python-boundary"),
+)
+def multimodal_decode_pgm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal_decode_pgm_real through the ARROW-NATIVE lane:
+    ``mapInArrow`` RecordBatches instead of ``mapInPandas`` frames —
+    binary payloads stay Arrow buffers end-to-end with no pandas
+    object-dtype copy (the per-blob copy is the measured cost center
+    when the column is multi-MB media).  Same parse, same kernels,
+    same oracle: a green row next to pgm_real's proves the two
+    Python-boundary lanes are output-identical, completing the
+    escape-hatch catalog (pandas_udf, mapInPandas, applyInPandas,
+    applyInPandasWithState, UDTF, Python DataSource, mapInArrow)."""
+    from ..operators.multimodal import decode_pgm_arrow, synthesize_pgm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_pgm_arrow(synthesize_pgm(docs)).orderBy("media_id")
