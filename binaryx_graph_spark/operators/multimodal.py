@@ -560,8 +560,10 @@ def decode_pgm_arrow(media: DataFrame) -> DataFrame:
     """The ARROW-NATIVE lane for the real PGM decoder: ``mapInArrow``
     hands each partition slice as a ``pyarrow.RecordBatch`` — binary
     payloads stay Arrow buffers end-to-end, skipping the pandas
-    object-dtype copy ``mapInPandas`` pays per blob (the copy IS the
-    cost center when the column is multi-MB media at 100 TB).  Same
+    object-dtype copy ``mapInPandas`` pays per blob (measured: 13-25%
+    faster at 262 KB payloads, converging at ~300 B ones — the copy
+    overhead scales with payload size, exactly the axis 100 TB media
+    grows on; SCALE.md addendum 34).  Same
     parse + kernels (:func:`_pgm_stats`), same output contract, same
     oracle — the gate pins lane equivalence."""
     import pyarrow as pa

@@ -1500,8 +1500,9 @@ def multimodal_decode_pgm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multimodal_decode_pgm_real through the ARROW-NATIVE lane:
     ``mapInArrow`` RecordBatches instead of ``mapInPandas`` frames —
     binary payloads stay Arrow buffers end-to-end with no pandas
-    object-dtype copy (the per-blob copy is the measured cost center
-    when the column is multi-MB media).  Same parse, same kernels,
+    object-dtype copy (measured 13-25% faster at 262 KB payloads;
+    converges at ~300 B — the gap grows with payload size, the axis
+    100 TB media grows on).  Same parse, same kernels,
     same oracle: a green row next to pgm_real's proves the two
     Python-boundary lanes are output-identical, completing the
     escape-hatch catalog (pandas_udf, mapInPandas, applyInPandas,
