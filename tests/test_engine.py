@@ -130,3 +130,23 @@ def test_drift_psi_passthrough(eng, spark):
     rows = eng.drift_psi(shifted, "bin", "cur", n_bins=5).collect()
     assert sum(r.psi_q_bits for r in rows) > 0  # disjoint supports drift hard
     assert sum(r.ref_n + r.cur_n for r in rows) == 200
+
+
+def test_real_decoder_passthroughs(eng, spark):
+    from binaryx_graph_spark.operators.multimodal import (
+        synthesize_pgm,
+        synthesize_wav,
+        synthesize_y4m,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pgm = eng.decode_pgm(synthesize_pgm(docs))
+    assert pgm.count() == 6
+    assert sorted(map(tuple, eng.decode_pgm(synthesize_pgm(docs), arrow=True).collect())) == sorted(
+        map(tuple, pgm.collect())
+    )
+    assert eng.decode_wav(synthesize_wav(docs)).count() == 6
+    frames = eng.decode_y4m(synthesize_y4m(docs))
+    assert frames.count() >= 12  # >= 2 frames per doc
