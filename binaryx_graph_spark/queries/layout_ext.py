@@ -40,3 +40,51 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the plain relational join — identical output, paying the
     shuffle the layout avoids."""
     return colocated_priority_revenue(spark, sf_dir)
+
+
+@register(
+    "layout_partition_pruning",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE date_trunc('day', ts) = DATE '2024-01-15'
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("layout", "scale"),
+)
+def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third layout lever (after z-order clustering and bucketed
+    joins): HIVE-PARTITIONED writes + partition pruning on read — at
+    100 TB, a date-partitioned event log turns a one-day query from a
+    full scan into a one-directory read, before any row-group or
+    predicate pushdown applies.  The query writes the events table
+    partitioned by event_date, reads it back filtered to one day, and
+    — the bucketed-join pattern — CERTIFIES THE PLAN INSIDE THE GATE:
+    it raises unless the scan's ``PartitionFilters`` actually carries
+    the date predicate (i.e. pruning reached the file index; an empty
+    PartitionFilters would mean Spark scanned every partition and
+    filtered rows after the fact).  A green CORRECTNESS row therefore
+    pins both the values and the pruning."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..model import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    path = tempfile.mkdtemp(prefix="bxg_part_") + "/events_parted"
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("event_date") == F.to_date(F.lit("2024-01-15"))
+    )
+    out = (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy("event_type")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters: []" in plan or "PartitionFilters" not in plan:
+        raise AssertionError(
+            "partition pruning did not reach the scan:\n" + plan[:2000]
+        )
+    return out
