@@ -121,6 +121,28 @@ def _calibrate(spark) -> float:
     return round(sorted(samples)[1], 3)
 
 
+def _floor_probe(spark) -> float:
+    """Job-scheduling-floor probe: median of 11 trivial one-partition,
+    one-task jobs (count over a 1-row in-memory range).  Measures the
+    fixed per-job cost — DAGScheduler submit, task serialize/launch,
+    result fetch — that SCALE.md addendum 31 showed dominates most
+    headline queries at sf0.1 (~0.09s/job warm).  The CPU calibration
+    probe (_calibrate) cannot see this term: it runs ONE job whose cost
+    is pure codegen compute.  Round-over-round, a floor shift with a
+    flat CPU probe means the session's scheduling state (GC pressure,
+    listener-bus backlog, context age) changed, not the query plans —
+    divide per-query deltas by the floor ratio for job-count-bound
+    queries and by the CPU ratio for compute-bound ones (r6 verdict
+    demanded exactly this decomposition)."""
+    spark.range(1, numPartitions=1).count()  # warm the path
+    samples = []
+    for _ in range(11):
+        t0 = time.time()
+        spark.range(1, numPartitions=1).count()
+        samples.append(time.time() - t0)
+    return round(sorted(samples)[len(samples) // 2], 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -142,6 +164,7 @@ def main() -> None:
                     pass
 
     calib_start = _calibrate(spark)
+    floor_start = _floor_probe(spark)
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -175,6 +198,7 @@ def main() -> None:
         )
 
     calib_end = _calibrate(spark)
+    floor_end = _floor_probe(spark)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -191,6 +215,10 @@ def main() -> None:
                 # calling it a regression
                 "calib_start_sec": calib_start,
                 "calib_end_sec": calib_end,
+                # per-job scheduling floor (see _floor_probe): the fixed
+                # term for job-count-bound queries (iterative loops)
+                "floor_start_sec": floor_start,
+                "floor_end_sec": floor_end,
                 "sf": sf,
             }
         )

@@ -341,8 +341,13 @@ def _pgm_stats(data: bytes) -> tuple:
         while data[idx : idx + 1].isspace():
             idx += 1
         start = idx
-        while not data[idx : idx + 1].isspace():
+        # b"".isspace() is False, so an end-of-buffer check is required:
+        # without it a truncated header (e.g. b"P5\n4 4\n255") spins the
+        # token loop past the end forever instead of failing loudly
+        while idx < len(data) and not data[idx : idx + 1].isspace():
             idx += 1
+        if idx == start or idx >= len(data):
+            raise ValueError("truncated PGM header")
         tokens.append(int(data[start:idx]))
     idx += 1  # the single whitespace byte before the raster
     w, h, maxval = tokens

@@ -244,8 +244,13 @@ def drift_psi_from_counts(
 
     spark = counts_raw.sparkSession
     spine = spark.range(n_bins).select(F.col("id").alias("bin"))
+    # FULL join (not left): an out-of-[0, n_bins) bin id must surface so
+    # it can be rejected loudly below — a left join would silently drop
+    # it from the result AND from the rt/ct totals, skewing every other
+    # bin's percentage (ADVICE r6).  Callers clamp at binning time; this
+    # is the backstop for a mis-binned caller.
     counts = (
-        spine.join(counts_raw, "bin", "left")
+        spine.join(counts_raw, "bin", "full")
         .select(
             "bin",
             F.coalesce("ref_n", F.lit(0)).cast("long").alias("ref_n"),
@@ -254,7 +259,12 @@ def drift_psi_from_counts(
         .localCheckpoint(eager=True)  # reused: collected for the driver
         # PSI table AND returned as the result spine
     )
-    rows = counts.collect()  # exactly n_bins rows, bounded by construction
+    rows = counts.collect()  # n_bins rows + any out-of-range strays
+    bad = [r["bin"] for r in rows if r["bin"] is None or not 0 <= r["bin"] < n_bins]
+    if bad:
+        raise ValueError(
+            f"bin ids outside [0, {n_bins}): {bad[:10]} — clamp or re-bin upstream"
+        )
     rt = sum(r["ref_n"] for r in rows)
     ct = sum(r["cur_n"] for r in rows)
     lit = [

@@ -1578,7 +1578,7 @@ PSI_SCALE = 1 << 20
       FROM events
     ),
     binned AS (
-      SELECT LEAST({PSI_BINS - 1}, cents // {PSI_BIN_CENTS}) AS bin, cur FROM ev
+      SELECT GREATEST(0, LEAST({PSI_BINS - 1}, cents // {PSI_BIN_CENTS})) AS bin, cur FROM ev
     ),
     counts_raw AS (
       SELECT bin,
@@ -1634,8 +1634,16 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"),
         F.when(F.dayofmonth("ts") <= 15, F.lit(0)).otherwise(F.lit(1)).alias("cur"),
     )
+    # greatest(0, …) clamps negative values into bin 0 symmetrically with
+    # the oracle: without it, Spark's `div` truncates toward zero while
+    # DuckDB's `//` floors, so a negative cents value would bin
+    # differently on the two sides (ADVICE r6 — latent divergence; the
+    # clamp also keeps every row inside the scorer's [0, n_bins) spine)
     binned = ev.select(
-        F.least(F.lit(PSI_BINS - 1), F.expr(f"cents div {PSI_BIN_CENTS}")).alias("bin"),
+        F.greatest(
+            F.lit(0),
+            F.least(F.lit(PSI_BINS - 1), F.expr(f"cents div {PSI_BIN_CENTS}")),
+        ).alias("bin"),
         "cur",
     )
     return drift_psi(binned, "bin", "cur", n_bins=PSI_BINS, scale=PSI_SCALE)
@@ -1650,7 +1658,7 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     binned AS (
-      SELECT LEAST({PSI_BINS - 1}, cents // {PSI_BIN_CENTS}) AS bin, cur FROM ev
+      SELECT GREATEST(0, LEAST({PSI_BINS - 1}, cents // {PSI_BIN_CENTS})) AS bin, cur FROM ev
     ),
     counts_raw AS (
       SELECT bin,

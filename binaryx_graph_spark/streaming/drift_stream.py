@@ -47,9 +47,15 @@ def streaming_drift_psi(
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
-        F.least(
-            F.lit(n_bins - 1),
-            F.expr(f"CAST(round(value * 100) AS BIGINT) div {bin_cents}"),
+        # greatest(0, …): clamp negative values into bin 0, matching the
+        # batch twin and the oracle (Spark div truncates, DuckDB // floors
+        # — without the clamp a negative value bins differently; ADVICE r6)
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_bins - 1),
+                F.expr(f"CAST(round(value * 100) AS BIGINT) div {bin_cents}"),
+            ),
         ).alias("bin"),
         F.when(F.dayofmonth("ts") <= 15, F.lit(0)).otherwise(F.lit(1)).alias("cur"),
     )

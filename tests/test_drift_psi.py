@@ -68,6 +68,42 @@ def test_counts_level_entry_spine_completes(spark):
     assert [rows[b]["psi_q_bits"] for b in range(5)] == want
 
 
+def test_out_of_range_bins_rejected_loudly(spark):
+    # pre-r7 these were silently dropped from the spine AND the rt/ct
+    # totals, skewing every surviving bin's percentage (ADVICE r6)
+    import pytest
+
+    for bad_bin in (-1, 5, 99):
+        counts = spark.createDataFrame(
+            [(1, 10, 0), (bad_bin, 3, 3)], "bin long, ref_n long, cur_n long"
+        )
+        with pytest.raises(ValueError, match="outside"):
+            drift_psi_from_counts(counts, n_bins=5)
+
+
+def test_negative_values_clamp_to_bin_zero(spark):
+    # engine/oracle symmetry for negative inputs: Spark `div` truncates
+    # toward zero while DuckDB `//` floors, so without the greatest(0, …)
+    # clamp a negative cents value bins differently on the two sides.
+    # The clamp sends ALL negatives to bin 0 under BOTH conventions.
+    from binaryx_graph_spark.queries.analytics_ext import PSI_BIN_CENTS, PSI_BINS
+
+    vals = [-1, -4_999, -5_000, -9_999, -50_000, 0, 4_999, 5_000, 999_999]
+    df = spark.createDataFrame([(v,) for v in vals], "cents long")
+    spark_bins = [
+        r["bin"]
+        for r in df.select(
+            F.greatest(
+                F.lit(0),
+                F.least(F.lit(PSI_BINS - 1), F.expr(f"cents div {PSI_BIN_CENTS}")),
+            ).alias("bin")
+        ).collect()
+    ]
+    duck_bins = [max(0, min(PSI_BINS - 1, v // PSI_BIN_CENTS)) for v in vals]
+    assert spark_bins == duck_bins
+    assert all(0 <= b < PSI_BINS for b in spark_bins)
+
+
 def test_streaming_equals_batch(spark):
     from binaryx_graph_spark.registry import load_all
 

@@ -174,6 +174,15 @@ def test_real_decoders_fail_loudly_on_malformed_payloads(spark):
     with pytest.raises(Exception, match="truncated"):
         decode_pgm(bad_pgm).collect()
 
+    # truncated header (no whitespace after maxval): before the r7 guard
+    # this spun the tokenizer loop past end-of-buffer forever (ADVICE r6)
+    for hdr in (b"P5\n4 4\n255", b"P5", b"P5\n", b"P5\n4 4\n"):
+        bad_hdr = spark.createDataFrame(
+            [(1, hdr)], "media_id long, media binary"
+        )
+        with pytest.raises(Exception, match="truncated"):
+            decode_pgm(bad_hdr).collect()
+
     bad_wav = spark.createDataFrame(
         [(1, b"RIFX" + bytes(20))], "media_id long, media binary"
     )  # wrong magic
