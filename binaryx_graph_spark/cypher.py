@@ -202,6 +202,21 @@ class AllScoped:
 
 
 @dataclass
+class AllRelPred:
+    """``ALL(r IN relationships(p) WHERE r.call_type = 'Direct' [AND …])``
+    — every relationship on a var-length path satisfies an edge-property
+    predicate (the reference's per-binary path variant,
+    call_path_analyzer.rs:34).  Lowered into a filter on the edge frame
+    BEFORE the frontier loop: since EVERY path edge must pass, pruning
+    the edge list is exactly equivalent and kills non-conforming paths
+    at the level they would take the edge, not post-hoc over arrays."""
+
+    iter_var: str
+    path_var: str
+    pred: object  # BoolExpr/Comparison tree over iter_var.prop vs literals
+
+
+@dataclass
 class ReturnItem:
     # 'prop' | 'node' | 'count_star' | 'count_var' | 'count_distinct_var'
     # | 'path' | 'path_len' | 'path_nodes_prop' | 'path_rels_prop' | 'col'
@@ -674,18 +689,26 @@ class CypherParser:
                 raise ValueError("cypher: EXISTS endpoints must be plain bound variables")
         return ExistsPat(src.var, edge.types, dst.var)
 
-    def _all_scoped(self) -> AllScoped:
-        """``ALL(n IN nodes(path) WHERE EXISTS((b)-[:T|T2]->(n)))``."""
+    def _all_scoped(self) -> AllScoped | AllRelPred:
+        """``ALL(n IN nodes(path) WHERE EXISTS((b)-[:T|T2]->(n)))`` or
+        ``ALL(r IN relationships(path) WHERE r.prop = lit [AND …])``
+        (call_path_analyzer.rs:34 uses both shapes in one WHERE)."""
         self._expect("sym", "(")
         iter_var = self._expect("word")
         if not self._accept_word("IN"):
             raise ValueError("cypher: ALL(var IN nodes(path) WHERE ...) expected")
-        if self._name() != "nodes":
-            raise ValueError("cypher: ALL iterates nodes(path) only")
+        src = self._name()
+        if src not in ("nodes", "relationships"):
+            raise ValueError("cypher: ALL iterates nodes(path) or relationships(path)")
         self._expect("sym", "(")
         path_var = self._expect("word")
         self._expect("sym", ")")
         self._expect("kw", "WHERE")
+        if src == "relationships":
+            pred = self._or()
+            self._expect("sym", ")")
+            self._validate_rel_pred(pred, iter_var)
+            return AllRelPred(iter_var, path_var, pred)
         if not self._accept_word("EXISTS"):
             raise ValueError("cypher: ALL body must be EXISTS((b)-[:T]->(n))")
         ex = self._exists()
@@ -696,6 +719,33 @@ class CypherParser:
                 f"({iter_var}), got EXISTS(...->({ex.dst_var}))"
             )
         return AllScoped(iter_var, path_var, ex.src_var, ex.types)
+
+    @staticmethod
+    def _validate_rel_pred(pred, iter_var: str) -> None:
+        """An ALL(r IN relationships(p) WHERE …) body must be a boolean
+        tree of ``r.prop <op> literal`` comparisons over the iteration
+        variable only — it lowers to an edge-frame filter, where no
+        other variable is in scope."""
+        if isinstance(pred, BoolExpr):
+            for a in pred.args:
+                CypherParser._validate_rel_pred(a, iter_var)
+            return
+        if not isinstance(pred, Comparison):
+            raise ValueError(
+                "cypher: ALL(... IN relationships(p) WHERE ...) supports "
+                "only comparisons on the relationship variable"
+            )
+        var, prop = pred.left
+        if var != iter_var or prop is None:
+            raise ValueError(
+                f"cypher: ALL relationship predicate must test "
+                f"{iter_var}.<prop>, got {var}.{prop}"
+            )
+        if isinstance(pred.right, Ref):
+            raise ValueError(
+                "cypher: ALL relationship predicate compares against "
+                "literals only (no other variable is in scope on an edge)"
+            )
 
     def _comparison(self) -> Comparison:
         var = self._expect("word")
@@ -900,7 +950,7 @@ class CypherCompiler:
         """Compile one MATCH...WHERE segment (the shared body of plain
         queries and each WITH-pipeline stage)."""
         self._exists_markers = {}
-        where, scopes = self._extract_scopes(where)
+        where, scopes, rel_preds = self._extract_scopes(where)
         for pat in patterns:
             if pat.unwind is not None:
                 alias, vals = pat.unwind
@@ -912,7 +962,10 @@ class CypherCompiler:
                 bound[alias] = SCALAR
                 self._scalar_vars.add(alias)
             elif pat.path_var is not None:
-                df = self._compile_path(df, pat, bound, scopes.pop(pat.path_var, None), where)
+                df = self._compile_path(
+                    df, pat, bound, scopes.pop(pat.path_var, None), where,
+                    rel_pred=rel_preds.pop(pat.path_var, None),
+                )
             elif pat.optional:
                 df = self._compile_optional(df, pat, bound)
             else:
@@ -921,6 +974,11 @@ class CypherCompiler:
             raise ValueError(
                 f"cypher: ALL(... IN nodes({next(iter(scopes))})) references "
                 "an unknown path variable"
+            )
+        if rel_preds:
+            raise ValueError(
+                f"cypher: ALL(... IN relationships({next(iter(rel_preds))})) "
+                "references an unknown path variable"
             )
         if where is not None:
             if df is None:
@@ -1021,8 +1079,8 @@ class CypherCompiler:
                 out = out.limit(stage.limit)
         if stage.with_where is not None:
             self._exists_markers = {}
-            w, scopes = self._extract_scopes(stage.with_where)
-            if scopes:
+            w, scopes, rel_preds = self._extract_scopes(stage.with_where)
+            if scopes or rel_preds:
                 raise ValueError("cypher: ALL(...) is not supported in a WITH WHERE")
             out = self._attach_exists(out, w, bound)
             out = out.filter(self._predicate(w, bound))
@@ -1081,20 +1139,29 @@ class CypherCompiler:
         return False
 
     def _extract_scopes(self, where):
-        """Pull ALL(n IN nodes(p) WHERE EXISTS(...)) conjuncts out of the
-        WHERE tree — they lower into scope-constrained path enumeration,
-        not a per-row predicate."""
+        """Pull ALL(n IN nodes(p) WHERE EXISTS(...)) and ALL(r IN
+        relationships(p) WHERE ...) conjuncts out of the WHERE tree —
+        they lower into scope-constrained / edge-filtered path
+        enumeration, not a per-row predicate."""
         if where is None:
-            return None, {}
+            return None, {}, {}
         scopes: dict[str, tuple[str, list[str]]] = {}
+        rel_preds: dict[str, tuple[str, object]] = {}
         rest = []
         for c in self._conjuncts(where):
             if isinstance(c, AllScoped):
                 if c.path_var in scopes:
                     raise ValueError(f"cypher: duplicate ALL(...) over path {c.path_var}")
                 scopes[c.path_var] = (c.scope_var, c.types)
+            elif isinstance(c, AllRelPred):
+                if c.path_var in rel_preds:
+                    raise ValueError(
+                        f"cypher: duplicate ALL(... IN relationships({c.path_var}))"
+                        " — AND the predicates inside one ALL instead"
+                    )
+                rel_preds[c.path_var] = (c.iter_var, c.pred)
             else:
-                if self._contains_type(c, AllScoped):
+                if self._contains_type(c, AllScoped) or self._contains_type(c, AllRelPred):
                     raise ValueError(
                         "cypher: ALL(...) is supported only as a top-level AND conjunct"
                     )
@@ -1102,7 +1169,7 @@ class CypherCompiler:
         out = None
         for c in rest:
             out = c if out is None else BoolExpr("and", [out, c])
-        return out, scopes
+        return out, scopes, rel_preds
 
     @staticmethod
     def _expr_vars(expr) -> set[str]:
@@ -1216,6 +1283,7 @@ class CypherCompiler:
         bound: dict[str, str],
         scope: tuple[str, list[str]] | None,
         where,
+        rel_pred: tuple[str, object] | None = None,
     ) -> DataFrame:
         """``MATCH path = (start:Function)-[:CALLS*lo..hi]->(end)`` —
         one row PER PATH (Cypher multiplicity), with the path's node
@@ -1292,6 +1360,15 @@ class CypherCompiler:
         )
 
         calls = self.tables["calls"]
+        if rel_pred is not None:
+            # ALL(r IN relationships(p) WHERE r.prop <op> lit ...): since
+            # EVERY path edge must satisfy the predicate, filtering the
+            # edge frame before the frontier loop is exactly equivalent —
+            # and prunes non-conforming paths at the level they would
+            # take the edge (the pushdown Catalyst cannot do through the
+            # driver-side iteration), instead of post-hoc over arrays.
+            iv, pred = rel_pred
+            calls = calls.filter(self._rel_predicate(pred, iv, calls))
         edge = calls.select(
             F.col("src_uid").alias("_from"), F.col("dst_uid").alias("_to"),
             F.col("offset").alias("_off"),
@@ -1819,7 +1896,7 @@ class CypherCompiler:
             if mk is None:
                 raise ValueError("cypher: internal — EXISTS marker not attached")
             return F.col(mk).isNotNull()
-        if isinstance(expr, AllScoped):
+        if isinstance(expr, (AllScoped, AllRelPred)):
             raise ValueError(
                 "cypher: ALL(...) is supported only as a top-level AND conjunct "
                 "alongside a path pattern"
@@ -1831,6 +1908,35 @@ class CypherCompiler:
             lit = self._prop_col(expr.right.var, expr.right.prop, bound)
         else:
             lit = F.lit(expr.right)
+        return {
+            "=": lambda: col == lit,
+            "<>": lambda: col != lit,
+            "<": lambda: col < lit,
+            "<=": lambda: col <= lit,
+            ">": lambda: col > lit,
+            ">=": lambda: col >= lit,
+            "contains": lambda: col.contains(lit),
+            "startswith": lambda: col.startswith(lit),
+            "endswith": lambda: col.endswith(lit),
+        }[expr.op]()
+
+    def _rel_predicate(self, expr, iter_var: str, calls: DataFrame) -> Column:
+        """Compile an ALL-relationships predicate tree against the edge
+        table's own columns (parser guarantees: comparisons on
+        ``iter_var.prop`` vs literals only)."""
+        if isinstance(expr, BoolExpr):
+            if expr.op == "not":
+                return ~self._rel_predicate(expr.args[0], iter_var, calls)
+            parts = [self._rel_predicate(a, iter_var, calls) for a in expr.args]
+            return parts[0] & parts[1] if expr.op == "and" else parts[0] | parts[1]
+        assert isinstance(expr, Comparison)
+        _var, prop = expr.left
+        if prop not in calls.columns:
+            raise ValueError(
+                f"cypher: relationship property {iter_var}.{prop} does not "
+                f"exist on :CALLS (have: {[c for c in calls.columns]})"
+            )
+        col, lit = F.col(prop), F.lit(expr.right)
         return {
             "=": lambda: col == lit,
             "<>": lambda: col != lit,

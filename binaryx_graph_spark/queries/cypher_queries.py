@@ -837,3 +837,70 @@ def cypher_agg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                max(caller) AS last_caller
         """,
     )
+
+
+@register(
+    "cypher_varlen_rel_pred",
+    # Pre-filtering the edge list to the predicate-satisfying subset is
+    # EXACTLY ALL(r IN relationships(p) WHERE …) semantics: every path
+    # relationship must pass, so a path exists in the filtered graph iff
+    # it satisfies the ALL.  The oracle unrolls three no-repeated-edge
+    # hops over the Direct-only edge subset (cypher_paths_scaled shape).
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT DISTINCT CAST(o_orderkey % 500 AS BIGINT) AS src,
+               CAST((o_custkey * 13) % 500 AS BIGINT) AS dst
+        FROM orders WHERE o_orderkey % 5 = 0) t
+      WHERE (src * 7 + dst) % 3 <> 0
+    ),
+    p1 AS (SELECT src AS s0, dst AS s1 FROM e WHERE src = 45),
+    p2 AS (SELECT p1.s0, p1.s1, e.dst AS s2 FROM p1 JOIN e ON e.src = p1.s1
+           WHERE NOT (e.src = p1.s0 AND e.dst = p1.s1)),
+    p3 AS (SELECT p2.s0, p2.s1, p2.s2, e.dst AS s3 FROM p2 JOIN e ON e.src = p2.s2
+           WHERE NOT (e.src = p2.s0 AND e.dst = p2.s1)
+             AND NOT (e.src = p2.s1 AND e.dst = p2.s2))
+    SELECT path_length, n_paths FROM (
+      SELECT 1 AS path_length, CAST(count(*) AS BIGINT) AS n_paths FROM p1
+      UNION ALL SELECT 2 AS path_length, CAST(count(*) AS BIGINT) AS n_paths FROM p2
+      UNION ALL SELECT 3 AS path_length, CAST(count(*) AS BIGINT) AS n_paths FROM p3
+    ) t
+    WHERE n_paths > 0
+    ORDER BY path_length
+    """,
+    tags=("cypher", "graph", "paths", "iterative"),
+)
+def cypher_varlen_rel_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relationship-property predicates in var-length patterns — the
+    reference's per-binary path variant shape (call_path_analyzer.rs:34:
+    ``ALL(r IN relationships(path) WHERE r.call_type = 'Direct')``) at
+    DATA scale.  The compiler lowers the ALL into an edge-frame filter
+    BEFORE the frontier loop, so non-Direct edges never enter any level
+    join — the predicate pushdown Catalyst cannot do through driver-side
+    iteration.  The derived graph assigns call_type deterministically
+    per edge ((src·7+dst) mod 3 → ~1/3 Indirect), so the predicate
+    genuinely prunes; the oracle unrolls three hops over the Direct-only
+    subset."""
+    from ..plans.graph_project import as_call_tables, derived_edges
+
+    edges = derived_edges(spark, sf_dir)
+    _, nodes = as_call_tables(edges)
+    calls = edges.select(
+        F.col("src").cast("string").alias("src_uid"),
+        F.col("dst").cast("string").alias("dst_uid"),
+        F.lit("").alias("offset"),
+        F.when((F.col("src") * 7 + F.col("dst")) % 3 == 0, "Indirect")
+        .otherwise("Direct")
+        .alias("call_type"),
+    )
+    t = {"functions": nodes, "calls": calls}
+    out = cypher(
+        t,
+        """MATCH path = (a:Function)-[:CALLS*1..3]->(b:Function)
+           WHERE a.name = $seed
+             AND ALL(r IN relationships(path) WHERE r.call_type = 'Direct')
+           RETURN length(path) as path_length, count(*) as n_paths
+           ORDER BY path_length""",
+        params={"seed": "45"},
+    )
+    return out.select(F.col("path_length").cast("int").alias("path_length"), "n_paths")

@@ -114,6 +114,10 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     "ingest_validation_null_arrays", "streaming_ingest_counts",
     "graph_scc_fwbw", "cypher_agg_stats", "cypher_agg_pipeline",
     "graph_longest_paths_scaled",
+    # (f) r7 additions — APPENDED after the r6 tail (same protocol); the
+    # two tombstoned drift queries re-float automatically via their
+    # stale fingerprints, ahead of this block by ledger order
+    "cypher_varlen_rel_pred",
 )
 
 

@@ -1,20 +1,23 @@
 """Same-session A/B bench forensics (r6 verdict directive #1).
 
 Runs the common headline-query set of TWO repo checkouts (git worktrees)
-inside ONE SparkSession and ONE process, in an A-B-B-A phase order, so
-that host load, JVM/JIT state, GC pressure, and context age — the
-confounds that made the r5→r6 +9.8% delta unfalsifiable across separate
-sessions — are shared between the two sides.  Each phase also records
-the CPU-calibration probe and the job-scheduling-floor probe so a
-skeptic can decompose any residual delta into compute vs floor terms.
+inside ONE SparkSession and ONE process, interleaved at the QUERY level:
+for each query the schedule is A,B,B,A back-to-back, so slow session
+drift (GC pressure, listener-bus backlog, context age — the confounds
+that made the r5→r6 +9.8% cross-session delta unfalsifiable, and that
+biased a phase-level ABBA pilot: its min-pooling favored whichever side
+ran in the freshest phase) cancels within each query's few-second
+window.  Both sides' registries are materialized ONCE up front — after
+purging sys.modules the old side's function objects stay alive with
+their own module globals — so switching sides per query costs nothing.
+
+Each side boundary also records the CPU-calibration probe and (when the
+checkout has one) the job-scheduling-floor probe so a skeptic can
+decompose any residual delta into compute vs floor terms.
 
 Usage:
-    python tools/ab_bench.py <checkout_A> <checkout_B> [--runs 3] \
+    python tools/ab_bench.py <checkout_A> <checkout_B> [--runs 2] \
         [--out AB_RESULT.json]
-
-Module isolation: between phases every `binaryx_graph_spark*` entry is
-purged from sys.modules and sys.path[0] is swapped to the active
-checkout, so each side executes its own code against the shared session.
 """
 
 from __future__ import annotations
@@ -28,7 +31,9 @@ import time
 
 
 def _load_side(checkout: str):
-    """(Re)import a checkout's registry + HEADLINE list in isolation."""
+    """Import a checkout's bench module + query registry in isolation.
+    Purging sys.modules unbinds the PREVIOUS side's modules by name but
+    leaves its already-created function objects fully alive."""
     for mod in [m for m in sys.modules if m.split(".")[0] in ("binaryx_graph_spark", "bench")]:
         del sys.modules[mod]
     sys.path[:] = [p for p in sys.path if not os.path.exists(os.path.join(p, "binaryx_graph_spark"))]
@@ -49,7 +54,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("checkout_a")
     ap.add_argument("checkout_b")
-    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--runs", type=int, default=2, help="runs per side per half (total 2x)")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--out", default=None)
     ap.add_argument("--queries", default=None, help="comma list; default = common HEADLINE")
@@ -72,29 +77,24 @@ def main() -> None:
     spark = get_spark("ab_bench")
     spark.range(1).count()
 
-    # Warm BOTH sides at the smallest SF so neither pays first-touch costs
-    # inside its timed phases.
+    # Warm BOTH sides at the smallest SF so neither pays first-touch
+    # costs inside its timed runs.
     warm_dir = "/root/testdata/sf0.001"
-    sides = {"A": (ca, None), "B": (cb, None)}
-    for label, (co, _) in sides.items():
-        bench_mod, reg = _load_side(co)
-        if os.path.isdir(warm_dir):
+    if os.path.isdir(warm_dir):
+        for reg in (reg_a, reg_b):
             for name in common:
                 try:
                     reg[name].fn(spark, warm_dir).count()
                 except Exception:
                     pass
 
-    phases = ["A", "B", "B", "A"]
-    # per side: {query: [run_sec, ...]} pooled across its two phases
     results: dict[str, dict[str, list[float]]] = {"A": {}, "B": {}}
-    probe_log = []
+    probe_log = [{"at": "start", **_probes(bench_b, spark)}]
 
-    for phase_idx, label in enumerate(phases):
-        co = ca if label == "A" else cb
-        bench_mod, reg = _load_side(co)
-        probe_log.append({"phase": phase_idx, "side": label, **_probes(bench_mod, spark)})
-        for name in common:
+    sides = {"A": reg_a, "B": reg_b}
+    for qi, name in enumerate(common):
+        for label in ("A", "B", "B", "A"):
+            reg = sides[label]
             runs = results[label].setdefault(name, [])
             for _ in range(args.runs):
                 t0 = time.time()
@@ -104,8 +104,10 @@ def main() -> None:
                     print(f"# {label}/{name}: FAILED {e}", file=sys.stderr)
                     break
                 runs.append(time.time() - t0)
-        print(f"# phase {phase_idx} ({label}) done", file=sys.stderr)
-    probe_log.append({"phase": len(phases), "side": "end", **_probes(bench_mod, spark)})
+        if (qi + 1) % 10 == 0:
+            probe_log.append({"at": f"after_q{qi + 1}", **_probes(bench_b, spark)})
+            print(f"# {qi + 1}/{len(common)} queries done", file=sys.stderr)
+    probe_log.append({"at": "end", **_probes(bench_b, spark)})
 
     summary = {}
     for name in common:
@@ -123,14 +125,16 @@ def main() -> None:
         }
 
     out = {
+        "design": "query-interleaved ABBA",
         "checkout_a": ca,
         "checkout_b": cb,
         "sf_dir": args.sf_dir,
-        "runs_per_phase": args.runs,
-        "phase_order": phases,
+        "runs_per_side_per_half": args.runs,
         "probes": probe_log,
         "total_a_min": round(sum(v["a_min"] for v in summary.values()), 3),
         "total_b_min": round(sum(v["b_min"] for v in summary.values()), 3),
+        "total_a_med": round(sum(v["a_med"] for v in summary.values()), 3),
+        "total_b_med": round(sum(v["b_med"] for v in summary.values()), 3),
         "queries": summary,
     }
     line = json.dumps(out)
