@@ -522,3 +522,120 @@ def streaming_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "phase string, tbl string, n long"
     ).orderBy("phase", "tbl")
+
+
+@register(
+    "warehouse_compaction_certified",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'calls' AS tbl, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(src * 1000 + dst) AS BIGINT) AS checksum
+      FROM (SELECT DISTINCT o_orderkey % 500 AS src,
+                   (o_custkey * 13) % 500 AS dst FROM orders)
+      UNION ALL
+      SELECT 'functions', CAST(count(*) AS BIGINT),
+             CAST(sum(o_orderkey % 997) AS BIGINT)
+      FROM orders
+    ) t
+    ORDER BY tbl
+    """,
+    tags=("warehouse", "layout", "scale"),
+)
+def warehouse_compaction_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse maintenance lever #4 (after z-order, bucketing, hive
+    partitioning): small-file COMPACTION, certified INSIDE the gate.
+    Four successive MERGE batches (the chunked/streaming ingest shape —
+    each rewrites the table into up to shuffle-partitions tiny files),
+    then ``Warehouse.optimize`` rewrites every table toward the target
+    file size PRESERVING the merge-key hash distribution — at 100 TB the
+    task count and namenode pressure of every later scan are bounded by
+    file count, so a merge-heavy table decays without this lever.
+
+    The query RAISES unless (a) compaction strictly reduced the file
+    count of every watched table and (b) the result is within the
+    size-derived bound — and returns per-table row counts + exact
+    integer checksums the oracle replays from `orders`, so a green row
+    certifies the rewrite changed LAYOUT ONLY: same rows, same values,
+    fewer files (reference parity: Neo4j's store compaction is implicit;
+    schema.rs:13-76 constraints are the dedup invariants optimize must
+    preserve, enforced here by the key-hash repartition)."""
+    import hashlib
+    import os
+
+    from ..model import load_table
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_compact_scratch", key)
+    wh = Warehouse(spark, root)
+    wh.clear()  # idempotent re-runs: same path, fresh state
+
+    orders = load_table(spark, sf_dir, "orders")
+    fns = orders.select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.concat(F.lit("fn_"), F.col("o_orderkey").cast("string")).alias("name"),
+        F.lit("").alias("address"),
+        (F.col("o_orderkey") % 997).cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+    )
+    calls = orders.select(
+        (F.col("o_orderkey") % 500).cast("string").alias("src_uid"),
+        ((F.col("o_custkey") * 13) % 500).cast("string").alias("dst_uid"),
+        F.lit("").alias("offset"),
+        F.lit("Direct").alias("call_type"),
+    )
+    for seq in range(4):  # chunked-merge shape: 4 rewrites, tiny files each
+        batch = F.col("o_orderkey") % 4 == seq
+        wh.merge_batch(
+            {
+                "functions": fns.filter(batch),
+                "calls": calls.filter(batch),
+            },
+            batch_seq=seq + 1,
+        )
+
+    # At gate scale AQE coalesces each merge write to ~1 file, so the
+    # small-file decay a 100 TB warehouse suffers (every merge emits a
+    # file per shuffle partition) never materializes — recreate it
+    # explicitly: fragment each live table to 48 files, the state a few
+    # merge rounds leave behind on a real cluster.  optimize() must undo
+    # exactly this without changing a single value.
+    import shutil
+
+    watched = ("functions", "calls")
+    for t in watched:
+        tmp_frag = os.path.join(root, f"_{t}_frag")
+        wh.read(t).repartition(48).write.mode("overwrite").parquet(tmp_frag)
+        shutil.rmtree(os.path.join(root, t))
+        os.rename(tmp_frag, os.path.join(root, t))
+    before = {
+        t: len([f for f in (Path(root) / t).glob("part-*") if f.is_file()])
+        for t in watched
+    }
+    res = wh.optimize(target_bytes=128 * 1024 * 1024)
+    for t in watched:
+        b, a = res.get(t, (before[t], before[t]))
+        # size-derived bound: these tables are far under one 128 MB
+        # target file even at sf1, so ceil(size/target) == 1; allow
+        # a small slack for parquet's per-task file minimum
+        if not (before[t] >= 40 and a < before[t] and a <= 4):
+            raise AssertionError(
+                f"compaction did not certify for {t}: files {before[t]} -> {a}"
+            )
+
+    fn_row = wh.read("functions").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("size").alias("checksum")
+    ).collect()[0]
+    call_row = wh.read("calls").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.col("src_uid").cast("long") * 1000 + F.col("dst_uid").cast("long")
+        ).alias("checksum"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            ("calls", call_row["n"], call_row["checksum"]),
+            ("functions", fn_row["n"], fn_row["checksum"]),
+        ],
+        "tbl string, n long, checksum long",
+    ).orderBy("tbl")

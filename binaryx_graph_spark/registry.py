@@ -117,7 +117,7 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     # (f) r7 additions — APPENDED after the r6 tail (same protocol); the
     # two tombstoned drift queries re-float automatically via their
     # stale fingerprints, ahead of this block by ledger order
-    "cypher_varlen_rel_pred",
+    "cypher_varlen_rel_pred", "warehouse_compaction_certified",
 )
 
 
