@@ -424,6 +424,39 @@ def synthesize_wav(docs: DataFrame) -> DataFrame:
     return docs.mapInPandas(batches, "media_id long, media binary")
 
 
+def _wav_stats(data: bytes) -> tuple:
+    """Shared per-payload REAL RIFF/WAVE parse + kernels for both
+    Python-boundary lanes: magic validation, chunk-list walk (fmt then
+    data, even-byte padding), PCM16 LE sample unpack, then integer
+    kernels — sample sum, energy (Σv²), peak |amplitude|.
+    → (sample_rate, n_samples, sum_samples, sum_squares, peak_abs)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    idx, rate, samples = 12, None, None
+    while idx + 8 <= len(data):
+        tag = data[idx : idx + 4]
+        (size,) = struct.unpack_from("<I", data, idx + 4)
+        body = data[idx + 8 : idx + 8 + size]
+        if tag == b"fmt ":
+            afmt, nch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body)
+            if (afmt, nch, bits) != (1, 1, 16):
+                raise ValueError("expected mono PCM16")
+        elif tag == b"data":
+            samples = struct.unpack(f"<{size // 2}h", body)
+        idx += 8 + size + (size & 1)  # RIFF chunks pad to even
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return (
+        rate,
+        len(samples),
+        sum(samples),
+        sum(v * v for v in samples),
+        max(abs(v) for v in samples),
+    )
+
+
 def decode_wav(media: DataFrame) -> DataFrame:
     """REAL RIFF/WAVE decoder + sample kernels, Arrow-batched: validates
     the RIFF/WAVE magics, walks the chunk list (fmt then data), reads
@@ -432,41 +465,13 @@ def decode_wav(media: DataFrame) -> DataFrame:
     stats an audio curation pass filters on.
     → (media_id, sample_rate, n_samples, sum_samples, sum_squares,
     peak_abs)."""
-    import struct
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for mid, blob in zip(pdf["media_id"], pdf["media"]):
-                data = bytes(blob)
-                if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-                    raise ValueError("not a RIFF/WAVE payload")
-                idx, rate, samples = 12, None, None
-                while idx + 8 <= len(data):
-                    tag = data[idx : idx + 4]
-                    (size,) = struct.unpack_from("<I", data, idx + 4)
-                    body = data[idx + 8 : idx + 8 + size]
-                    if tag == b"fmt ":
-                        afmt, nch, rate, _br, _ba, bits = struct.unpack_from(
-                            "<HHIIHH", body
-                        )
-                        if (afmt, nch, bits) != (1, 1, 16):
-                            raise ValueError("expected mono PCM16")
-                    elif tag == b"data":
-                        samples = struct.unpack(f"<{size // 2}h", body)
-                    idx += 8 + size + (size & 1)  # RIFF chunks pad to even
-                if rate is None or samples is None:
-                    raise ValueError("missing fmt/data chunk")
-                rows.append(
-                    (
-                        mid,
-                        rate,
-                        len(samples),
-                        sum(samples),
-                        sum(v * v for v in samples),
-                        max(abs(v) for v in samples),
-                    )
-                )
+            rows = [
+                (mid,) + _wav_stats(bytes(blob))
+                for mid, blob in zip(pdf["media_id"], pdf["media"])
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -513,6 +518,32 @@ def synthesize_y4m(docs: DataFrame) -> DataFrame:
     return docs.mapInPandas(batches, "media_id long, media binary")
 
 
+def _y4m_stats(data: bytes) -> tuple:
+    """Shared per-payload REAL YUV4MPEG2 parse + kernel for both
+    Python-boundary lanes: stream-header tokenization (magic + W/H/F/C
+    parameters), FRAME-marker walk extracting each raw mono plane.
+    → (width, height, [per-frame pixel sums])."""
+    nl = data.index(b"\n")
+    tokens = data[:nl].split(b" ")
+    if tokens[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    params = {t[:1]: t[1:] for t in tokens[1:]}
+    w, h = int(params[b"W"]), int(params[b"H"])
+    if params.get(b"C", b"mono") != b"mono":
+        raise ValueError("expected mono plane")
+    idx, frame_sums = nl + 1, []
+    while idx < len(data):
+        if data[idx : idx + 6] != b"FRAME\n":
+            raise ValueError("frame marker missing")
+        idx += 6
+        plane = data[idx : idx + w * h]
+        if len(plane) != w * h:
+            raise ValueError("frame truncated")
+        frame_sums.append(sum(plane))
+        idx += w * h
+    return (w, h, frame_sums)
+
+
 def decode_y4m(media: DataFrame) -> DataFrame:
     """REAL YUV4MPEG2 decoder + per-frame kernel, Arrow-batched: parses
     the stream header (magic + W/H/F/C parameter tokens), walks the
@@ -525,27 +556,9 @@ def decode_y4m(media: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["media"]):
-                data = bytes(blob)
-                nl = data.index(b"\n")
-                tokens = data[:nl].split(b" ")
-                if tokens[0] != b"YUV4MPEG2":
-                    raise ValueError("not a YUV4MPEG2 payload")
-                params = {t[:1]: t[1:] for t in tokens[1:]}
-                w, h = int(params[b"W"]), int(params[b"H"])
-                if params.get(b"C", b"mono") != b"mono":
-                    raise ValueError("expected mono plane")
-                idx, frames = nl + 1, []
-                while idx < len(data):
-                    if data[idx : idx + 6] != b"FRAME\n":
-                        raise ValueError("frame marker missing")
-                    idx += 6
-                    plane = data[idx : idx + w * h]
-                    if len(plane) != w * h:
-                        raise ValueError("frame truncated")
-                    frames.append(plane)
-                    idx += w * h
-                for f, plane in enumerate(frames):
-                    rows.append((mid, w, h, len(frames), f, sum(plane)))
+                w, h, frame_sums = _y4m_stats(bytes(blob))
+                for f, fsum in enumerate(frame_sums):
+                    rows.append((mid, w, h, len(frame_sums), f, fsum))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -607,4 +620,96 @@ def decode_pgm_arrow(media: DataFrame) -> DataFrame:
         batches,
         "media_id long, width int, height int, maxval int, "
         "n_pixels long, pixel_sum long, ahash string",
+    )
+
+
+def decode_wav_arrow(media: DataFrame) -> DataFrame:
+    """The ARROW-NATIVE lane for the real RIFF/WAVE decoder: same parse
+    + kernels (:func:`_wav_stats`), same output contract, same oracle —
+    binary payloads stay Arrow buffers end-to-end, skipping the pandas
+    object-dtype per-blob copy (the copy cost scales with payload bytes,
+    the axis 100 TB audio grows on; measured for this family in SCALE.md
+    addendum 36).  The gate pins lane equivalence against
+    multimodal_decode_wav_real's oracle."""
+    import pyarrow as pa
+
+    out_fields = pa.schema(
+        [
+            ("media_id", pa.int64()),
+            ("sample_rate", pa.int32()),
+            ("n_samples", pa.int64()),
+            ("sum_samples", pa.int64()),
+            ("sum_squares", pa.int64()),
+            ("peak_abs", pa.int32()),
+        ]
+    )
+
+    def batches(it):
+        for rb in it:
+            ids = rb.column(rb.schema.get_field_index("media_id"))
+            blobs = rb.column(rb.schema.get_field_index("media"))
+            stats = [_wav_stats(blobs[i].as_py()) for i in range(rb.num_rows)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array([s[0] for s in stats], pa.int32()),
+                    pa.array([s[1] for s in stats], pa.int64()),
+                    pa.array([s[2] for s in stats], pa.int64()),
+                    pa.array([s[3] for s in stats], pa.int64()),
+                    pa.array([s[4] for s in stats], pa.int32()),
+                ],
+                schema=out_fields,
+            )
+
+    return media.mapInArrow(
+        batches,
+        "media_id long, sample_rate int, n_samples long, "
+        "sum_samples long, sum_squares long, peak_abs int",
+    )
+
+
+def decode_y4m_arrow(media: DataFrame) -> DataFrame:
+    """The ARROW-NATIVE lane for the real YUV4MPEG2 decoder: same parse
+    + kernel (:func:`_y4m_stats`), same one-row-PER-FRAME output
+    contract (the RecordBatch fans out rows — Arrow lanes are not
+    limited to 1:1 maps), same oracle as multimodal_decode_y4m_real."""
+    import pyarrow as pa
+
+    out_fields = pa.schema(
+        [
+            ("media_id", pa.int64()),
+            ("width", pa.int32()),
+            ("height", pa.int32()),
+            ("n_frames", pa.int32()),
+            ("frame_no", pa.int32()),
+            ("frame_sum", pa.int64()),
+        ]
+    )
+
+    def batches(it):
+        for rb in it:
+            ids = rb.column(rb.schema.get_field_index("media_id"))
+            blobs = rb.column(rb.schema.get_field_index("media"))
+            rows = []
+            for i in range(rb.num_rows):
+                w, h, frame_sums = _y4m_stats(blobs[i].as_py())
+                mid = ids[i].as_py()
+                for f, fsum in enumerate(frame_sums):
+                    rows.append((mid, w, h, len(frame_sums), f, fsum))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[0] for r in rows], pa.int64()),
+                    pa.array([r[1] for r in rows], pa.int32()),
+                    pa.array([r[2] for r in rows], pa.int32()),
+                    pa.array([r[3] for r in rows], pa.int32()),
+                    pa.array([r[4] for r in rows], pa.int32()),
+                    pa.array([r[5] for r in rows], pa.int64()),
+                ],
+                schema=out_fields,
+            )
+
+    return media.mapInArrow(
+        batches,
+        "media_id long, width int, height int, n_frames int, "
+        "frame_no int, frame_sum long",
     )

@@ -1511,3 +1511,41 @@ def multimodal_decode_pgm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_pgm_arrow(synthesize_pgm(docs)).orderBy("media_id")
+
+
+@register(
+    "multimodal_decode_wav_arrow",
+    # byte-identical oracle to multimodal_decode_wav_real — the queries
+    # differ ONLY in the Python-boundary lane (mapInArrow vs mapInPandas)
+    oracle=_REG["multimodal_decode_wav_real"].oracle,
+    tags=("multimodal", "python-boundary"),
+)
+def multimodal_decode_wav_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal_decode_wav_real through the ARROW-NATIVE lane
+    (r6 verdict #2: finish the Arrow family — the measured pandas
+    object-dtype copy cost scales with payload bytes, so mapInArrow is
+    the 100 TB default for binary columns).  Same RIFF chunk walk, same
+    integer kernels (shared _wav_stats), same oracle: a green row next
+    to wav_real's pins the two lanes output-identical."""
+    from ..operators.multimodal import decode_wav_arrow, synthesize_wav
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_wav_arrow(synthesize_wav(docs)).orderBy("media_id")
+
+
+@register(
+    "multimodal_decode_y4m_arrow",
+    # byte-identical oracle to multimodal_decode_y4m_real (same lane-
+    # equivalence device); this one also pins that an Arrow lane can
+    # FAN OUT rows (one per frame), not just map 1:1
+    oracle=_REG["multimodal_decode_y4m_real"].oracle,
+    tags=("multimodal", "python-boundary"),
+)
+def multimodal_decode_y4m_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal_decode_y4m_real through the ARROW-NATIVE lane: same
+    YUV4MPEG2 header/FRAME walk (shared _y4m_stats), same one-row-per-
+    frame contract — the RecordBatch fans out rows — same oracle."""
+    from ..operators.multimodal import decode_y4m_arrow, synthesize_y4m
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_y4m_arrow(synthesize_y4m(docs)).orderBy("media_id", "frame_no")
