@@ -395,7 +395,20 @@ def main() -> int:
         if notes and not flags:
             status += " (" + "; ".join(notes) + ")"
         print(f"{name}: {status}")
-        sections[name] = f"## {name}\n\nstatus: {status}\n\n```\n{plan[:4000]}\n```\n"
+        # Surface a registered PROBE PATTERN declaration (a docstring
+        # paragraph starting with that marker) in the audit itself, so a
+        # trivial ExistingRDD scan is read as the documented exception —
+        # a driver-built summary frame — not as an undistributed operator
+        # (r6 verdict #8: dedup_recall_minhash).
+        note = ""
+        if "PROBE PATTERN" in (q.doc or ""):
+            para = next(
+                p for p in q.doc.split("\n\n") if "PROBE PATTERN" in p
+            )
+            note = "note: " + " ".join(para.split()) + "\n\n"
+        sections[name] = (
+            f"## {name}\n\nstatus: {status}\n\n{note}```\n{plan[:4000]}\n```\n"
+        )
     with open(plans_path, "w") as f:
         f.write(
             "# Physical-plan audit (generated by tools/explain_audit.py)\n\n"
