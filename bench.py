@@ -102,6 +102,12 @@ HEADLINE = [
     # (TakeOrderedAndProject over the frontier loop, not the fixture)
     "cypher_agg_stats",
     "graph_longest_paths_scaled",
+    # r7 additions: relationship-property-filtered var-length traversal
+    # (the edge-frame filter pushed below the frontier loop) and the
+    # warehouse compaction lever (4 chunked merges + fragment + optimize
+    # — the maintenance cost a 100 TB warehouse pays continuously)
+    "cypher_varlen_rel_pred",
+    "warehouse_compaction_certified",
 ]
 
 
