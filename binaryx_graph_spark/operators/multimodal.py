@@ -26,6 +26,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -358,7 +359,9 @@ def _pgm_stats(data: bytes) -> tuple:
     samp = [px[((r * h) // g) * w + (c * w) // g] for r in range(g) for c in range(g)]
     ssum = sum(samp)
     bits = "".join("1" if len(samp) * p > ssum else "0" for p in samp)
-    return (w, h, maxval, n, sum(px), bits)
+    # exact integer pixel sum in C speed: uint8 -> int64, no float path
+    psum = int(np.frombuffer(px, dtype=np.uint8).astype(np.int64).sum())
+    return (w, h, maxval, n, psum, bits)
 
 
 def decode_pgm(media: DataFrame) -> DataFrame:
@@ -444,16 +447,19 @@ def _wav_stats(data: bytes) -> tuple:
             if (afmt, nch, bits) != (1, 1, 16):
                 raise ValueError("expected mono PCM16")
         elif tag == b"data":
-            samples = struct.unpack(f"<{size // 2}h", body)
+            samples = np.frombuffer(body[: (size // 2) * 2], dtype="<i2")
         idx += 8 + size + (size & 1)  # RIFF chunks pad to even
     if rate is None or samples is None:
         raise ValueError("missing fmt/data chunk")
+    # exact int64 kernels in C speed (v in [-2^15, 2^15): sums and
+    # sums-of-squares stay well inside int64 for any realistic clip)
+    s64 = samples.astype(np.int64)
     return (
         rate,
-        len(samples),
-        sum(samples),
-        sum(v * v for v in samples),
-        max(abs(v) for v in samples),
+        int(samples.size),
+        int(s64.sum()),
+        int((s64 * s64).sum()),
+        int(np.abs(s64).max()),
     )
 
 
@@ -539,7 +545,9 @@ def _y4m_stats(data: bytes) -> tuple:
         plane = data[idx : idx + w * h]
         if len(plane) != w * h:
             raise ValueError("frame truncated")
-        frame_sums.append(sum(plane))
+        frame_sums.append(
+            int(np.frombuffer(plane, dtype=np.uint8).astype(np.int64).sum())
+        )
         idx += w * h
     return (w, h, frame_sums)
 
