@@ -1098,7 +1098,7 @@ def sql_scc_exact(sql_edges: str) -> str:
     """
 
 
-def scc_fwbw(edges: DataFrame, *, max_rounds: int = 60) -> DataFrame:
+def scc_fwbw(edges: DataFrame, *, max_rounds: int = 60, seed: str = "wcc") -> DataFrame:
     """EXACT strongly connected components by distributed pivot FW-BW
     (Fleischer/Hendrickson/Pinar 2000) → (node, scc_id), scc_id = the
     minimum node id in the component — the 100 TB strategy behind
@@ -1151,14 +1151,37 @@ def scc_fwbw(edges: DataFrame, *, max_rounds: int = 60) -> DataFrame:
         .distinct()
         .transform(_cut)
     )
-    # Partition map (v, p); p = min node id of the partition.  Seed: one
-    # partition per weakly-anything — a single global partition keyed by
-    # the global min works, but splitting by isolated structure is the
-    # first round's job anyway.
+    # Partition map (v, p); p = min node id of the partition.
+    #
+    # seed="wcc" (default): one initial partition PER WEAKLY CONNECTED
+    # COMPONENT (min-member id — exactly the p-invariant), via the
+    # pointer-jumping CC operator.  FW-BW's partition theorem only
+    # splits each partition ≤3 ways per round, so with a single global
+    # seed a graph of many disjoint regions (the NORMAL call-graph
+    # shape: one weak component per binary) spends rounds just
+    # DISCOVERING the disjointness — measured 52.8s → (see SCALE.md
+    # addendum 38) on 10 disjoint replicas at sf0.1.  WCC seeding is
+    # the standard FW-BW-Trim decomposition (Slota et al., IPDPS 2014
+    # run coloring/WCC first for the same reason); on a connected graph
+    # it degenerates to the single global partition at the cost of one
+    # O(log d)-round CC pass.
     gmin = nodes.agg(F.min("v")).collect()[0][0]  # setup-only scalar
     if gmin is None:
         return nodes.select(F.col("v").alias("node"), F.col("v").alias("scc_id"))
-    part = nodes.select("v", F.lit(gmin).cast("long").alias("p")).transform(_cut)
+    if seed == "wcc":
+        from .dedup import connected_components as _cc
+
+        und = edges.select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
+        part = (
+            _cc(und)
+            .select(
+                F.col("doc_id").cast("long").alias("v"),
+                F.col("cluster_id").cast("long").alias("p"),
+            )
+            .transform(_cut)
+        )
+    else:
+        part = nodes.select("v", F.lit(gmin).cast("long").alias("p")).transform(_cut)
     done: list[DataFrame] = []
 
     def _closure(piv: DataFrame, pedges: DataFrame, src: str, dst: str) -> DataFrame:

@@ -271,6 +271,28 @@ def test_scc_fwbw_max_rounds_fallback(spark):
     assert got == {0: 0, 1: 0, 2: 0, 5: 5, 10: 10, 11: 10, 12: 10}
 
 
+def test_scc_fwbw_seed_strategies_equal(spark):
+    """WCC-seeded partitions (the r7 disconnected-graph fix) and the
+    single-global-partition seed are the same exact algorithm after
+    round 1 — outputs must be identical on disjoint-region graphs,
+    where the seeds differ most."""
+    import random
+
+    from binaryx_graph_spark.operators.graphalgo import scc_fwbw
+
+    rng = random.Random(7)
+    # three disjoint regions: a 4-cycle, a chain into a 3-cycle, and a
+    # random blob — plus random extra intra-region edges
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    edges += [(10, 11), (11, 12), (12, 13), (13, 11)]
+    blob = list(range(20, 26))
+    edges += [(rng.choice(blob), rng.choice(blob)) for _ in range(10)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    wcc = {r.node: r.scc_id for r in scc_fwbw(e, seed="wcc").collect()}
+    glob = {r.node: r.scc_id for r in scc_fwbw(e, seed="global").collect()}
+    assert wcc == glob
+
+
 def test_topo_layers_matches_reference(spark):
     """topo_layers vs independent Python longest-path on the condensed
     DAG — 12 random digraphs with cycles."""

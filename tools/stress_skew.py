@@ -74,11 +74,15 @@ def main() -> None:
     )
     # Uniform control of the SAME cardinality: the hub edges re-pointed
     # at spread-out endpoints, so both graphs have n_base + n_hub edges.
+    # control endpoints stay INSIDE the existing node-id space so both
+    # graphs share one node set (hub adds exactly one node) — otherwise
+    # the control grows extra nodes and the comparison confounds node
+    # count with skew
     pad_in = spark.range(n_hub // 2).select(
-        (F.col("id") * 7919 % k).alias("src"), (F.col("id") * 31 % k + k).alias("dst")
+        (F.col("id") * 7919 % k).alias("src"), (F.col("id") * 31 % k).alias("dst")
     )
     pad_out = spark.range(n_hub - n_hub // 2).select(
-        (F.col("id") * 31 % k + k).alias("src"), (F.col("id") * 104729 % k).alias("dst")
+        (F.col("id") * 31 % k).alias("src"), (F.col("id") * 104729 % k).alias("dst")
     )
     hub_g = base.unionByName(hub_in).unionByName(hub_out).localCheckpoint(eager=True)
     uni_g = base.unionByName(pad_in).unionByName(pad_out).localCheckpoint(eager=True)
