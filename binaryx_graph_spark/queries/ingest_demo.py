@@ -639,3 +639,99 @@ def warehouse_compaction_certified(spark: SparkSession, sf_dir: str) -> DataFram
         ],
         "tbl string, n long, checksum long",
     ).orderBy("tbl")
+
+
+@register(
+    "warehouse_time_travel_certified",
+    oracle="""
+    WITH b1 AS (
+      SELECT o_orderkey AS k, o_orderkey % 997 AS sz FROM orders
+      WHERE o_orderkey % 2 = 0
+    ),
+    live AS (
+      SELECT k, CASE WHEN k % 3 = 0 THEN k % 991 ELSE k % 997 END AS sz
+      FROM (SELECT o_orderkey AS k FROM orders
+            WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) t
+    )
+    SELECT * FROM (
+      SELECT '1_live_after_merge2' AS phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(sz) AS BIGINT) AS checksum FROM live
+      UNION ALL
+      SELECT '2_snapshot_v1', CAST(count(*) AS BIGINT), CAST(sum(sz) AS BIGINT) FROM b1
+      UNION ALL
+      SELECT '3_live_after_rollback', CAST(count(*) AS BIGINT), CAST(sum(sz) AS BIGINT) FROM b1
+      UNION ALL
+      SELECT '4_versions_after_vacuum', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+    ) t ORDER BY phase
+    """,
+    tags=("warehouse", "layout"),
+)
+def warehouse_time_travel_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse maintenance lever #5: SNAPSHOT VERSIONING / TIME TRAVEL
+    / ROLLBACK / VACUUM, certified INSIDE the gate (the compaction-row
+    pattern).  Two MERGE commits at data scale (batch 2 last-write-wins
+    over the overlap keys), then the query pins, via counts + exact
+    integer checksums the oracle replays from `orders`:
+
+    - the LIVE state after both commits (LWW result),
+    - ``read(version=1)`` — the archived batch-1 snapshot, byte-stable
+      after later commits (time travel),
+    - the live state after ``rollback(1)`` — rollback is itself a
+      commit archiving the replaced state,
+    - and RAISES unless ``vacuum(keep_last=2)`` leaves exactly
+      versions [1, 2] on disk.
+
+    Reference parity: the reference has no time travel (Neo4j store =
+    one mutable state); this is the table-format-lite contract
+    (Delta/Iceberg read-at-version, rollback-as-commit, vacuum) a
+    100 TB warehouse needs for reproducible training snapshots —
+    `sources/warehouse.py` docstring states the manifest-granularity
+    upgrade path."""
+    import hashlib
+    import os
+
+    from ..model import load_table
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_timetravel_scratch", key)
+    wh = Warehouse(spark, root)
+    wh.clear()
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def fns(pred_col, size_mod):
+        return orders.filter(pred_col).select(
+            F.col("o_orderkey").cast("string").alias("uid"),
+            F.concat(F.lit("fn_"), F.col("o_orderkey").cast("string")).alias("name"),
+            F.lit("").alias("address"),
+            (F.col("o_orderkey") % size_mod).cast("long").alias("size"),
+            F.lit("Internal").alias("type"),
+        )
+
+    wh.merge_batch({"functions": fns(F.col("o_orderkey") % 2 == 0, 997)}, batch_seq=1)
+    wh.merge_batch({"functions": fns(F.col("o_orderkey") % 3 == 0, 991)}, batch_seq=2)
+
+    def snap(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("size").alias("checksum")
+        ).collect()[0]
+        return int(r["n"]), int(r["checksum"])
+
+    live_n, live_c = snap(wh.read("functions"))
+    v1_n, v1_c = snap(wh.read("functions", version=1))
+    wh.rollback("functions", 1)
+    rb_n, rb_c = snap(wh.read("functions"))
+    wh.vacuum(keep_last=2)
+    vs = wh.versions("functions")
+    if vs != [1, 2]:
+        raise AssertionError(f"vacuum horizon wrong: versions {vs} != [1, 2]")
+    return spark.createDataFrame(
+        [
+            ("1_live_after_merge2", live_n, live_c),
+            ("2_snapshot_v1", v1_n, v1_c),
+            ("3_live_after_rollback", rb_n, rb_c),
+            ("4_versions_after_vacuum", len(vs), 0),
+        ],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")
