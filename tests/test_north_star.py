@@ -96,6 +96,33 @@ def test_streaming_graph_ingest_rerun_is_idempotent(spark, tmp_path_factory):
     assert before == after
 
 
+def test_streaming_ingest_then_compaction_composes(spark, tmp_path_factory):
+    """The 100 TB maintenance sequence end-to-end: per-micro-batch
+    streaming MERGE (maxFilesPerTrigger=1 → one commit per input file),
+    then Warehouse.optimize — values must be untouched and the file
+    count must not grow.  (warehouse_compaction_certified pins the
+    value/layout contract at data scale; this pins the STREAMING
+    composition specifically.)"""
+    from pathlib import Path
+
+    d = write_fixture(tmp_path_factory.mktemp("stream_in3"))
+    root = str(tmp_path_factory.mktemp("stream_wh3") / "wh")
+    q = stream_analysis_json(spark, d, root, max_files_per_trigger=1)
+    q.awaitTermination()
+    wh = Warehouse(spark, root)
+    watched = ("functions", "calls", "binaries", "strings")
+    before_rows = {t: sorted(map(tuple, wh.read(t).collect())) for t in watched}
+    before_files = {
+        t: len([f for f in (Path(root) / t).glob("part-*") if f.is_file()])
+        for t in watched
+    }
+    wh.optimize(target_bytes=128 * 1024 * 1024)
+    for t in watched:
+        after_files = len([f for f in (Path(root) / t).glob("part-*") if f.is_file()])
+        assert after_files <= before_files[t]
+        assert sorted(map(tuple, wh.read(t).collect())) == before_rows[t]
+
+
 def test_multimodal_resize_shapes(spark):
     from binaryx_graph_spark.operators.multimodal import resize_media
 
