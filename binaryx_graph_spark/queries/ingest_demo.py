@@ -735,3 +735,105 @@ def warehouse_time_travel_certified(spark: SparkSession, sf_dir: str) -> DataFra
         ],
         "phase string, n long, checksum long",
     ).orderBy("phase")
+
+
+@register(
+    "warehouse_incremental_merge_certified",
+    oracle="""
+    SELECT * FROM (
+      SELECT '1_after_base' AS phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(o_orderkey % 997) AS BIGINT) AS checksum
+      FROM orders
+      UNION ALL
+      SELECT '2_after_increment', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o_orderkey % 97 = 0
+                           THEN o_orderkey % 991
+                           ELSE o_orderkey % 997 END) AS BIGINT)
+      FROM orders
+    ) t ORDER BY phase
+    """,
+    tags=("warehouse", "layout", "scale"),
+)
+def warehouse_incremental_merge_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse maintenance lever #6 — INCREMENTAL MERGE, the scale
+    fix for the whole-table-rewrite commit: `merge_batch` costs
+    O(table) per commit, so a stream of small batches is quadratic in
+    total at 100 TB; `merge_batch_incremental` hive-partitions the
+    table by a 64-way key-bucket hash and rewrites ONLY the buckets the
+    batch touches (partition pruning skips the rest on read; bucket-dir
+    swaps skip them on write).
+
+    Certified INSIDE the gate, two ways: (a) the query RAISES unless
+    every parquet file in every UNTOUCHED bucket is byte-stable across
+    the incremental commit — same file set, same sizes, same mtimes —
+    and at least one bucket was untouched (with ~155 batch keys over 64
+    buckets some buckets stay cold with overwhelming probability; the
+    guard makes the certificate loud if the batch ever covers all);
+    (b) the returned counts + integer checksums replay in DuckDB from
+    `orders` — the LWW result equals the full-rewrite semantics (keys
+    ≡ 0 mod 97 get the batch's size, everything else keeps the base's).
+    Per-bucket LWW == global LWW because the bucket is a function of
+    the merge key."""
+    import hashlib
+    import os
+
+    from ..model import load_table
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_incmerge_scratch", key)
+    wh = Warehouse(spark, root)
+    wh.clear()
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def fns(pred, size_mod):
+        sel = orders.filter(pred) if pred is not None else orders
+        return sel.select(
+            F.col("o_orderkey").cast("string").alias("uid"),
+            F.concat(F.lit("fn_"), F.col("o_orderkey").cast("string")).alias("name"),
+            F.lit("").alias("address"),
+            (F.col("o_orderkey") % size_mod).cast("long").alias("size"),
+            F.lit("Internal").alias("type"),
+        )
+
+    wh.merge_batch_incremental({"functions": fns(None, 997)}, batch_seq=1)
+
+    def snap(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("size").alias("checksum")
+        ).collect()[0]
+        return int(r["n"]), int(r["checksum"])
+
+    base_n, base_c = snap(wh.read("functions"))
+
+    table_dir = Path(root) / "functions"
+
+    def stat_map():
+        return {
+            str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+            for p in table_dir.rglob("*")
+            if p.is_file() and not p.name.startswith(("_SUCCESS", "."))
+        }
+
+    before = stat_map()
+    touched = wh.merge_batch_incremental(
+        {"functions": fns(F.col("o_orderkey") % 97 == 0, 991)}, batch_seq=2
+    )["functions"]
+    after = stat_map()
+    changed_dirs = {
+        os.path.dirname(p)
+        for p in (set(before) ^ set(after))
+        | {p for p in before.keys() & after.keys() if before[p] != after[p]}
+    }
+    all_dirs = {os.path.dirname(p) for p in after}
+    if len(changed_dirs) > touched or len(all_dirs) <= len(changed_dirs):
+        raise AssertionError(
+            f"incremental merge touched too much: {len(changed_dirs)} bucket dirs "
+            f"changed, {touched} reported touched, {len(all_dirs)} total"
+        )
+    inc_n, inc_c = snap(wh.read("functions"))
+    return spark.createDataFrame(
+        [("1_after_base", base_n, base_c), ("2_after_increment", inc_n, inc_c)],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")

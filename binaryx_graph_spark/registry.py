@@ -119,7 +119,7 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     # stale fingerprints, ahead of this block by ledger order
     "cypher_varlen_rel_pred", "warehouse_compaction_certified",
     "multimodal_decode_wav_arrow", "multimodal_decode_y4m_arrow",
-    "warehouse_time_travel_certified",
+    "warehouse_time_travel_certified", "warehouse_incremental_merge_certified",
 )
 
 

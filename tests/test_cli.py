@@ -231,3 +231,65 @@ def test_import_directory_batched_equals_bulk(spark, tmp_path, capsys):
         rows_b = sorted(tuple(r) for r in b.read(t).collect())
         rows_i = sorted(tuple(r) for r in inc.read(t).collect())
         assert rows_b == rows_i, t
+
+
+def test_incremental_merge_equals_full_rewrite_and_leaves_untouched_buckets(
+    spark, tmp_path
+):
+    """merge_batch_incremental must (a) produce exactly merge_batch's
+    LWW result across a multi-batch sequence and (b) never open or
+    rewrite a bucket the batch doesn't touch — untouched partition
+    files stay byte-identical, mtimes included."""
+    import os
+
+    from binaryx_graph_spark.sources.warehouse import Warehouse
+
+    def fns(rows):
+        return spark.createDataFrame(
+            [(str(k), f"fn_{k}", "", v, "Internal") for k, v in rows],
+            "uid string, name string, address string, size long, type string",
+        )
+
+    batches = [
+        [(k, k * 10) for k in range(200)],          # base
+        [(5, 999), (7, 777)],                        # tiny touch-up
+        [(5, 555), (300, 3000), (301, 3010)],        # overwrite + inserts
+    ]
+    full = Warehouse(spark, str(tmp_path / "full"))
+    inc = Warehouse(spark, str(tmp_path / "inc"))
+    for seq, rows in enumerate(batches, start=1):
+        full.merge_batch({"functions": fns(rows)}, batch_seq=seq)
+        inc.merge_batch_incremental({"functions": fns(rows)}, batch_seq=seq)
+    want = sorted(map(tuple, full.read("functions").collect()))
+    got = sorted(map(tuple, inc.read("functions").collect()))
+    assert got == want
+
+    # immutability: snapshot every file's (size, mtime_ns), apply a
+    # 2-key batch, verify every bucket OUTSIDE the touched set is
+    # byte-stable and at least one bucket was untouched
+    root = tmp_path / "inc" / "functions"
+
+    def stat_map():
+        return {
+            str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+            for p in root.rglob("*")
+            if p.is_file() and not p.name.startswith(("_SUCCESS", "."))
+        }
+
+    before = stat_map()
+    touched = inc.merge_batch_incremental(
+        {"functions": fns([(5, 51), (301, 3011)])}, batch_seq=9
+    )["functions"]
+    after = stat_map()
+    changed_dirs = {
+        os.path.dirname(p)
+        for p in (set(before) ^ set(after))
+        | {p for p in before.keys() & after.keys() if before[p] != after[p]}
+    }
+    assert touched <= 2
+    assert len(changed_dirs) <= touched
+    all_dirs = {os.path.dirname(p) for p in after}
+    assert len(all_dirs) > len(changed_dirs), "expected untouched buckets"
+    # and the values reflect the last batch
+    vals = {r["uid"]: r["size"] for r in inc.read("functions").collect()}
+    assert vals["5"] == 51 and vals["301"] == 3011 and vals["7"] == 777
