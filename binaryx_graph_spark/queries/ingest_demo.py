@@ -746,7 +746,7 @@ def warehouse_time_travel_certified(spark: SparkSession, sf_dir: str) -> DataFra
       FROM orders
       UNION ALL
       SELECT '2_after_increment', CAST(count(*) AS BIGINT),
-             CAST(sum(CASE WHEN o_orderkey % 97 = 0
+             CAST(sum(CASE WHEN o_orderkey % 9973 = 0
                            THEN o_orderkey % 991
                            ELSE o_orderkey % 997 END) AS BIGINT)
       FROM orders
@@ -766,12 +766,12 @@ def warehouse_incremental_merge_certified(spark: SparkSession, sf_dir: str) -> D
     Certified INSIDE the gate, two ways: (a) the query RAISES unless
     every parquet file in every UNTOUCHED bucket is byte-stable across
     the incremental commit — same file set, same sizes, same mtimes —
-    and at least one bucket was untouched (with ~155 batch keys over 64
-    buckets some buckets stay cold with overwhelming probability; the
-    guard makes the certificate loud if the batch ever covers all);
+    and at least one bucket was untouched (the batch is 1-16 keys
+    across the gate SFs, far under the 64 buckets; the guard makes the
+    certificate loud if the batch ever covers all);
     (b) the returned counts + integer checksums replay in DuckDB from
     `orders` — the LWW result equals the full-rewrite semantics (keys
-    ≡ 0 mod 97 get the batch's size, everything else keeps the base's).
+    ≡ 0 mod 9973 get the batch's size, everything else keeps the base's).
     Per-bucket LWW == global LWW because the bucket is a function of
     the merge key."""
     import hashlib
@@ -818,7 +818,7 @@ def warehouse_incremental_merge_certified(spark: SparkSession, sf_dir: str) -> D
 
     before = stat_map()
     touched = wh.merge_batch_incremental(
-        {"functions": fns(F.col("o_orderkey") % 97 == 0, 991)}, batch_seq=2
+        {"functions": fns(F.col("o_orderkey") % 9973 == 0, 991)}, batch_seq=2
     )["functions"]
     after = stat_map()
     changed_dirs = {
