@@ -327,6 +327,39 @@ class Warehouse:
             p = Path(self._path(name))
             if not p.exists():
                 continue
+            bucket_dirs = sorted(d for d in p.glob("_kb=*") if d.is_dir())
+            if bucket_dirs:
+                # bucket-partitioned table (merge_batch_incremental):
+                # compact PER BUCKET, preserving the layout — flattening
+                # it would silently disable incremental commits.  Each
+                # over-fragmented bucket is rewritten and swapped alone;
+                # right-sized buckets are never opened.
+                b_before = b_after = 0
+                for d in bucket_dirs:
+                    bfiles = [f for f in d.glob("part-*") if f.is_file()]
+                    b_before += len(bfiles)
+                    bwant = max(
+                        1,
+                        math.ceil(sum(f.stat().st_size for f in bfiles) / target_bytes),
+                    )
+                    if len(bfiles) <= bwant:
+                        b_after += len(bfiles)
+                        continue
+                    staged = self.root / f"_{name}_compact_bucket"
+                    if staged.exists():
+                        shutil.rmtree(staged)
+                    self.spark.read.parquet(str(d)).repartition(bwant).write.mode(
+                        "overwrite"
+                    ).parquet(str(staged))
+                    backup = d.with_name(d.name + "__backup")
+                    if backup.exists():
+                        shutil.rmtree(backup)
+                    d.rename(backup)
+                    staged.rename(d)
+                    shutil.rmtree(backup)
+                    b_after += len([f for f in d.glob("part-*") if f.is_file()])
+                out[name] = (b_before, b_after)
+                continue
             files = [f for f in p.glob("part-*") if f.is_file()]
             size = sum(f.stat().st_size for f in files)
             want = max(1, math.ceil(size / target_bytes))

@@ -42,6 +42,7 @@ def stream_analysis_json(
     *,
     max_files_per_trigger: int | None = None,
     merge_tables: tuple[str, ...] | None = None,
+    incremental: bool = False,
 ):
     """Streaming graph ingest: each micro-batch runs the SAME batch ETL
     (build_graph_tables) and MERGEs into the warehouse — foreachBatch
@@ -51,7 +52,16 @@ def stream_analysis_json(
     respects it), making the N-batch execution shape deterministic for
     the gate; ``merge_tables`` optionally restricts which graph tables
     are merged (fewer parquet write jobs when the gate only watches a
-    subset)."""
+    subset).
+
+    ``incremental=True`` commits each micro-batch through
+    ``Warehouse.merge_batch_incremental`` — the bucket-granular MERGE
+    (SCALE.md addendum 39).  This is the 100 TB streaming default: a
+    stream of small micro-batches through the whole-table-rewrite
+    ``merge_batch`` is O(table) per TRIGGER (quadratic in stream
+    length); the incremental path rewrites only the key-buckets each
+    micro-batch touches.  Same LWW semantics (pinned equal by
+    tests/test_north_star.py)."""
     wh = Warehouse(spark, warehouse_root)
     wh.initialize()
 
@@ -81,7 +91,8 @@ def stream_analysis_json(
         keep = merge_tables if merge_tables is not None else tuple(
             k for k in tables if k != "import_stats"
         )
-        wh.merge_batch(
+        commit = wh.merge_batch_incremental if incremental else wh.merge_batch
+        commit(
             {k: v for k, v in tables.items() if k in keep},
             batch_seq=epoch_id + 1,
         )

@@ -123,6 +123,40 @@ def test_streaming_ingest_then_compaction_composes(spark, tmp_path_factory):
         assert sorted(map(tuple, wh.read(t).collect())) == before_rows[t]
 
 
+def test_streaming_incremental_ingest_equals_full_and_compacts_per_bucket(
+    spark, tmp_path_factory
+):
+    """The full 100 TB streaming topology: per-micro-batch INCREMENTAL
+    merge (bucket-granular commits), then bucket-aware compaction.
+    Incremental streaming must equal the full-rewrite streaming result
+    exactly; optimize() must preserve the bucketed layout (compact
+    inside _kb=* dirs, never flatten them) with values untouched."""
+    from pathlib import Path
+
+    d = write_fixture(tmp_path_factory.mktemp("stream_in4"))
+    roots = {}
+    for label, inc in (("full", False), ("inc", True)):
+        root = str(tmp_path_factory.mktemp(f"stream_wh4_{label}") / "wh")
+        q = stream_analysis_json(spark, d, root, max_files_per_trigger=1, incremental=inc)
+        q.awaitTermination()
+        roots[label] = root
+    watched = ("functions", "calls", "binaries", "strings")
+    wf, wi = Warehouse(spark, roots["full"]), Warehouse(spark, roots["inc"])
+    for t in watched:
+        assert sorted(map(tuple, wf.read(t).collect())) == sorted(
+            map(tuple, wi.read(t).collect())
+        ), t
+        assert any((Path(roots["inc"]) / t).glob("_kb=*")), f"{t} not bucketed"
+    before = {t: sorted(map(tuple, wi.read(t).collect())) for t in watched}
+    wi.optimize(target_bytes=128 * 1024 * 1024)
+    for t in watched:
+        tdir = Path(roots["inc"]) / t
+        assert any(tdir.glob("_kb=*")), f"optimize flattened {t}"
+        for bdir in tdir.glob("_kb=*"):
+            assert len([f for f in bdir.glob("part-*")]) <= 1, f"{bdir} not compacted"
+        assert sorted(map(tuple, wi.read(t).collect())) == before[t], t
+
+
 def test_multimodal_resize_shapes(spark):
     from binaryx_graph_spark.operators.multimodal import resize_media
 
