@@ -447,7 +447,12 @@ def _wav_stats(data: bytes) -> tuple:
             if (afmt, nch, bits) != (1, 1, 16):
                 raise ValueError("expected mono PCM16")
         elif tag == b"data":
-            samples = np.frombuffer(body[: (size // 2) * 2], dtype="<i2")
+            # a declared size past the actual bytes is a truncated
+            # payload — raise (not silently decode fewer samples), the
+            # same loud boundary the PGM/Y4M parsers keep
+            if len(body) != size or size % 2:
+                raise ValueError("truncated data chunk")
+            samples = np.frombuffer(body, dtype="<i2")
         idx += 8 + size + (size & 1)  # RIFF chunks pad to even
     if rate is None or samples is None:
         raise ValueError("missing fmt/data chunk")

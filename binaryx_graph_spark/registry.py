@@ -120,6 +120,8 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     "cypher_varlen_rel_pred", "warehouse_compaction_certified",
     "multimodal_decode_wav_arrow", "multimodal_decode_y4m_arrow",
     "warehouse_time_travel_certified", "warehouse_incremental_merge_certified",
+    # (g) r8 additions — APPENDED after the r7 tail (same protocol)
+    "warehouse_manifest_time_travel_certified",
 )
 
 

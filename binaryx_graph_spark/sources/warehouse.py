@@ -11,10 +11,40 @@ the Lucene fulltext index becomes a derived posting table
 Scale posture: node/edge tables are hash-distributed on their key at
 write time (``repartition(key)``) so later joins/merges co-locate; on a
 real cluster the same code writes bucketed tables.
+
+Commit protocols (two, per table state):
+
+* **Flat tables** (:meth:`merge_batch`) — whole-table rewrite; the
+  replaced directory is archived as the next snapshot (directory-
+  granularity versioning; POSIX renames).
+* **Bucketed tables** (:meth:`merge_batch_incremental`) — Delta/
+  Iceberg-lite MANIFEST protocol: data files are IMMUTABLE once
+  written; each commit writes the merged content of only the touched
+  key-buckets as NEW files, then publishes a manifest
+  (``<root>/_manifests/<table>/vNNNNN.json`` — the bucket→file-list map
+  plus the pinned bucket count) whose single atomic rename IS the
+  commit.  No live data file is ever renamed, rewritten, or deleted by
+  a commit, so the protocol is object-store-safe (on S3 the manifest
+  rename maps to one conditional PUT of a small object; orphaned data
+  files from a crashed commit are invisible to readers and swept by
+  :meth:`vacuum`).  Reads resolve through the newest manifest;
+  ``read(table, version=N)`` resolves through manifest ``N`` — old
+  versions SHARE unchanged files with new ones, so time travel costs
+  zero extra bytes; :meth:`rollback` is a pure metadata commit (a new
+  manifest that repeats an old file list); :meth:`vacuum` deletes
+  exactly the files unreachable from the retained manifests.
+
+Version numbers are one monotone sequence per table across both
+protocols: converting a flat table to the bucketed layout archives the
+flat state as the next directory snapshot, and the first manifest takes
+the following number — every version ever committed stays readable
+until vacuumed.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import shutil
 from pathlib import Path
 
@@ -67,47 +97,60 @@ class Warehouse:
         self.initialize()
 
     def read(self, table: str, version: int | None = None) -> DataFrame:
-        """Read a table — the live state, or (time travel) an archived
-        snapshot by version number (see :meth:`versions`)."""
+        """Read a table — the live state, or (time travel) a committed
+        version by number (see :meth:`versions`). Bucket-partitioned
+        tables resolve through their manifest; the internal ``_kb``
+        partition column is never part of the logical schema, live or
+        versioned."""
+        mvs = self._manifest_versions(table)
         if version is not None:
+            if version in mvs:
+                df = self._read_manifest(table, version)
+                return df.drop("_kb") if "_kb" in df.columns else df
             vp = self._version_dir(table) / f"v{version:05d}"
             if not vp.exists():
                 raise FileNotFoundError(
-                    f"warehouse table '{table}' has no snapshot v{version} "
+                    f"warehouse table '{table}' has no version {version} "
                     f"(available: {self.versions(table)})"
                 )
-            return self.spark.read.parquet(str(vp))
+            df = self.spark.read.parquet(str(vp))
+            return df.drop("_kb") if "_kb" in df.columns else df
+        if mvs:
+            return self._read_manifest(table, mvs[-1]).drop("_kb")
         if not (self.root / table).exists():
             raise FileNotFoundError(
                 f"warehouse table '{table}' not found under {self.root} — "
                 f"run `import` (or `db init`) against this warehouse first"
             )
         df = self.spark.read.parquet(self._path(table))
-        # bucket-partitioned tables (merge_batch_incremental) carry the
-        # internal _kb partition column — never part of the logical schema
+        # pre-manifest bucketed dirs (legacy layout) still carry _kb
         return df.drop("_kb") if "_kb" in df.columns else df
 
     # ------------------------------------------------- snapshot versioning
     #
-    # Table-format-lite time travel: every commit (merge_batch, optimize,
-    # rollback) that replaces a table directory ARCHIVES the replaced
-    # directory as the next immutable snapshot instead of deleting it —
-    # a rename, so versioning costs zero extra writes (the same
-    # retained-files idea as Delta/Iceberg, at directory granularity
-    # instead of file-manifest granularity; at 100 TB you'd track files
-    # in a manifest to share them across versions — the CONTRACT here is
-    # the same: read-at-version, rollback-as-new-commit, vacuum).
+    # Flat tables: every commit (merge_batch, rollback) that replaces the
+    # table directory ARCHIVES the replaced directory as the next
+    # immutable snapshot instead of deleting it — a rename, so versioning
+    # costs zero extra writes.  Bucketed tables: versioning is manifest-
+    # granular (see module docstring) — old and new versions SHARE the
+    # files of untouched buckets, the Delta/Iceberg retained-files idea.
 
     def _version_dir(self, table: str) -> Path:
         return self.root / "_versions" / table
 
-    def versions(self, table: str) -> list[int]:
-        """Archived snapshot numbers for a table, oldest first. The live
-        directory is always one commit NEWER than the highest snapshot."""
+    def _legacy_versions(self, table: str) -> list[int]:
         vd = self._version_dir(table)
         if not vd.exists():
             return []
         return sorted(int(p.name[1:]) for p in vd.glob("v*") if p.is_dir())
+
+    def versions(self, table: str) -> list[int]:
+        """Committed version numbers for a table, oldest first — one
+        monotone sequence spanning directory snapshots (flat commits)
+        and manifests (bucketed commits). For a flat table the live
+        directory is one commit NEWER than the highest snapshot; for a
+        bucketed table the highest manifest IS the live state."""
+        return sorted(self._legacy_versions(table) + self._manifest_versions(table))
 
     def _archive(self, table: str, old_dir: Path) -> None:
         """Move a replaced table directory into the version store."""
@@ -117,10 +160,28 @@ class Warehouse:
         old_dir.rename(vd / f"v{nxt:05d}")
 
     def rollback(self, table: str, version: int) -> None:
-        """Restore a table to an archived snapshot. Rollback is itself a
-        commit: the current live state is archived first, and the
-        snapshot stays in the version store (copied in, not moved) so
-        rolling forward again remains possible."""
+        """Restore a table to a committed version. Rollback is itself a
+        commit: for a bucketed table it publishes a NEW manifest that
+        repeats the target version's file list — pure metadata, zero
+        data bytes moved; for a flat table the current live state is
+        archived first and the snapshot is copied in (the snapshot stays
+        in the version store so rolling forward again remains possible)."""
+        mvs = self._manifest_versions(table)
+        if mvs:
+            if version not in mvs:
+                if (self._version_dir(table) / f"v{version:05d}").exists():
+                    raise ValueError(
+                        f"version {version} of '{table}' predates the bucketed "
+                        f"layout; read(table, version={version}) still works, but "
+                        f"rollback across the conversion needs a fresh "
+                        f"merge_batch_incremental of that state"
+                    )
+                raise FileNotFoundError(
+                    f"no version {version} for '{table}' (available: {self.versions(table)})"
+                )
+            m = self._manifest(table, version)
+            self._commit_manifest(table, m["buckets"], m["n_buckets"])
+            return
         vp = self._version_dir(table) / f"v{version:05d}"
         if not vp.exists():
             raise FileNotFoundError(
@@ -133,17 +194,129 @@ class Warehouse:
         self._swap_in(tmp, self.root / table, archive_as=table)
 
     def vacuum(self, keep_last: int = 2) -> dict[str, int]:
-        """Drop all but the newest ``keep_last`` snapshots per table
-        (time-travel horizon vs storage). Returns {table: n_removed}."""
+        """Drop all but the newest ``keep_last`` non-live versions per
+        table (time-travel horizon vs storage), then — for bucketed
+        tables — delete every data file unreachable from the retained
+        manifests (which also sweeps orphans left by crashed commits:
+        the manifest is the precise reachable-file set). Returns
+        {table: n_versions_removed}."""
         out: dict[str, int] = {}
         for name in ALL_TABLES:
-            vs = self.versions(name)
-            drop = vs[:-keep_last] if keep_last > 0 else vs
-            for v in drop:
-                shutil.rmtree(self._version_dir(name) / f"v{v:05d}")
-            if drop:
-                out[name] = len(drop)
+            removed = 0
+            mvs = self._manifest_versions(name)
+            if mvs:
+                # the newest manifest is the live state; keep it plus the
+                # newest keep_last older versions (either store)
+                all_vs = self.versions(name)
+                retain = set(all_vs[-(keep_last + 1):]) if keep_last > 0 else {all_vs[-1]}
+                retain.add(mvs[-1])
+                for v in mvs:
+                    if v not in retain:
+                        (self._manifest_dir(name) / f"v{v:05d}.json").unlink()
+                        removed += 1
+                for v in self._legacy_versions(name):
+                    if v not in retain:
+                        shutil.rmtree(self._version_dir(name) / f"v{v:05d}")
+                        removed += 1
+                reach: set[str] = set()
+                for v in self._manifest_versions(name):
+                    m = self._manifest(name, v)
+                    for b, files in m["buckets"].items():
+                        reach |= {f"_kb={b}/{fn}" for fn in files}
+                tdir = self.root / name
+                for f in tdir.glob("_kb=*/*"):
+                    rel = f"{f.parent.name}/{f.name}"
+                    if f.is_file() and not f.name.startswith((".", "_")) and rel not in reach:
+                        f.unlink()
+                        crc = f.with_name(f".{f.name}.crc")  # local-FS sidecar
+                        if crc.exists():
+                            crc.unlink()
+            else:
+                vs = self._legacy_versions(name)
+                drop = vs[:-keep_last] if keep_last > 0 else vs
+                for v in drop:
+                    shutil.rmtree(self._version_dir(name) / f"v{v:05d}")
+                removed = len(drop)
+            if removed:
+                out[name] = removed
         return out
+
+    # ----------------------------------------------------- manifest store
+    def _manifest_dir(self, table: str) -> Path:
+        return self.root / "_manifests" / table
+
+    def _manifest_versions(self, table: str) -> list[int]:
+        md = self._manifest_dir(table)
+        if not md.exists():
+            return []
+        return sorted(int(p.stem[1:]) for p in md.glob("v*.json"))
+
+    def _manifest(self, table: str, version: int) -> dict:
+        p = self._manifest_dir(table) / f"v{version:05d}.json"
+        if not p.exists():
+            raise FileNotFoundError(
+                f"warehouse table '{table}' has no manifest v{version} "
+                f"(available: {self.versions(table)})"
+            )
+        return json.loads(p.read_text())
+
+    def _commit_manifest(
+        self, table: str, buckets: dict[str, list[str]], n_buckets: int | None
+    ) -> int:
+        """Publish a new table version. Write-tmp-then-rename of ONE
+        small json file — the only atomic step the commit needs (the
+        object-store analog is a single conditional PUT). Single-writer
+        per table, like every directory-commit protocol here."""
+        md = self._manifest_dir(table)
+        md.mkdir(parents=True, exist_ok=True)
+        nxt = (self.versions(table) or [-1])[-1] + 1
+        doc = {
+            "version": nxt,
+            "n_buckets": n_buckets,
+            "buckets": {str(b): sorted(fs) for b, fs in sorted(buckets.items(), key=lambda kv: int(kv[0]))},
+        }
+        tmp = md / f"v{nxt:05d}.json.tmp"
+        tmp.write_text(json.dumps(doc, sort_keys=True))
+        os.replace(tmp, md / f"v{nxt:05d}.json")
+        return nxt
+
+    def _dir_buckets(self, table: str) -> dict[str, list[str]]:
+        """Bucket→file map from the current directory state (used once,
+        to ADOPT a pre-manifest bucketed table or a fresh conversion)."""
+        path = self.root / table
+        return {
+            d.name.split("=", 1)[1]: sorted(
+                f.name for f in d.glob("part-*") if f.is_file()
+            )
+            for d in path.glob("_kb=*")
+            if d.is_dir()
+        }
+
+    def _read_manifest(self, table: str, version: int) -> DataFrame:
+        """Read exactly the files a manifest lists (WITH the inferred
+        ``_kb`` partition column — internal callers prune/repartition on
+        it; :meth:`read` drops it)."""
+        m = self._manifest(table, version)
+        base = self.root / table
+        files = [
+            str(base / f"_kb={b}" / fn)
+            for b, fns in m["buckets"].items()
+            for fn in fns
+        ]
+        if not files:
+            if table in ALL_TABLES:
+                empty = self.spark.createDataFrame([], ALL_TABLES[table][0])
+            else:
+                empty = self.spark.read.parquet(str(base)).limit(0).drop("_kb")
+            return empty.withColumn("_kb", F.lit(None).cast("int"))
+        return self.spark.read.option("basePath", str(base)).parquet(*files)
+
+    def _live_bucket_files(self, table: str) -> dict[str, list[str]]:
+        """Live bucket→file map (manifest if present, else directory)."""
+        mvs = self._manifest_versions(table)
+        if mvs:
+            return self._manifest(table, mvs[-1])["buckets"]
+        return self._dir_buckets(table)
 
     # ------------------------------------------------------ E9/E10 upsert
     def merge_batch(self, tables: dict[str, DataFrame], batch_seq: int = 1) -> None:
@@ -152,12 +325,21 @@ class Warehouse:
 
         At scale the window dedup shuffles on the merge key once — the
         same shuffle MERGE INTO would need; no driver-side loop.
+
+        Flat tables only: a table converted to the bucketed layout by
+        :meth:`merge_batch_incremental` rejects the whole-table-rewrite
+        path loudly instead of mangling the partitioned layout.
         """
         for name, df in tables.items():
             if name not in MERGE_KEYS:
                 continue
-            keys = MERGE_KEYS[name]
             path = self._path(name)
+            if self._manifest_versions(name) or any(Path(path).glob("_kb=*")):
+                raise ValueError(
+                    f"table '{name}' is bucket-partitioned (incremental layout); "
+                    f"use merge_batch_incremental for it"
+                )
+            keys = MERGE_KEYS[name]
             if Path(path).exists():
                 stored = self.spark.read.parquet(path).withColumn("_seq", F.lit(0))
                 merged = stored.unionByName(df.withColumn("_seq", F.lit(batch_seq)))
@@ -176,7 +358,10 @@ class Warehouse:
 
     # -------------------------------------------- incremental MERGE
     #: key-bucket count for incrementally merged tables; at 100 TB this
-    #: is a per-table knob sized so one bucket ≈ a few target files
+    #: is a per-table knob sized so one bucket ≈ a few target files.
+    #: The count is PINNED in the table's manifest at conversion time —
+    #: a later commit with a different count raises (a silent modulus
+    #: change would scatter each key across two buckets and break LWW).
     N_KEY_BUCKETS = 64
 
     def merge_batch_incremental(
@@ -187,38 +372,62 @@ class Warehouse:
         whole-table rewrite makes a stream of small commits O(table)
         EACH (quadratic total at 100 TB).  Layout: the table is
         hive-partitioned by ``_kb = pmod(xxhash64(keys), n_buckets)``;
-        a commit computes the batch's bucket set, reads ONLY those
-        partitions back (partition pruning does the skip), applies the
-        same last-write-wins window as merge_batch, stages the merged
-        buckets, and swaps each bucket directory in — untouched buckets'
-        files are never opened, rewritten, or moved (the gate row
-        asserts they stay byte-for-byte identical, mtimes included).
+        a commit computes the batch's bucket set, reads back ONLY the
+        touched buckets' live files (manifest-level pruning — stricter
+        than partition pruning: untouched buckets' files are never even
+        LISTED), applies the same last-write-wins window as merge_batch,
+        writes the merged buckets as NEW immutable files, and publishes
+        a manifest whose single atomic rename is the commit (module
+        docstring: the object-store-safe protocol).  Untouched buckets'
+        files are never opened, rewritten, or moved — old and new
+        versions share them, which is also what makes every commit a
+        time-travelable version for free.
 
         Cost per commit: O(|batch| + |touched buckets|) — with B
         buckets and a batch touching k keys, at most min(k, B)/B of the
         table is rewritten.  Returns {table: n_touched_buckets}.
 
-        Trade-offs vs merge_batch (documented, not hidden): no snapshot
-        archive per commit (file-granularity time travel needs a
-        manifest — the upgrade path stated in the module docstring), and
-        the dedup invariant is enforced per bucket, which is equivalent
-        because the bucket is a FUNCTION of the merge key: a key's every
-        version lands in the same bucket, so per-bucket LWW == global
-        LWW."""
+        The dedup invariant is enforced per bucket, which is equivalent
+        to global LWW because the bucket is a FUNCTION of the merge
+        key: a key's every version lands in the same bucket."""
         out: dict[str, int] = {}
         for name, df in tables.items():
             if name not in MERGE_KEYS:
                 continue
             keys = MERGE_KEYS[name]
-            nb = n_buckets or self.N_KEY_BUCKETS
+            path = Path(self._path(name))
+            mvs = self._manifest_versions(name)
+            prev: dict | None = self._manifest(name, mvs[-1]) if mvs else None
+            if prev is None and path.exists() and any(path.glob("_kb=*")):
+                # adopt a pre-manifest bucketed table: snapshot the current
+                # directory state as its first manifest (bucket count
+                # pinned from this call onward)
+                nb0 = n_buckets or self.N_KEY_BUCKETS
+                v = self._commit_manifest(name, self._dir_buckets(name), nb0)
+                prev = self._manifest(name, v)
+            if prev is not None:
+                if n_buckets is not None and prev["n_buckets"] is not None and n_buckets != prev["n_buckets"]:
+                    raise ValueError(
+                        f"table '{name}' is laid out with n_buckets="
+                        f"{prev['n_buckets']}; got n_buckets={n_buckets} — a "
+                        f"modulus change scatters keys across buckets and "
+                        f"breaks the MERGE invariant; re-bucketing requires a "
+                        f"full conversion"
+                    )
+                nb = prev["n_buckets"] if prev["n_buckets"] is not None else (n_buckets or self.N_KEY_BUCKETS)
+            else:
+                nb = n_buckets or self.N_KEY_BUCKETS
             kb = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(nb)).cast("int")
             batch = df.withColumn("_kb", kb)
-            path = Path(self._path(name))
-            if not path.exists() or not any(path.glob("_kb=*")):
+            staging = self.root / f"_{name}_inc_staging"
+            if staging.exists():
+                shutil.rmtree(staging)
+            if prev is None:
                 # first commit (or conversion from a flat table): full
                 # bucketed write — the one unavoidable O(table) pass
                 base = batch
-                if path.exists():
+                existed = path.exists()
+                if existed:
                     stored = self.read(name).withColumn("_kb", kb).withColumn(
                         "_seq", F.lit(0)
                     )
@@ -231,9 +440,6 @@ class Warehouse:
                     )
                 else:
                     base = base.dropDuplicates(keys)
-                tmp = self.root / f"_{name}_inc_staging"
-                if tmp.exists():
-                    shutil.rmtree(tmp)
                 # repartition BY BUCKET, not by key: partitionBy would
                 # otherwise emit one file per (shuffle task x bucket) —
                 # 32x512 tiny files on the first commit. One task per
@@ -241,8 +447,11 @@ class Warehouse:
                 # bucket granularity (bucket is a function of the key).
                 base.repartition(F.col("_kb")).write.partitionBy("_kb").mode(
                     "overwrite"
-                ).parquet(str(tmp))
-                self._swap_in(tmp, path)
+                ).parquet(str(staging))
+                # converting archives the flat state as the next snapshot —
+                # pre-conversion history stays readable
+                self._swap_in(staging, path, archive_as=name if existed else None)
+                self._commit_manifest(name, self._dir_buckets(name), nb)
                 out[name] = nb
                 continue
             # materialize the batch once: it is scanned twice below (the
@@ -254,41 +463,46 @@ class Warehouse:
             touched = sorted(
                 r["_kb"] for r in batch.select("_kb").distinct().collect()
             )  # bounded by n_buckets
-            stored_sub = (
-                self.spark.read.parquet(str(path))
-                .filter(F.col("_kb").isin(touched))  # partition pruning
-                .withColumn("_seq", F.lit(0))
-            )
-            merged = stored_sub.unionByName(batch.withColumn("_seq", F.lit(batch_seq)))
-            w = Window.partitionBy(*keys).orderBy(F.desc("_seq"))
-            merged = (
-                merged.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn", "_seq")
-            )
-            tmp = self.root / f"_{name}_inc_staging"
-            if tmp.exists():
-                shutil.rmtree(tmp)
-            # stage the touched buckets, then swap each bucket directory —
-            # the read above must finish before its source dirs move, so
-            # the staged write IS the materialization barrier
+            stored_files = [
+                str(path / f"_kb={b}" / fn)
+                for b in touched
+                for fn in prev["buckets"].get(str(b), [])
+            ]
+            if stored_files:
+                stored_sub = (
+                    self.spark.read.option("basePath", str(path))
+                    .parquet(*stored_files)  # manifest-level pruning
+                    .withColumn("_seq", F.lit(0))
+                )
+                merged = stored_sub.unionByName(batch.withColumn("_seq", F.lit(batch_seq)))
+                w = Window.partitionBy(*keys).orderBy(F.desc("_seq"))
+                merged = (
+                    merged.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn", "_seq")
+                )
+            else:
+                merged = batch.dropDuplicates(keys)
+            # stage the merged buckets, then move each NEW file into its
+            # bucket directory: data files are immutable, so nothing a
+            # reader can hold is ever renamed or deleted — the manifest
+            # rename below is the only commit point
             merged.repartition(F.col("_kb")).write.partitionBy("_kb").mode(
                 "overwrite"
-            ).parquet(str(tmp))
+            ).parquet(str(staging))
+            new_buckets = dict(prev["buckets"])
             for b in touched:
-                src = tmp / f"_kb={b}"
-                dst = path / f"_kb={b}"
-                if not src.exists():
-                    src.mkdir()  # batch emptied the bucket: swap in empty
-                backup = path / f"_kb={b}__backup"
-                if backup.exists():
-                    shutil.rmtree(backup)
-                if dst.exists():
-                    dst.rename(backup)
-                src.rename(dst)
-                if backup.exists():
-                    shutil.rmtree(backup)
-            shutil.rmtree(tmp, ignore_errors=True)
+                src = staging / f"_kb={b}"
+                names: list[str] = []
+                if src.exists():
+                    dst = path / f"_kb={b}"
+                    dst.mkdir(parents=True, exist_ok=True)
+                    for f in sorted(src.glob("part-*")):
+                        f.rename(dst / f.name)  # unique (job-UUID) names: no clash
+                        names.append(f.name)
+                new_buckets[str(b)] = names  # [] = batch emptied the bucket
+            shutil.rmtree(staging, ignore_errors=True)
+            self._commit_manifest(name, new_buckets, nb)
             out[name] = len(touched)
         return out
 
@@ -298,7 +512,9 @@ class Warehouse:
         (atomic), then archive the backup as the next snapshot (rename,
         atomic) — or delete it when versioning is off for this swap. A
         crash leaves either the old or the new table readable (plus at
-        worst a stale ``_backup``/staging dir), never a missing one."""
+        worst a stale ``_backup``/staging dir), never a missing one.
+        Flat-table protocol only — bucketed tables commit via
+        :meth:`_commit_manifest` and never rename live data."""
         backup = final.with_name(f"_{final.name}_backup")
         if backup.exists():
             shutil.rmtree(backup)
@@ -319,7 +535,15 @@ class Warehouse:
         bounded by file count, not data size). Rewrites keep the
         key-hash distribution (``repartition(n, *keys)``) so merge/join
         co-location survives compaction. Returns {table: (files_before,
-        files_after)}; tables already at or under target are untouched."""
+        files_after)}; tables already at or under target are untouched.
+
+        Bucketed tables compact PER BUCKET through the manifest
+        protocol: each over-fragmented bucket's live files are rewritten
+        into new files and ONE new manifest version publishes the whole
+        pass — compaction is layout-only but still a commit, so the
+        pre-compaction version remains time-travelable (and its old
+        files reclaimable by vacuum). File counts are manifest counts:
+        the directory also holds older versions' files."""
         import math
 
         out: dict[str, tuple[int, int]] = {}
@@ -327,37 +551,47 @@ class Warehouse:
             p = Path(self._path(name))
             if not p.exists():
                 continue
-            bucket_dirs = sorted(d for d in p.glob("_kb=*") if d.is_dir())
-            if bucket_dirs:
+            mvs = self._manifest_versions(name)
+            if mvs or any(d.is_dir() for d in p.glob("_kb=*")):
                 # bucket-partitioned table (merge_batch_incremental):
-                # compact PER BUCKET, preserving the layout — flattening
-                # it would silently disable incremental commits.  Each
-                # over-fragmented bucket is rewritten and swapped alone;
-                # right-sized buckets are never opened.
+                # compact per bucket, preserving the layout — flattening
+                # it would silently disable incremental commits.
+                if mvs:
+                    prev = self._manifest(name, mvs[-1])
+                else:
+                    v = self._commit_manifest(
+                        name, self._dir_buckets(name), None
+                    )  # adopt pre-manifest layout (bucket count pinned later)
+                    prev = self._manifest(name, v)
                 b_before = b_after = 0
-                for d in bucket_dirs:
-                    bfiles = [f for f in d.glob("part-*") if f.is_file()]
-                    b_before += len(bfiles)
+                new_buckets = dict(prev["buckets"])
+                changed = False
+                for b, fnames in sorted(prev["buckets"].items(), key=lambda kv: int(kv[0])):
+                    d = p / f"_kb={b}"
+                    files = [d / fn for fn in fnames]
+                    b_before += len(files)
                     bwant = max(
-                        1,
-                        math.ceil(sum(f.stat().st_size for f in bfiles) / target_bytes),
+                        1, math.ceil(sum(f.stat().st_size for f in files) / target_bytes)
                     )
-                    if len(bfiles) <= bwant:
-                        b_after += len(bfiles)
+                    if len(files) <= bwant:
+                        b_after += len(files)
                         continue
                     staged = self.root / f"_{name}_compact_bucket"
                     if staged.exists():
                         shutil.rmtree(staged)
-                    self.spark.read.parquet(str(d)).repartition(bwant).write.mode(
-                        "overwrite"
-                    ).parquet(str(staged))
-                    backup = d.with_name(d.name + "__backup")
-                    if backup.exists():
-                        shutil.rmtree(backup)
-                    d.rename(backup)
-                    staged.rename(d)
-                    shutil.rmtree(backup)
-                    b_after += len([f for f in d.glob("part-*") if f.is_file()])
+                    self.spark.read.parquet(*[str(f) for f in files]).repartition(
+                        bwant
+                    ).write.mode("overwrite").parquet(str(staged))
+                    names: list[str] = []
+                    for f in sorted(staged.glob("part-*")):
+                        f.rename(d / f.name)
+                        names.append(f.name)
+                    shutil.rmtree(staged, ignore_errors=True)
+                    new_buckets[b] = names
+                    changed = True
+                    b_after += len(names)
+                if changed:
+                    self._commit_manifest(name, new_buckets, prev["n_buckets"])
                 out[name] = (b_before, b_after)
                 continue
             files = [f for f in p.glob("part-*") if f.is_file()]

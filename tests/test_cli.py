@@ -293,3 +293,81 @@ def test_incremental_merge_equals_full_rewrite_and_leaves_untouched_buckets(
     # and the values reflect the last batch
     vals = {r["uid"]: r["size"] for r in inc.read("functions").collect()}
     assert vals["5"] == 51 and vals["301"] == 3011 and vals["7"] == 777
+
+
+def test_manifest_commit_protocol_and_time_travel(spark, tmp_path):
+    """The commit-manifest contract (sources/warehouse.py module
+    docstring): every incremental commit is a time-travelable version;
+    n_buckets is pinned at conversion and a disagreeing commit raises;
+    merge_batch on a bucketed table raises instead of mangling the
+    layout; rollback is a metadata-only commit and rollback-then-
+    recommit reproduces the rolled-over state; vacuum deletes exactly
+    the files unreachable from retained manifests; version reads never
+    leak the internal _kb column."""
+    import pytest as _pytest
+
+    from binaryx_graph_spark.sources.warehouse import Warehouse
+
+    def fns(rows):
+        return spark.createDataFrame(
+            [(str(k), f"fn_{k}", "", v, "Internal") for k, v in rows],
+            "uid string, name string, address string, size long, type string",
+        )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.merge_batch_incremental({"functions": fns([(k, k * 10) for k in range(100)])})
+    v1 = wh.versions("functions")[-1]
+    wh.merge_batch_incremental({"functions": fns([(5, 999), (200, 2000)])}, batch_seq=2)
+    v2 = wh.versions("functions")[-1]
+    wh.merge_batch_incremental({"functions": fns([(5, 555), (7, 777)])}, batch_seq=3)
+
+    # every incremental commit is a readable version, without _kb
+    for v, want in [
+        (v1, {(str(k), k * 10) for k in range(100)}),
+        (v2, {(str(k), k * 10) for k in range(100) if k != 5} | {("5", 999), ("200", 2000)}),
+    ]:
+        got = wh.read("functions", version=v)
+        assert "_kb" not in got.columns
+        assert {(r["uid"], r["size"]) for r in got.collect()} == want
+
+    # the bucket count is pinned: a disagreeing commit raises loudly
+    with _pytest.raises(ValueError, match="n_buckets"):
+        wh.merge_batch_incremental({"functions": fns([(1, 1)])}, n_buckets=8)
+    # the whole-table-rewrite path rejects the bucketed layout loudly
+    with _pytest.raises(ValueError, match="merge_batch_incremental"):
+        wh.merge_batch({"functions": fns([(1, 1)])})
+
+    # rollback = metadata-only commit; recommit reproduces the state
+    live = {(r["uid"], r["size"]) for r in wh.read("functions").collect()}
+    table_dir = tmp_path / "wh" / "functions"
+    stat = {
+        str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+        for p in table_dir.rglob("*") if p.is_file()
+    }
+    wh.rollback("functions", v2)
+    assert {
+        str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+        for p in table_dir.rglob("*") if p.is_file()
+    } == stat
+    assert {(r["uid"], r["size"]) for r in wh.read("functions").collect()} == {
+        (r["uid"], r["size"]) for r in wh.read("functions", version=v2).collect()
+    }
+    wh.merge_batch_incremental({"functions": fns([(5, 555), (7, 777)])}, batch_seq=5)
+    assert {(r["uid"], r["size"]) for r in wh.read("functions").collect()} == live
+
+    # vacuum: retained manifests define the exact reachable file set
+    wh.vacuum(keep_last=1)
+    vs = wh.versions("functions")
+    assert len(vs) == 2  # latest + 1
+    reach = set()
+    for v in vs:
+        m = wh._manifest("functions", v)
+        reach |= {f"_kb={b}/{fn}" for b, fs_ in m["buckets"].items() for fn in fs_}
+    on_disk = {
+        f"{p.parent.name}/{p.name}"
+        for p in table_dir.glob("_kb=*/*")
+        if p.is_file() and not p.name.startswith((".", "_"))
+    }
+    assert on_disk == reach
+    with _pytest.raises(FileNotFoundError):
+        wh.read("functions", version=v1)

@@ -152,8 +152,12 @@ def test_streaming_incremental_ingest_equals_full_and_compacts_per_bucket(
     for t in watched:
         tdir = Path(roots["inc"]) / t
         assert any(tdir.glob("_kb=*")), f"optimize flattened {t}"
-        for bdir in tdir.glob("_kb=*"):
-            assert len([f for f in bdir.glob("part-*")]) <= 1, f"{bdir} not compacted"
+        # LIVE file set = the manifest's, not the directory's: older
+        # versions' files stay on disk for time travel until vacuumed
+        for b, files in wi._live_bucket_files(t).items():
+            assert len(files) <= 1, f"{t} _kb={b} not compacted: {files}"
+            for fn in files:
+                assert (tdir / f"_kb={b}" / fn).is_file()
         assert sorted(map(tuple, wi.read(t).collect())) == before[t], t
 
 

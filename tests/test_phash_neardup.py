@@ -189,6 +189,22 @@ def test_real_decoders_fail_loudly_on_malformed_payloads(spark):
     with pytest.raises(Exception, match="RIFF"):
         decode_wav(bad_wav).collect()
 
+    # data chunk declares more bytes than the payload carries: must
+    # raise, not silently decode fewer samples (ADVICE r7)
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    trunc = (
+        b"RIFF" + struct.pack("<I", 36 + 10) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 10) + bytes(6)  # declares 10, has 6
+    )
+    bad_trunc = spark.createDataFrame(
+        [(1, trunc)], "media_id long, media binary"
+    )
+    with pytest.raises(Exception, match="truncated data chunk"):
+        decode_wav(bad_trunc).collect()
+
     bad_y4m = spark.createDataFrame(
         [(1, b"YUV4MPEG2 W3 H2 F25:1 Cmono\nFRAM!" + bytes(6))],
         "media_id long, media binary",
