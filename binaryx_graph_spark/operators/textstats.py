@@ -970,7 +970,8 @@ def sql_repetition_metrics(
 
 
 def pack_chunks(
-    docs, id_col: str = "doc_id", text_col: str = "text", *, chunk_tokens: int = 512
+    docs, id_col: str = "doc_id", text_col: str = "text", *, chunk_tokens: int = 512,
+    shards: int | None = None,
 ):
     """Concatenate-and-chunk sequence packing — the GPT-style
     pre-training batching step: documents are laid end-to-end (in
@@ -981,23 +982,67 @@ def pack_chunks(
     0-based chunk ids; a document spanning a boundary contributes to
     both chunks, exactly like the real packer).
 
-    Pure window math: one cumulative sum over the doc order (a single
-    global-window pass over doc-count rows — fine at any scale because
-    the window input is one row PER DOCUMENT, not per token; for
-    corpus-scale packing partition the window by shard and offset by
-    per-shard totals). Empty documents occupy zero tokens and map to a
-    degenerate span (chunk_end < chunk_start)."""
+    The cumulative sum runs as a SHARDED two-level scan (the corpus-
+    scale shape): documents are range-bucketed on ``id_col`` by
+    approx-quantile boundaries — monotone bucketing, so correctness is
+    exact and only the balance is best-effort — the per-shard prefix
+    sum runs partitioned, and the cross-shard offset is a prefix sum
+    over the per-shard TOTALS, a window over at most ``shards`` rows
+    (shard metadata, not data: the only single-partition step, bounded
+    by the shard count).  ``shards=1`` degenerates to the single global
+    window — kept as the oracle twin the equality test pins the
+    sharded plan against; a non-numeric id column also falls back to
+    it (quantile boundaries need an ordered numeric key).  Empty
+    documents occupy zero tokens and map to a degenerate span
+    (chunk_end < chunk_start)."""
+    from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
     c = int(chunk_tokens)
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
     )
+    if shards is None:
+        shards = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    numeric = isinstance(docs.schema[id_col].dataType, T.NumericType)
+    if shards <= 1 or not numeric:
+        w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+        cum = base.withColumn(
+            "tok_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+        )
+    else:
+        # shard boundaries: actual id values at the approx quantiles —
+        # a column-pruned pass over id_col only (bounded driver state:
+        # shards-1 scalars)
+        row = docs.select(
+            F.percentile_approx(
+                F.col(id_col), [i / shards for i in range(1, shards)], 10000
+            ).alias("b")
+        ).first()
+        bounds = sorted(set(row["b"] or [])) if row is not None else []
+        sh = F.lit(0)
+        for b in bounds:
+            sh = sh + F.when(F.col("doc_id") > F.lit(b), 1).otherwise(0)
+        staged = base.withColumn("_shard", sh.cast("int"))
+        w_in = Window.partitionBy("_shard").orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        w_sh = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = (
+            staged.groupBy("_shard")
+            .agg(F.sum("n_tokens").alias("_tot"))
+            .withColumn("_off", F.coalesce(F.sum("_tot").over(w_sh), F.lit(0)))
+            .select("_shard", "_off")
+        )
+        cum = (
+            staged.withColumn("_local", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)))
+            .join(F.broadcast(offsets), "_shard")
+            .withColumn("tok_start", (F.col("_local") + F.col("_off")).cast("long"))
+            .drop("_shard", "_local", "_off")
+        )
     return (
-        base.withColumn("tok_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"))
-        .select(
+        cum.select(
             "doc_id",
             "n_tokens",
             "tok_start",

@@ -46,3 +46,35 @@ def test_pack_total_chunks_consistent(spark):
     for r in ordered:
         assert r["tok_start"] == pos
         pos += r["n_tokens"]
+
+
+def test_pack_sharded_equals_global(spark):
+    """The sharded two-level scan must reproduce the single-global-window
+    result EXACTLY (monotone range bucketing + per-shard offsets), on a
+    corpus with skewed lengths, empty docs, and non-contiguous ids."""
+    rows = [
+        (i * 7 + (i % 3), " ".join(["w"] * ((i * 13) % 29)))  # lengths 0..28
+        for i in range(200)
+    ]
+    docs = _docs(spark, rows)
+    want = sorted(
+        map(tuple, pack_chunks(docs, chunk_tokens=16, shards=1).collect())
+    )
+    for n in (4, 8, 32, 256):  # incl. shards >> docs/shard and dup bounds
+        got = sorted(
+            map(tuple, pack_chunks(docs, chunk_tokens=16, shards=n).collect())
+        )
+        assert got == want, f"shards={n}"
+
+
+def test_pack_sharded_plan_no_data_single_partition(spark):
+    """The doc-row path must NOT pass through a single-partition window:
+    the only SinglePartition step allowed is the per-shard-TOTALS prefix
+    sum (<= shards rows). The data window is partitioned by _shard."""
+    docs = _docs(spark, [(i, "a b c") for i in range(50)])
+    plan = pack_chunks(docs, chunk_tokens=8, shards=8)._jdf.queryExecution().executedPlan().toString()
+    # the partitioned data window exists...
+    assert "windowspecdefinition(_shard" in plan or "hashpartitioning(_shard" in plan
+    # ...and the global (shards=1) twin still has its single partition
+    g = pack_chunks(docs, chunk_tokens=8, shards=1)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in g
