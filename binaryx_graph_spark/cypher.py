@@ -762,6 +762,27 @@ class CypherParser:
         elif k == "kw" and v.upper() == "ENDS":
             self._expect("kw", "WITH")
             op = "endswith"
+        elif k in ("kw", "word") and v.upper() == "IN":
+            # x IN [lit, ...] or x IN $list — membership against a
+            # literal/parameter list (never a column: no list columns in
+            # the model), so the RHS resolves at parse time
+            if self._accept("sym", "["):
+                vals = []
+                if not self._accept("sym", "]"):
+                    vals.append(self._literal())
+                    while self._accept("sym", ","):
+                        vals.append(self._literal())
+                    self._expect("sym", "]")
+            else:
+                vals = self._literal()
+            if not isinstance(vals, (list, tuple)) or not all(
+                isinstance(x, (str, int, float, bool)) for x in vals
+            ):
+                raise ValueError(
+                    "cypher: IN expects a list of scalar literals "
+                    "([...] or a $param bound to one)"
+                )
+            return Comparison((var, prop), "in", list(vals))
         elif k == "sym" and v in ("=", "<>", "<", "<=", ">", ">="):
             op = v
         else:
@@ -1904,6 +1925,8 @@ class CypherCompiler:
         assert isinstance(expr, Comparison)
         var, prop = expr.left
         col = self._prop_col(var, prop, bound)
+        if expr.op == "in":
+            return col.isin([F.lit(x) for x in expr.right])
         if isinstance(expr.right, Ref):
             lit = self._prop_col(expr.right.var, expr.right.prop, bound)
         else:
@@ -1936,6 +1959,8 @@ class CypherCompiler:
                 f"cypher: relationship property {iter_var}.{prop} does not "
                 f"exist on :CALLS (have: {[c for c in calls.columns]})"
             )
+        if expr.op == "in":
+            return F.col(prop).isin([F.lit(x) for x in expr.right])
         col, lit = F.col(prop), F.lit(expr.right)
         return {
             "=": lambda: col == lit,

@@ -121,7 +121,7 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     "multimodal_decode_wav_arrow", "multimodal_decode_y4m_arrow",
     "warehouse_time_travel_certified", "warehouse_incremental_merge_certified",
     # (g) r8 additions — APPENDED after the r7 tail (same protocol)
-    "warehouse_manifest_time_travel_certified",
+    "warehouse_manifest_time_travel_certified", "cypher_varlen_rel_pred_in",
 )
 
 

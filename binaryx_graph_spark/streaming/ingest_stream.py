@@ -43,6 +43,7 @@ def stream_analysis_json(
     max_files_per_trigger: int | None = None,
     merge_tables: tuple[str, ...] | None = None,
     incremental: bool = False,
+    checkpoint_location: str | None = None,
 ):
     """Streaming graph ingest: each micro-batch runs the SAME batch ETL
     (build_graph_tables) and MERGEs into the warehouse — foreachBatch
@@ -61,7 +62,14 @@ def stream_analysis_json(
     ``merge_batch`` is O(table) per TRIGGER (quadratic in stream
     length); the incremental path rewrites only the key-buckets each
     micro-batch touches.  Same LWW semantics (pinned equal by
-    tests/test_north_star.py)."""
+    tests/test_north_star.py).
+
+    ``checkpoint_location`` persists the source offsets so successive
+    ``availableNow`` runs RESUME instead of reprocessing — the real
+    exactly-once restart configuration (and what lets maintenance —
+    compaction, vacuum — interleave between waves of an endless
+    stream; tools/endurance_stream.py drives 100+ commits this way).
+    Default stays a temporary checkpoint (single-run semantics)."""
     wh = Warehouse(spark, warehouse_root)
     wh.initialize()
 
@@ -97,7 +105,10 @@ def stream_analysis_json(
             batch_seq=epoch_id + 1,
         )
 
-    return docs.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
+    writer = docs.writeStream.foreachBatch(merge).trigger(availableNow=True)
+    if checkpoint_location is not None:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    return writer.start()
 
 
 def _events_stream(spark: SparkSession, sf_dir: str, *, prefix: str) -> DataFrame:

@@ -128,3 +128,63 @@ def test_all_rel_pred_rejects_unsupported_shapes(spark):
     ]:
         with pytest.raises(ValueError, match=frag):
             cypher(t, base.format(w=w)).collect()
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_all_rel_pred_in_and_param_forms(spark, trial):
+    """r8 surface extension: IN [list], IN $param, = $param, and NOT IN
+    inside the ALL body — same differential oracle as the '=' fuzz."""
+    rng = random.Random(2000 + trial)
+    n_nodes = rng.randint(4, 7)
+    nodes = [f"n{i}" for i in range(n_nodes)]
+    edges = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(3 * n_nodes)})
+    typed = [(s, d, rng.choice(CALL_TYPES)) for s, d in edges]
+    lo, hi = 1, rng.randint(2, 3)
+    seed = rng.choice(nodes)
+    want = rng.sample(CALL_TYPES, 2)
+    t = _tables(spark, typed)
+
+    def run(frag, extra):
+        q = f"""MATCH p = (a:Function)-[:CALLS*{lo}..{hi}]->(b:Function)
+            WHERE a.name = $seed AND ALL(r IN relationships(p) WHERE {frag})
+            RETURN [n IN nodes(p) | n.name] AS names"""
+        return sorted(
+            tuple(r.names) for r in cypher(t, q, params={"seed": seed, **extra}).collect()
+        )
+
+    cases = [
+        (f"r.call_type IN ['{want[0]}', '{want[1]}']", {}, lambda ty: ty in want),
+        ("r.call_type IN $types", {"types": want}, lambda ty: ty in want),
+        ("r.call_type = $ct", {"ct": want[0]}, lambda ty: ty == want[0]),
+        ("r.call_type <> $ct", {"ct": want[0]}, lambda ty: ty != want[0]),
+        ("NOT r.call_type IN $types", {"types": want}, lambda ty: ty not in want),
+    ]
+    for frag, extra, keep in cases:
+        kept = [(s, d) for s, d, ty in typed if keep(ty)]
+        assert run(frag, extra) == _py_paths(kept, seed, lo, hi), frag
+
+
+def test_rel_pred_in_rejects_non_list_shapes(spark):
+    t = _tables(spark, [("a", "b", "Direct")])
+    base = (
+        "MATCH p = (a:Function)-[:CALLS*1..2]->(b:Function) "
+        "WHERE ALL(r IN relationships(p) WHERE {w}) RETURN count(*) AS n"
+    )
+    # $param bound to a scalar, not a list
+    with pytest.raises(ValueError, match="IN expects a list"):
+        cypher(t, base.format(w="r.call_type IN $types"), params={"types": "Direct"})
+    # list element that is not a scalar literal
+    with pytest.raises(ValueError, match="expected literal"):
+        cypher(t, base.format(w="r.call_type IN [a.name]"))
+    # nested list via param
+    with pytest.raises(ValueError, match="IN expects a list"):
+        cypher(t, base.format(w="r.call_type IN $types"), params={"types": [["x"]]})
+
+
+def test_node_where_in_list(spark):
+    """IN also composes in the plain WHERE surface (node properties)."""
+    t = _tables(spark, [("a", "b", "Direct"), ("b", "c", "Tail"), ("c", "d", "Virtual")])
+    q = """MATCH (a:Function)-[:CALLS]->(b:Function)
+        WHERE b.name IN ['b', 'd'] RETURN a.name AS src, b.name AS dst"""
+    got = sorted((r.src, r.dst) for r in cypher(t, q).collect())
+    assert got == [("a", "b"), ("c", "d")]
