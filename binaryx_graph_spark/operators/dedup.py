@@ -150,6 +150,28 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
     )
 
 
+def estimate_band_candidates(bands_df: DataFrame) -> DataFrame:
+    """EXACT per-band candidate-pair counts WITHOUT materializing a
+    single pair: a band bucket of c docs contributes C(c,2) pairs, so
+    one groupBy over (band_id, band_hash/band_key) prices the whole
+    candidate join — O(|bands_df|) where the join is O(Σ c²).  This is
+    the pre-flight for the band-count knob (SCALE.md candidate-law
+    addendum): the cumulative sum over band_id tells how many bands fit
+    a target candidate budget BEFORE paying for any of them.  Upper
+    bound on the distinct-pair count (a pair sharing k bands is counted
+    k times here); exact per band.  → (band_id, n_buckets, n_pairs)."""
+    key = "band_hash" if "band_hash" in bands_df.columns else "band_key"
+    return (
+        bands_df.groupBy("band_id", key)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.col("_c") * (F.col("_c") - 1) / 2).cast("long").alias("n_pairs"),
+        )
+    )
+
+
 def minhash_near_dup(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
