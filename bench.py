@@ -108,7 +108,24 @@ HEADLINE = [
     # — the maintenance cost a 100 TB warehouse pays continuously)
     "cypher_varlen_rel_pred",
     "warehouse_compaction_certified",
+    # r8 additions: manifest-protocol certification (incremental-commit
+    # time travel + vacuum, the object-store-safe commit path) and the
+    # shard-partitioned sequence packer (two-level scan — the r8 plan
+    # change whose cost this line tracks)
+    "warehouse_manifest_time_travel_certified",
+    "pipeline_pack_chunks",
 ]
+
+# Certification HARNESSES inside the headline set: multi-phase gate
+# rows (N merges + maintenance + in-gate assertions) whose cost is
+# bound by job count, not a user query shape.  They stay in "queries"
+# (the maintenance cost is real and worth tracking) but are EXCLUDED
+# from the comparable headline totals so round-over-round deltas track
+# query cost, not gate-harness job counts (r7 verdict nit #2 + #8).
+CERTIFICATION = {
+    "warehouse_compaction_certified",
+    "warehouse_manifest_time_travel_certified",
+}
 
 
 def _calibrate(spark) -> float:
@@ -207,6 +224,8 @@ def main() -> None:
     floor_end = _floor_probe(spark)
 
     total = round(sum(timings.values()), 3)
+    q_only = {k: v for k, v in timings.items() if k not in CERTIFICATION}
+    m_only = {k: v for k, v in medians.items() if k not in CERTIFICATION}
     print(
         json.dumps(
             {
@@ -216,6 +235,11 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "total_median": round(sum(medians.values()), 3),
+                # the COMPARABLE headline: user-query shapes only —
+                # use THESE for round-over-round totals
+                "total_queries_only": round(sum(q_only.values()), 3),
+                "total_median_queries_only": round(sum(m_only.values()), 3),
+                "certification_excluded": sorted(CERTIFICATION & set(timings)),
                 # host-speed probe (see _calibrate): divide a
                 # round-over-round query delta by the probe ratio before
                 # calling it a regression
