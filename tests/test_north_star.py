@@ -161,6 +161,80 @@ def test_streaming_incremental_ingest_equals_full_and_compacts_per_bucket(
         assert sorted(map(tuple, wi.read(t).collect())) == before[t], t
 
 
+def test_streaming_incremental_long_stream_stays_bounded(
+    spark, tmp_path_factory
+):
+    """The LONG-stream composition (r7 verdict #3, gate-scale twin of
+    tools/endurance_stream.py): 24 one-file micro-batch commits in 3
+    waves through ONE persistent checkpoint, with the full maintenance
+    cadence (optimize + vacuum) between waves.  Pins: (a) incremental
+    streaming equals the full-rewrite result across restarts, (b) the
+    LIVE file count is bounded by the bucket count after compaction —
+    not by stream length, (c) the on-disk file count is bounded by
+    live + retained time-travel versions after vacuum — commits never
+    accumulate unbounded physical state."""
+    import json as _json
+    from pathlib import Path
+
+    from tools.endurance_stream import synth_doc
+
+    watched = ("binaries", "functions", "strings", "calls")
+    roots, ckpts, in_dirs = {}, {}, {}
+    for label in ("full", "inc"):
+        base = tmp_path_factory.mktemp(f"longstream_{label}")
+        roots[label] = str(base / "wh")
+        ckpts[label] = str(base / "ckpt")
+        d = base / "in"
+        d.mkdir()
+        in_dirs[label] = str(d)
+
+    n = 0
+    for wave in range(3):
+        for _ in range(8):
+            doc = synth_doc(n)
+            for label in ("full", "inc"):
+                (Path(in_dirs[label]) / f"doc_{n:05d}.json").write_text(
+                    _json.dumps(doc)
+                )
+            n += 1
+        for label, inc in (("full", False), ("inc", True)):
+            q = stream_analysis_json(
+                spark, in_dirs[label], roots[label],
+                max_files_per_trigger=1, incremental=inc,
+                checkpoint_location=ckpts[label],
+                merge_tables=watched,
+            )
+            q.awaitTermination()
+        wi = Warehouse(spark, roots["inc"])
+        wi.optimize(target_bytes=128 * 1024 * 1024)
+        wi.vacuum(keep_last=2)
+
+    wf, wi = Warehouse(spark, roots["full"]), Warehouse(spark, roots["inc"])
+    for t in watched:
+        assert sorted(map(tuple, wf.read(t).collect())) == sorted(
+            map(tuple, wi.read(t).collect())
+        ), t
+        live = wi._live_bucket_files(t)
+        n_live = sum(len(v) for v in live.values())
+        # bounded by buckets (64), not by the 24 commits x files/commit
+        assert n_live <= wi.N_KEY_BUCKETS, f"{t}: {n_live} live files"
+        assert all(len(v) <= 1 for v in live.values()), f"{t} bucket not compacted"
+        # disk = live + what the retained manifests still reference
+        reach = set()
+        for v in wi.versions(t):
+            if v in wi._manifest_versions(t):
+                m = wi._manifest(t, v)
+                reach |= {
+                    f"_kb={b}/{fn}" for b, fs in m["buckets"].items() for fn in fs
+                }
+        on_disk = {
+            f"{p.parent.name}/{p.name}"
+            for p in (Path(roots["inc"]) / t).glob("_kb=*/*")
+            if p.is_file() and not p.name.startswith((".", "_"))
+        }
+        assert on_disk == reach, f"{t}: {len(on_disk - reach)} unreachable files"
+
+
 def test_multimodal_resize_shapes(spark):
     from binaryx_graph_spark.operators.multimodal import resize_media
 
