@@ -165,7 +165,7 @@ def test_streaming_incremental_long_stream_stays_bounded(
     spark, tmp_path_factory
 ):
     """The LONG-stream composition (r7 verdict #3, gate-scale twin of
-    tools/endurance_stream.py): 24 one-file micro-batch commits in 3
+    tools/endurance_stream.py): 15 one-file micro-batch commits in 3
     waves through ONE persistent checkpoint, with the full maintenance
     cadence (optimize + vacuum) between waves.  Pins: (a) incremental
     streaming equals the full-rewrite result across restarts, (b) the
@@ -190,7 +190,7 @@ def test_streaming_incremental_long_stream_stays_bounded(
 
     n = 0
     for wave in range(3):
-        for _ in range(8):
+        for _ in range(5):
             doc = synth_doc(n)
             for label in ("full", "inc"):
                 (Path(in_dirs[label]) / f"doc_{n:05d}.json").write_text(
@@ -216,7 +216,7 @@ def test_streaming_incremental_long_stream_stays_bounded(
         ), t
         live = wi._live_bucket_files(t)
         n_live = sum(len(v) for v in live.values())
-        # bounded by buckets (64), not by the 24 commits x files/commit
+        # bounded by buckets (64), not by the 15 commits x files/commit
         assert n_live <= wi.N_KEY_BUCKETS, f"{t}: {n_live} live files"
         assert all(len(v) <= 1 for v in live.values()), f"{t} bucket not compacted"
         # disk = live + what the retained manifests still reference
