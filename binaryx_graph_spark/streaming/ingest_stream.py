@@ -89,6 +89,10 @@ def stream_analysis_json(
         # carrying the same merge key inside one micro-batch resolve by
         # deterministic file order, not a row_number tie-break (ADVICE r1:
         # a constant lit(1) made _last_wins nondeterministic here).
+        # Single-partition window is CORRECT here, not a scale seam: the
+        # frame is one row per file in THIS micro-batch, bounded by
+        # maxFilesPerTrigger — the unbounded-file-count case is the
+        # batch path, which ranks via functions/ranking.dense_rank_sharded.
         w = Window.orderBy("source_file")
         seq = (
             batch_df.select("source_file")

@@ -268,3 +268,52 @@ def test_duplicate_binary_batch_per_file_map(spark, tmp_path_factory):
     assert calls == [(f"{h}:0x1000", f"{h}:0x1000", "Tail")]
     stats = t["import_stats"].collect()[0]
     assert stats["calls_total"] == 2 and stats["calls_skipped"] == 1
+
+
+def test_dense_rank_sharded_equals_global_window(spark):
+    """The two-level ranking must equal the single-partition window
+    exactly — random strings, duplicates removed upstream, shard counts
+    above and below the value count."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from binaryx_graph_spark.functions.ranking import dense_rank_sharded
+
+    rng = random.Random(42)
+    names = list({f"file_{rng.randrange(10**9):09d}.json" for _ in range(5000)})
+    vals = spark.createDataFrame([(n,) for n in names], "source_file string")
+    w = Window.orderBy("source_file")
+    want = {
+        r["source_file"]: r["rk"]
+        for r in vals.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    for n_shards in (1, 7, 32, 9000):
+        got = {
+            r["source_file"]: r["ingest_seq"]
+            for r in dense_rank_sharded(vals, "source_file", "ingest_seq", n_shards=n_shards).collect()
+        }
+        assert got == want, f"n_shards={n_shards}"
+
+
+def test_read_analysis_json_sharded_rank_path_equal(spark, tmp_path, monkeypatch):
+    """Force the >DRIVER_RANK_LIMIT branch on the 2-file fixture: the
+    sharded ranking must produce the same (source_file, ingest_seq)
+    assignment as the driver-built map."""
+    from binaryx_graph_spark.sources import json_source
+    from binaryx_graph_spark.sources.json_source import read_analysis_json
+
+    from .fixtures import write_fixture
+
+    d = write_fixture(tmp_path / "in")
+    base = {
+        (r["source_file"], r["ingest_seq"])
+        for r in read_analysis_json(spark, d).select("source_file", "ingest_seq").collect()
+    }
+    monkeypatch.setattr(json_source, "DRIVER_RANK_LIMIT", 0)
+    sharded = {
+        (r["source_file"], r["ingest_seq"])
+        for r in read_analysis_json(spark, d).select("source_file", "ingest_seq").collect()
+    }
+    assert sharded == base and len({s for s, _ in base}) == 2
