@@ -179,7 +179,70 @@ def main() -> None:
         f"simhash max bucket={out['simhash_max_bucket']}",
         file=sys.stderr,
     )
+    ann = ann_arm()
+    out["ann"] = ann
+    print(json.dumps({"ann": ann}))
+    print(f"ann: {json.dumps(ann)}", file=sys.stderr)
 
+
+
+def ann_arm(n_vecs: int = 20000, dim: int = 16) -> dict:
+    """ANN-family hot-bucket stress (same control discipline): N vectors
+    of identical dim/cardinality; in the SKEWED variant 10% are drawn
+    near ONE direction (every sign-LSH band bucket they hash to is the
+    same → one 0.1N-member bucket per band, C(0.1N,2) candidates —
+    which are also GENUINE near-neighbors, so extra wall is partly real
+    verify work); the control is isotropic.  The metric that separates
+    a straggler from real work is THROUGHPUT: candidates verified per
+    second — a hot bucket that serializes one task collapses it."""
+    import math
+
+    from binaryx_graph_spark.operators.similarity import embedding_near_dup
+
+    spark = get_spark()
+
+    def vecs(skewed: bool):
+        base = spark.range(n_vecs).select(F.col("id").alias("vec_id"))
+        dims = []
+        for d in range(dim):
+            # deterministic pseudo-noise in [-1, 1): xxhash64 of (id, d)
+            u = (F.pmod(F.xxhash64(F.col("vec_id"), F.lit(d)), F.lit(20011)) / 10005.5) - 1.0
+            if skewed:
+                # 10% of vectors: one shared direction (+1 each dim) with
+                # small noise -> identical sign pattern in every band
+                hot = F.col("vec_id") % 10 == 0
+                dims.append(F.when(hot, 1.0 + 0.05 * u).otherwise(u))
+            else:
+                dims.append(u)
+        return base.select("vec_id", F.array(*dims).alias("embedding")).repartition(32)
+
+    out = {}
+    frames = {
+        "control": vecs(False).localCheckpoint(eager=True),
+        "skewed": vecs(True).localCheckpoint(eager=True),
+    }
+    for label in ("control", "skewed", "skewed", "control"):  # ABBA
+        df = frames[label]
+        t0 = time.monotonic()
+        n_pairs = embedding_near_dup(df, threshold=0.95).count()
+        sec = time.monotonic() - t0
+        r = out.setdefault(label, {"sec": [], "pairs": n_pairs})
+        r["sec"].append(round(sec, 2))
+    for label, r in out.items():
+        r["best_sec"] = min(r["sec"])
+        # candidate volume ~ sum C(c,2) over band buckets; throughput =
+        # verified candidates / sec (the straggler detector)
+    exp_hot = math.comb(n_vecs // 10, 2)  # one hot bucket, deduped across bands
+    ctl, skw = out["control"], out["skewed"]
+    return {
+        "n_vecs": n_vecs,
+        "control_sec": ctl["best_sec"],
+        "skewed_sec": skw["best_sec"],
+        "wall_ratio": round(skw["best_sec"] / ctl["best_sec"], 3),
+        "control_pairs": ctl["pairs"],
+        "skewed_pairs": skw["pairs"],
+        "hot_candidates_expected": exp_hot,
+    }
 
 if __name__ == "__main__":
     main()
