@@ -161,15 +161,50 @@ def estimate_band_candidates(bands_df: DataFrame) -> DataFrame:
     bound on the distinct-pair count (a pair sharing k bands is counted
     k times here); exact per band.  → (band_id, n_buckets, n_pairs)."""
     key = "band_hash" if "band_hash" in bands_df.columns else "band_key"
+    # c·(c-1) is always even: integer-exact per-bucket division, then a
+    # LONG sum — no double accumulation to drift at huge bucket counts
     return (
         bands_df.groupBy("band_id", key)
         .agg(F.count(F.lit(1)).alias("_c"))
         .groupBy("band_id")
         .agg(
             F.count(F.lit(1)).alias("n_buckets"),
-            F.sum(F.col("_c") * (F.col("_c") - 1) / 2).cast("long").alias("n_pairs"),
+            F.sum((F.col("_c") * (F.col("_c") - 1) / 2).cast("long")).alias("n_pairs"),
         )
     )
+
+
+def sql_band_candidate_estimate(table: str, id_col: str, text_col: str, *, n: int = 3) -> str:
+    """DuckDB twin of ``estimate_band_candidates`` over the MinHash
+    banding of ``table`` — keep in sync with :func:`lsh_bands`."""
+    sh = sql_shingles(text_col, n)
+    sig_cols = ",\n        ".join(
+        f"min(substr(sha256(u.sh), {k * SIG_SLICE + 1}, {SIG_SLICE})) AS sig_{k}"
+        for k in range(N_HASHES)
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, sha256({concat}) AS band_hash FROM sigs".format(
+            b=b,
+            concat=" || ".join(f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT {id_col} AS doc_id, u.sh AS sh
+      FROM {table}, unnest(list_distinct({sh})) AS u(sh)
+    ),
+    sigs AS (SELECT doc_id, {sig_cols} FROM sh u GROUP BY doc_id),
+    bands AS ({band_rows}),
+    buckets AS (
+      SELECT band_id, band_hash, count(*) AS c FROM bands GROUP BY band_id, band_hash
+    )
+    SELECT band_id,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS n_pairs
+    FROM buckets GROUP BY band_id
+    """
 
 
 def minhash_near_dup(

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..model import load_table
+from ..operators.dedup import sql_band_candidate_estimate as _sql_band_est
 from ..operators.dedup import (
     exact_dedup_groups,
     jaccard_pairs,
@@ -137,6 +138,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline in SQL — banding false-negatives and all."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_dup(docs, "doc_id", "text", n=3, threshold=0.3).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_candidate_estimate",
+    oracle=_sql_band_est("documents", "doc_id", "text", n=3)
+    + " ORDER BY band_id",
+    tags=("dedup", "scale"),
+)
+def dedup_candidate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT candidate-join pricing WITHOUT the join (SCALE.md addendum
+    40's pre-flight): per MinHash band, the number of occupied buckets
+    and the pair count Σ C(c,2) the band-equality join WOULD emit —
+    one aggregation at O(|bands|) where the join is O(Σc²).  At 100 TB
+    this is how band count / width get tuned (and hot keys detected:
+    max bucket size rides the same groupBy) before paying for a single
+    candidate pair.  The oracle replays the identical sha256 banding
+    and bucket arithmetic in SQL."""
+    from ..operators.dedup import estimate_band_candidates, lsh_bands, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands = lsh_bands(minhash_signatures(docs, "doc_id", "text", n=3))
+    return estimate_band_candidates(bands).orderBy("band_id")
 
 
 @register(
