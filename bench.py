@@ -226,27 +226,30 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     q_only = {k: v for k, v in timings.items() if k not in CERTIFICATION}
     m_only = {k: v for k, v in medians.items() if k not in CERTIFICATION}
+    # per-query MEDIANS go to stderr: the driver records only the LAST
+    # 2000 chars of stdout and parses the JSON line from it — BENCH_r05
+    # .. r07 all have parsed=null because two per-query maps pushed the
+    # line past the window.  Keep stdout to ONE map (2-decimal mins) +
+    # scalar totals so the driver's parse works again.
+    print(f"# queries_median: {json.dumps(medians)}", file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "headline_total_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
+                "queries": {k: round(v, 2) for k, v in timings.items()},
                 "total_median": round(sum(medians.values()), 3),
-                # the COMPARABLE headline: user-query shapes only —
-                # use THESE for round-over-round totals
+                # the COMPARABLE headline: user-query shapes only
+                # (certification harnesses excluded) — use THESE for
+                # round-over-round totals
                 "total_queries_only": round(sum(q_only.values()), 3),
                 "total_median_queries_only": round(sum(m_only.values()), 3),
-                "certification_excluded": sorted(CERTIFICATION & set(timings)),
-                # host-speed probe (see _calibrate): divide a
-                # round-over-round query delta by the probe ratio before
-                # calling it a regression
+                # host-speed + per-job-floor probes (_calibrate /
+                # _floor_probe): decompose deltas before calling
+                # anything a regression
                 "calib_start_sec": calib_start,
                 "calib_end_sec": calib_end,
-                # per-job scheduling floor (see _floor_probe): the fixed
-                # term for job-count-bound queries (iterative loops)
                 "floor_start_sec": floor_start,
                 "floor_end_sec": floor_end,
                 "sf": sf,
