@@ -154,6 +154,8 @@ def main(argv: list[str] | None = None) -> int:
     db_exp.add_argument("path")
     db_ver = db.add_parser("versions")
     db_ver.add_argument("table")
+    db_hist = db.add_parser("history")
+    db_hist.add_argument("table")
     db_rb = db.add_parser("rollback")
     db_rb.add_argument("table")
     db_rb.add_argument("version", type=int)
@@ -253,6 +255,13 @@ def main(argv: list[str] | None = None) -> int:
             print(f"exported {edges.count()} edges to {args.path}")
         elif args.what == "versions":
             print(f"{args.table}: {wh.versions(args.table)}")
+        elif args.what == "history":
+            for r in wh.history(args.table):
+                nb = f" buckets={r['n_buckets']}" if r["n_buckets"] else ""
+                print(
+                    f"v{r['version']:05d} {r['kind']:<8} "
+                    f"{r['n_files']} files {r['bytes']} bytes{nb}"
+                )
         elif args.what == "rollback":
             wh.rollback(args.table, args.version)
             print(f"rolled back {args.table} to v{args.version}")

@@ -241,6 +241,61 @@ class Warehouse:
                 out[name] = removed
         return out
 
+    def history(self, table: str) -> list[dict]:
+        """Version metadata, oldest first (the DESCRIBE HISTORY of this
+        table-format-lite): one row per committed version —
+        ``{version, kind: 'snapshot'|'manifest'|'live', n_files,
+        bytes, n_buckets}``.  Snapshot rows stat the archived
+        directory; manifest rows stat exactly the files the manifest
+        lists (shared files are counted in every version that can read
+        them — the row answers "what does read(version=v) cost", not
+        "what does this version own"); flat tables get a final 'live'
+        row for the current directory."""
+        rows: list[dict] = []
+        for v in self._legacy_versions(table):
+            d = self._version_dir(table) / f"v{v:05d}"
+            files = [f for f in d.rglob("part-*") if f.is_file()]
+            rows.append(
+                {
+                    "version": v,
+                    "kind": "snapshot",
+                    "n_files": len(files),
+                    "bytes": sum(f.stat().st_size for f in files),
+                    "n_buckets": None,
+                }
+            )
+        mvs = self._manifest_versions(table)
+        for v in mvs:
+            m = self._manifest(table, v)
+            paths = [
+                self.root / table / f"_kb={b}" / fn
+                for b, fs in m["buckets"].items()
+                for fn in fs
+            ]
+            rows.append(
+                {
+                    "version": v,
+                    "kind": "manifest",
+                    "n_files": len(paths),
+                    "bytes": sum(p.stat().st_size for p in paths if p.exists()),
+                    "n_buckets": m["n_buckets"],
+                }
+            )
+        if not mvs and (self.root / table).exists():
+            files = [
+                f for f in (self.root / table).glob("part-*") if f.is_file()
+            ]
+            rows.append(
+                {
+                    "version": (self.versions(table) or [-1])[-1] + 1,
+                    "kind": "live",
+                    "n_files": len(files),
+                    "bytes": sum(f.stat().st_size for f in files),
+                    "n_buckets": None,
+                }
+            )
+        return sorted(rows, key=lambda r: r["version"])
+
     # ----------------------------------------------------- manifest store
     def _manifest_dir(self, table: str) -> Path:
         return self.root / "_manifests" / table

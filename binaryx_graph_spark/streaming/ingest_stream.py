@@ -44,6 +44,8 @@ def stream_analysis_json(
     merge_tables: tuple[str, ...] | None = None,
     incremental: bool = False,
     checkpoint_location: str | None = None,
+    maintenance_every: int | None = None,
+    vacuum_keep_last: int = 2,
 ):
     """Streaming graph ingest: each micro-batch runs the SAME batch ETL
     (build_graph_tables) and MERGEs into the warehouse — foreachBatch
@@ -69,7 +71,16 @@ def stream_analysis_json(
     exactly-once restart configuration (and what lets maintenance —
     compaction, vacuum — interleave between waves of an endless
     stream; tools/endurance_stream.py drives 100+ commits this way).
-    Default stays a temporary checkpoint (single-run semantics)."""
+    Default stays a temporary checkpoint (single-run semantics).
+
+    ``maintenance_every=N`` runs the production cadence INSIDE the
+    stream: every N micro-batch commits, ``Warehouse.optimize`` (bucket
+    compaction — live file count stays bounded by the bucket layout,
+    SCALE.md addendum 42) then ``vacuum(keep_last=vacuum_keep_last)``
+    (time-travel horizon — disk stays bounded by live + retained
+    versions).  Maintenance runs between commits on the foreachBatch
+    thread, so it can never race a concurrent merge of the same
+    table."""
     wh = Warehouse(spark, warehouse_root)
     wh.initialize()
 
@@ -108,6 +119,9 @@ def stream_analysis_json(
             {k: v for k, v in tables.items() if k in keep},
             batch_seq=epoch_id + 1,
         )
+        if maintenance_every and (epoch_id + 1) % maintenance_every == 0:
+            wh.optimize()
+            wh.vacuum(keep_last=vacuum_keep_last)
 
     writer = docs.writeStream.foreachBatch(merge).trigger(availableNow=True)
     if checkpoint_location is not None:

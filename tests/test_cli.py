@@ -371,3 +371,52 @@ def test_manifest_commit_protocol_and_time_travel(spark, tmp_path):
     assert on_disk == reach
     with _pytest.raises(FileNotFoundError):
         wh.read("functions", version=v1)
+
+
+def test_db_history_and_streaming_maintenance_cadence(spark, tmp_path, capsys):
+    """history() rows track both version stores; the in-stream
+    maintenance cadence keeps the bucketed layout compacted and the
+    horizon vacuumed without an external scheduler."""
+    import json as _json
+
+    from binaryx_graph_spark.sources.warehouse import Warehouse
+    from binaryx_graph_spark.streaming.ingest_stream import stream_analysis_json
+    from tools.endurance_stream import synth_doc
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i in range(6):
+        (in_dir / f"d{i}.json").write_text(_json.dumps(synth_doc(i)))
+    root = str(tmp_path / "wh")
+    q = stream_analysis_json(
+        spark, str(in_dir), root,
+        max_files_per_trigger=1, incremental=True,
+        maintenance_every=3, vacuum_keep_last=1,
+        merge_tables=("functions", "calls"),
+    )
+    q.awaitTermination()
+    wh = Warehouse(spark, root)
+    hist = wh.history("functions")
+    kinds = {r["kind"] for r in hist}
+    assert "manifest" in kinds
+    # vacuum_keep_last=1 -> at most live + 1 retained manifest versions
+    assert len([r for r in hist if r["kind"] == "manifest"]) <= 2
+    # maintenance compacted: live files <= one per bucket
+    assert all(len(v) <= 1 for v in wh._live_bucket_files("functions").values())
+    assert wh.read("functions").count() == 6 * 5 + 1  # 5 fns/doc + shared import fn
+
+    # flat table history: snapshot rows + one live row
+    flat = Warehouse(spark, str(tmp_path / "flat"))
+    fns = spark.createDataFrame(
+        [("1", "a", "", 1, "Internal")],
+        "uid string, name string, address string, size long, type string",
+    )
+    flat.merge_batch({"functions": fns})
+    flat.merge_batch({"functions": fns}, batch_seq=2)
+    h = flat.history("functions")
+    assert [r["kind"] for r in h] == ["snapshot", "live"]
+
+    # CLI surface
+    assert main(["--warehouse", root, "db", "history", "functions"]) == 0
+    out = capsys.readouterr().out
+    assert "manifest" in out and "buckets=64" in out
