@@ -169,16 +169,42 @@ class Warehouse:
         mvs = self._manifest_versions(table)
         if mvs:
             if version not in mvs:
-                if (self._version_dir(table) / f"v{version:05d}").exists():
-                    raise ValueError(
-                        f"version {version} of '{table}' predates the bucketed "
-                        f"layout; read(table, version={version}) still works, but "
-                        f"rollback across the conversion needs a fresh "
-                        f"merge_batch_incremental of that state"
+                vp = self._version_dir(table) / f"v{version:05d}"
+                if not vp.exists():
+                    raise FileNotFoundError(
+                        f"no version {version} for '{table}' (available: {self.versions(table)})"
                     )
-                raise FileNotFoundError(
-                    f"no version {version} for '{table}' (available: {self.versions(table)})"
-                )
+                # rollback ACROSS the flat→bucketed conversion: a real
+                # commit — the snapshot's content is re-bucketed as NEW
+                # immutable files replacing every bucket (O(snapshot),
+                # the same one-time pass the conversion paid); the
+                # bucketed layout and its pinned count survive, so later
+                # incremental commits keep working
+                prev = self._manifest(table, mvs[-1])
+                nb = prev["n_buckets"] or self.N_KEY_BUCKETS
+                keys = MERGE_KEYS[table]
+                kb = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(nb)).cast("int")
+                df = self.read(table, version=version).withColumn("_kb", kb)
+                staging = self.root / f"_{table}_inc_staging"
+                if staging.exists():
+                    shutil.rmtree(staging)
+                df.repartition(F.col("_kb")).write.partitionBy("_kb").mode(
+                    "overwrite"
+                ).parquet(str(staging))
+                new_buckets: dict[str, list[str]] = {}
+                path = self.root / table
+                for src in staging.glob("_kb=*"):
+                    b = src.name.split("=", 1)[1]
+                    dst = path / src.name
+                    dst.mkdir(parents=True, exist_ok=True)
+                    names = []
+                    for f in sorted(src.glob("part-*")):
+                        f.rename(dst / f.name)
+                        names.append(f.name)
+                    new_buckets[b] = names
+                shutil.rmtree(staging, ignore_errors=True)
+                self._commit_manifest(table, new_buckets, nb)
+                return
             m = self._manifest(table, version)
             self._commit_manifest(table, m["buckets"], m["n_buckets"])
             return

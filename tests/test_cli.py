@@ -420,3 +420,35 @@ def test_db_history_and_streaming_maintenance_cadence(spark, tmp_path, capsys):
     assert main(["--warehouse", root, "db", "history", "functions"]) == 0
     out = capsys.readouterr().out
     assert "manifest" in out and "buckets=64" in out
+
+
+def test_rollback_across_conversion(spark, tmp_path):
+    """Rolling a bucketed table back to a PRE-conversion (flat snapshot)
+    version re-buckets that content as a new commit: values equal the
+    snapshot, the bucketed layout + pinned count survive, and later
+    incremental commits still work."""
+    from binaryx_graph_spark.sources.warehouse import Warehouse
+
+    def fns(rows):
+        return spark.createDataFrame(
+            [(str(k), f"fn_{k}", "", v, "Internal") for k, v in rows],
+            "uid string, name string, address string, size long, type string",
+        )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.merge_batch({"functions": fns([(k, k) for k in range(40)])})       # flat
+    wh.merge_batch({"functions": fns([(5, 99)])}, batch_seq=2)            # flat, archives v0
+    flat_vals = {(r["uid"], r["size"]) for r in wh.read("functions").collect()}
+    wh.merge_batch_incremental({"functions": fns([(7, 77)])}, batch_seq=3)  # converts, archives flat as snapshot
+    snap_v = [v for v in wh.versions("functions") if v in wh._legacy_versions("functions")][-1]
+    snap_vals = {(r["uid"], r["size"]) for r in wh.read("functions", version=snap_v).collect()}
+    assert snap_vals == flat_vals
+
+    wh.rollback("functions", snap_v)  # across the conversion
+    assert {(r["uid"], r["size"]) for r in wh.read("functions").collect()} == flat_vals
+    live = wh._live_bucket_files("functions")
+    assert live and all(fn for fn in live)  # still bucketed (manifest layout)
+    # and the table still takes incremental commits with the pinned count
+    wh.merge_batch_incremental({"functions": fns([(5, 555)])}, batch_seq=9)
+    vals = {r["uid"]: r["size"] for r in wh.read("functions").collect()}
+    assert vals["5"] == 555 and vals["7"] == 7  # rollback undid the 77 overlay
