@@ -122,7 +122,7 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     "warehouse_time_travel_certified", "warehouse_incremental_merge_certified",
     # (g) r8 additions — APPENDED after the r7 tail (same protocol)
     "warehouse_manifest_time_travel_certified", "cypher_varlen_rel_pred_in",
-    "dedup_candidate_estimate",
+    "dedup_candidate_estimate", "dedup_simhash_hamming64",
 )
 
 

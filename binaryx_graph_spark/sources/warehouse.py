@@ -163,7 +163,9 @@ class Warehouse:
         """Restore a table to a committed version. Rollback is itself a
         commit: for a bucketed table it publishes a NEW manifest that
         repeats the target version's file list — pure metadata, zero
-        data bytes moved; for a flat table the current live state is
+        data bytes moved (rolling back ACROSS the flat→bucketed
+        conversion re-buckets the snapshot's content as new files, an
+        O(snapshot) commit); for a flat table the current live state is
         archived first and the snapshot is copied in (the snapshot stays
         in the version store so rolling forward again remains possible)."""
         mvs = self._manifest_versions(table)
