@@ -232,8 +232,7 @@ def main() -> None:
     # line past the window.  Keep stdout to ONE map (2-decimal mins) +
     # scalar totals so the driver's parse works again.
     print(f"# queries_median: {json.dumps(medians)}", file=sys.stderr)
-    print(
-        json.dumps(
+    line = json.dumps(
             {
                 "metric": "headline_total_wall_sec",
                 "value": total,
@@ -255,7 +254,15 @@ def main() -> None:
                 "sf": sf,
             }
         )
-    )
+    # the driver records only the last 2000 chars of stdout; if the
+    # headline set ever grows the line past the window again, keep the
+    # SCALAR record parseable and move the per-query map to stderr —
+    # loudly, never silently
+    if len(line) > 1950:
+        doc = json.loads(line)
+        print(f"# queries (line overflow): {json.dumps(doc.pop('queries'))}", file=sys.stderr)
+        line = json.dumps(doc)
+    print(line)
     spark.stop()
 
 
