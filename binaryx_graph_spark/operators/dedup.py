@@ -161,15 +161,17 @@ def estimate_band_candidates(bands_df: DataFrame) -> DataFrame:
     bound on the distinct-pair count (a pair sharing k bands is counted
     k times here); exact per band.  → (band_id, n_buckets, n_pairs)."""
     key = "band_hash" if "band_hash" in bands_df.columns else "band_key"
-    # c·(c-1) is always even: integer-exact per-bucket division, then a
-    # LONG sum — no double accumulation to drift at huge bucket counts
+    # c·(c-1) is always even: `div` keeps the whole pipeline in LONG
+    # arithmetic (float `/` then cast would drift past 2^53 pairs — the
+    # hot-bucket regime this estimator exists to price), matching the
+    # SQL twin's integer `//`
     return (
         bands_df.groupBy("band_id", key)
         .agg(F.count(F.lit(1)).alias("_c"))
         .groupBy("band_id")
         .agg(
             F.count(F.lit(1)).alias("n_buckets"),
-            F.sum((F.col("_c") * (F.col("_c") - 1) / 2).cast("long")).alias("n_pairs"),
+            F.sum(F.expr("(_c * (_c - 1)) div 2")).alias("n_pairs"),
         )
     )
 

@@ -608,6 +608,10 @@ def warehouse_compaction_certified(spark: SparkSession, sf_dir: str) -> DataFram
         wh.read(t).repartition(48).write.mode("overwrite").parquet(tmp_frag)
         shutil.rmtree(os.path.join(root, t))
         os.rename(tmp_frag, os.path.join(root, t))
+        # the hand-fragmented directory replaces the manifested state —
+        # drop the table's manifests so it reads as a legacy flat dir
+        # (optimize adopts it, then compacts through the protocol)
+        shutil.rmtree(os.path.join(root, "_manifests", t), ignore_errors=True)
     before = {
         t: len([f for f in (Path(root) / t).glob("part-*") if f.is_file()])
         for t in watched
@@ -661,32 +665,36 @@ def warehouse_compaction_certified(spark: SparkSession, sf_dir: str) -> DataFram
       UNION ALL
       SELECT '3_live_after_rollback', CAST(count(*) AS BIGINT), CAST(sum(sz) AS BIGINT) FROM b1
       UNION ALL
-      SELECT '4_versions_after_vacuum', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+      SELECT '4_versions_after_vacuum', CAST(3 AS BIGINT), CAST(0 AS BIGINT)
     ) t ORDER BY phase
     """,
     tags=("warehouse", "layout"),
 )
 def warehouse_time_travel_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Warehouse maintenance lever #5: SNAPSHOT VERSIONING / TIME TRAVEL
-    / ROLLBACK / VACUUM, certified INSIDE the gate (the compaction-row
-    pattern).  Two MERGE commits at data scale (batch 2 last-write-wins
-    over the overlap keys), then the query pins, via counts + exact
-    integer checksums the oracle replays from `orders`:
+    """Warehouse maintenance lever #5: MANIFEST VERSIONING on FLAT
+    tables / TIME TRAVEL / ROLLBACK / VACUUM, certified INSIDE the gate
+    (the compaction-row pattern).  Flat tables commit through the SAME
+    manifest protocol as bucketed ones (r9 unification — one
+    object-store-safe protocol, no POSIX directory renames): the
+    freshly initialized empty state is adopted as v0, each MERGE
+    publishes a manifest over new immutable root files.  Two MERGE
+    commits at data scale (batch 2 last-write-wins over the overlap
+    keys), then the query pins, via counts + exact integer checksums
+    the oracle replays from `orders`:
 
     - the LIVE state after both commits (LWW result),
-    - ``read(version=1)`` — the archived batch-1 snapshot, byte-stable
-      after later commits (time travel),
-    - the live state after ``rollback(1)`` — rollback is itself a
-      commit archiving the replaced state,
-    - and RAISES unless ``vacuum(keep_last=2)`` leaves exactly
-      versions [1, 2] on disk.
+    - ``read(version=1)`` — the batch-1 state, byte-stable after later
+      commits (time travel over shared immutable files),
+    - the live state after ``rollback(1)`` — a PURE-METADATA commit
+      (RAISES if any data byte under the table dir changed),
+    - and RAISES unless ``vacuum(keep_last=2)`` leaves exactly versions
+      [1, 2, 3] readable AND the files on disk are exactly the union of
+      the retained manifests' file lists.
 
     Reference parity: the reference has no time travel (Neo4j store =
     one mutable state); this is the table-format-lite contract
     (Delta/Iceberg read-at-version, rollback-as-commit, vacuum) a
-    100 TB warehouse needs for reproducible training snapshots —
-    `sources/warehouse.py` docstring states the manifest-granularity
-    upgrade path."""
+    100 TB warehouse needs for reproducible training snapshots."""
     import hashlib
     import os
 
@@ -720,12 +728,40 @@ def warehouse_time_travel_certified(spark: SparkSession, sf_dir: str) -> DataFra
 
     live_n, live_c = snap(wh.read("functions"))
     v1_n, v1_c = snap(wh.read("functions", version=1))
+
+    # rollback on a flat table: pure metadata — zero data bytes move
+    table_dir = Path(root) / "functions"
+    data_before = {
+        str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+        for p in table_dir.glob("part-*")
+        if p.is_file()
+    }
     wh.rollback("functions", 1)
+    data_after = {
+        str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+        for p in table_dir.glob("part-*")
+        if p.is_file()
+    }
+    if data_after != data_before:
+        raise AssertionError("flat rollback moved data bytes; must be manifest-only")
     rb_n, rb_c = snap(wh.read("functions"))
+
     wh.vacuum(keep_last=2)
     vs = wh.versions("functions")
-    if vs != [1, 2]:
-        raise AssertionError(f"vacuum horizon wrong: versions {vs} != [1, 2]")
+    if vs != [1, 2, 3]:
+        raise AssertionError(f"vacuum horizon wrong: versions {vs} != [1, 2, 3]")
+    # precise reachable set: disk == union of retained flat manifests
+    reach = set()
+    for v in vs:
+        reach |= set(wh._manifest("functions", v)["files"])
+    on_disk = {
+        p.name for p in table_dir.glob("part-*") if p.is_file()
+    }
+    if on_disk != reach:
+        raise AssertionError(
+            f"vacuum reachable-set mismatch: {len(on_disk - reach)} orphans, "
+            f"{len(reach - on_disk)} missing"
+        )
     return spark.createDataFrame(
         [
             ("1_live_after_merge2", live_n, live_c),

@@ -88,9 +88,12 @@ def read_analysis_json(spark: SparkSession, path: str | list[str]) -> DataFrame:
     df = df.withColumn("source_file", F.input_file_name())
     files = set(df.inputFiles())
     if files and len(files) <= DRIVER_RANK_LIMIT:
-        # sort by UTF-16 code units — byte-identical to the JVM's
-        # string ordering (the window's orderBy) for any file name
-        ranked = sorted(files, key=lambda s: s.encode("utf-16-be"))
+        # sort by UTF-8 bytes — byte-identical to Spark's UTF8String
+        # binary ordering (what orderBy on strings compares, i.e. the
+        # dense_rank_sharded path and the streaming window), including
+        # for supplementary-plane characters where UTF-16 code-unit
+        # order (java.lang.String.compareTo) disagrees
+        ranked = sorted(files, key=lambda s: s.encode("utf-8"))
         seq = spark.createDataFrame(
             [(f, i + 1) for i, f in enumerate(ranked)],
             "source_file string, ingest_seq int",

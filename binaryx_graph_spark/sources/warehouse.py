@@ -8,37 +8,50 @@ Unique constraints (schema.rs:20-29) are dedup invariants enforced by
 the Lucene fulltext index becomes a derived posting table
 (operators/search.py).
 
-Scale posture: node/edge tables are hash-distributed on their key at
-write time (``repartition(key)``) so later joins/merges co-locate; on a
-real cluster the same code writes bucketed tables.
+Commit protocol (ONE, for every table): Delta/Iceberg-lite MANIFESTS.
+Data files are IMMUTABLE once written; each commit writes its output as
+NEW files and publishes a manifest
+(``<root>/_manifests/<table>/vNNNNN.json``) whose single atomic
+create-if-absent IS the commit.  No live data file is ever renamed,
+rewritten, or deleted by a commit, so the protocol is object-store-safe
+(on S3 the manifest publish maps to one conditional PUT of a small
+object; orphaned data files from a crashed or conflicted commit are
+invisible to readers and swept by :meth:`vacuum`).  Two table layouts
+share the protocol:
 
-Commit protocols (two, per table state):
+* **Flat tables** (:meth:`merge_batch`) — the manifest lists the
+  table's files at the table root (``{"files": [...]}``); every commit
+  is a whole-table rewrite.
+* **Bucketed tables** (:meth:`merge_batch_incremental`) — the manifest
+  is the bucket→file-list map plus the PINNED bucket count
+  (``{"n_buckets": B, "buckets": {...}}``); a commit rewrites only the
+  key-buckets the batch touches, so old and new versions SHARE
+  untouched buckets' files and every commit is a time-travelable
+  version at zero extra bytes.
 
-* **Flat tables** (:meth:`merge_batch`) — whole-table rewrite; the
-  replaced directory is archived as the next snapshot (directory-
-  granularity versioning; POSIX renames).
-* **Bucketed tables** (:meth:`merge_batch_incremental`) — Delta/
-  Iceberg-lite MANIFEST protocol: data files are IMMUTABLE once
-  written; each commit writes the merged content of only the touched
-  key-buckets as NEW files, then publishes a manifest
-  (``<root>/_manifests/<table>/vNNNNN.json`` — the bucket→file-list map
-  plus the pinned bucket count) whose single atomic rename IS the
-  commit.  No live data file is ever renamed, rewritten, or deleted by
-  a commit, so the protocol is object-store-safe (on S3 the manifest
-  rename maps to one conditional PUT of a small object; orphaned data
-  files from a crashed commit are invisible to readers and swept by
-  :meth:`vacuum`).  Reads resolve through the newest manifest;
-  ``read(table, version=N)`` resolves through manifest ``N`` — old
-  versions SHARE unchanged files with new ones, so time travel costs
-  zero extra bytes; :meth:`rollback` is a pure metadata commit (a new
-  manifest that repeats an old file list); :meth:`vacuum` deletes
-  exactly the files unreachable from the retained manifests.
+Reads resolve through the newest manifest; ``read(table, version=N)``
+resolves through manifest ``N``; :meth:`rollback` is a pure metadata
+commit whenever the target version's layout matches the live one (a new
+manifest that repeats an old file list); :meth:`vacuum` deletes exactly
+the files unreachable from the retained manifests.
 
-Version numbers are one monotone sequence per table across both
-protocols: converting a flat table to the bucketed layout archives the
-flat state as the next directory snapshot, and the first manifest takes
-the following number — every version ever committed stays readable
-until vacuumed.
+**Concurrent writers** are serialized optimistically (the Delta/Iceberg
+commit loop): the manifest is published with an atomic
+create-if-absent, so of two writers racing on version N exactly one
+wins; the loser re-reads the new head and either REBASES (a bucketed
+incremental commit whose touched buckets are disjoint from every
+intervening commit's — its bucket rewrites are re-applied onto the new
+head's map) or raises :class:`ConcurrentCommitError` (overlapping
+buckets, or a whole-table commit — conversion, rollback, rebucket,
+compaction, flat merge — racing anything).
+
+Version numbers are one monotone sequence per table: pre-manifest
+directory states are adopted as version 0 on first commit, a flat→
+bucketed conversion is just the next commit (the flat state stays
+readable through its own manifest), and :meth:`rebucket` re-layouts to
+a new bucket modulus as a commit old versions time-travel across.
+Directory snapshots under ``<root>/_versions`` from the pre-manifest
+protocol remain readable and vacuumable but are never created anymore.
 """
 
 from __future__ import annotations
@@ -72,6 +85,14 @@ MERGE_KEYS = {
 }
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Two writers committed to one table and their changes overlap (or
+    one of them rewrites the whole table): the loser's commit cannot be
+    rebased and must be retried against the new head. Its already-
+    written data files are orphans — invisible to readers, reclaimed by
+    :meth:`Warehouse.vacuum`."""
+
+
 class Warehouse:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -79,6 +100,12 @@ class Warehouse:
 
     def _path(self, table: str) -> str:
         return str(self.root / table)
+
+    def _key_bucket(self, table: str, n_buckets: int):
+        keys = MERGE_KEYS[table]
+        return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast(
+            "int"
+        )
 
     # ------------------------------------------------------------- S6 init
     def initialize(self) -> None:
@@ -98,23 +125,27 @@ class Warehouse:
 
     def read(self, table: str, version: int | None = None) -> DataFrame:
         """Read a table — the live state, or (time travel) a committed
-        version by number (see :meth:`versions`). Bucket-partitioned
-        tables resolve through their manifest; the internal ``_kb``
-        partition column is never part of the logical schema, live or
-        versioned."""
+        version by number (see :meth:`versions`). Manifested tables
+        resolve through their manifest; the internal ``_kb`` partition
+        column is never part of the logical schema, live or versioned."""
         mvs = self._manifest_versions(table)
         if version is not None:
             if version in mvs:
                 df = self._read_manifest(table, version)
-                return df.drop("_kb") if "_kb" in df.columns else df
+                return df.drop("_kb")
             vp = self._version_dir(table) / f"v{version:05d}"
-            if not vp.exists():
-                raise FileNotFoundError(
-                    f"warehouse table '{table}' has no version {version} "
-                    f"(available: {self.versions(table)})"
-                )
-            df = self.spark.read.parquet(str(vp))
-            return df.drop("_kb") if "_kb" in df.columns else df
+            if vp.exists():
+                df = self.spark.read.parquet(str(vp))
+                return df.drop("_kb")
+            # a never-merged table has no manifest; history() shows its
+            # live directory as the next version number — accept it
+            live_v = (self.versions(table) or [-1])[-1] + 1
+            if not mvs and version == live_v and (self.root / table).exists():
+                return self.spark.read.parquet(self._path(table)).drop("_kb")
+            raise FileNotFoundError(
+                f"warehouse table '{table}' has no version {version} "
+                f"(available: {self.versions(table)})"
+            )
         if mvs:
             return self._read_manifest(table, mvs[-1]).drop("_kb")
         if not (self.root / table).exists():
@@ -124,16 +155,13 @@ class Warehouse:
             )
         df = self.spark.read.parquet(self._path(table))
         # pre-manifest bucketed dirs (legacy layout) still carry _kb
-        return df.drop("_kb") if "_kb" in df.columns else df
+        return df.drop("_kb")
 
     # ------------------------------------------------- snapshot versioning
     #
-    # Flat tables: every commit (merge_batch, rollback) that replaces the
-    # table directory ARCHIVES the replaced directory as the next
-    # immutable snapshot instead of deleting it — a rename, so versioning
-    # costs zero extra writes.  Bucketed tables: versioning is manifest-
-    # granular (see module docstring) — old and new versions SHARE the
-    # files of untouched buckets, the Delta/Iceberg retained-files idea.
+    # Legacy store: the pre-manifest protocol archived replaced table
+    # directories under _versions/<table>/vNNNNN.  Those snapshots stay
+    # readable and vacuumable; new commits are manifest-only.
 
     def _version_dir(self, table: str) -> Path:
         return self.root / "_versions" / table
@@ -146,87 +174,71 @@ class Warehouse:
 
     def versions(self, table: str) -> list[int]:
         """Committed version numbers for a table, oldest first — one
-        monotone sequence spanning directory snapshots (flat commits)
-        and manifests (bucketed commits). For a flat table the live
-        directory is one commit NEWER than the highest snapshot; for a
-        bucketed table the highest manifest IS the live state."""
+        monotone sequence spanning legacy directory snapshots and
+        manifests. The highest manifest IS the live state."""
         return sorted(self._legacy_versions(table) + self._manifest_versions(table))
-
-    def _archive(self, table: str, old_dir: Path) -> None:
-        """Move a replaced table directory into the version store."""
-        vd = self._version_dir(table)
-        vd.mkdir(parents=True, exist_ok=True)
-        nxt = (self.versions(table) or [-1])[-1] + 1
-        old_dir.rename(vd / f"v{nxt:05d}")
 
     def rollback(self, table: str, version: int) -> None:
         """Restore a table to a committed version. Rollback is itself a
-        commit: for a bucketed table it publishes a NEW manifest that
-        repeats the target version's file list — pure metadata, zero
-        data bytes moved (rolling back ACROSS the flat→bucketed
-        conversion re-buckets the snapshot's content as new files, an
-        O(snapshot) commit); for a flat table the current live state is
-        archived first and the snapshot is copied in (the snapshot stays
-        in the version store so rolling forward again remains possible)."""
+        commit: when the target version's layout matches the live one
+        (flat→flat, bucketed→bucketed) it publishes a NEW manifest that
+        repeats the target's file list — pure metadata, zero data bytes
+        moved.  Rolling back ACROSS a layout change (flat↔bucketed
+        conversion, or a legacy directory snapshot) re-materializes the
+        target's content as new immutable files — an O(snapshot) commit
+        at the LIVE layout.  Either way every other version stays
+        readable, so rolling forward again remains possible."""
         mvs = self._manifest_versions(table)
-        if mvs:
-            if version not in mvs:
-                vp = self._version_dir(table) / f"v{version:05d}"
-                if not vp.exists():
-                    raise FileNotFoundError(
-                        f"no version {version} for '{table}' (available: {self.versions(table)})"
-                    )
-                # rollback ACROSS the flat→bucketed conversion: a real
-                # commit — the snapshot's content is re-bucketed as NEW
-                # immutable files replacing every bucket (O(snapshot),
-                # the same one-time pass the conversion paid); the
-                # bucketed layout and its pinned count survive, so later
-                # incremental commits keep working
-                prev = self._manifest(table, mvs[-1])
-                nb = prev["n_buckets"] or self.N_KEY_BUCKETS
-                keys = MERGE_KEYS[table]
-                kb = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(nb)).cast("int")
-                df = self.read(table, version=version).withColumn("_kb", kb)
-                staging = self.root / f"_{table}_inc_staging"
-                if staging.exists():
-                    shutil.rmtree(staging)
-                df.repartition(F.col("_kb")).write.partitionBy("_kb").mode(
-                    "overwrite"
-                ).parquet(str(staging))
-                new_buckets: dict[str, list[str]] = {}
-                path = self.root / table
-                for src in staging.glob("_kb=*"):
-                    b = src.name.split("=", 1)[1]
-                    dst = path / src.name
-                    dst.mkdir(parents=True, exist_ok=True)
-                    names = []
-                    for f in sorted(src.glob("part-*")):
-                        f.rename(dst / f.name)
-                        names.append(f.name)
-                    new_buckets[b] = names
-                shutil.rmtree(staging, ignore_errors=True)
-                self._commit_manifest(table, new_buckets, nb)
-                return
-            m = self._manifest(table, version)
-            self._commit_manifest(table, m["buckets"], m["n_buckets"])
-            return
-        vp = self._version_dir(table) / f"v{version:05d}"
-        if not vp.exists():
+        newest = self._manifest(table, mvs[-1]) if mvs else None
+        target = self._manifest(table, version) if version in mvs else None
+        if target is None and not (self._version_dir(table) / f"v{version:05d}").exists():
             raise FileNotFoundError(
-                f"no snapshot v{version} for '{table}' (available: {self.versions(table)})"
+                f"no version {version} for '{table}' (available: {self.versions(table)})"
             )
-        tmp = self.root / f"_{table}_rollback"
-        if tmp.exists():
-            shutil.rmtree(tmp)
-        shutil.copytree(vp, tmp)
-        self._swap_in(tmp, self.root / table, archive_as=table)
+        if target is not None and newest is not None:
+            same_layout = ("buckets" in target) == ("buckets" in newest)
+            if same_layout:
+                # pure-metadata commit repeating the target's file list
+                # (a bucketed target carries its OWN n_buckets — rolling
+                # back across a rebucket restores the old modulus with it)
+                self._commit_manifest(
+                    table,
+                    target.get("buckets"),
+                    target.get("n_buckets"),
+                    files=target.get("files"),
+                    base_version=mvs[-1],
+                )
+                return
+        if newest is not None and "buckets" in newest:
+            # live is bucketed, target is flat (manifest or legacy
+            # snapshot): re-bucket the target's content as new files —
+            # the same one-time O(snapshot) pass the conversion paid;
+            # the layout and its pinned count survive, so later
+            # incremental commits keep working
+            nb = newest["n_buckets"] or self.N_KEY_BUCKETS
+            df = self.read(table, version=version).withColumn(
+                "_kb", self._key_bucket(table, nb)
+            )
+            new_buckets = self._stage_bucketed(table, df)
+            self._commit_manifest(table, new_buckets, nb, base_version=mvs[-1])
+            return
+        # live is flat; target is a legacy directory snapshot → rewrite
+        # its content as new root files (adopting a never-manifested live
+        # directory first, so the pre-rollback state stays readable)
+        if newest is None and (self.root / table).exists():
+            self._adopt_flat(table)
+            mvs = self._manifest_versions(table)
+        names = self._stage_flat(table, self.read(table, version=version))
+        self._commit_manifest(
+            table, files=names, base_version=(self.versions(table) or [-1])[-1]
+        )
 
     def vacuum(self, keep_last: int = 2) -> dict[str, int]:
         """Drop all but the newest ``keep_last`` non-live versions per
-        table (time-travel horizon vs storage), then — for bucketed
-        tables — delete every data file unreachable from the retained
-        manifests (which also sweeps orphans left by crashed commits:
-        the manifest is the precise reachable-file set). Returns
+        table (time-travel horizon vs storage), then delete every data
+        file unreachable from the retained manifests (which also sweeps
+        orphans left by crashed or conflicted commits: the manifest is
+        the precise reachable-file set). Returns
         {table: n_versions_removed}."""
         out: dict[str, int] = {}
         for name in ALL_TABLES:
@@ -246,17 +258,27 @@ class Warehouse:
                     if v not in retain:
                         shutil.rmtree(self._version_dir(name) / f"v{v:05d}")
                         removed += 1
-                reach: set[str] = set()
+                reach_kb: set[str] = set()
+                reach_flat: set[str] = set()
                 for v in self._manifest_versions(name):
                     m = self._manifest(name, v)
-                    for b, files in m["buckets"].items():
-                        reach |= {f"_kb={b}/{fn}" for fn in files}
+                    if "buckets" in m:
+                        for b, files in m["buckets"].items():
+                            reach_kb |= {f"_kb={b}/{fn}" for fn in files}
+                    else:
+                        reach_flat |= set(m["files"])
                 tdir = self.root / name
                 for f in tdir.glob("_kb=*/*"):
                     rel = f"{f.parent.name}/{f.name}"
-                    if f.is_file() and not f.name.startswith((".", "_")) and rel not in reach:
+                    if f.is_file() and not f.name.startswith((".", "_")) and rel not in reach_kb:
                         f.unlink()
                         crc = f.with_name(f".{f.name}.crc")  # local-FS sidecar
+                        if crc.exists():
+                            crc.unlink()
+                for f in tdir.glob("part-*"):
+                    if f.is_file() and f.name not in reach_flat:
+                        f.unlink()
+                        crc = f.with_name(f".{f.name}.crc")
                         if crc.exists():
                             crc.unlink()
             else:
@@ -277,8 +299,8 @@ class Warehouse:
         directory; manifest rows stat exactly the files the manifest
         lists (shared files are counted in every version that can read
         them — the row answers "what does read(version=v) cost", not
-        "what does this version own"); flat tables get a final 'live'
-        row for the current directory."""
+        "what does this version own"); a never-merged table gets a
+        single 'live' row whose version number :meth:`read` accepts."""
         rows: list[dict] = []
         for v in self._legacy_versions(table):
             d = self._version_dir(table) / f"v{v:05d}"
@@ -295,18 +317,21 @@ class Warehouse:
         mvs = self._manifest_versions(table)
         for v in mvs:
             m = self._manifest(table, v)
-            paths = [
-                self.root / table / f"_kb={b}" / fn
-                for b, fs in m["buckets"].items()
-                for fn in fs
-            ]
+            if "buckets" in m:
+                paths = [
+                    self.root / table / f"_kb={b}" / fn
+                    for b, fs in m["buckets"].items()
+                    for fn in fs
+                ]
+            else:
+                paths = [self.root / table / fn for fn in m["files"]]
             rows.append(
                 {
                     "version": v,
                     "kind": "manifest",
                     "n_files": len(paths),
                     "bytes": sum(p.stat().st_size for p in paths if p.exists()),
-                    "n_buckets": m["n_buckets"],
+                    "n_buckets": m.get("n_buckets"),
                 }
             )
         if not mvs and (self.root / table).exists():
@@ -344,28 +369,142 @@ class Warehouse:
         return json.loads(p.read_text())
 
     def _commit_manifest(
-        self, table: str, buckets: dict[str, list[str]], n_buckets: int | None
+        self,
+        table: str,
+        buckets: dict[str, list[str]] | None = None,
+        n_buckets: int | None = None,
+        *,
+        files: list[str] | None = None,
+        base_version: int | None = None,
+        touched: set[str] | None = None,
+        max_retries: int = 20,
     ) -> int:
-        """Publish a new table version. Write-tmp-then-rename of ONE
-        small json file — the only atomic step the commit needs (the
-        object-store analog is a single conditional PUT). Single-writer
-        per table, like every directory-commit protocol here."""
+        """Publish a new table version with OPTIMISTIC CONCURRENCY (the
+        Delta/Iceberg commit loop).  The manifest is created with an
+        atomic create-if-absent (``os.link`` of a staged temp file — a
+        hard link fails with EEXIST if the target exists; the object-
+        store analog is one conditional PUT / If-None-Match), so of two
+        writers racing on a version number exactly one wins.  The loser
+        re-reads the head and, when this commit is an incremental
+        bucket rewrite (``touched`` given) whose buckets are disjoint
+        from every intervening commit's, REBASES: its touched buckets'
+        new file lists are re-applied onto the head's map and the
+        publish retries.  Overlapping buckets — or any conflict against
+        a whole-table commit (``touched=None``) — raise
+        :class:`ConcurrentCommitError`: the merged content was computed
+        against a base another writer has since changed, so replaying,
+        not rebasing, is the only safe outcome.
+
+        ``base_version`` is the version the writer's read was based on
+        (defaults to the head at publish time, i.e. no conflict
+        detection for adoption-style metadata commits)."""
         md = self._manifest_dir(table)
         md.mkdir(parents=True, exist_ok=True)
-        nxt = (self.versions(table) or [-1])[-1] + 1
-        doc = {
-            "version": nxt,
-            "n_buckets": n_buckets,
-            "buckets": {str(b): sorted(fs) for b, fs in sorted(buckets.items(), key=lambda kv: int(kv[0]))},
-        }
-        tmp = md / f"v{nxt:05d}.json.tmp"
-        tmp.write_text(json.dumps(doc, sort_keys=True))
-        os.replace(tmp, md / f"v{nxt:05d}.json")
-        return nxt
+        base = (
+            base_version
+            if base_version is not None
+            else (self.versions(table) or [-1])[-1]
+        )
+        cur_buckets = buckets
+        for attempt in range(max_retries + 1):
+            head = (self.versions(table) or [-1])[-1]
+            if head != base:
+                cur_buckets = self._rebase_buckets(
+                    table, base, head, cur_buckets, n_buckets, touched, files
+                )
+                base = head
+            nxt = head + 1
+            if files is not None:
+                doc = {"version": nxt, "n_buckets": None, "files": sorted(files)}
+            else:
+                doc = {
+                    "version": nxt,
+                    "n_buckets": n_buckets,
+                    "buckets": {
+                        str(b): sorted(fs)
+                        for b, fs in sorted(
+                            cur_buckets.items(), key=lambda kv: int(kv[0])
+                        )
+                    },
+                }
+            tmp = md / f".v{nxt:05d}.{os.getpid()}.{attempt}.tmp"
+            tmp.write_text(json.dumps(doc, sort_keys=True))
+            try:
+                os.link(tmp, md / f"v{nxt:05d}.json")  # atomic create-if-absent
+                return nxt
+            except FileExistsError:
+                continue  # lost the race on this version: re-read the head
+            finally:
+                tmp.unlink(missing_ok=True)
+        raise ConcurrentCommitError(
+            f"table '{table}': gave up after {max_retries} commit conflicts"
+        )
+
+    def _rebase_buckets(
+        self,
+        table: str,
+        base: int,
+        head: int,
+        buckets: dict[str, list[str]] | None,
+        n_buckets: int | None,
+        touched: set[str] | None,
+        files: list[str] | None,
+    ) -> dict[str, list[str]]:
+        """Rebase a conflicted incremental commit onto the new head, or
+        raise. Valid only when every intervening commit is a bucketed
+        manifest at the same modulus whose changed buckets are disjoint
+        from this commit's ``touched`` set — then the touched buckets'
+        merged content (computed against ``base``) is still exact, and
+        overlaying it on the head's map serializes both writers."""
+        if touched is None or files is not None or buckets is None:
+            raise ConcurrentCommitError(
+                f"table '{table}': commit based on v{base} conflicts with head "
+                f"v{head}, and this commit rewrites the whole table — re-run it "
+                f"against the new head"
+            )
+        man_vs = set(self._manifest_versions(table))
+        inter = list(range(base + 1, head + 1))
+        if base not in man_vs or any(v not in man_vs for v in inter):
+            raise ConcurrentCommitError(
+                f"table '{table}': conflicting versions between v{base} and "
+                f"v{head} are not bucketed manifests — cannot rebase"
+            )
+        prev = self._manifest(table, base)
+        if "buckets" not in prev:
+            raise ConcurrentCommitError(
+                f"table '{table}': base v{base} is a flat manifest — cannot rebase"
+            )
+        changed: set[str] = set()
+        cur = prev["buckets"]
+        for v in inter:
+            m = self._manifest(table, v)
+            if "buckets" not in m or (
+                m.get("n_buckets") is not None
+                and n_buckets is not None
+                and m["n_buckets"] != n_buckets
+            ):
+                raise ConcurrentCommitError(
+                    f"table '{table}': intervening commit v{v} changed the "
+                    f"table layout — cannot rebase"
+                )
+            mb = m["buckets"]
+            changed |= {b for b in set(cur) | set(mb) if cur.get(b) != mb.get(b)}
+            cur = mb
+        overlap = changed & set(touched)
+        if overlap:
+            raise ConcurrentCommitError(
+                f"table '{table}': concurrent commits both rewrote buckets "
+                f"{sorted(overlap, key=int)[:5]} — the loser's merge is stale; "
+                f"re-run it against the new head"
+            )
+        out = dict(cur)
+        for b in touched:
+            out[b] = buckets.get(b, [])
+        return out
 
     def _dir_buckets(self, table: str) -> dict[str, list[str]]:
         """Bucket→file map from the current directory state (used once,
-        to ADOPT a pre-manifest bucketed table or a fresh conversion)."""
+        to ADOPT a pre-manifest bucketed table)."""
         path = self.root / table
         return {
             d.name.split("=", 1)[1]: sorted(
@@ -375,31 +514,142 @@ class Warehouse:
             if d.is_dir()
         }
 
+    def _adopt_flat(self, table: str) -> int:
+        """Adopt a pre-manifest flat directory (or a freshly initialized
+        empty table) as its first manifest — a metadata-only commit, so
+        the pre-existing state becomes a readable version."""
+        files = sorted(
+            f.name for f in (self.root / table).glob("part-*") if f.is_file()
+        )
+        return self._commit_manifest(table, files=files)
+
+    def _validate_bucket_modulus(
+        self, table: str, buckets: dict[str, list[str]], n_buckets: int
+    ) -> None:
+        """Sanity-check a bucket layout against the modulus about to be
+        PINNED for it (adoption of a pre-manifest table, or pinning a
+        None-count manifest): every observed bucket id must be under the
+        modulus, and one probe bucket's rows must re-hash to their
+        bucket id.  Catches adopting a custom-modulus layout without
+        re-passing its n_buckets — which would otherwise hash later
+        batches to different buckets than the stored rows and silently
+        break last-write-wins."""
+        ids = sorted((int(b) for b, fs in buckets.items() if fs))
+        if not ids:
+            return
+        if ids[-1] >= n_buckets:
+            raise ValueError(
+                f"adopting '{table}': directory has bucket ids up to {ids[-1]}, "
+                f"inconsistent with n_buckets={n_buckets} — pass the layout's "
+                f"actual n_buckets explicitly"
+            )
+        probe = ids[0]
+        fs = [
+            str(self.root / table / f"_kb={probe}" / fn)
+            for fn in buckets[str(probe)]
+        ]
+        bad = (
+            self.spark.read.parquet(*fs)
+            .where(self._key_bucket(table, n_buckets) != F.lit(probe))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"adopting '{table}': rows in bucket {probe} do not hash to "
+                f"{probe} under n_buckets={n_buckets} — the layout was written "
+                f"with a different modulus; pass its actual n_buckets"
+            )
+
     def _read_manifest(self, table: str, version: int) -> DataFrame:
-        """Read exactly the files a manifest lists (WITH the inferred
-        ``_kb`` partition column — internal callers prune/repartition on
-        it; :meth:`read` drops it)."""
+        """Read exactly the files a manifest lists. Bucketed manifests
+        come back WITH the inferred ``_kb`` partition column — internal
+        callers prune/repartition on it; :meth:`read` drops it. Flat
+        manifests read their root files directly."""
         m = self._manifest(table, version)
         base = self.root / table
-        files = [
-            str(base / f"_kb={b}" / fn)
-            for b, fns in m["buckets"].items()
-            for fn in fns
-        ]
+        if "buckets" in m:
+            files = [
+                str(base / f"_kb={b}" / fn)
+                for b, fns in m["buckets"].items()
+                for fn in fns
+            ]
+        else:
+            files = [str(base / fn) for fn in m["files"]]
         if not files:
             if table in ALL_TABLES:
                 empty = self.spark.createDataFrame([], ALL_TABLES[table][0])
             else:
                 empty = self.spark.read.parquet(str(base)).limit(0).drop("_kb")
-            return empty.withColumn("_kb", F.lit(None).cast("int"))
-        return self.spark.read.option("basePath", str(base)).parquet(*files)
+            if "buckets" in m:
+                empty = empty.withColumn("_kb", F.lit(None).cast("int"))
+            return empty
+        if "buckets" in m:
+            return self.spark.read.option("basePath", str(base)).parquet(*files)
+        return self.spark.read.parquet(*files)
 
     def _live_bucket_files(self, table: str) -> dict[str, list[str]]:
-        """Live bucket→file map (manifest if present, else directory)."""
+        """Live bucket→file map (manifest if present, else directory).
+        A flat-manifest table reports its root files under the '' key."""
         mvs = self._manifest_versions(table)
         if mvs:
-            return self._manifest(table, mvs[-1])["buckets"]
+            m = self._manifest(table, mvs[-1])
+            return m["buckets"] if "buckets" in m else {"": m["files"]}
         return self._dir_buckets(table)
+
+    # --------------------------------------------------------- file staging
+    def _stage_flat(self, table: str, df: DataFrame, *, key_shuffle: bool = True) -> list[str]:
+        """Write ``df`` as new immutable files at the table root (via a
+        staging dir — parquet can't overwrite in place while reading);
+        returns the new file names for the manifest. Nothing live is
+        touched: the commit point is the manifest publish.
+        ``key_shuffle`` hash-distributes on the merge key so later
+        joins/merges co-locate; callers that pre-shaped the partitioning
+        (compaction's target file count) pass False."""
+        keys = MERGE_KEYS.get(table)
+        staging = self.root / f"_{table}_staging"
+        if staging.exists():
+            shutil.rmtree(staging)
+        part = df.repartition(*keys) if (key_shuffle and keys) else df
+        part.write.mode("overwrite").parquet(str(staging))
+        path = self.root / table
+        path.mkdir(parents=True, exist_ok=True)
+        names: list[str] = []
+        for f in sorted(staging.glob("part-*")):
+            f.rename(path / f.name)  # unique (job-UUID) names: no clash
+            names.append(f.name)
+        shutil.rmtree(staging, ignore_errors=True)
+        return names
+
+    def _stage_bucketed(self, table: str, df: DataFrame) -> dict[str, list[str]]:
+        """Write a ``_kb``-partitioned ``df`` as new immutable files
+        under the table's bucket dirs; returns the fresh bucket→file
+        map (ONLY the staged buckets — callers overlay or replace).
+
+        Repartition BY BUCKET, not by key: partitionBy alone would emit
+        one file per (shuffle task × bucket) — 32×512 tiny files on a
+        full write. One task per bucket → one file per bucket; key
+        co-location holds at bucket granularity (the bucket is a
+        function of the key)."""
+        staging = self.root / f"_{table}_inc_staging"
+        if staging.exists():
+            shutil.rmtree(staging)
+        df.repartition(F.col("_kb")).write.partitionBy("_kb").mode(
+            "overwrite"
+        ).parquet(str(staging))
+        path = self.root / table
+        new_buckets: dict[str, list[str]] = {}
+        for src in sorted(staging.glob("_kb=*")):
+            b = src.name.split("=", 1)[1]
+            dst = path / src.name
+            dst.mkdir(parents=True, exist_ok=True)
+            names: list[str] = []
+            for f in sorted(src.glob("part-*")):
+                f.rename(dst / f.name)
+                names.append(f.name)
+            new_buckets[b] = names
+        shutil.rmtree(staging, ignore_errors=True)
+        return new_buckets
 
     # ------------------------------------------------------ E9/E10 upsert
     def merge_batch(self, tables: dict[str, DataFrame], batch_seq: int = 1) -> None:
@@ -407,24 +657,34 @@ class Warehouse:
         batch rows seq ``batch_seq``; last-write-wins per MERGE key.
 
         At scale the window dedup shuffles on the merge key once — the
-        same shuffle MERGE INTO would need; no driver-side loop.
+        same shuffle MERGE INTO would need; no driver-side loop — but
+        the COMMIT is a whole-table rewrite: O(table) per batch. Use
+        :meth:`merge_batch_incremental` for repeated merges at scale.
 
-        Flat tables only: a table converted to the bucketed layout by
-        :meth:`merge_batch_incremental` rejects the whole-table-rewrite
-        path loudly instead of mangling the partitioned layout.
-        """
+        Flat tables only: a table converted to the bucketed layout
+        rejects the whole-table-rewrite path loudly instead of mangling
+        the partitioned layout."""
         for name, df in tables.items():
             if name not in MERGE_KEYS:
                 continue
-            path = self._path(name)
-            if self._manifest_versions(name) or any(Path(path).glob("_kb=*")):
+            keys = MERGE_KEYS[name]
+            path = Path(self._path(name))
+            mvs = self._manifest_versions(name)
+            newest = self._manifest(name, mvs[-1]) if mvs else None
+            if (newest is not None and "buckets" in newest) or any(
+                path.glob("_kb=*")
+            ):
                 raise ValueError(
                     f"table '{name}' is bucket-partitioned (incremental layout); "
                     f"use merge_batch_incremental for it"
                 )
-            keys = MERGE_KEYS[name]
-            if Path(path).exists():
-                stored = self.spark.read.parquet(path).withColumn("_seq", F.lit(0))
+            if newest is None and path.exists():
+                v = self._adopt_flat(name)
+                newest = self._manifest(name, v)
+            if newest is not None:
+                stored = self._read_manifest(name, newest["version"]).withColumn(
+                    "_seq", F.lit(0)
+                )
                 merged = stored.unionByName(df.withColumn("_seq", F.lit(batch_seq)))
                 w = Window.partitionBy(*keys).orderBy(F.desc("_seq"))
                 merged = (
@@ -432,19 +692,20 @@ class Warehouse:
                     .filter(F.col("_rn") == 1)
                     .drop("_rn", "_seq")
                 )
+                base = newest["version"]
             else:
                 merged = df.dropDuplicates(keys)
-            # parquet can't overwrite in place while reading — stage then move
-            tmp = str(self.root / f"_{name}_staging")
-            merged.repartition(*keys).write.mode("overwrite").parquet(tmp)
-            self._swap_in(Path(tmp), Path(path), archive_as=name)
+                base = -1  # brand-new table: any concurrent creator conflicts
+            names = self._stage_flat(name, merged)
+            self._commit_manifest(name, files=names, base_version=base)
 
     # -------------------------------------------- incremental MERGE
     #: key-bucket count for incrementally merged tables; at 100 TB this
     #: is a per-table knob sized so one bucket ≈ a few target files.
     #: The count is PINNED in the table's manifest at conversion time —
     #: a later commit with a different count raises (a silent modulus
-    #: change would scatter each key across two buckets and break LWW).
+    #: change would scatter each key across two buckets and break LWW);
+    #: :meth:`rebucket` is the sanctioned re-layout.
     N_KEY_BUCKETS = 64
 
     def merge_batch_incremental(
@@ -460,11 +721,13 @@ class Warehouse:
         than partition pruning: untouched buckets' files are never even
         LISTED), applies the same last-write-wins window as merge_batch,
         writes the merged buckets as NEW immutable files, and publishes
-        a manifest whose single atomic rename is the commit (module
+        a manifest whose atomic create-if-absent is the commit (module
         docstring: the object-store-safe protocol).  Untouched buckets'
         files are never opened, rewritten, or moved — old and new
         versions share them, which is also what makes every commit a
-        time-travelable version for free.
+        time-travelable version for free.  Concurrent commits touching
+        DISJOINT bucket sets are serialized by the commit loop's rebase;
+        overlapping ones raise :class:`ConcurrentCommitError`.
 
         Cost per commit: O(|batch| + |touched buckets|) — with B
         buckets and a batch touching k keys, at most min(k, B)/B of the
@@ -480,61 +743,75 @@ class Warehouse:
             keys = MERGE_KEYS[name]
             path = Path(self._path(name))
             mvs = self._manifest_versions(name)
-            prev: dict | None = self._manifest(name, mvs[-1]) if mvs else None
-            if prev is None and path.exists() and any(path.glob("_kb=*")):
+            newest = self._manifest(name, mvs[-1]) if mvs else None
+            if newest is None and path.exists() and any(path.glob("_kb=*")):
                 # adopt a pre-manifest bucketed table: snapshot the current
                 # directory state as its first manifest (bucket count
-                # pinned from this call onward)
+                # pinned from this call onward, after validating it
+                # against the layout's observed bucket ids + a one-bucket
+                # re-hash probe)
                 nb0 = n_buckets or self.N_KEY_BUCKETS
-                v = self._commit_manifest(name, self._dir_buckets(name), nb0)
-                prev = self._manifest(name, v)
+                dirb = self._dir_buckets(name)
+                self._validate_bucket_modulus(name, dirb, nb0)
+                v = self._commit_manifest(name, dirb, nb0)
+                newest = self._manifest(name, v)
+            if newest is None and path.exists():
+                # legacy flat dir: adopt it first so the pre-conversion
+                # state stays a readable version
+                v = self._adopt_flat(name)
+                newest = self._manifest(name, v)
+            prev = newest if (newest is not None and "buckets" in newest) else None
             if prev is not None:
                 if n_buckets is not None and prev["n_buckets"] is not None and n_buckets != prev["n_buckets"]:
                     raise ValueError(
                         f"table '{name}' is laid out with n_buckets="
                         f"{prev['n_buckets']}; got n_buckets={n_buckets} — a "
                         f"modulus change scatters keys across buckets and "
-                        f"breaks the MERGE invariant; re-bucketing requires a "
-                        f"full conversion"
+                        f"breaks the MERGE invariant; use rebucket('{name}', "
+                        f"{n_buckets}) for the one-time re-layout"
                     )
-                nb = prev["n_buckets"] if prev["n_buckets"] is not None else (n_buckets or self.N_KEY_BUCKETS)
+                if prev["n_buckets"] is not None:
+                    nb = prev["n_buckets"]
+                else:
+                    # a None-count manifest (adopted by optimize):
+                    # pinning happens NOW — validate first
+                    nb = n_buckets or self.N_KEY_BUCKETS
+                    self._validate_bucket_modulus(name, prev["buckets"], nb)
             else:
                 nb = n_buckets or self.N_KEY_BUCKETS
-            kb = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(nb)).cast("int")
-            batch = df.withColumn("_kb", kb)
-            staging = self.root / f"_{name}_inc_staging"
-            if staging.exists():
-                shutil.rmtree(staging)
+            batch = df.withColumn("_kb", self._key_bucket(name, nb))
             if prev is None:
-                # first commit (or conversion from a flat table): full
-                # bucketed write — the one unavoidable O(table) pass
-                base = batch
-                existed = path.exists()
-                if existed:
-                    stored = self.read(name).withColumn("_kb", kb).withColumn(
-                        "_seq", F.lit(0)
+                # conversion from a flat table (or first commit of a new
+                # one): full bucketed write — the one unavoidable
+                # O(table) pass. The flat state's files stay in place,
+                # readable through their own manifests until vacuumed.
+                base_df = batch
+                if newest is not None:
+                    stored = (
+                        self._read_manifest(name, newest["version"])
+                        .withColumn("_kb", self._key_bucket(name, nb))
+                        .withColumn("_seq", F.lit(0))
                     )
-                    base = stored.unionByName(batch.withColumn("_seq", F.lit(batch_seq)))
+                    base_df = stored.unionByName(
+                        batch.withColumn("_seq", F.lit(batch_seq))
+                    )
                     w = Window.partitionBy(*keys).orderBy(F.desc("_seq"))
-                    base = (
-                        base.withColumn("_rn", F.row_number().over(w))
+                    base_df = (
+                        base_df.withColumn("_rn", F.row_number().over(w))
                         .filter(F.col("_rn") == 1)
                         .drop("_rn", "_seq")
                     )
                 else:
-                    base = base.dropDuplicates(keys)
-                # repartition BY BUCKET, not by key: partitionBy would
-                # otherwise emit one file per (shuffle task x bucket) —
-                # 32x512 tiny files on the first commit. One task per
-                # bucket -> one file per bucket; key co-location holds at
-                # bucket granularity (bucket is a function of the key).
-                base.repartition(F.col("_kb")).write.partitionBy("_kb").mode(
-                    "overwrite"
-                ).parquet(str(staging))
-                # converting archives the flat state as the next snapshot —
-                # pre-conversion history stays readable
-                self._swap_in(staging, path, archive_as=name if existed else None)
-                self._commit_manifest(name, self._dir_buckets(name), nb)
+                    base_df = base_df.dropDuplicates(keys)
+                new_buckets = self._stage_bucketed(name, base_df)
+                self._commit_manifest(
+                    name,
+                    new_buckets,
+                    nb,
+                    base_version=newest["version"]
+                    if newest is not None
+                    else (self.versions(name) or [-1])[-1],
+                )
                 out[name] = nb
                 continue
             # materialize the batch once: it is scanned twice below (the
@@ -566,49 +843,54 @@ class Warehouse:
                 )
             else:
                 merged = batch.dropDuplicates(keys)
-            # stage the merged buckets, then move each NEW file into its
-            # bucket directory: data files are immutable, so nothing a
-            # reader can hold is ever renamed or deleted — the manifest
-            # rename below is the only commit point
-            merged.repartition(F.col("_kb")).write.partitionBy("_kb").mode(
-                "overwrite"
-            ).parquet(str(staging))
+            staged = self._stage_bucketed(name, merged)
             new_buckets = dict(prev["buckets"])
             for b in touched:
-                src = staging / f"_kb={b}"
-                names: list[str] = []
-                if src.exists():
-                    dst = path / f"_kb={b}"
-                    dst.mkdir(parents=True, exist_ok=True)
-                    for f in sorted(src.glob("part-*")):
-                        f.rename(dst / f.name)  # unique (job-UUID) names: no clash
-                        names.append(f.name)
-                new_buckets[str(b)] = names  # [] = batch emptied the bucket
-            shutil.rmtree(staging, ignore_errors=True)
-            self._commit_manifest(name, new_buckets, nb)
+                # [] = the batch emptied the bucket
+                new_buckets[str(b)] = staged.get(str(b), [])
+            self._commit_manifest(
+                name,
+                new_buckets,
+                nb,
+                base_version=prev["version"],
+                touched={str(b) for b in touched},
+            )
             out[name] = len(touched)
         return out
 
-    def _swap_in(self, tmp: Path, final: Path, *, archive_as: str | None = None) -> None:
-        """Replace ``final`` with ``tmp`` without a window where the table
-        directory is missing: rename old → backup (atomic), tmp → final
-        (atomic), then archive the backup as the next snapshot (rename,
-        atomic) — or delete it when versioning is off for this swap. A
-        crash leaves either the old or the new table readable (plus at
-        worst a stale ``_backup``/staging dir), never a missing one.
-        Flat-table protocol only — bucketed tables commit via
-        :meth:`_commit_manifest` and never rename live data."""
-        backup = final.with_name(f"_{final.name}_backup")
-        if backup.exists():
-            shutil.rmtree(backup)
-        if final.exists():
-            final.rename(backup)
-        tmp.rename(final)
-        if backup.exists():
-            if archive_as is not None:
-                self._archive(archive_as, backup)
-            else:
-                shutil.rmtree(backup)
+    def rebucket(self, table: str, n_buckets: int) -> int:
+        """One-time O(table) re-layout to a new bucket modulus, AS a
+        manifest commit — the B ∝ table-size lever (SCALE.md addendum
+        42: per-commit write volume is O(|batch| + k·table/B), so the
+        bucket count must grow with the table; a table that outgrew its
+        birth-time modulus re-layouts here instead of being stuck on
+        it).  The table's live content is re-hashed at the new modulus
+        and written as new immutable files; ONE manifest commit
+        publishes the new layout.  Old versions stay readable — their
+        manifests pin their own n_buckets and file lists, so time
+        travel (and metadata-only rollback) crosses the rebucket — and
+        later incremental commits hash at the new modulus.  Returns the
+        new version number."""
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        mvs = self._manifest_versions(table)
+        newest = self._manifest(table, mvs[-1]) if mvs else None
+        if newest is None or "buckets" not in newest:
+            raise ValueError(
+                f"rebucket requires a bucket-partitioned table; '{table}' is "
+                f"flat — convert it with merge_batch_incremental first"
+            )
+        if newest["n_buckets"] == n_buckets:
+            return newest["version"]
+        df = (
+            self._read_manifest(table, newest["version"])
+            .drop("_kb")
+            .withColumn("_kb", self._key_bucket(table, n_buckets))
+        )
+        new_buckets = self._stage_bucketed(table, df)
+        return self._commit_manifest(
+            table, new_buckets, n_buckets, base_version=newest["version"]
+        )
 
     # ---------------------------------------------------------- compaction
     def optimize(self, target_bytes: int = 128 * 1024 * 1024) -> dict[str, tuple[int, int]]:
@@ -620,13 +902,15 @@ class Warehouse:
         co-location survives compaction. Returns {table: (files_before,
         files_after)}; tables already at or under target are untouched.
 
-        Bucketed tables compact PER BUCKET through the manifest
-        protocol: each over-fragmented bucket's live files are rewritten
-        into new files and ONE new manifest version publishes the whole
-        pass — compaction is layout-only but still a commit, so the
-        pre-compaction version remains time-travelable (and its old
-        files reclaimable by vacuum). File counts are manifest counts:
-        the directory also holds older versions' files."""
+        Compaction goes THROUGH the manifest protocol for every layout:
+        bucketed tables compact PER BUCKET (each over-fragmented
+        bucket's live files are rewritten into new files and ONE new
+        manifest version publishes the whole pass); flat tables rewrite
+        their live file set the same way. Compaction is layout-only but
+        still a commit, so the pre-compaction version remains
+        time-travelable (and its old files reclaimable by vacuum). File
+        counts are manifest counts: the directory also holds older
+        versions' files."""
         import math
 
         out: dict[str, tuple[int, int]] = {}
@@ -635,21 +919,22 @@ class Warehouse:
             if not p.exists():
                 continue
             mvs = self._manifest_versions(name)
-            if mvs or any(d.is_dir() for d in p.glob("_kb=*")):
+            newest = self._manifest(name, mvs[-1]) if mvs else None
+            if (newest is not None and "buckets" in newest) or (
+                newest is None and any(d.is_dir() for d in p.glob("_kb=*"))
+            ):
                 # bucket-partitioned table (merge_batch_incremental):
                 # compact per bucket, preserving the layout — flattening
                 # it would silently disable incremental commits.
-                if mvs:
-                    prev = self._manifest(name, mvs[-1])
-                else:
+                if newest is None:
                     v = self._commit_manifest(
                         name, self._dir_buckets(name), None
                     )  # adopt pre-manifest layout (bucket count pinned later)
-                    prev = self._manifest(name, v)
+                    newest = self._manifest(name, v)
                 b_before = b_after = 0
-                new_buckets = dict(prev["buckets"])
-                changed = False
-                for b, fnames in sorted(prev["buckets"].items(), key=lambda kv: int(kv[0])):
+                new_buckets = dict(newest["buckets"])
+                changed: set[str] = set()
+                for b, fnames in sorted(newest["buckets"].items(), key=lambda kv: int(kv[0])):
                     d = p / f"_kb={b}"
                     files = [d / fn for fn in fnames]
                     b_before += len(files)
@@ -671,29 +956,40 @@ class Warehouse:
                         names.append(f.name)
                     shutil.rmtree(staged, ignore_errors=True)
                     new_buckets[b] = names
-                    changed = True
+                    changed.add(b)
                     b_after += len(names)
                 if changed:
-                    self._commit_manifest(name, new_buckets, prev["n_buckets"])
+                    # compaction rebases over a concurrent ingest of
+                    # OTHER buckets; same-bucket races raise
+                    self._commit_manifest(
+                        name,
+                        new_buckets,
+                        newest["n_buckets"],
+                        base_version=newest["version"],
+                        touched=changed,
+                    )
                 out[name] = (b_before, b_after)
                 continue
-            files = [f for f in p.glob("part-*") if f.is_file()]
+            if newest is None:
+                v = self._adopt_flat(name)
+                newest = self._manifest(name, v)
+            fnames = newest["files"]
+            files = [p / fn for fn in fnames]
             size = sum(f.stat().st_size for f in files)
             want = max(1, math.ceil(size / target_bytes))
             if len(files) <= want:
                 out[name] = (len(files), len(files))
                 continue
-            keys = MERGE_KEYS.get(name)
-            df = self.spark.read.parquet(str(p))
-            tmp = str(self.root / f"_{name}_compact")
+            df = self._read_manifest(name, newest["version"])
             # keyless tables (future ALL_TABLES entries) still compact,
-            # just without a co-location guarantee — same guard shape as
-            # merge_batch rather than a KeyError.
-            part = df.repartition(want, *keys) if keys else df.repartition(want)
-            part.write.mode("overwrite").parquet(tmp)
-            self._swap_in(Path(tmp), p)  # compaction is a rewrite, not a data change: no snapshot
-            after = len([f for f in p.glob("part-*") if f.is_file()])
-            out[name] = (len(files), after)
+            # just without a co-location guarantee
+            keys = MERGE_KEYS.get(name)
+            shaped = df.repartition(want, *keys) if keys else df.repartition(want)
+            names = self._stage_flat(name, shaped, key_shuffle=False)
+            self._commit_manifest(
+                name, files=names, base_version=newest["version"]
+            )
+            out[name] = (len(files), len(names))
         return out
 
     # ------------------------------------------------------------ S4 export

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 import sys
+from pathlib import Path
 
 import pytest
 
@@ -145,26 +146,44 @@ def test_db_optimize_compacts_files(spark, tmp_path, capsys):
     wh.initialize()
     docs = read_analysis_json(spark, d)
     tabs = {k: v for k, v in build_graph_tables(docs).items() if k != "import_stats"}
-    # merge the same batch repeatedly: each merge rewrites key-hashed
-    # partition sets -> many small files
     for seq in range(1, 4):
         wh.merge_batch(tabs, batch_seq=seq)
     before_rows = {t: sorted(map(tuple, wh.read(t).collect())) for t in ("functions", "calls")}
     from pathlib import Path
+
+    # fragment the LIVE state by hand (at this scale AQE coalesces every
+    # merge write, so merge-induced fragmentation never materializes):
+    # replace the table dir with a 6-file rewrite and drop its manifests
+    # — an externally produced legacy flat dir optimize must adopt, then
+    # compact through the manifest protocol
+    import shutil as _shutil
+
+    frag = Path(root) / "_functions_frag"
+    wh.read("functions").repartition(6).write.mode("overwrite").parquet(str(frag))
+    _shutil.rmtree(Path(root) / "functions")
+    frag.rename(Path(root) / "functions")
+    _shutil.rmtree(Path(root) / "_manifests" / "functions", ignore_errors=True)
     n_files_before = len(list((Path(root) / "functions").glob("part-*")))
+    assert n_files_before > 1
     res = wh.optimize()
     after_rows = {t: sorted(map(tuple, wh.read(t).collect())) for t in ("functions", "calls")}
     assert after_rows == before_rows  # content identical
     b, a = res["functions"]
-    assert b == n_files_before and a <= b and a >= 1
+    assert b == n_files_before and a < b and a >= 1
+    # compaction was a manifest commit: the pre-compaction version (the
+    # adopted fragmented state) is still time-travelable
+    vs = wh.versions("functions")
+    assert len(vs) >= 2
+    assert wh.read("functions", version=vs[0]).count() == len(before_rows["functions"])
     assert main(["--warehouse", root, "db", "optimize"]) == 0
     assert "functions:" in capsys.readouterr().out
 
 
 def test_warehouse_time_travel_and_rollback(spark, tmp_path, capsys):
-    """Snapshot versioning: each merge commit archives the replaced
-    table state; read-at-version time-travels; rollback is a new
-    commit; vacuum prunes the horizon."""
+    """Manifest versioning on FLAT tables: the pre-existing directory
+    state is adopted as v0, every merge commit is a new manifest
+    version, read-at-version time-travels, rollback is a pure-metadata
+    commit, vacuum prunes the horizon."""
     from binaryx_graph_spark.operators.ingest import build_graph_tables
     from binaryx_graph_spark.sources.json_source import read_analysis_json
     from binaryx_graph_spark.sources.warehouse import Warehouse
@@ -178,36 +197,52 @@ def test_warehouse_time_travel_and_rollback(spark, tmp_path, capsys):
     docs = read_analysis_json(spark, d)
     tabs = {k: v for k, v in build_graph_tables(docs).items() if k != "import_stats"}
 
-    wh.merge_batch(tabs, batch_seq=1)          # v0 archived = empty init state
+    wh.merge_batch(tabs, batch_seq=1)          # adopts v0 = empty init state
     n_live = wh.read("functions").count()
     assert n_live > 0
-    assert wh.versions("functions") == [0]
+    assert wh.versions("functions") == [0, 1]  # v1 = the merged state (live)
     assert wh.read("functions", version=0).count() == 0  # time travel to empty
+    assert wh.read("functions", version=1).count() == n_live
 
     # second commit: drop half the functions via a doctored batch
     half = {"functions": wh.read("functions").limit(1)}
-    wh.merge_batch(half, batch_seq=2)          # v1 archived = full state
-    assert wh.versions("functions") == [0, 1]
+    wh.merge_batch(half, batch_seq=2)          # v2 (v1 = full state stays readable)
+    assert wh.versions("functions") == [0, 1, 2]
     assert wh.read("functions", version=1).count() == n_live
 
-    # rollback to the full state — itself a commit (archives current live)
+    # rollback to the full state — a pure-metadata commit (a new
+    # manifest repeating v1's file list; no data bytes move)
+    data_stats = {
+        p: p.stat().st_mtime_ns
+        for p in (Path(root) / "functions").glob("part-*")
+    }
     wh.rollback("functions", 1)
     assert wh.read("functions").count() == n_live
-    assert wh.versions("functions") == [0, 1, 2]
+    assert wh.versions("functions") == [0, 1, 2, 3]
+    assert {
+        p: p.stat().st_mtime_ns
+        for p in (Path(root) / "functions").glob("part-*")
+    } == data_stats, "flat rollback must be manifest-only"
 
     # unknown version fails loudly
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         wh.read("functions", version=9)
 
-    # vacuum keeps the newest snapshots only
+    # vacuum keeps the newest versions only, and deletes exactly the
+    # files unreachable from the retained manifests
     removed = wh.vacuum(keep_last=1)
     assert removed["functions"] == 2
-    assert wh.versions("functions") == [2]
+    assert wh.versions("functions") == [2, 3]
+    reach = set()
+    for v in (2, 3):
+        reach |= set(wh._manifest("functions", v)["files"])
+    on_disk = {p.name for p in (Path(root) / "functions").glob("part-*") if p.is_file()}
+    assert on_disk == reach
 
     # CLI surface
     assert main(["--warehouse", root, "db", "versions", "functions"]) == 0
-    assert "functions: [2]" in capsys.readouterr().out
+    assert "functions: [2, 3]" in capsys.readouterr().out
     assert main(["--warehouse", root, "db", "rollback", "functions", "2"]) == 0
     assert main(["--warehouse", root, "db", "vacuum", "--keep", "1"]) == 0
 
@@ -405,7 +440,9 @@ def test_db_history_and_streaming_maintenance_cadence(spark, tmp_path, capsys):
     assert all(len(v) <= 1 for v in wh._live_bucket_files("functions").values())
     assert wh.read("functions").count() == 6 * 5 + 1  # 5 fns/doc + shared import fn
 
-    # flat table history: snapshot rows + one live row
+    # flat table history: every merge is a manifest row (no dangling
+    # 'live' row — the newest manifest IS the live state), and every
+    # listed version is readable
     flat = Warehouse(spark, str(tmp_path / "flat"))
     fns = spark.createDataFrame(
         [("1", "a", "", 1, "Internal")],
@@ -414,7 +451,17 @@ def test_db_history_and_streaming_maintenance_cadence(spark, tmp_path, capsys):
     flat.merge_batch({"functions": fns})
     flat.merge_batch({"functions": fns}, batch_seq=2)
     h = flat.history("functions")
-    assert [r["kind"] for r in h] == ["snapshot", "live"]
+    assert [r["kind"] for r in h] == ["manifest", "manifest"]
+    for r in h:
+        flat.read("functions", version=r["version"]).count()  # must not raise
+
+    # a never-merged table reports one 'live' row whose version number
+    # read() accepts (the history/read consistency contract)
+    flat2 = Warehouse(spark, str(tmp_path / "flat2"))
+    flat2.initialize()
+    live_h = flat2.history("binaries")
+    assert [r["kind"] for r in live_h] == ["live"]
+    assert flat2.read("binaries", version=live_h[0]["version"]).count() == 0
 
     # CLI surface
     assert main(["--warehouse", root, "db", "history", "functions"]) == 0
@@ -423,9 +470,9 @@ def test_db_history_and_streaming_maintenance_cadence(spark, tmp_path, capsys):
 
 
 def test_rollback_across_conversion(spark, tmp_path):
-    """Rolling a bucketed table back to a PRE-conversion (flat snapshot)
+    """Rolling a bucketed table back to a PRE-conversion (flat-manifest)
     version re-buckets that content as a new commit: values equal the
-    snapshot, the bucketed layout + pinned count survive, and later
+    flat version, the bucketed layout + pinned count survive, and later
     incremental commits still work."""
     from binaryx_graph_spark.sources.warehouse import Warehouse
 
@@ -436,11 +483,11 @@ def test_rollback_across_conversion(spark, tmp_path):
         )
 
     wh = Warehouse(spark, str(tmp_path / "wh"))
-    wh.merge_batch({"functions": fns([(k, k) for k in range(40)])})       # flat
-    wh.merge_batch({"functions": fns([(5, 99)])}, batch_seq=2)            # flat, archives v0
+    wh.merge_batch({"functions": fns([(k, k) for k in range(40)])})       # flat v0
+    wh.merge_batch({"functions": fns([(5, 99)])}, batch_seq=2)            # flat v1
     flat_vals = {(r["uid"], r["size"]) for r in wh.read("functions").collect()}
-    wh.merge_batch_incremental({"functions": fns([(7, 77)])}, batch_seq=3)  # converts, archives flat as snapshot
-    snap_v = [v for v in wh.versions("functions") if v in wh._legacy_versions("functions")][-1]
+    snap_v = wh.versions("functions")[-1]
+    wh.merge_batch_incremental({"functions": fns([(7, 77)])}, batch_seq=3)  # converts (v2 bucketed)
     snap_vals = {(r["uid"], r["size"]) for r in wh.read("functions", version=snap_v).collect()}
     assert snap_vals == flat_vals
 
