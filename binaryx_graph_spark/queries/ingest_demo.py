@@ -1065,3 +1065,278 @@ def warehouse_manifest_time_travel_certified(spark: SparkSession, sf_dir: str) -
         ],
         "phase string, n long, checksum long",
     ).orderBy("phase")
+
+
+@register(
+    "warehouse_concurrent_commit_certified",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderkey % 997 AS sz FROM orders
+    )
+    SELECT * FROM (
+      SELECT '1_base' AS phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(sz) AS BIGINT) AS checksum FROM base
+      UNION ALL
+      SELECT '2_disjoint_serialized', CAST(count(*) + 2 AS BIGINT),
+             CAST(sum(sz) + 333 AS BIGINT) FROM base
+      UNION ALL
+      SELECT '3_overlap_rejected', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT '4_final_live', CAST(count(*) + 3 AS BIGINT),
+             CAST(sum(sz) + 834 AS BIGINT) FROM base
+    ) t ORDER BY phase
+    """,
+    tags=("warehouse", "layout"),
+)
+def warehouse_concurrent_commit_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse lever #8 — OPTIMISTIC CONCURRENCY on the manifest
+    commit, certified inside the gate.  The r8 protocol published
+    manifests with ``os.replace``, which overwrites: two writers racing
+    on one table would both "win" a version and one commit silently
+    vanished.  The commit loop now publishes with an atomic
+    create-if-absent (hard link; the object-store analog is one
+    conditional PUT) and on conflict re-reads the head and REBASES when
+    the loser's touched buckets are disjoint from every intervening
+    commit's — Delta/Iceberg's commit loop on the same structure
+    (`sources/warehouse.py:_commit_manifest/_rebase_buckets`).
+
+    Two REAL interleaved `merge_batch_incremental` races at data scale
+    (writer B is injected between writer A's merge work and A's
+    manifest publish — the deterministic worst-case schedule), then the
+    query RAISES unless:
+
+    - **disjoint race serializes**: A touches bucket(a), B wins the
+      race touching bucket(b) ≠ bucket(a); A's publish rebases onto B's
+      head — BOTH rows are live (the lost-update the old protocol
+      suffered is the pinned failure), and the versions are strictly
+      serial;
+    - **overlapping race rejects loudly**: both writers touch the SAME
+      key; the loser raises ConcurrentCommitError (its merge was
+      computed against stale content — rebasing would resurrect the
+      lost update), the winner's value stays live, and the loser's
+      staged files are invisible orphans;
+    - the final live state replays exactly in DuckDB from `orders`.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    from ..model import load_table
+    from ..sources.warehouse import ConcurrentCommitError, Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_concurrency_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+
+    class Interleaved(Warehouse):
+        """Runs an injected action (the other writer winning the race)
+        after this writer's merge work but before its publish."""
+
+        _inject = None
+
+        def _commit_manifest(self, table, buckets=None, n_buckets=None, **kw):
+            inj, self._inject = self._inject, None
+            if inj is not None:
+                inj()
+            return super()._commit_manifest(table, buckets, n_buckets, **kw)
+
+    a, b = Interleaved(spark, root), Warehouse(spark, root)
+    orders = load_table(spark, sf_dir, "orders")
+    base_fns = orders.select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.concat(F.lit("fn_"), F.col("o_orderkey").cast("string")).alias("name"),
+        F.lit("").alias("address"),
+        (F.col("o_orderkey") % 997).cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+    )
+
+    def one(uid: str, size: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(uid, f"fn_{uid}", "", size, "Internal")],
+            "uid string, name string, address string, size long, type string",
+        )
+
+    def snap(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("size").alias("checksum")
+        ).collect()[0]
+        return int(r["n"]), int(r["checksum"])
+
+    def bucket_of(uid: str) -> int:
+        return (
+            spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(uid)), F.lit(Warehouse.N_KEY_BUCKETS))
+                .cast("int")
+                .alias("b")
+            )
+            .collect()[0]["b"]
+        )
+
+    b.merge_batch_incremental({"functions": base_fns}, batch_seq=1)
+    base_n, base_c = snap(b.read("functions"))
+    v_base = b.versions("functions")[-1]
+
+    # --- disjoint race: A and B touch different buckets -> rebase
+    ka = "A_1"
+    ba = bucket_of(ka)
+    kb = next(f"B_{j}" for j in range(1, 64) if bucket_of(f"B_{j}") != ba)
+    a._inject = lambda: b.merge_batch_incremental(
+        {"functions": one(kb, 222)}, batch_seq=2
+    )
+    a.merge_batch_incremental({"functions": one(ka, 111)}, batch_seq=3)
+    vs = a.versions("functions")
+    if vs[-3:] != [v_base, v_base + 1, v_base + 2]:
+        raise AssertionError(f"race did not serialize: versions {vs}")
+    got = {
+        r["uid"]: r["size"]
+        for r in a.read("functions").filter(F.col("uid").isin(ka, kb)).collect()
+    }
+    if got.get(ka) != 111:
+        raise AssertionError("loser's commit was LOST instead of rebased")
+    if got.get(kb) != 222:
+        raise AssertionError("winner's commit was clobbered by the rebase")
+    d_n, d_c = snap(a.read("functions"))
+
+    # --- overlapping race: same key -> the loser must raise
+    kc = "C_1"
+    a._inject = lambda: b.merge_batch_incremental(
+        {"functions": one(kc, 501)}, batch_seq=4
+    )
+    rejected = 0
+    try:
+        a.merge_batch_incremental({"functions": one(kc, 502)}, batch_seq=5)
+    except ConcurrentCommitError:
+        rejected = 1
+    if not rejected:
+        raise AssertionError("overlapping concurrent commit did not raise")
+    crow = a.read("functions").filter(F.col("uid") == kc).collect()
+    if len(crow) != 1 or crow[0]["size"] != 501:
+        raise AssertionError("winner's value not live after the rejected race")
+    f_n, f_c = snap(a.read("functions"))
+
+    return spark.createDataFrame(
+        [
+            ("1_base", base_n, base_c),
+            ("2_disjoint_serialized", d_n, d_c),
+            ("3_overlap_rejected", rejected, 0),
+            ("4_final_live", f_n, f_c),
+        ],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")
+
+
+@register(
+    "warehouse_rebucket_certified",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderkey % 997 AS sz FROM orders
+    ),
+    live AS (
+      SELECT k, CASE WHEN k % 3 = 0 THEN k % 991 ELSE k % 997 END AS sz
+      FROM base
+    )
+    SELECT * FROM (
+      SELECT '1_base' AS phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(sz) AS BIGINT) AS checksum FROM base
+      UNION ALL
+      SELECT '2_after_rebucket', CAST(count(*) AS BIGINT),
+             CAST(sum(sz) AS BIGINT) FROM base
+      UNION ALL
+      SELECT '3_timetravel_old', CAST(count(*) AS BIGINT),
+             CAST(sum(sz) AS BIGINT) FROM base
+      UNION ALL
+      SELECT '4_live_after_overlay', CAST(count(*) AS BIGINT),
+             CAST(sum(sz) AS BIGINT) FROM live
+    ) t ORDER BY phase
+    """,
+    tags=("warehouse", "layout"),
+)
+def warehouse_rebucket_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse lever #9 — REBUCKET, the B ∝ table-size lever,
+    certified inside the gate.  SCALE.md addendum 42's cost law
+    (write volume O(|batch| + k·table/B)) says the bucket count must
+    grow with the table — a table that grew 100× past its birth-time
+    modulus was previously stuck ("re-bucketing requires a full
+    conversion").  ``rebucket(table, new_B)`` performs the one-time
+    O(table) re-layout AS a manifest commit
+    (`sources/warehouse.py:rebucket`).
+
+    One base commit at data scale, rebucket 64→128, then the query
+    RAISES unless:
+
+    - **values identical** before/after the rebucket (count + integer
+      checksum), and the new manifest pins n_buckets=128 with every
+      observed bucket id under the new modulus;
+    - **old versions stay readable**: read(version=pre-rebucket) equals
+      the base state — time travel crosses the re-layout because each
+      manifest pins its OWN modulus and file list;
+    - **incremental commits work at the new modulus**: an overlay batch
+      (every 3rd key) last-write-wins with NO duplicate keys — the
+      exact invariant a silent modulus change would break.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    from ..model import load_table
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_rebucket_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(spark, root)
+    orders = load_table(spark, sf_dir, "orders")
+
+    def fns(pred, size_mod):
+        sel = orders.filter(pred) if pred is not None else orders
+        return sel.select(
+            F.col("o_orderkey").cast("string").alias("uid"),
+            F.concat(F.lit("fn_"), F.col("o_orderkey").cast("string")).alias("name"),
+            F.lit("").alias("address"),
+            (F.col("o_orderkey") % size_mod).cast("long").alias("size"),
+            F.lit("Internal").alias("type"),
+        )
+
+    def snap(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("size").alias("checksum")
+        ).collect()[0]
+        return int(r["n"]), int(r["checksum"])
+
+    wh.merge_batch_incremental({"functions": fns(None, 997)}, batch_seq=1)
+    v_old = wh.versions("functions")[-1]
+    base_n, base_c = snap(wh.read("functions"))
+
+    v_new = wh.rebucket("functions", 128)
+    m = wh._manifest("functions", v_new)
+    if m["n_buckets"] != 128:
+        raise AssertionError(f"rebucket did not pin the new modulus: {m['n_buckets']}")
+    ids = [int(kb) for kb, fs_ in m["buckets"].items() if fs_]
+    if ids and (max(ids) >= 128 or max(ids) < 64):
+        raise AssertionError(
+            f"rebucketed layout inconsistent with modulus 128: max id {max(ids)}"
+        )
+    rb_n, rb_c = snap(wh.read("functions"))
+    tt_n, tt_c = snap(wh.read("functions", version=v_old))
+
+    wh.merge_batch_incremental(
+        {"functions": fns(F.col("o_orderkey") % 3 == 0, 991)}, batch_seq=2
+    )
+    live = wh.read("functions")
+    n_rows, n_keys = live.count(), live.select("uid").distinct().count()
+    if n_rows != n_keys:
+        raise AssertionError(
+            f"duplicate keys after post-rebucket merge: {n_rows} rows, {n_keys} keys"
+        )
+    ov_n, ov_c = snap(live)
+
+    return spark.createDataFrame(
+        [
+            ("1_base", base_n, base_c),
+            ("2_after_rebucket", rb_n, rb_c),
+            ("3_timetravel_old", tt_n, tt_c),
+            ("4_live_after_overlay", ov_n, ov_c),
+        ],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")

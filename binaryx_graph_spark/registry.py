@@ -123,6 +123,9 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     # (g) r8 additions — APPENDED after the r7 tail (same protocol)
     "warehouse_manifest_time_travel_certified", "cypher_varlen_rel_pred_in",
     "dedup_candidate_estimate", "dedup_simhash_hamming64",
+    # (h) r9 additions — APPENDED after the r8 tail (same protocol);
+    # warehouse_time_travel_certified re-floats via its r9 tombstone
+    "warehouse_concurrent_commit_certified", "warehouse_rebucket_certified",
 )
 
 

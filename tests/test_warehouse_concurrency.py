@@ -1,0 +1,240 @@
+"""Optimistic concurrency on the manifest commit + the rebucket lever.
+
+Two writers racing on one table used to both "win" a version number
+(os.replace overwrites), silently losing one commit.  The commit loop
+now publishes with an atomic create-if-absent and either REBASES
+(disjoint touched buckets) or raises ConcurrentCommitError — these
+tests drive REAL merge_batch_incremental calls interleaved
+deterministically, not a mocked commit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from binaryx_graph_spark.sources.warehouse import ConcurrentCommitError, Warehouse
+
+
+class InterleavedWarehouse(Warehouse):
+    """Test double: runs an injected action after this writer's merge
+    work (base manifest read + staged data files) but BEFORE its
+    manifest publish — the deterministic schedule of two racing
+    writers (the injected action is 'the other writer wins the race')."""
+
+    def __init__(self, spark, root):
+        super().__init__(spark, root)
+        self._inject = None
+
+    def _commit_manifest(self, table, buckets=None, n_buckets=None, **kw):
+        inj, self._inject = self._inject, None
+        if inj is not None:
+            inj()
+        return super()._commit_manifest(table, buckets, n_buckets, **kw)
+
+
+def _fns(spark, rows):
+    return spark.createDataFrame(
+        [(str(k), f"fn_{k}", "", v, "Internal") for k, v in rows],
+        "uid string, name string, address string, size long, type string",
+    )
+
+
+def _bucket_of(spark, uid: str, nb: int = 64) -> int:
+    return (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(uid)), F.lit(nb)).cast("int").alias("b"))
+        .collect()[0]["b"]
+    )
+
+
+def _two_keys_distinct_buckets(spark):
+    ka = "1"
+    ba = _bucket_of(spark, ka)
+    for cand in range(2, 40):
+        if _bucket_of(spark, str(cand)) != ba:
+            return ka, str(cand)
+    raise AssertionError("no distinct-bucket key pair found")
+
+
+def test_disjoint_concurrent_commits_rebase_and_serialize(spark, tmp_path):
+    """Writer A commits against base v0; writer B wins the race with a
+    commit touching DIFFERENT buckets. A's publish detects the new head
+    and rebases: both writers' rows survive, versions serialize."""
+    root = str(tmp_path / "wh")
+    a, b = InterleavedWarehouse(spark, root), Warehouse(spark, root)
+    b.merge_batch_incremental({"functions": _fns(spark, [(k, k) for k in range(200)])})
+    v0 = b.versions("functions")[-1]
+
+    ka, kb = _two_keys_distinct_buckets(spark)
+    a._inject = lambda: b.merge_batch_incremental(
+        {"functions": _fns(spark, [(kb, 999)])}, batch_seq=2
+    )
+    a.merge_batch_incremental({"functions": _fns(spark, [(ka, 888)])}, batch_seq=3)
+
+    vals = {r["uid"]: r["size"] for r in a.read("functions").collect()}
+    assert vals[ka] == 888, "loser's commit was lost instead of rebased"
+    assert vals[kb] == 999, "winner's commit was clobbered by the rebase"
+    assert len(vals) == 200
+    assert a.versions("functions") == [v0, v0 + 1, v0 + 2]  # serialized
+    # the rebased manifest carries BOTH writers' buckets from the head,
+    # not A's stale base view
+    m = a._manifest("functions", v0 + 2)
+    assert m["buckets"][str(_bucket_of(spark, kb))] == b._manifest(
+        "functions", v0 + 1
+    )["buckets"][str(_bucket_of(spark, kb))]
+
+
+def test_overlapping_concurrent_commits_raise_and_orphans_vacuum(spark, tmp_path):
+    """Writers touching the SAME bucket cannot rebase (the loser's merge
+    was computed against stale content): the loser raises, its staged
+    files are invisible orphans, and vacuum sweeps them."""
+    root = str(tmp_path / "wh")
+    a, b = InterleavedWarehouse(spark, root), Warehouse(spark, root)
+    b.merge_batch_incremental({"functions": _fns(spark, [(k, k) for k in range(50)])})
+
+    ka = "7"
+    a._inject = lambda: b.merge_batch_incremental(
+        {"functions": _fns(spark, [(ka, 111)])}, batch_seq=2
+    )
+    with pytest.raises(ConcurrentCommitError, match="rewrote buckets"):
+        a.merge_batch_incremental({"functions": _fns(spark, [(ka, 222)])}, batch_seq=3)
+
+    # the winner's value is live; the loser left no visible trace
+    vals = {r["uid"]: r["size"] for r in b.read("functions").collect()}
+    assert vals[ka] == 111 and len(vals) == 50
+    # ...but its staged files are on disk as orphans until vacuum
+    from pathlib import Path
+
+    tdir = Path(root) / "functions"
+    live = {
+        f"_kb={kb}/{fn}"
+        for kb, fs in b._live_bucket_files("functions").items()
+        for fn in fs
+    }
+    reach = set()
+    for v in b._manifest_versions("functions"):
+        m = b._manifest("functions", v)
+        reach |= {f"_kb={kb}/{fn}" for kb, fs in m["buckets"].items() for fn in fs}
+    on_disk = {
+        f"{p.parent.name}/{p.name}"
+        for p in tdir.glob("_kb=*/*")
+        if p.is_file() and not p.name.startswith((".", "_"))
+    }
+    assert on_disk - reach, "expected the loser's orphaned files on disk"
+    b.vacuum(keep_last=0)
+    on_disk2 = {
+        f"{p.parent.name}/{p.name}"
+        for p in tdir.glob("_kb=*/*")
+        if p.is_file() and not p.name.startswith((".", "_"))
+    }
+    assert on_disk2 == live, "vacuum must sweep exactly the unreachable files"
+    vals2 = {r["uid"]: r["size"] for r in b.read("functions").collect()}
+    assert vals2 == vals
+
+
+def test_whole_table_commit_conflict_raises(spark, tmp_path):
+    """A whole-table commit (flat merge) racing any other commit cannot
+    rebase — the loser raises instead of silently overwriting."""
+    root = str(tmp_path / "wh")
+    a, b = InterleavedWarehouse(spark, root), Warehouse(spark, root)
+    b.merge_batch({"functions": _fns(spark, [(k, k) for k in range(20)])})
+
+    a._inject = lambda: b.merge_batch(
+        {"functions": _fns(spark, [(3, 333)])}, batch_seq=2
+    )
+    with pytest.raises(ConcurrentCommitError, match="whole table"):
+        a.merge_batch({"functions": _fns(spark, [(4, 444)])}, batch_seq=3)
+    vals = {r["uid"]: r["size"] for r in b.read("functions").collect()}
+    assert vals["3"] == 333 and "4" not in {k for k, v in vals.items() if v == 444}
+
+
+def test_rebucket_preserves_values_history_and_lww(spark, tmp_path):
+    """rebucket(table, new_B): values identical, old versions readable
+    across the re-layout, later incremental commits hash at the new
+    modulus (LWW still holds — the failure a silent modulus change
+    would cause is a duplicate key)."""
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.merge_batch_incremental(
+        {"functions": _fns(spark, [(k, k * 10) for k in range(300)])}
+    )
+    v_old = wh.versions("functions")[-1]
+    before = {r["uid"]: r["size"] for r in wh.read("functions").collect()}
+
+    v_new = wh.rebucket("functions", 16)
+    assert wh._manifest("functions", v_new)["n_buckets"] == 16
+    after = {r["uid"]: r["size"] for r in wh.read("functions").collect()}
+    assert after == before
+    # time travel crosses the rebucket (old manifest pins old layout)
+    old = {r["uid"]: r["size"] for r in wh.read("functions", version=v_old).collect()}
+    assert old == before
+    # incremental commits now hash at the new modulus; LWW intact
+    wh.merge_batch_incremental({"functions": _fns(spark, [(7, 777)])}, batch_seq=2)
+    rows = wh.read("functions").filter(F.col("uid") == "7").collect()
+    assert len(rows) == 1 and rows[0]["size"] == 777
+    assert wh.read("functions").count() == 300
+    # rollback to the pre-rebucket version is pure metadata and restores
+    # the old modulus with it
+    wh.rollback("functions", v_old)
+    mvs = wh._manifest_versions("functions")
+    assert wh._manifest("functions", mvs[-1])["n_buckets"] == 64
+    assert {r["uid"]: r["size"] for r in wh.read("functions").collect()} == before
+    wh.merge_batch_incremental({"functions": _fns(spark, [(9, 909)])}, batch_seq=3)
+    assert wh.read("functions").filter(F.col("uid") == "9").collect()[0]["size"] == 909
+
+
+def test_rebucket_errors_and_mismatch_message(spark, tmp_path):
+    """The n_buckets-mismatch guard points at rebucket; rebucket rejects
+    flat tables and no-ops on an equal modulus."""
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.merge_batch({"functions": _fns(spark, [(1, 1)])})
+    with pytest.raises(ValueError, match="flat"):
+        wh.rebucket("functions", 8)
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    wh2.merge_batch_incremental({"functions": _fns(spark, [(1, 1)])})
+    with pytest.raises(ValueError, match="rebucket"):
+        wh2.merge_batch_incremental({"functions": _fns(spark, [(2, 2)])}, n_buckets=8)
+    v = wh2.versions("functions")[-1]
+    assert wh2.rebucket("functions", 64) == v  # same modulus: no-op
+
+
+def test_adoption_validates_pinned_modulus(spark, tmp_path):
+    """Adopting a pre-manifest bucketed directory validates the pinned
+    count: out-of-range bucket ids and wrong-modulus layouts raise
+    instead of silently breaking LWW (r8 ADVICE)."""
+    import shutil
+
+    # build a REAL n_buckets=8 layout, then strip its manifests to
+    # simulate a legacy directory
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.merge_batch_incremental(
+        {"functions": _fns(spark, [(k, k) for k in range(100)])}, n_buckets=8
+    )
+    shutil.rmtree(tmp_path / "wh" / "_manifests")
+
+    # adopting without re-passing n_buckets=8 pins the default 64 —
+    # the one-bucket re-hash probe catches the wrong modulus
+    with pytest.raises(ValueError, match="different modulus|pass the layout's"):
+        wh.merge_batch_incremental({"functions": _fns(spark, [(5, 555)])}, batch_seq=2)
+
+    # re-passing the true modulus adopts cleanly and LWW works
+    wh.merge_batch_incremental(
+        {"functions": _fns(spark, [(5, 555)])}, batch_seq=2, n_buckets=8
+    )
+    rows = wh.read("functions").filter(F.col("uid") == "5").collect()
+    assert len(rows) == 1 and rows[0]["size"] == 555
+
+    # out-of-range bucket ids (a 64-bucket layout adopted as 8) raise
+    # on the cheap id check before any probe
+    root2 = str(tmp_path / "wh2")
+    wh2 = Warehouse(spark, root2)
+    wh2.merge_batch_incremental(
+        {"functions": _fns(spark, [(k, k) for k in range(100)])}, n_buckets=64
+    )
+    shutil.rmtree(tmp_path / "wh2" / "_manifests")
+    with pytest.raises(ValueError, match="bucket ids up to"):
+        wh2.merge_batch_incremental(
+            {"functions": _fns(spark, [(5, 5)])}, batch_seq=2, n_buckets=8
+        )
