@@ -521,6 +521,93 @@ def simhash_near_dup(
     )
 
 
+def simhash_bits_for(
+    n_docs: int, bands: int = 4, *, slack_bits: int = 4, max_bits: int = 512
+) -> int:
+    """Signature width that keeps the LSH band keys UNSATURATED at
+    corpus size ``n_docs`` — SCALE.md addendum 40's sizing rule, made a
+    function.  A band key of k bits has 2^k buckets; once n_docs ≫ 2^k
+    the buckets saturate and the candidate join degrades to Θ(n²) by
+    pigeonhole (the r8 root cause: 8-bit keys at corpus scale).  Keeping
+    expected bucket occupancy O(1) needs k ≈ log₂(n_docs) + slack, so::
+
+        bits = bands · (⌈log₂ n_docs⌉ + slack_bits)
+
+    (bits ≈ bands·(log₂n+4) with the default slack).  Always a multiple
+    of ``bands`` (the band slicer requires it), capped at ``max_bits``
+    (rounded down to a bands multiple) — past ~512 bits the signature
+    itself stops being the cheap part."""
+    import math
+
+    n = max(int(n_docs), 1)
+    per_band = max(1, (n - 1).bit_length() + slack_bits) if n > 1 else slack_bits
+    per_band = max(per_band, 1)
+    cap = max(bands, (max_bits // bands) * bands)
+    return min(bands * per_band, cap)
+
+
+def simhash_preflight(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bands: int = 4,
+    bits: int | None = None,
+    target_pairs_per_doc: float = 10.0,
+) -> dict:
+    """Price the banded SimHash join BEFORE paying for it — the
+    deployment recipe wiring :func:`simhash_bits_for` (the width rule)
+    into :func:`estimate_band_candidates` (the exact O(|bands|) pricer):
+
+    1. ``bits`` defaults to ``simhash_bits_for(count(df), bands)``;
+    2. signatures are banded exactly as :func:`simhash_near_dup` would;
+    3. the estimator prices every band's candidate pairs WITHOUT
+       materializing one pair;
+    4. the verdict compares the total against
+       ``target_pairs_per_doc × n_docs`` — the budget a linear-ish
+       near-dup pass can afford.
+
+    Returns ``{n_docs, bits, bands, candidate_pairs, budget_pairs,
+    within_budget}``.  ``within_budget=False`` means: widen ``bits``
+    (key saturation) or revisit the band count before running
+    :func:`simhash_near_dup` at this scale."""
+    n_docs = df.count()
+    if bits is None:
+        bits = simhash_bits_for(n_docs, bands)
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} must be a multiple of bands={bands}")
+    w = bits // bands
+    sigs = df.select(
+        F.col(id_col).alias("doc_id"), simhash(F.col(text_col), bits).alias("sig")
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.substring("sig", b * w + 1, w).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bands_df = sigs.select("doc_id", F.explode(band_arr).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_key"
+    )
+    total = (
+        estimate_band_candidates(bands_df)
+        .agg(F.sum("n_pairs").alias("t"))
+        .collect()[0]["t"]
+    ) or 0
+    budget = int(target_pairs_per_doc * n_docs)
+    return {
+        "n_docs": n_docs,
+        "bits": bits,
+        "bands": bands,
+        "candidate_pairs": int(total),
+        "budget_pairs": budget,
+        "within_budget": int(total) <= budget,
+    }
+
+
 # ------------------------------------------------- prefix-filtered exact
 
 def jaccard_pairs_prefix(

@@ -983,19 +983,21 @@ def pack_chunks(
     both chunks, exactly like the real packer).
 
     The cumulative sum runs as a SHARDED two-level scan (the corpus-
-    scale shape): documents are range-bucketed on ``id_col`` by
-    approx-quantile boundaries — monotone bucketing, so correctness is
-    exact and only the balance is best-effort — the per-shard prefix
-    sum runs partitioned, and the cross-shard offset is a prefix sum
-    over the per-shard TOTALS, a window over at most ``shards`` rows
-    (shard metadata, not data: the only single-partition step, bounded
-    by the shard count).  ``shards=1`` degenerates to the single global
-    window — kept as the oracle twin the equality test pins the
-    sharded plan against; a non-numeric id column also falls back to
-    it (quantile boundaries need an ordered numeric key).  Empty
+    scale shape, the same one as ``functions/ranking.dense_rank_sharded``):
+    ``repartitionByRange`` on ``id_col`` samples range boundaries and
+    assigns ASCENDING ranges to ascending partition ids, so
+    ``spark_partition_id()`` is a monotone shard key — no quantile
+    probe pass, no per-row boundary expression (the r8 CASE-chain grew
+    O(shards) terms and was numeric-only; this works for ANY orderable
+    id type and any shard count), and exactness does not depend on the
+    sampled balance.  The per-shard prefix sum runs partitioned, and
+    the cross-shard offset is a prefix sum over the per-shard TOTALS, a
+    window over at most ``shards`` rows (shard metadata, not data: the
+    only single-partition step, bounded by the shard count).
+    ``shards=1`` degenerates to the single global window — kept as the
+    oracle twin the equality test pins the sharded plan against.  Empty
     documents occupy zero tokens and map to a degenerate span
     (chunk_end < chunk_start)."""
-    from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
     c = int(chunk_tokens)
@@ -1005,26 +1007,21 @@ def pack_chunks(
     )
     if shards is None:
         shards = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    numeric = isinstance(docs.schema[id_col].dataType, T.NumericType)
-    if shards <= 1 or not numeric:
+    if shards <= 1:
         w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
         cum = base.withColumn(
             "tok_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
         )
     else:
-        # shard boundaries: actual id values at the approx quantiles —
-        # a column-pruned pass over id_col only (bounded driver state:
-        # shards-1 scalars)
-        row = docs.select(
-            F.percentile_approx(
-                F.col(id_col), [i / shards for i in range(1, shards)], 10000
-            ).alias("b")
-        ).first()
-        bounds = sorted(set(row["b"] or [])) if row is not None else []
-        sh = F.lit(0)
-        for b in bounds:
-            sh = sh + F.when(F.col("doc_id") > F.lit(b), 1).otherwise(0)
-        staged = base.withColumn("_shard", sh.cast("int"))
+        staged = base.repartitionByRange(shards, F.col("doc_id")).withColumn(
+            "_shard", F.spark_partition_id()
+        )
+        # two consumers below (per-shard scan + per-shard totals) MUST
+        # see one materialized sharding — recomputing the range exchange
+        # per consumer would let the planner assign shards twice; the
+        # frame is one (doc_id, n_tokens) row per document, the token
+        # arrays are already reduced away
+        staged = staged.localCheckpoint(eager=True)
         w_in = Window.partitionBy("_shard").orderBy("doc_id").rowsBetween(
             Window.unboundedPreceding, -1
         )

@@ -67,14 +67,40 @@ def test_pack_sharded_equals_global(spark):
         assert got == want, f"shards={n}"
 
 
+def test_pack_sharded_equals_global_string_ids(spark):
+    """The r8 shard assignment was a numeric-only CASE chain; the
+    repartitionByRange shape shards ANY orderable id — pin exact
+    equality on string ids (including ids whose lexicographic order
+    differs from their numeric suffix order)."""
+    rows = [
+        (f"doc_{(i * 37) % 200:d}_{i % 7}", " ".join(["w"] * ((i * 13) % 29)))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    want = sorted(
+        map(tuple, pack_chunks(docs, chunk_tokens=16, shards=1).collect())
+    )
+    for n in (4, 32, 256):
+        got = sorted(
+            map(tuple, pack_chunks(docs, chunk_tokens=16, shards=n).collect())
+        )
+        assert got == want, f"shards={n}"
+
+
 def test_pack_sharded_plan_no_data_single_partition(spark):
     """The doc-row path must NOT pass through a single-partition window:
     the only SinglePartition step allowed is the per-shard-TOTALS prefix
-    sum (<= shards rows). The data window is partitioned by _shard."""
+    sum (<= shards rows). The data window is partitioned by _shard, the
+    sharding is a range exchange, and there is NO per-row boundary CASE
+    chain (the r8 shape grew an O(shards) expression)."""
     docs = _docs(spark, [(i, "a b c") for i in range(50)])
-    plan = pack_chunks(docs, chunk_tokens=8, shards=8)._jdf.queryExecution().executedPlan().toString()
+    df = pack_chunks(docs, chunk_tokens=8, shards=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     # the partitioned data window exists...
     assert "windowspecdefinition(_shard" in plan or "hashpartitioning(_shard" in plan
+    # ...no boundary CASE chain on the id column anywhere in the plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "CASE WHEN (doc_id" not in plan and "CASE WHEN (doc_id" not in analyzed
     # ...and the global (shards=1) twin still has its single partition
     g = pack_chunks(docs, chunk_tokens=8, shards=1)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" in g
