@@ -972,3 +972,72 @@ def cypher_varlen_rel_pred_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         params={"seed": "45", "types": ["Direct", "Tail"]},
     )
     return out.select(F.col("path_length").cast("int").alias("path_length"), "n_paths")
+
+
+@register(
+    "cypher_varlen_rel_pred_not_in",
+    # Same ALL-lowering identity, for the NEGATED membership surface:
+    # NOT (x IN $list) composed with <>-against-$param — the oracle
+    # unrolls three no-repeated-edge hops over the {Direct, Virtual}
+    # edge subset ((src*7+dst) mod 4 IN (0, 2)).
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT DISTINCT CAST(o_orderkey % 500 AS BIGINT) AS src,
+               CAST((o_custkey * 13) % 500 AS BIGINT) AS dst
+        FROM orders WHERE o_orderkey % 5 = 0) t
+      WHERE (src * 7 + dst) % 4 IN (0, 2)
+    ),
+    p1 AS (SELECT src AS s0, dst AS s1 FROM e WHERE src = 45),
+    p2 AS (SELECT p1.s0, p1.s1, e.dst AS s2 FROM p1 JOIN e ON e.src = p1.s1
+           WHERE NOT (e.src = p1.s0 AND e.dst = p1.s1)),
+    p3 AS (SELECT p2.s0, p2.s1, p2.s2, e.dst AS s3 FROM p2 JOIN e ON e.src = p2.s2
+           WHERE NOT (e.src = p2.s0 AND e.dst = p2.s1)
+             AND NOT (e.src = p2.s1 AND e.dst = p2.s2))
+    SELECT path_length, n_paths FROM (
+      SELECT 1 AS path_length, CAST(count(*) AS BIGINT) AS n_paths FROM p1
+      UNION ALL SELECT 2 AS path_length, CAST(count(*) AS BIGINT) AS n_paths FROM p2
+      UNION ALL SELECT 3 AS path_length, CAST(count(*) AS BIGINT) AS n_paths FROM p3
+    ) t
+    WHERE n_paths > 0
+    ORDER BY path_length
+    """,
+    tags=("cypher", "graph", "paths", "iterative"),
+)
+def cypher_varlen_rel_pred_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATED membership + param inequality in var-length relationship
+    predicates (r8 verdict #6: NOT (x IN [...]) and <>-against-$param
+    compile through the same reject-loudly ALL boundary).  The derived
+    graph assigns one of four call types per edge ((src·7+dst) mod 4);
+    ``NOT r.call_type IN $types AND r.call_type <> $excl`` with
+    $types=['Tail'], $excl='Indirect' keeps {Direct, Virtual} — the ALL
+    lowers to ``~isin(...) & (col != lit)`` on the edge frame BEFORE the
+    frontier loop, the same pushdown-through-iteration as the IN gate
+    row; differential fuzz for these forms lives in
+    tests/test_cypher_rel_pred.py."""
+    from ..plans.graph_project import as_call_tables, derived_edges
+
+    edges = derived_edges(spark, sf_dir)
+    _, nodes = as_call_tables(edges)
+    types = ["Direct", "Indirect", "Virtual", "Tail"]
+    calls = edges.select(
+        F.col("src").cast("string").alias("src_uid"),
+        F.col("dst").cast("string").alias("dst_uid"),
+        F.lit("").alias("offset"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in types]),
+            ((F.col("src") * 7 + F.col("dst")) % 4 + 1).cast("int"),
+        ).alias("call_type"),
+    )
+    t = {"functions": nodes, "calls": calls}
+    out = cypher(
+        t,
+        """MATCH path = (a:Function)-[:CALLS*1..3]->(b:Function)
+           WHERE a.name = $seed
+             AND ALL(r IN relationships(path)
+                     WHERE NOT r.call_type IN $types AND r.call_type <> $excl)
+           RETURN length(path) as path_length, count(*) as n_paths
+           ORDER BY path_length""",
+        params={"seed": "45", "types": ["Tail"], "excl": "Indirect"},
+    )
+    return out.select(F.col("path_length").cast("int").alias("path_length"), "n_paths")
