@@ -12,6 +12,7 @@
     python -m binaryx_graph_spark query binary --binary-name B
     python -m binaryx_graph_spark query xref <address> [--binary B]
     python -m binaryx_graph_spark db stats|init|clear|optimize|export <path>
+    python -m binaryx_graph_spark db versions|history|rollback|vacuum|rebucket ...
 
 Warehouse root: --warehouse or $BXG_WAREHOUSE (default ./warehouse).
 Output: --format table|json (table escapes newlines and truncates to 60
@@ -161,6 +162,9 @@ def main(argv: list[str] | None = None) -> int:
     db_rb.add_argument("version", type=int)
     db_vac = db.add_parser("vacuum")
     db_vac.add_argument("--keep", type=int, default=2)
+    db_rbk = db.add_parser("rebucket")
+    db_rbk.add_argument("table")
+    db_rbk.add_argument("n_buckets", type=int)
 
     args = p.parse_args(argv)
 
@@ -268,6 +272,9 @@ def main(argv: list[str] | None = None) -> int:
         elif args.what == "vacuum":
             removed = wh.vacuum(keep_last=args.keep)
             print(f"vacuumed {sum(removed.values())} snapshots")
+        elif args.what == "rebucket":
+            v = wh.rebucket(args.table, args.n_buckets)
+            print(f"rebucketed {args.table} to {args.n_buckets} buckets (v{v:05d})")
         return 0
 
     t = tables()

@@ -300,7 +300,16 @@ class Warehouse:
         lists (shared files are counted in every version that can read
         them — the row answers "what does read(version=v) cost", not
         "what does this version own"); a never-merged table gets a
-        single 'live' row whose version number :meth:`read` accepts."""
+        single 'live' row whose version number :meth:`read` accepts.
+        Stat calls are memoized per shared file, so a thousand-version
+        history costs O(distinct files), not O(versions × files)."""
+        sizes: dict[Path, int] = {}
+
+        def _sz(p: Path) -> int:
+            if p not in sizes:
+                sizes[p] = p.stat().st_size if p.exists() else 0
+            return sizes[p]
+
         rows: list[dict] = []
         for v in self._legacy_versions(table):
             d = self._version_dir(table) / f"v{v:05d}"
@@ -330,7 +339,7 @@ class Warehouse:
                     "version": v,
                     "kind": "manifest",
                     "n_files": len(paths),
-                    "bytes": sum(p.stat().st_size for p in paths if p.exists()),
+                    "bytes": sum(_sz(p) for p in paths),
                     "n_buckets": m.get("n_buckets"),
                 }
             )

@@ -181,6 +181,12 @@ def test_rebucket_preserves_values_history_and_lww(spark, tmp_path):
     assert {r["uid"]: r["size"] for r in wh.read("functions").collect()} == before
     wh.merge_batch_incremental({"functions": _fns(spark, [(9, 909)])}, batch_seq=3)
     assert wh.read("functions").filter(F.col("uid") == "9").collect()[0]["size"] == 909
+    # CLI surface
+    from binaryx_graph_spark.cli import main
+
+    assert main(["--warehouse", root, "db", "rebucket", "functions", "32"]) == 0
+    mvs = wh._manifest_versions("functions")
+    assert wh._manifest("functions", mvs[-1])["n_buckets"] == 32
 
 
 def test_rebucket_errors_and_mismatch_message(spark, tmp_path):
