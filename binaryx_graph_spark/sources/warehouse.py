@@ -59,6 +59,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -436,7 +437,10 @@ class Warehouse:
                         )
                     },
                 }
-            tmp = md / f".v{nxt:05d}.{os.getpid()}.{attempt}.tmp"
+            # tmp name unique per WRITER, not just per process: two
+            # threads racing on one version with a shared tmp would
+            # link each other's content or unlink a live tmp
+            tmp = md / f".v{nxt:05d}.{uuid.uuid4().hex[:12]}.tmp"
             tmp.write_text(json.dumps(doc, sort_keys=True))
             try:
                 os.link(tmp, md / f"v{nxt:05d}.json")  # atomic create-if-absent
@@ -614,11 +618,13 @@ class Warehouse:
         touched: the commit point is the manifest publish.
         ``key_shuffle`` hash-distributes on the merge key so later
         joins/merges co-locate; callers that pre-shaped the partitioning
-        (compaction's target file count) pass False."""
+        (compaction's target file count) pass False.
+
+        The staging dir is unique per WRITER (uuid suffix): concurrent
+        commits to one table must not clobber each other's staged files
+        — the commit loop serializes only the manifest publish."""
         keys = MERGE_KEYS.get(table)
-        staging = self.root / f"_{table}_staging"
-        if staging.exists():
-            shutil.rmtree(staging)
+        staging = self.root / f"_{table}_staging_{uuid.uuid4().hex[:12]}"
         part = df.repartition(*keys) if (key_shuffle and keys) else df
         part.write.mode("overwrite").parquet(str(staging))
         path = self.root / table
@@ -639,10 +645,12 @@ class Warehouse:
         one file per (shuffle task × bucket) — 32×512 tiny files on a
         full write. One task per bucket → one file per bucket; key
         co-location holds at bucket granularity (the bucket is a
-        function of the key)."""
-        staging = self.root / f"_{table}_inc_staging"
-        if staging.exists():
-            shutil.rmtree(staging)
+        function of the key).
+
+        The staging dir is unique per WRITER (uuid suffix): concurrent
+        commits to one table must not clobber each other's staged files
+        — the commit loop serializes only the manifest publish."""
+        staging = self.root / f"_{table}_inc_staging_{uuid.uuid4().hex[:12]}"
         df.repartition(F.col("_kb")).write.partitionBy("_kb").mode(
             "overwrite"
         ).parquet(str(staging))
@@ -901,6 +909,59 @@ class Warehouse:
             table, new_buckets, n_buckets, base_version=newest["version"]
         )
 
+    def recommended_buckets(
+        self, table: str, *, target_bucket_bytes: int = 256 * 1024 * 1024
+    ) -> int:
+        """The B ∝ table-size sizing rule (SCALE.md addendum 42) as a
+        function: enough buckets that one bucket ≈ ``target_bucket_bytes``
+        of live data, rounded UP to a power of two so the
+        recommendation is stable as the table grows (it quadruples
+        roughly every 4× growth instead of drifting every commit).
+        Live bytes come from the newest manifest's file list — a
+        metadata stat pass, no Spark job."""
+        mvs = self._manifest_versions(table)
+        if not mvs:
+            return self.N_KEY_BUCKETS
+        m = self._manifest(table, mvs[-1])
+        if "buckets" in m:
+            paths = [
+                self.root / table / f"_kb={b}" / fn
+                for b, fs in m["buckets"].items()
+                for fn in fs
+            ]
+        else:
+            paths = [self.root / table / fn for fn in m["files"]]
+        live = sum(p.stat().st_size for p in paths if p.exists())
+        want = max(1, -(-live // target_bucket_bytes))  # ceil
+        b = 1
+        while b < want:
+            b <<= 1
+        return max(b, 1)
+
+    def maybe_rebucket(
+        self,
+        table: str,
+        *,
+        target_bucket_bytes: int = 256 * 1024 * 1024,
+        grow_factor: int = 4,
+    ) -> int | None:
+        """Rebucket ``table`` iff the sizing rule's recommendation has
+        outgrown the pinned count by ``grow_factor`` — the maintenance-
+        cadence policy: checking costs one metadata stat pass, the
+        re-layout runs only when the table has genuinely outgrown its
+        modulus (hysteresis prevents rebucketing on every commit).
+        Returns the new version number, or None when no re-layout ran.
+        Never shrinks: a small B on a shrunken table costs merge
+        parallelism, not correctness."""
+        mvs = self._manifest_versions(table)
+        newest = self._manifest(table, mvs[-1]) if mvs else None
+        if newest is None or "buckets" not in newest or not newest.get("n_buckets"):
+            return None
+        rec = self.recommended_buckets(table, target_bucket_bytes=target_bucket_bytes)
+        if rec >= grow_factor * newest["n_buckets"]:
+            return self.rebucket(table, rec)
+        return None
+
     # ---------------------------------------------------------- compaction
     def optimize(self, target_bytes: int = 128 * 1024 * 1024) -> dict[str, tuple[int, int]]:
         """Compact each table to ~``target_bytes`` files (the small-file
@@ -953,7 +1014,7 @@ class Warehouse:
                     if len(files) <= bwant:
                         b_after += len(files)
                         continue
-                    staged = self.root / f"_{name}_compact_bucket"
+                    staged = self.root / f"_{name}_compact_{uuid.uuid4().hex[:12]}"
                     if staged.exists():
                         shutil.rmtree(staged)
                     self.spark.read.parquet(*[str(f) for f in files]).repartition(

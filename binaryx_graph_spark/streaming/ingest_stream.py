@@ -46,6 +46,7 @@ def stream_analysis_json(
     checkpoint_location: str | None = None,
     maintenance_every: int | None = None,
     vacuum_keep_last: int = 2,
+    auto_rebucket_bytes: int | None = None,
 ):
     """Streaming graph ingest: each micro-batch runs the SAME batch ETL
     (build_graph_tables) and MERGEs into the warehouse — foreachBatch
@@ -80,7 +81,15 @@ def stream_analysis_json(
     (time-travel horizon — disk stays bounded by live + retained
     versions).  Maintenance runs between commits on the foreachBatch
     thread, so it can never race a concurrent merge of the same
-    table."""
+    table (and since r9's optimistic commit loop, a racing external
+    writer would serialize or fail loudly rather than lose a commit).
+
+    ``auto_rebucket_bytes`` (off by default) adds the B ∝ table-size
+    policy to the cadence: each maintenance pass calls
+    ``Warehouse.maybe_rebucket(table, target_bucket_bytes=...)`` —
+    a metadata-only check that re-layouts a merge table only once it
+    has outgrown its pinned bucket count 4×, so an endless stream
+    never strands a table on its birth-time modulus."""
     wh = Warehouse(spark, warehouse_root)
     wh.initialize()
 
@@ -120,6 +129,9 @@ def stream_analysis_json(
             batch_seq=epoch_id + 1,
         )
         if maintenance_every and (epoch_id + 1) % maintenance_every == 0:
+            if auto_rebucket_bytes is not None:
+                for t in keep:
+                    wh.maybe_rebucket(t, target_bucket_bytes=auto_rebucket_bytes)
             wh.optimize()
             wh.vacuum(keep_last=vacuum_keep_last)
 

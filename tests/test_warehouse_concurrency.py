@@ -244,3 +244,37 @@ def test_adoption_validates_pinned_modulus(spark, tmp_path):
         wh2.merge_batch_incremental(
             {"functions": _fns(spark, [(5, 5)])}, batch_seq=2, n_buckets=8
         )
+
+
+def test_recommended_buckets_and_maybe_rebucket(spark, tmp_path):
+    """The B ∝ table-size policy: recommendation is a stable power of
+    two from live manifest bytes (metadata only); maybe_rebucket fires
+    only past the 4x hysteresis, never shrinks, and preserves values."""
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.merge_batch_incremental(
+        {"functions": _fns(spark, [(k, k) for k in range(500)])}
+    )
+    # generous target -> small recommendation -> no rebucket (never shrinks)
+    assert wh.recommended_buckets("functions", target_bucket_bytes=1 << 40) == 1
+    assert wh.maybe_rebucket("functions", target_bucket_bytes=1 << 40) is None
+    mvs = wh._manifest_versions("functions")
+    assert wh._manifest("functions", mvs[-1])["n_buckets"] == 64
+
+    # target sized so the CURRENT live bytes want ~300 buckets -> the
+    # table has "outgrown" 64 buckets 4x (at gate scale bytes track
+    # file overhead, so targets derive from measured bytes, exactly as
+    # a deployment would pick target_bucket_bytes from its file sizes)
+    live_bytes = wh.history("functions")[-1]["bytes"]
+    target = max(1, live_bytes // 300)
+    rec = wh.recommended_buckets("functions", target_bucket_bytes=target)
+    assert rec >= 4 * 64 and (rec & (rec - 1)) == 0  # power of two
+    before = {r["uid"]: r["size"] for r in wh.read("functions").collect()}
+    v = wh.maybe_rebucket("functions", target_bucket_bytes=target)
+    assert v is not None
+    assert wh._manifest("functions", v)["n_buckets"] == rec
+    assert {r["uid"]: r["size"] for r in wh.read("functions").collect()} == before
+    # hysteresis: a recommendation derived from the CURRENT bytes sits
+    # near the pinned count -> no re-layout fires
+    live2 = wh.history("functions")[-1]["bytes"]
+    assert wh.maybe_rebucket("functions", target_bucket_bytes=max(1, live2 // 300)) is None
