@@ -234,13 +234,29 @@ class Warehouse:
             table, files=names, base_version=(self.versions(table) or [-1])[-1]
         )
 
-    def vacuum(self, keep_last: int = 2) -> dict[str, int]:
+    def vacuum(
+        self, keep_last: int = 2, *, staging_ttl_hours: float = 24.0
+    ) -> dict[str, int]:
         """Drop all but the newest ``keep_last`` non-live versions per
         table (time-travel horizon vs storage), then delete every data
         file unreachable from the retained manifests (which also sweeps
         orphans left by crashed or conflicted commits: the manifest is
         the precise reachable-file set). Returns
-        {table: n_versions_removed}."""
+        {table: n_versions_removed}.
+
+        Staging dirs (``_<table>_*staging*_<uuid>``) belong to
+        IN-FLIGHT writers; a crashed writer abandons one.  Vacuum sweeps
+        those older than ``staging_ttl_hours`` (mtime) — the TTL keeps a
+        concurrent writer's live staging safe, the same contract as
+        Delta's orphan-file retention window.  Pass 0 only when no
+        writer can be running."""
+        import time
+
+        cutoff = time.time() - staging_ttl_hours * 3600.0
+        for pat in ("_*_staging_*", "_*_compact_*"):
+            for d in self.root.glob(pat):
+                if d.is_dir() and d.stat().st_mtime <= cutoff:
+                    shutil.rmtree(d, ignore_errors=True)
         out: dict[str, int] = {}
         for name in ALL_TABLES:
             removed = 0

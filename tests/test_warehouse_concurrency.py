@@ -278,3 +278,28 @@ def test_recommended_buckets_and_maybe_rebucket(spark, tmp_path):
     # near the pinned count -> no re-layout fires
     live2 = wh.history("functions")[-1]["bytes"]
     assert wh.maybe_rebucket("functions", target_bucket_bytes=max(1, live2 // 300)) is None
+
+
+def test_vacuum_sweeps_abandoned_staging_with_ttl(spark, tmp_path):
+    """A crashed writer abandons a per-writer staging dir; vacuum sweeps
+    it once past the TTL, and the TTL protects an in-flight writer's
+    fresh staging."""
+    import os
+
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.merge_batch_incremental({"functions": _fns(spark, [(1, 1)])})
+    from pathlib import Path
+
+    crashed = Path(root) / "_functions_inc_staging_deadbeef0000"
+    crashed.mkdir()
+    (crashed / "part-stale").write_text("x")
+    old = 1_000_000_000  # well past any TTL
+    os.utime(crashed, (old, old))
+    fresh = Path(root) / "_functions_inc_staging_aaaaaaaa0000"
+    fresh.mkdir()
+    wh.vacuum(keep_last=2)  # default 24h TTL
+    assert not crashed.exists(), "aged staging must be swept"
+    assert fresh.exists(), "fresh staging (a live writer) must survive"
+    wh.vacuum(keep_last=2, staging_ttl_hours=0)
+    assert not fresh.exists(), "ttl=0 sweeps everything (quiesced warehouse)"
