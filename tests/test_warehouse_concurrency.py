@@ -303,3 +303,95 @@ def test_vacuum_sweeps_abandoned_staging_with_ttl(spark, tmp_path):
     assert fresh.exists(), "fresh staging (a live writer) must survive"
     wh.vacuum(keep_last=2, staging_ttl_hours=0)
     assert not fresh.exists(), "ttl=0 sweeps everything (quiesced warehouse)"
+
+def _fragment_bucket(spark, wh, root, kb, n_files=2):
+    """Re-layout one bucket's content into n_files files AS a manifest
+    commit (incremental merges rewrite whole buckets, so fragmentation
+    only arises from multi-file writes at real scale — recreate it
+    through the protocol, not by mutating live files)."""
+    from pathlib import Path
+
+    mvs = wh._manifest_versions("functions")
+    m = wh._manifest("functions", mvs[-1])
+    files = m["buckets"][kb]
+    tdir = Path(root) / "functions" / f"_kb={kb}"
+    stage = Path(root) / f"_frag_stage_{kb}"
+    spark.read.parquet(*[str(tdir / f) for f in files]).repartition(
+        n_files
+    ).write.mode("overwrite").parquet(str(stage))
+    names = []
+    for f in sorted(stage.glob("part-*")):
+        f.rename(tdir / f.name)
+        names.append(f.name)
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    newb = dict(m["buckets"])
+    newb[kb] = names
+    wh._commit_manifest(
+        "functions", newb, m["n_buckets"], base_version=m["version"], touched={kb}
+    )
+    return len(names)
+
+
+def test_compaction_rebases_over_concurrent_ingest(spark, tmp_path):
+    """The verdict's 'normal case at 100 TB': maintenance compaction
+    racing an ingest commit.  Compaction passes its compacted buckets
+    as the touched set, so when the concurrent ingest touched OTHER
+    buckets the compaction rebases (both commits survive); when the
+    ingest rewrote one of the buckets being compacted, compaction
+    raises instead of resurrecting the pre-ingest files."""
+    root = str(tmp_path / "wh")
+    a, b = InterleavedWarehouse(spark, root), Warehouse(spark, root)
+    b.merge_batch_incremental(
+        {"functions": _fns(spark, [(k, k) for k in range(300)])}
+    )
+    live = b._live_bucket_files("functions")
+    # pick a bucket with >=2 rows to fragment, and a different bucket
+    # for the concurrent ingest
+    counts = {
+        kb: spark.read.parquet(
+            *[f"{root}/functions/_kb={kb}/{fn}" for fn in fs]
+        ).count()
+        for kb, fs in list(live.items())[:8]
+        if fs
+    }
+    kb_frag = next(kb for kb, c in counts.items() if c >= 2)
+    assert _fragment_bucket(spark, b, root, kb_frag) >= 2
+
+    key_other = next(
+        f"Z_{j}"
+        for j in range(400)
+        if str(_bucket_of(spark, f"Z_{j}")) != kb_frag
+    )
+    a._inject = lambda: b.merge_batch_incremental(
+        {"functions": _fns(spark, [(key_other, 12345)])}, batch_seq=9
+    )
+    res = a.optimize(target_bytes=1 << 30)  # compacts exactly the fragmented bucket
+    assert res["functions"][1] < res["functions"][0]
+    vals = {r["uid"]: r["size"] for r in a.read("functions").collect()}
+    assert vals[key_other] == 12345, "concurrent ingest lost under compaction rebase"
+    assert vals["150"] == 150, "compaction changed values"
+    assert len(vals) == 301
+    assert all(len(fs) <= 1 for fs in a._live_bucket_files("functions").values())
+
+    # overlapping race: the ingest rewrites the bucket being compacted
+    # -> compaction must raise, and the ingest's value stays live
+    counts2 = {
+        kb: spark.read.parquet(
+            *[f"{root}/functions/_kb={kb}/{fn}" for fn in fs]
+        ).count()
+        for kb, fs in list(a._live_bucket_files("functions").items())[:8]
+        if fs
+    }
+    kb2 = next(kb for kb, c in counts2.items() if c >= 2)
+    _fragment_bucket(spark, b, root, kb2)
+    key_same = next(
+        str(j) for j in range(300) if str(_bucket_of(spark, str(j))) == kb2
+    )
+    a._inject = lambda: b.merge_batch_incremental(
+        {"functions": _fns(spark, [(key_same, 777)])}, batch_seq=13
+    )
+    with pytest.raises(ConcurrentCommitError):
+        a.optimize(target_bytes=1 << 30)
+    assert {r["uid"]: r["size"] for r in b.read("functions").collect()}[key_same] == 777
