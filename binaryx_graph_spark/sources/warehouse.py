@@ -208,6 +208,7 @@ class Warehouse:
                     target.get("n_buckets"),
                     files=target.get("files"),
                     base_version=mvs[-1],
+                    file_bytes=target.get("bytes"),
                 )
                 return
         if newest is not None and "buckets" in newest:
@@ -220,8 +221,10 @@ class Warehouse:
             df = self.read(table, version=version).withColumn(
                 "_kb", self._key_bucket(table, nb)
             )
-            new_buckets = self._stage_bucketed(table, df)
-            self._commit_manifest(table, new_buckets, nb, base_version=mvs[-1])
+            new_buckets, fb = self._stage_bucketed(table, df)
+            self._commit_manifest(
+                table, new_buckets, nb, base_version=mvs[-1], file_bytes=fb
+            )
             return
         # live is flat; target is a legacy directory snapshot → rewrite
         # its content as new root files (adopting a never-manifested live
@@ -229,9 +232,12 @@ class Warehouse:
         if newest is None and (self.root / table).exists():
             self._adopt_flat(table)
             mvs = self._manifest_versions(table)
-        names = self._stage_flat(table, self.read(table, version=version))
+        names, fb = self._stage_flat(table, self.read(table, version=version))
         self._commit_manifest(
-            table, files=names, base_version=(self.versions(table) or [-1])[-1]
+            table,
+            files=names,
+            base_version=(self.versions(table) or [-1])[-1],
+            file_bytes=fb,
         )
 
     def vacuum(
@@ -344,19 +350,24 @@ class Warehouse:
         for v in mvs:
             m = self._manifest(table, v)
             if "buckets" in m:
-                paths = [
-                    self.root / table / f"_kb={b}" / fn
+                rels = [
+                    (f"{b}/{fn}", self.root / table / f"_kb={b}" / fn)
                     for b, fs in m["buckets"].items()
                     for fn in fs
                 ]
             else:
-                paths = [self.root / table / fn for fn in m["files"]]
+                rels = [(fn, self.root / table / fn) for fn in m["files"]]
+            bm = m.get("bytes")
+            if bm is not None and all(r in bm for r, _p in rels):
+                total = sum(bm[r] for r, _p in rels)  # pure metadata
+            else:  # pre-size-map manifest: stat once per distinct file
+                total = sum(_sz(p) for _r, p in rels)
             rows.append(
                 {
                     "version": v,
                     "kind": "manifest",
-                    "n_files": len(paths),
-                    "bytes": sum(_sz(p) for p in paths),
+                    "n_files": len(rels),
+                    "bytes": total,
                     "n_buckets": m.get("n_buckets"),
                 }
             )
@@ -403,6 +414,7 @@ class Warehouse:
         files: list[str] | None = None,
         base_version: int | None = None,
         touched: set[str] | None = None,
+        file_bytes: dict[str, int] | None = None,
         max_retries: int = 20,
     ) -> int:
         """Publish a new table version with OPTIMISTIC CONCURRENCY (the
@@ -423,7 +435,16 @@ class Warehouse:
 
         ``base_version`` is the version the writer's read was based on
         (defaults to the head at publish time, i.e. no conflict
-        detection for adoption-style metadata commits)."""
+        detection for adoption-style metadata commits).
+
+        The manifest also records per-file SIZES (``bytes``): the
+        writer passes sizes for the files it just wrote
+        (``file_bytes``), carried files inherit theirs from the head's
+        manifest, and anything still unknown (one-time adoption of a
+        pre-manifest directory) is statted once at commit.  Readers of
+        ``history()`` / ``recommended_buckets`` then never touch the
+        filesystem — at object-store scale, per-file stat calls are a
+        LIST storm this map exists to avoid."""
         md = self._manifest_dir(table)
         md.mkdir(parents=True, exist_ok=True)
         base = (
@@ -442,6 +463,7 @@ class Warehouse:
             nxt = head + 1
             if files is not None:
                 doc = {"version": nxt, "n_buckets": None, "files": sorted(files)}
+                rels = list(doc["files"])
             else:
                 doc = {
                     "version": nxt,
@@ -453,6 +475,26 @@ class Warehouse:
                         )
                     },
                 }
+                rels = [
+                    f"{b}/{fn}" for b, fs in doc["buckets"].items() for fn in fs
+                ]
+            prev_bytes: dict[str, int] = {}
+            if head in set(self._manifest_versions(table)):
+                prev_bytes = self._manifest(table, head).get("bytes", {})
+            bmap: dict[str, int] = {}
+            for rel in rels:
+                if file_bytes is not None and rel in file_bytes:
+                    bmap[rel] = file_bytes[rel]
+                elif rel in prev_bytes:
+                    bmap[rel] = prev_bytes[rel]
+                else:  # one-time adoption of pre-manifest files
+                    if files is not None:
+                        p = self.root / table / rel
+                    else:
+                        b, fn = rel.split("/", 1)
+                        p = self.root / table / f"_kb={b}" / fn
+                    bmap[rel] = p.stat().st_size if p.exists() else 0
+            doc["bytes"] = bmap
             # tmp name unique per WRITER, not just per process: two
             # threads racing on one version with a shared tmp would
             # link each other's content or unlink a live tmp
@@ -627,11 +669,13 @@ class Warehouse:
         return self._dir_buckets(table)
 
     # --------------------------------------------------------- file staging
-    def _stage_flat(self, table: str, df: DataFrame, *, key_shuffle: bool = True) -> list[str]:
+    def _stage_flat(
+        self, table: str, df: DataFrame, *, key_shuffle: bool = True
+    ) -> tuple[list[str], dict[str, int]]:
         """Write ``df`` as new immutable files at the table root (via a
         staging dir — parquet can't overwrite in place while reading);
-        returns the new file names for the manifest. Nothing live is
-        touched: the commit point is the manifest publish.
+        returns (new file names, name→bytes) for the manifest. Nothing
+        live is touched: the commit point is the manifest publish.
         ``key_shuffle`` hash-distributes on the merge key so later
         joins/merges co-locate; callers that pre-shaped the partitioning
         (compaction's target file count) pass False.
@@ -646,16 +690,21 @@ class Warehouse:
         path = self.root / table
         path.mkdir(parents=True, exist_ok=True)
         names: list[str] = []
+        sizes: dict[str, int] = {}
         for f in sorted(staging.glob("part-*")):
+            sizes[f.name] = f.stat().st_size
             f.rename(path / f.name)  # unique (job-UUID) names: no clash
             names.append(f.name)
         shutil.rmtree(staging, ignore_errors=True)
-        return names
+        return names, sizes
 
-    def _stage_bucketed(self, table: str, df: DataFrame) -> dict[str, list[str]]:
+    def _stage_bucketed(
+        self, table: str, df: DataFrame
+    ) -> tuple[dict[str, list[str]], dict[str, int]]:
         """Write a ``_kb``-partitioned ``df`` as new immutable files
-        under the table's bucket dirs; returns the fresh bucket→file
-        map (ONLY the staged buckets — callers overlay or replace).
+        under the table's bucket dirs; returns (the fresh bucket→file
+        map — ONLY the staged buckets, callers overlay or replace —
+        and the "b/fn"→bytes size map).
 
         Repartition BY BUCKET, not by key: partitionBy alone would emit
         one file per (shuffle task × bucket) — 32×512 tiny files on a
@@ -672,17 +721,19 @@ class Warehouse:
         ).parquet(str(staging))
         path = self.root / table
         new_buckets: dict[str, list[str]] = {}
+        sizes: dict[str, int] = {}
         for src in sorted(staging.glob("_kb=*")):
             b = src.name.split("=", 1)[1]
             dst = path / src.name
             dst.mkdir(parents=True, exist_ok=True)
             names: list[str] = []
             for f in sorted(src.glob("part-*")):
+                sizes[f"{b}/{f.name}"] = f.stat().st_size
                 f.rename(dst / f.name)
                 names.append(f.name)
             new_buckets[b] = names
         shutil.rmtree(staging, ignore_errors=True)
-        return new_buckets
+        return new_buckets, sizes
 
     # ------------------------------------------------------ E9/E10 upsert
     def merge_batch(self, tables: dict[str, DataFrame], batch_seq: int = 1) -> None:
@@ -729,8 +780,8 @@ class Warehouse:
             else:
                 merged = df.dropDuplicates(keys)
                 base = -1  # brand-new table: any concurrent creator conflicts
-            names = self._stage_flat(name, merged)
-            self._commit_manifest(name, files=names, base_version=base)
+            names, fb = self._stage_flat(name, merged)
+            self._commit_manifest(name, files=names, base_version=base, file_bytes=fb)
 
     # -------------------------------------------- incremental MERGE
     #: key-bucket count for incrementally merged tables; at 100 TB this
@@ -836,7 +887,7 @@ class Warehouse:
                     )
                 else:
                     base_df = base_df.dropDuplicates(keys)
-                new_buckets = self._stage_bucketed(name, base_df)
+                new_buckets, fb = self._stage_bucketed(name, base_df)
                 self._commit_manifest(
                     name,
                     new_buckets,
@@ -844,6 +895,7 @@ class Warehouse:
                     base_version=newest["version"]
                     if newest is not None
                     else (self.versions(name) or [-1])[-1],
+                    file_bytes=fb,
                 )
                 out[name] = nb
                 continue
@@ -876,7 +928,7 @@ class Warehouse:
                 )
             else:
                 merged = batch.dropDuplicates(keys)
-            staged = self._stage_bucketed(name, merged)
+            staged, fb = self._stage_bucketed(name, merged)
             new_buckets = dict(prev["buckets"])
             for b in touched:
                 # [] = the batch emptied the bucket
@@ -887,6 +939,7 @@ class Warehouse:
                 nb,
                 base_version=prev["version"],
                 touched={str(b) for b in touched},
+                file_bytes=fb,
             )
             out[name] = len(touched)
         return out
@@ -920,9 +973,13 @@ class Warehouse:
             .drop("_kb")
             .withColumn("_kb", self._key_bucket(table, n_buckets))
         )
-        new_buckets = self._stage_bucketed(table, df)
+        new_buckets, fb = self._stage_bucketed(table, df)
         return self._commit_manifest(
-            table, new_buckets, n_buckets, base_version=newest["version"]
+            table,
+            new_buckets,
+            n_buckets,
+            base_version=newest["version"],
+            file_bytes=fb,
         )
 
     def recommended_buckets(
@@ -939,15 +996,19 @@ class Warehouse:
         if not mvs:
             return self.N_KEY_BUCKETS
         m = self._manifest(table, mvs[-1])
-        if "buckets" in m:
-            paths = [
-                self.root / table / f"_kb={b}" / fn
-                for b, fs in m["buckets"].items()
-                for fn in fs
-            ]
+        bm = m.get("bytes")
+        if bm is not None:
+            live = sum(bm.values())  # pure metadata — no stat pass
         else:
-            paths = [self.root / table / fn for fn in m["files"]]
-        live = sum(p.stat().st_size for p in paths if p.exists())
+            if "buckets" in m:
+                paths = [
+                    self.root / table / f"_kb={b}" / fn
+                    for b, fs in m["buckets"].items()
+                    for fn in fs
+                ]
+            else:
+                paths = [self.root / table / fn for fn in m["files"]]
+            live = sum(p.stat().st_size for p in paths if p.exists())
         want = max(1, -(-live // target_bucket_bytes))  # ceil
         b = 1
         while b < want:
@@ -1020,13 +1081,19 @@ class Warehouse:
                 b_before = b_after = 0
                 new_buckets = dict(newest["buckets"])
                 changed: set[str] = set()
+                fb: dict[str, int] = {}
+                man_bytes = newest.get("bytes", {})
                 for b, fnames in sorted(newest["buckets"].items(), key=lambda kv: int(kv[0])):
                     d = p / f"_kb={b}"
                     files = [d / fn for fn in fnames]
                     b_before += len(files)
-                    bwant = max(
-                        1, math.ceil(sum(f.stat().st_size for f in files) / target_bytes)
+                    # per-file sizes from the manifest when recorded
+                    # (no stat pass); stat only pre-size-map manifests
+                    bsize = sum(
+                        man_bytes.get(f"{b}/{fn}", None) or (d / fn).stat().st_size
+                        for fn in fnames
                     )
+                    bwant = max(1, math.ceil(bsize / target_bytes))
                     if len(files) <= bwant:
                         b_after += len(files)
                         continue
@@ -1038,6 +1105,7 @@ class Warehouse:
                     ).write.mode("overwrite").parquet(str(staged))
                     names: list[str] = []
                     for f in sorted(staged.glob("part-*")):
+                        fb[f"{b}/{f.name}"] = f.stat().st_size
                         f.rename(d / f.name)
                         names.append(f.name)
                     shutil.rmtree(staged, ignore_errors=True)
@@ -1053,6 +1121,7 @@ class Warehouse:
                         newest["n_buckets"],
                         base_version=newest["version"],
                         touched=changed,
+                        file_bytes=fb,
                     )
                 out[name] = (b_before, b_after)
                 continue
@@ -1061,7 +1130,10 @@ class Warehouse:
                 newest = self._manifest(name, v)
             fnames = newest["files"]
             files = [p / fn for fn in fnames]
-            size = sum(f.stat().st_size for f in files)
+            bm = newest.get("bytes", {})
+            size = sum(
+                bm.get(fn, None) or (p / fn).stat().st_size for fn in fnames
+            )
             want = max(1, math.ceil(size / target_bytes))
             if len(files) <= want:
                 out[name] = (len(files), len(files))
@@ -1071,9 +1143,9 @@ class Warehouse:
             # just without a co-location guarantee
             keys = MERGE_KEYS.get(name)
             shaped = df.repartition(want, *keys) if keys else df.repartition(want)
-            names = self._stage_flat(name, shaped, key_shuffle=False)
+            names, fb = self._stage_flat(name, shaped, key_shuffle=False)
             self._commit_manifest(
-                name, files=names, base_version=newest["version"]
+                name, files=names, base_version=newest["version"], file_bytes=fb
             )
             out[name] = (len(files), len(names))
         return out

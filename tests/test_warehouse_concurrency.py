@@ -395,3 +395,46 @@ def test_compaction_rebases_over_concurrent_ingest(spark, tmp_path):
     with pytest.raises(ConcurrentCommitError):
         a.optimize(target_bytes=1 << 30)
     assert {r["uid"]: r["size"] for r in b.read("functions").collect()}[key_same] == 777
+
+
+def test_manifest_byte_maps_complete_and_metadata_only(spark, tmp_path):
+    """Every commit records per-file sizes in its manifest; history()
+    and recommended_buckets() then answer from metadata alone, matching
+    stat reality exactly (the object-store LIST-storm avoidance)."""
+    from pathlib import Path
+
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    # exercise every commit kind: flat merge, conversion, incremental,
+    # rebucket, compaction, metadata rollback
+    wh.merge_batch({"functions": _fns(spark, [(k, k) for k in range(50)])})
+    wh.merge_batch_incremental({"functions": _fns(spark, [(5, 55)])}, batch_seq=2)
+    wh.merge_batch_incremental({"functions": _fns(spark, [(7, 77)])}, batch_seq=3)
+    wh.rebucket("functions", 16)
+    wh.rollback("functions", wh.versions("functions")[-2])
+
+    for v in wh._manifest_versions("functions"):
+        m = wh._manifest("functions", v)
+        bm = m.get("bytes")
+        assert bm is not None, f"v{v} has no byte map"
+        if "buckets" in m:
+            rels = {
+                (f"{b}/{fn}", Path(root) / "functions" / f"_kb={b}" / fn)
+                for b, fs in m["buckets"].items()
+                for fn in fs
+            }
+        else:
+            rels = {(fn, Path(root) / "functions" / fn) for fn in m["files"]}
+        assert set(bm) == {r for r, _ in rels}, f"v{v} byte map incomplete"
+        for r, p in rels:
+            assert bm[r] == p.stat().st_size, f"v{v} {r} size drifted"
+
+    # history() totals equal a stat-computed ground truth
+    for row in wh.history("functions"):
+        if row["kind"] != "manifest":
+            continue
+        m = wh._manifest("functions", row["version"])
+        assert row["bytes"] == sum(m["bytes"].values())
+    # recommended_buckets runs off the same map (smoke: no exception,
+    # sane value)
+    assert wh.recommended_buckets("functions") >= 1
