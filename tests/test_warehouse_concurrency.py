@@ -438,3 +438,37 @@ def test_manifest_byte_maps_complete_and_metadata_only(spark, tmp_path):
     # recommended_buckets runs off the same map (smoke: no exception,
     # sane value)
     assert wh.recommended_buckets("functions") >= 1
+
+
+def test_streaming_maintenance_auto_rebucket(spark, tmp_path):
+    """The streaming maintenance cadence re-layouts a merge table once
+    it outgrows its pinned bucket count (auto_rebucket_bytes), and the
+    stream keeps committing at the new modulus with exact counts."""
+    import json as _json
+
+    from binaryx_graph_spark.streaming.ingest_stream import stream_analysis_json
+    from tools.endurance_stream import synth_doc
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i in range(6):
+        (in_dir / f"d{i}.json").write_text(_json.dumps(synth_doc(i)))
+    root = str(tmp_path / "wh")
+    q = stream_analysis_json(
+        spark, str(in_dir), root,
+        max_files_per_trigger=1, incremental=True,
+        maintenance_every=2, vacuum_keep_last=1,
+        merge_tables=("functions",),
+        auto_rebucket_bytes=16,  # per-bucket target far under live bytes
+    )
+    q.awaitTermination()
+    wh = Warehouse(spark, root)
+    mvs = wh._manifest_versions("functions")
+    nb = wh._manifest("functions", mvs[-1])["n_buckets"]
+    assert nb > 64, f"auto-rebucket never fired: n_buckets={nb}"
+    assert wh.read("functions").count() == 6 * 5 + 1  # 5 fns/doc + shared import fn
+    # commits continue at the new modulus with LWW intact
+    wh.merge_batch_incremental(
+        {"functions": _fns(spark, [("fn_post", 9)])}, batch_seq=99
+    )
+    assert wh.read("functions").count() == 6 * 5 + 2
