@@ -1340,3 +1340,296 @@ def warehouse_rebucket_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "phase string, n long, checksum long",
     ).orderBy("phase")
+
+
+@register(
+    "warehouse_zonemap_scan_certified",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(o_orderkey AS BIGINT) AS sz FROM orders
+    ),
+    bnd AS (
+      SELECT min(k) + (max(k) - min(k)) // 10 AS lo,
+             min(k) + (max(k) - min(k)) // 5 AS hi
+      FROM base
+    ),
+    live AS (
+      SELECT k, CAST(CASE WHEN k % 5 = 0 THEN k % 977 ELSE k END AS BIGINT) AS sz
+      FROM base
+    )
+    SELECT * FROM (
+      SELECT '1_flat_range_scan' AS phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(sz) AS BIGINT) AS checksum
+      FROM base, bnd WHERE sz BETWEEN lo AND hi
+      UNION ALL
+      SELECT '2_bucketed_range_scan', CAST(count(*) AS BIGINT),
+             CAST(sum(sz) AS BIGINT)
+      FROM live, bnd WHERE sz BETWEEN lo AND hi
+      UNION ALL
+      SELECT '3_point_lookup', CAST(count(*) AS BIGINT),
+             CAST(sum(sz) AS BIGINT)
+      FROM live WHERE k = (SELECT min(k) FROM base)
+    ) t ORDER BY phase
+    """,
+    tags=("warehouse", "layout", "scale"),
+)
+def warehouse_zonemap_scan_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse lever #10 — ZONE-MAP DATA SKIPPING, certified inside
+    the gate.  Every commit records per-file column min/max in the
+    manifest (footer-derived at write, carried forward for shared
+    files — `sources/warehouse.py:_parquet_minmax`); ``scan`` prunes
+    the file list on those stats before opening anything, and
+    ``optimize(cluster_by=...)`` range-clusters a table so the stats
+    are tight.  At 100 TB the skip decision is pure manifest metadata:
+    no LIST, no footer GETs, no data pages for files that provably
+    can't match.
+
+    Three phases at data scale; the query RAISES unless:
+
+    - **clustered range scan prunes**: after ``optimize(cluster_by=
+      ['size'])`` the per-file size ranges are pairwise DISJOINT, and a
+      BETWEEN scan opens strictly fewer files than the manifest lists
+      (while returning exactly ``read().filter(...)`` — compared
+      in-gate);
+    - **skipping survives incremental commits**: after converting to
+      the bucketed layout and overlaying a batch (every 5th key
+      rewritten), the same range scan is still value-exact — carried
+      files reuse their recorded stats, rewritten buckets get fresh
+      ones;
+    - **point lookup opens one bucket**: an equality scan on the full
+      merge key hashes to its bucket first — files_read is bounded by
+      ONE bucket's file count, not the table's.
+
+    Counts + integer checksums replay in DuckDB from `orders`."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..model import load_table
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_zonemap_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(spark, root)
+    orders = load_table(spark, sf_dir, "orders")
+
+    def fns(pred, size_col):
+        sel = orders.filter(pred) if pred is not None else orders
+        return sel.select(
+            F.col("o_orderkey").cast("string").alias("uid"),
+            F.concat(F.lit("fn_"), F.col("o_orderkey").cast("string")).alias("name"),
+            F.lit("").alias("address"),
+            size_col.cast("long").alias("size"),
+            F.lit("Internal").alias("type"),
+        )
+
+    def snap(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("size").alias("checksum")
+        ).collect()[0]
+        return int(r["n"]), int(r["checksum"] or 0)
+
+    # base commit, then cluster on `size` targeting ~8 files at ANY sf
+    wh.merge_batch({"functions": fns(None, F.col("o_orderkey"))})
+    m0 = wh._manifest("functions", wh.versions("functions")[-1])
+    target = max(4096, sum(m0["bytes"].values()) // 8)
+    wh.optimize(target_bytes=target, cluster_by={"functions": ["size"]})
+    m1 = wh._manifest("functions", wh.versions("functions")[-1])
+    if any("size" not in st for st in m1["stats"].values()):
+        raise AssertionError("clustered commit missing a size zone map")
+    ranges = sorted(st["size"] for st in m1["stats"].values())
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        if hi1 >= lo2:
+            raise AssertionError(
+                f"range clustering produced overlapping zone maps: "
+                f"[{lo1},{hi1}] vs [{lo2},..]"
+            )
+    # window = [min + span/10, min + span/5] of the key domain — narrow
+    # relative to the clustered layout at EVERY sf, so pruning is
+    # provable (a fixed window would swallow the whole domain at small
+    # scale factors); the oracle derives the same bounds in SQL
+    kb = orders.agg(
+        F.min("o_orderkey").alias("kmin"), F.max("o_orderkey").alias("kmax")
+    ).collect()[0]
+    span = int(kb["kmax"]) - int(kb["kmin"])
+    lo = int(kb["kmin"]) + span // 10
+    hi = int(kb["kmin"]) + span // 5
+    preds = [("size", "between", (lo, hi))]
+    scanned, diag = wh.scan("functions", preds, with_diagnostics=True)
+    flat_n, flat_c = snap(scanned)
+    if not (1 <= diag["files_read"] < diag["files_total"]):
+        raise AssertionError(f"clustered range scan did not prune: {diag}")
+    full_n, full_c = snap(
+        Warehouse._apply_predicates(wh.read("functions"), preds)
+    )
+    if (flat_n, flat_c) != (full_n, full_c):
+        raise AssertionError(
+            f"scan diverged from read().filter: {(flat_n, flat_c)} != "
+            f"{(full_n, full_c)}"
+        )
+
+    # convert to the bucketed layout with an overlay batch (every 5th
+    # key rewritten), then the same range scan on the LWW state
+    wh.merge_batch_incremental(
+        {
+            "functions": fns(
+                F.col("o_orderkey") % 5 == 0, F.col("o_orderkey") % 977
+            )
+        },
+        batch_seq=2,
+    )
+    inc_n, inc_c = snap(wh.scan("functions", preds))
+
+    # point lookup: the minimum orderkey's uid, pinned by the full key
+    k_min = orders.agg(F.min("o_orderkey")).collect()[0][0]
+    pt, pdiag = wh.scan(
+        "functions", [("uid", "=", str(k_min))], with_diagnostics=True
+    )
+    pt_n, pt_c = snap(pt)
+    m2 = wh._manifest("functions", wh.versions("functions")[-1])
+    biggest_bucket = max(len(fs) for fs in m2["buckets"].values())
+    if not (pdiag["files_read"] <= biggest_bucket < pdiag["files_total"]):
+        raise AssertionError(
+            f"point lookup did not prune to one bucket: {pdiag}, "
+            f"max bucket files {biggest_bucket}"
+        )
+    return spark.createDataFrame(
+        [
+            ("1_flat_range_scan", flat_n, flat_c),
+            ("2_bucketed_range_scan", inc_n, inc_c),
+            ("3_point_lookup", pt_n, pt_c),
+        ],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")
+
+
+@register(
+    "warehouse_cdc_read_changes_certified",
+    oracle="""
+    WITH old AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS uid,
+             CAST(o_orderkey % 997 AS BIGINT) AS size
+      FROM orders
+    ),
+    new AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS uid,
+             CAST(CASE WHEN o_orderkey % 1999 = 0 THEN o_orderkey % 983
+                       ELSE o_orderkey % 997 END AS BIGINT) AS size
+      FROM orders
+      UNION ALL
+      SELECT 'synthetic_new_key', CAST(123457 AS BIGINT)
+    ),
+    ins AS (SELECT * FROM new EXCEPT ALL SELECT * FROM old),
+    del AS (SELECT * FROM old EXCEPT ALL SELECT * FROM new)
+    SELECT * FROM (
+      SELECT '1_inserts' AS phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(COALESCE(sum(size), 0) AS BIGINT) AS checksum FROM ins
+      UNION ALL
+      SELECT '2_deletes', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(size), 0) AS BIGINT) FROM del
+      UNION ALL
+      SELECT '3_apply_identity_residual', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    ) t ORDER BY phase
+    """,
+    tags=("warehouse", "layout", "scale"),
+)
+def warehouse_cdc_read_changes_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse lever #11 — CDC BETWEEN VERSIONS, certified inside the
+    gate.  ``read_changes(table, v0, v1)``
+    (`sources/warehouse.py:read_changes`) returns the row-level net
+    difference between two committed versions as insert/delete rows
+    (an LWW update = its delete+insert pair), computed from the
+    MANIFEST DIFF: only buckets whose file lists changed between the
+    versions are listed and read — a commit that touched k of B
+    buckets costs O(k·table/B) to diff, so an incremental consumer of
+    a 100 TB table pays for the delta, not the table.
+
+    One base commit at data scale, one overlay commit (every 1999th
+    key rewritten + one brand-new key), then the query RAISES unless:
+
+    - **the diff is bucket-pruned**: diagnostics show strictly fewer
+      buckets read than the table has (the manifest diff, not a scan,
+      chose them);
+    - **apply-identity holds exactly**: ``old − deletes + inserts``
+      equals the new version as a multiset (exceptAll in BOTH
+      directions is empty — phase 3's pinned zeros);
+    - **unchanged-value rewrites vanish**: overlay keys whose new size
+      equals the old one (k%983 == k%997 happens for small k) are NOT
+      reported — the diff is row-level, not file-level.
+
+    Insert/delete counts + integer checksums replay in DuckDB from
+    `orders` via the same EXCEPT ALL algebra."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..model import load_table
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_cdc_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(spark, root)
+    orders = load_table(spark, sf_dir, "orders")
+
+    def fns(df_keys):
+        return df_keys.select(
+            F.col("uid"),
+            F.concat(F.lit("fn_"), F.col("uid")).alias("name"),
+            F.lit("").alias("address"),
+            F.col("size").cast("long").alias("size"),
+            F.lit("Internal").alias("type"),
+        )
+
+    base = orders.select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        (F.col("o_orderkey") % 997).alias("size"),
+    )
+    overlay = orders.filter(F.col("o_orderkey") % 1999 == 0).select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        (F.col("o_orderkey") % 983).alias("size"),
+    ).unionByName(
+        spark.createDataFrame(
+            [("synthetic_new_key", 123457)], "uid string, size long"
+        )
+    )
+
+    wh.merge_batch_incremental({"functions": fns(base)}, batch_seq=1)
+    v0 = wh.versions("functions")[-1]
+    wh.merge_batch_incremental({"functions": fns(overlay)}, batch_seq=2)
+    v1 = wh.versions("functions")[-1]
+
+    ch, diag = wh.read_changes("functions", v0, v1, with_diagnostics=True)
+    if not (0 < diag["buckets_read"] < diag["buckets_total"]):
+        raise AssertionError(f"CDC diff not bucket-pruned: {diag}")
+    ch = ch.localCheckpoint(eager=True)  # scanned for 2 phases + identity
+
+    def snap(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("size").alias("checksum")
+        ).collect()[0]
+        return int(r["n"]), int(r["checksum"] or 0)
+
+    ins = ch.filter(F.col("_change") == "insert").drop("_change")
+    dels = ch.filter(F.col("_change") == "delete").drop("_change")
+    ins_n, ins_c = snap(ins)
+    del_n, del_c = snap(dels)
+
+    old = wh.read("functions", version=v0)
+    new = wh.read("functions", version=v1)
+    rebuilt = old.exceptAll(dels).unionByName(ins)
+    residual = rebuilt.exceptAll(new).count() + new.exceptAll(rebuilt).count()
+    if residual:
+        raise AssertionError(
+            f"apply-identity violated: {residual} residual rows after "
+            f"old - deletes + inserts"
+        )
+    return spark.createDataFrame(
+        [
+            ("1_inserts", ins_n, ins_c),
+            ("2_deletes", del_n, del_c),
+            ("3_apply_identity_residual", residual, 0),
+        ],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")

@@ -126,7 +126,8 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     # (h) r9 additions — APPENDED after the r8 tail (same protocol);
     # warehouse_time_travel_certified re-floats via its r9 tombstone
     "warehouse_concurrent_commit_certified", "warehouse_rebucket_certified",
-    "cypher_varlen_rel_pred_not_in",
+    "cypher_varlen_rel_pred_not_in", "warehouse_zonemap_scan_certified",
+    "warehouse_cdc_read_changes_certified",
 )
 
 

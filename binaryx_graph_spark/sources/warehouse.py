@@ -86,6 +86,91 @@ MERGE_KEYS = {
 }
 
 
+#: Zone-map guard: keep a string min/max only when shorter than this.
+#: parquet-java's statistics truncation lengths are >= 64, so any full
+#: value under this bound is exact — a truncated UPPER bound would be a
+#: PREFIX of the true max (lexicographically smaller), which could prune
+#: a file that matches; dropping long-string stats keeps pruning safe.
+_STATS_MAX_STRLEN = 64
+
+
+def _parquet_minmax(path) -> dict[str, list]:
+    """Per-column ``[min, max]`` zone map from a parquet file's FOOTER —
+    metadata only, no data pages read (the object-store analog is one
+    ranged GET of the footer, which the writer that just wrote the file
+    has in memory anyway).  Only lossless-in-JSON scalar types are kept
+    (int/float/string/bool); a column missing statistics in ANY row
+    group is dropped for the whole file.  Missing stats are always safe:
+    readers treat a file without a column's zone map as unprunable."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(str(path)).metadata
+    if meta.num_row_groups == 0 or meta.num_rows == 0:
+        return {}
+    acc: dict[str, list] = {}
+    dead: set[str] = set()
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dead:  # nested leaf / already dropped
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                dead.add(name)
+                continue
+            mn, mx = st.min, st.max
+            ok = False
+            if isinstance(mn, bool) and isinstance(mx, bool):
+                ok = True
+            elif isinstance(mn, int) and isinstance(mx, int):
+                ok = True
+            elif isinstance(mn, float) and isinstance(mx, float):
+                ok = math.isfinite(mn) and math.isfinite(mx)
+            elif isinstance(mn, str) and isinstance(mx, str):
+                ok = (
+                    len(mn) < _STATS_MAX_STRLEN and len(mx) < _STATS_MAX_STRLEN
+                )
+            if not ok:
+                dead.add(name)
+                continue
+            if name in acc:
+                acc[name][0] = min(acc[name][0], mn)
+                acc[name][1] = max(acc[name][1], mx)
+            else:
+                acc[name] = [mn, mx]
+    for name in dead:
+        acc.pop(name, None)
+    return acc
+
+
+def _zone_overlaps(stat: list, op: str, value) -> bool:
+    """May rows in a file with zone map ``stat=[min,max]`` satisfy
+    ``col <op> value``?  Conservative: True unless the whole range
+    provably misses.  NULLs never satisfy a comparison, so min/max of
+    the non-null values is the only range that matters."""
+    mn, mx = stat
+    if op == "=":
+        return mn <= value <= mx
+    if op == "<":
+        return mn < value
+    if op == "<=":
+        return mn <= value
+    if op == ">":
+        return mx > value
+    if op == ">=":
+        return mx >= value
+    if op == "between":
+        lo, hi = value
+        return not (mx < lo or mn > hi)
+    if op == "in":
+        return any(mn <= v <= mx for v in value)
+    raise ValueError(f"unknown scan predicate op {op!r}")
+
+
 class ConcurrentCommitError(RuntimeError):
     """Two writers committed to one table and their changes overlap (or
     one of them rewrites the whole table): the loser's commit cannot be
@@ -158,6 +243,205 @@ class Warehouse:
         # pre-manifest bucketed dirs (legacy layout) still carry _kb
         return df.drop("_kb")
 
+    @staticmethod
+    def _apply_predicates(df: DataFrame, predicates) -> DataFrame:
+        """Apply scan conjuncts exactly (Spark-side) — zone-map pruning
+        is advisory, this is the correctness layer."""
+        for col, op, val in predicates:
+            c = F.col(col)
+            if op == "=":
+                df = df.filter(c == val)
+            elif op == "<":
+                df = df.filter(c < val)
+            elif op == "<=":
+                df = df.filter(c <= val)
+            elif op == ">":
+                df = df.filter(c > val)
+            elif op == ">=":
+                df = df.filter(c >= val)
+            elif op == "between":
+                df = df.filter((c >= val[0]) & (c <= val[1]))
+            elif op == "in":
+                df = df.filter(c.isin(list(val)))
+            else:
+                raise ValueError(f"unknown scan predicate op {op!r}")
+        return df
+
+    def scan(
+        self,
+        table: str,
+        predicates=(),
+        version: int | None = None,
+        *,
+        with_diagnostics: bool = False,
+    ):
+        """DATA-SKIPPING read: resolve the manifest, prune its file list
+        with the per-file zone maps (``stats`` — min/max per column,
+        recorded at commit from parquet footers), then read ONLY the
+        surviving files and re-apply the predicates exactly.  The result
+        always equals ``read(table, version).filter(...)``; pruning only
+        changes how many files are opened — at 100 TB, a range predicate
+        on a clustered column (see :meth:`optimize` ``cluster_by``)
+        skips the bulk of the table without a single data-page read,
+        and the decision is pure manifest metadata (no LIST, no footer
+        GETs at read time).
+
+        ``predicates`` is a conjunction of ``(col, op, value)`` with op
+        in ``{'=', '<', '<=', '>', '>=', 'between', 'in'}``
+        (``between`` takes ``(lo, hi)``, ``in`` a value list).  A file
+        with no zone map for a referenced column is kept (missing stats
+        are unprunable, never wrong).  On a BUCKETED table whose merge
+        key is fully pinned by equality predicates, the key's bucket is
+        computed first and every other bucket's files drop without even
+        consulting their stats — the point-lookup path: O(1) buckets of
+        a 100 TB table.
+
+        With ``with_diagnostics=True`` returns ``(df, diag)`` where
+        ``diag = {'files_total': n, 'files_read': m}`` — the certifier's
+        hook for asserting pruning actually happened."""
+        preds = list(predicates)
+        mvs = self._manifest_versions(table)
+        v = version if version is not None else (mvs[-1] if mvs else None)
+        if v is None or v not in mvs:
+            # pre-manifest table / legacy snapshot: no zone maps — exact
+            # result via a full read, diagnostics report no pruning
+            df = self._apply_predicates(self.read(table, version=version), preds)
+            if with_diagnostics:
+                return df, {"files_total": None, "files_read": None}
+            return df
+        m = self._manifest(table, v)
+        stats = m.get("stats", {})
+        base = self.root / table
+        bucketed = "buckets" in m
+        if bucketed:
+            rels = [
+                (f"{b}/{fn}", base / f"_kb={b}" / fn)
+                for b, fs in m["buckets"].items()
+                for fn in fs
+            ]
+        else:
+            rels = [(fn, base / fn) for fn in m["files"]]
+        total = len(rels)
+        keys = MERGE_KEYS.get(table)
+        eq = {c: val for c, op, val in preds if op == "="}
+        if bucketed and keys and m.get("n_buckets") and all(k in eq for k in keys):
+            # point lookup: one 1-row job hashes the pinned key to its
+            # bucket; all other buckets drop by construction
+            row = (
+                self.spark.range(1)
+                .select(*[F.lit(eq[k]).alias(k) for k in keys])
+                .select(self._key_bucket(table, m["n_buckets"]).alias("b"))
+                .collect()[0]
+            )
+            tb = f"{row['b']}/"
+            rels = [(r, p) for r, p in rels if r.startswith(tb)]
+        keep = []
+        for rel, p in rels:
+            st = stats.get(rel)
+            if st:
+                dead = any(
+                    col in st and not _zone_overlaps(st[col], op, val)
+                    for col, op, val in preds
+                )
+                if dead:
+                    continue
+            keep.append(str(p))
+        if not keep:
+            if table in ALL_TABLES:
+                empty = self.spark.createDataFrame([], ALL_TABLES[table][0])
+            else:
+                empty = self._read_manifest(table, v).limit(0).drop("_kb")
+            return (empty, {"files_total": total, "files_read": 0}) if with_diagnostics else empty
+        if bucketed:
+            df = self.spark.read.option("basePath", str(base)).parquet(*keep).drop("_kb")
+        else:
+            df = self.spark.read.parquet(*keep)
+        df = self._apply_predicates(df, preds)
+        if with_diagnostics:
+            return df, {"files_total": total, "files_read": len(keep)}
+        return df
+
+    def read_changes(
+        self,
+        table: str,
+        from_version: int,
+        to_version: int | None = None,
+        *,
+        with_diagnostics: bool = False,
+    ):
+        """CDC: the row-level NET difference between two committed
+        versions, as full rows plus a ``_change`` column (``'insert'``
+        rows exist in ``to`` but not ``from``; ``'delete'`` the
+        reverse; a last-write-wins update appears as its delete+insert
+        pair).  The multiset identity ``from − deletes + inserts ==
+        to`` holds exactly — an incremental consumer applies the
+        changes instead of re-reading the table.
+
+        Scale shape: when both versions are bucketed manifests at one
+        modulus, the MANIFEST DIFF picks the buckets whose file lists
+        differ and only those buckets' files — from both versions —
+        are listed, opened, and anti-joined; a commit that touched k of
+        B buckets costs O(k·table/B) to diff, not O(table).  Layout
+        changes (flat↔bucketed, rebucket) and legacy snapshots fall
+        back to a full two-version diff — correct, just unpruned.
+        Compaction-style commits rewrite files without changing rows;
+        their rewritten buckets read back equal and contribute nothing.
+
+        With ``with_diagnostics=True`` returns ``(df, {'buckets_total',
+        'buckets_read'})`` (Nones on the unpruned fallback)."""
+        if to_version is None:
+            to_version = (self.versions(table) or [-1])[-1]
+        mvs = set(self._manifest_versions(table))
+        diag = {"buckets_total": None, "buckets_read": None}
+        old_df = new_df = None
+        if from_version in mvs and to_version in mvs:
+            mo = self._manifest(table, from_version)
+            mn = self._manifest(table, to_version)
+            if (
+                "buckets" in mo
+                and "buckets" in mn
+                and mo.get("n_buckets")
+                and mo.get("n_buckets") == mn.get("n_buckets")
+            ):
+                ob, nb = mo["buckets"], mn["buckets"]
+                changed = sorted(
+                    (b for b in set(ob) | set(nb) if ob.get(b) != nb.get(b)),
+                    key=int,
+                )
+                diag = {
+                    "buckets_total": len(set(ob) | set(nb)),
+                    "buckets_read": len(changed),
+                }
+                base = self.root / table
+
+                def _sub(bmap, bs):
+                    files = [
+                        str(base / f"_kb={b}" / fn)
+                        for b in bs
+                        for fn in bmap.get(b, [])
+                    ]
+                    if not files:
+                        if table in ALL_TABLES:
+                            return self.spark.createDataFrame(
+                                [], ALL_TABLES[table][0]
+                            )
+                        return self._read_manifest(table, to_version).limit(0).drop("_kb")
+                    return (
+                        self.spark.read.option("basePath", str(base))
+                        .parquet(*files)
+                        .drop("_kb")
+                    )
+
+                old_df = _sub(ob, changed)
+                new_df = _sub(nb, changed)
+        if old_df is None:
+            old_df = self.read(table, version=from_version)
+            new_df = self.read(table, version=to_version)
+        inserts = new_df.exceptAll(old_df).withColumn("_change", F.lit("insert"))
+        deletes = old_df.exceptAll(new_df).withColumn("_change", F.lit("delete"))
+        out = inserts.unionByName(deletes)
+        return (out, diag) if with_diagnostics else out
+
     # ------------------------------------------------- snapshot versioning
     #
     # Legacy store: the pre-manifest protocol archived replaced table
@@ -209,6 +493,7 @@ class Warehouse:
                     files=target.get("files"),
                     base_version=mvs[-1],
                     file_bytes=target.get("bytes"),
+                    file_stats=target.get("stats"),
                 )
                 return
         if newest is not None and "buckets" in newest:
@@ -415,6 +700,7 @@ class Warehouse:
         base_version: int | None = None,
         touched: set[str] | None = None,
         file_bytes: dict[str, int] | None = None,
+        file_stats: dict[str, dict] | None = None,
         max_retries: int = 20,
     ) -> int:
         """Publish a new table version with OPTIMISTIC CONCURRENCY (the
@@ -444,7 +730,15 @@ class Warehouse:
         pre-manifest directory) is statted once at commit.  Readers of
         ``history()`` / ``recommended_buckets`` then never touch the
         filesystem — at object-store scale, per-file stat calls are a
-        LIST storm this map exists to avoid."""
+        LIST storm this map exists to avoid.
+
+        It additionally records per-file ZONE MAPS (``stats``:
+        rel → {col: [min, max]}, footer-derived — see
+        :func:`_parquet_minmax`): same carry-forward rule (pass
+        ``file_stats`` for rollback-style metadata commits that repeat
+        an older manifest's files; new files are footer-read once at
+        commit).  :meth:`scan` prunes on these without opening a single
+        data file."""
         md = self._manifest_dir(table)
         md.mkdir(parents=True, exist_ok=True)
         base = (
@@ -479,22 +773,36 @@ class Warehouse:
                     f"{b}/{fn}" for b, fs in doc["buckets"].items() for fn in fs
                 ]
             prev_bytes: dict[str, int] = {}
+            prev_stats: dict[str, dict] = {}
             if head in set(self._manifest_versions(table)):
-                prev_bytes = self._manifest(table, head).get("bytes", {})
+                hm = self._manifest(table, head)
+                prev_bytes = hm.get("bytes", {})
+                prev_stats = hm.get("stats", {})
             bmap: dict[str, int] = {}
+            smap: dict[str, dict] = {}
             for rel in rels:
+                if files is not None:
+                    p = self.root / table / rel
+                else:
+                    b, fn = rel.split("/", 1)
+                    p = self.root / table / f"_kb={b}" / fn
                 if file_bytes is not None and rel in file_bytes:
                     bmap[rel] = file_bytes[rel]
                 elif rel in prev_bytes:
                     bmap[rel] = prev_bytes[rel]
                 else:  # one-time adoption of pre-manifest files
-                    if files is not None:
-                        p = self.root / table / rel
-                    else:
-                        b, fn = rel.split("/", 1)
-                        p = self.root / table / f"_kb={b}" / fn
                     bmap[rel] = p.stat().st_size if p.exists() else 0
+                if file_stats is not None and rel in file_stats:
+                    smap[rel] = file_stats[rel]
+                elif rel in prev_stats:
+                    smap[rel] = prev_stats[rel]
+                elif p.exists():  # new or adopted file: one footer read
+                    try:
+                        smap[rel] = _parquet_minmax(p)
+                    except OSError:
+                        smap[rel] = {}  # unreadable footer → unprunable
             doc["bytes"] = bmap
+            doc["stats"] = smap
             # tmp name unique per WRITER, not just per process: two
             # threads racing on one version with a shared tmp would
             # link each other's content or unlink a live tmp
@@ -1040,7 +1348,11 @@ class Warehouse:
         return None
 
     # ---------------------------------------------------------- compaction
-    def optimize(self, target_bytes: int = 128 * 1024 * 1024) -> dict[str, tuple[int, int]]:
+    def optimize(
+        self,
+        target_bytes: int = 128 * 1024 * 1024,
+        cluster_by: dict[str, list[str]] | None = None,
+    ) -> dict[str, tuple[int, int]]:
         """Compact each table to ~``target_bytes`` files (the small-file
         problem: every incremental merge writes a key-hashed partition
         set, and at 100 TB a scan's task count — and the namenode — is
@@ -1057,14 +1369,31 @@ class Warehouse:
         still a commit, so the pre-compaction version remains
         time-travelable (and its old files reclaimable by vacuum). File
         counts are manifest counts: the directory also holds older
-        versions' files."""
+        versions' files.
+
+        ``cluster_by`` maps table → sort columns: that table's rewrite
+        range-partitions + sorts on them (Delta's OPTIMIZE ZORDER for
+        the 1-column case; multi-column gets lexicographic clustering —
+        compose with :func:`functions.zorder` upstream for true
+        multi-dimensional locality).  Clustering makes the per-file zone
+        maps recorded at commit TIGHT, which is what :meth:`scan`'s
+        data skipping prunes on — a clustered table answers a range
+        predicate by opening O(matching) files instead of all of them.
+        A ``cluster_by`` table is rewritten even when already at the
+        file-count target (the point is layout, not count).  Tradeoff,
+        stated: a clustered FLAT table trades merge-key co-location for
+        scan locality; bucketed tables keep co-location structurally
+        (the bucket dir is the merge unit — clustering happens within
+        buckets)."""
         import math
 
         out: dict[str, tuple[int, int]] = {}
+        cluster_by = cluster_by or {}
         for name in ALL_TABLES:
             p = Path(self._path(name))
             if not p.exists():
                 continue
+            ccols = cluster_by.get(name)
             mvs = self._manifest_versions(name)
             newest = self._manifest(name, mvs[-1]) if mvs else None
             if (newest is not None and "buckets" in newest) or (
@@ -1094,15 +1423,20 @@ class Warehouse:
                         for fn in fnames
                     )
                     bwant = max(1, math.ceil(bsize / target_bytes))
-                    if len(files) <= bwant:
+                    if len(files) <= bwant and not (ccols and files):
                         b_after += len(files)
                         continue
                     staged = self.root / f"_{name}_compact_{uuid.uuid4().hex[:12]}"
                     if staged.exists():
                         shutil.rmtree(staged)
-                    self.spark.read.parquet(*[str(f) for f in files]).repartition(
-                        bwant
-                    ).write.mode("overwrite").parquet(str(staged))
+                    bdf = self.spark.read.parquet(*[str(f) for f in files])
+                    if ccols:
+                        bdf = bdf.repartitionByRange(
+                            bwant, *ccols
+                        ).sortWithinPartitions(*ccols)
+                    else:
+                        bdf = bdf.repartition(bwant)
+                    bdf.write.mode("overwrite").parquet(str(staged))
                     names: list[str] = []
                     for f in sorted(staged.glob("part-*")):
                         fb[f"{b}/{f.name}"] = f.stat().st_size
@@ -1135,14 +1469,21 @@ class Warehouse:
                 bm.get(fn, None) or (p / fn).stat().st_size for fn in fnames
             )
             want = max(1, math.ceil(size / target_bytes))
-            if len(files) <= want:
+            if len(files) <= want and not (ccols and files):
                 out[name] = (len(files), len(files))
                 continue
             df = self._read_manifest(name, newest["version"])
             # keyless tables (future ALL_TABLES entries) still compact,
             # just without a co-location guarantee
             keys = MERGE_KEYS.get(name)
-            shaped = df.repartition(want, *keys) if keys else df.repartition(want)
+            if ccols:
+                shaped = df.repartitionByRange(want, *ccols).sortWithinPartitions(
+                    *ccols
+                )
+            elif keys:
+                shaped = df.repartition(want, *keys)
+            else:
+                shaped = df.repartition(want)
             names, fb = self._stage_flat(name, shaped, key_shuffle=False)
             self._commit_manifest(
                 name, files=names, base_version=newest["version"], file_bytes=fb
