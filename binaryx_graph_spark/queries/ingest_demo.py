@@ -1633,3 +1633,94 @@ def warehouse_cdc_read_changes_certified(spark: SparkSession, sf_dir: str) -> Da
         ],
         "phase string, n long, checksum long",
     ).orderBy("phase")
+
+
+@register(
+    "warehouse_exactly_once_replay_certified",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('binaries',  CAST(2 AS BIGINT)), ('calls',   CAST(5 AS BIGINT)),
+      ('functions', CAST(6 AS BIGINT)), ('strings', CAST(3 AS BIGINT))
+    ) AS t(tbl, n)
+    ORDER BY tbl
+    """,
+    tags=("ingest", "streaming", "warehouse", "scale"),
+)
+def warehouse_exactly_once_replay_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse lever #12 — EXACTLY-ONCE COMMITS BY METADATA
+    (Delta's txnAppId/txnVersion), certified inside the gate.  Each
+    streaming micro-batch commit carries ``txn=(app, epoch)`` into the
+    manifest's monotone txn map; a replayed epoch is skipped AT THE
+    MANIFEST HEAD (`sources/warehouse.py:_commit_manifest`,
+    :class:`IdempotentReplay`).  This upgrades the replay story from
+    idempotent-by-LWW (equal values, but every replay rewrites buckets
+    and burns write volume + versions) to exactly-once-by-metadata:
+    a replay writes NOTHING.  At 100 TB the difference is the
+    o(table)-sized bill for every checkpoint loss or retry storm.
+
+    The fixture stream runs once with ``txn_app`` set
+    (maxFilesPerTrigger=1 → one commit per file), then the WHOLE
+    stream replays with a FRESH checkpoint — the post-checkpoint-loss
+    reprocess, every epoch re-delivered.  The query RAISES unless:
+
+    - **zero versions published on replay**: per-table version lists
+      are identical before/after;
+    - **zero bytes written on replay**: the stat-map of every table
+      directory (path, size, mtime) is unchanged — not even orphaned
+      staging output;
+    - **the txn high-water mark survives**: last_txn_version equals the
+      final epoch id from the FIRST run.
+
+    Returned per-table counts replay in DuckDB as pinned constants
+    (same fixture as streaming_ingest_counts)."""
+    from ..sources.warehouse import Warehouse
+    from ..streaming.ingest_stream import stream_analysis_json
+
+    watched = ("binaries", "functions", "strings", "calls")
+    fixture = write_fixture(tempfile.mkdtemp(prefix="bxg_eo_in_"))
+    root = tempfile.mkdtemp(prefix="bxg_eo_wh_")
+
+    def run():
+        q = stream_analysis_json(
+            spark, fixture, root,
+            max_files_per_trigger=1, merge_tables=watched,
+            incremental=True, txn_app="gate_eo_stream",
+        )
+        q.awaitTermination()
+
+    def snapshot():
+        wh = Warehouse(spark, root)
+        vs = {t: wh.versions(t) for t in watched}
+        stat = {
+            str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+            for t in watched
+            for p in (Path(root) / t).rglob("*")
+            if p.is_file()
+        }
+        return wh, vs, stat
+
+    run()
+    wh, vs1, stat1 = snapshot()
+    hwm = wh.last_txn_version("functions", "gate_eo_stream")
+    if hwm is None or hwm < 1:
+        raise AssertionError(
+            f"first run should record a txn high-water mark >= 1, got {hwm}"
+        )
+    run()  # fresh default checkpoint: every epoch re-delivered
+    wh, vs2, stat2 = snapshot()
+    if vs1 != vs2:
+        raise AssertionError(
+            f"replay published versions: {[(t, len(vs1[t]), len(vs2[t])) for t in watched]}"
+        )
+    if stat1 != stat2:
+        changed = {p for p in set(stat1) ^ set(stat2)} | {
+            p for p in stat1.keys() & stat2.keys() if stat1[p] != stat2[p]
+        }
+        raise AssertionError(
+            f"replay wrote {len(changed)} files: {sorted(changed)[:3]}"
+        )
+    if wh.last_txn_version("functions", "gate_eo_stream") != hwm:
+        raise AssertionError("txn high-water mark moved on a pure replay")
+    return spark.createDataFrame(
+        [(t, wh.read(t).count()) for t in watched], "tbl string, n long"
+    ).orderBy("tbl")

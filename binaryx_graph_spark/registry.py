@@ -128,6 +128,7 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     "warehouse_concurrent_commit_certified", "warehouse_rebucket_certified",
     "cypher_varlen_rel_pred_not_in", "warehouse_zonemap_scan_certified",
     "warehouse_cdc_read_changes_certified",
+    "warehouse_exactly_once_replay_certified",
 )
 
 

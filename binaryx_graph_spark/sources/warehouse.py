@@ -171,6 +171,15 @@ def _zone_overlaps(stat: list, op: str, value) -> bool:
     raise ValueError(f"unknown scan predicate op {op!r}")
 
 
+class IdempotentReplay(Exception):
+    """Internal control flow: a commit carrying ``txn=(app, version)``
+    found the table's manifest already records ``app`` at an equal or
+    higher version — the batch was committed before (a streaming replay
+    after a checkpoint loss, a scheduler retry of an acked job).  The
+    merge methods catch this and SKIP the table: zero files written,
+    zero versions published."""
+
+
 class ConcurrentCommitError(RuntimeError):
     """Two writers committed to one table and their changes overlap (or
     one of them rewrites the whole table): the loser's commit cannot be
@@ -671,6 +680,15 @@ class Warehouse:
             )
         return sorted(rows, key=lambda r: r["version"])
 
+    def last_txn_version(self, table: str, app: str) -> int | None:
+        """Highest ``txn`` version committed for ``app`` on ``table``
+        (None if never) — the restart hook for an idempotent writer:
+        resume emitting from the next version after a checkpoint loss."""
+        mvs = self._manifest_versions(table)
+        if not mvs:
+            return None
+        return self._manifest(table, mvs[-1]).get("txn", {}).get(app)
+
     # ----------------------------------------------------- manifest store
     def _manifest_dir(self, table: str) -> Path:
         return self.root / "_manifests" / table
@@ -701,6 +719,7 @@ class Warehouse:
         touched: set[str] | None = None,
         file_bytes: dict[str, int] | None = None,
         file_stats: dict[str, dict] | None = None,
+        txn: tuple[str, int] | None = None,
         max_retries: int = 20,
     ) -> int:
         """Publish a new table version with OPTIMISTIC CONCURRENCY (the
@@ -738,7 +757,17 @@ class Warehouse:
         ``file_stats`` for rollback-style metadata commits that repeat
         an older manifest's files; new files are footer-read once at
         commit).  :meth:`scan` prunes on these without opening a single
-        data file."""
+        data file.
+
+        ``txn=(app, version)`` makes the commit IDEMPOTENT per writer
+        (Delta's txnAppId/txnVersion): the manifest carries a monotone
+        ``txn`` map {app: highest committed version}; if the head
+        already records ``app`` at >= ``version`` — including when
+        that head appears mid-retry, i.e. this writer's own ack was
+        lost and a twin already won — :class:`IdempotentReplay` is
+        raised instead of publishing a duplicate.  The map carries
+        forward across every commit (rollback included: an applied
+        batch stays applied)."""
         md = self._manifest_dir(table)
         md.mkdir(parents=True, exist_ok=True)
         base = (
@@ -749,6 +778,20 @@ class Warehouse:
         cur_buckets = buckets
         for attempt in range(max_retries + 1):
             head = (self.versions(table) or [-1])[-1]
+            head_man = (
+                self._manifest(table, head)
+                if head in set(self._manifest_versions(table))
+                else None
+            )
+            # replay check BEFORE rebase: a twin that committed this
+            # (app, version) often rewrote the same buckets — that is a
+            # replay to skip, not a conflict to raise
+            if (
+                txn is not None
+                and head_man is not None
+                and head_man.get("txn", {}).get(txn[0], -1) >= txn[1]
+            ):
+                raise IdempotentReplay(table, *txn)
             if head != base:
                 cur_buckets = self._rebase_buckets(
                     table, base, head, cur_buckets, n_buckets, touched, files
@@ -774,10 +817,11 @@ class Warehouse:
                 ]
             prev_bytes: dict[str, int] = {}
             prev_stats: dict[str, dict] = {}
-            if head in set(self._manifest_versions(table)):
-                hm = self._manifest(table, head)
-                prev_bytes = hm.get("bytes", {})
-                prev_stats = hm.get("stats", {})
+            prev_txn: dict[str, int] = {}
+            if head_man is not None:
+                prev_bytes = head_man.get("bytes", {})
+                prev_stats = head_man.get("stats", {})
+                prev_txn = head_man.get("txn", {})
             bmap: dict[str, int] = {}
             smap: dict[str, dict] = {}
             for rel in rels:
@@ -803,6 +847,11 @@ class Warehouse:
                         smap[rel] = {}  # unreadable footer → unprunable
             doc["bytes"] = bmap
             doc["stats"] = smap
+            if txn is not None:
+                prev_txn = dict(prev_txn)
+                prev_txn[txn[0]] = txn[1]
+            if prev_txn:
+                doc["txn"] = prev_txn
             # tmp name unique per WRITER, not just per process: two
             # threads racing on one version with a shared tmp would
             # link each other's content or unlink a live tmp
@@ -1044,9 +1093,20 @@ class Warehouse:
         return new_buckets, sizes
 
     # ------------------------------------------------------ E9/E10 upsert
-    def merge_batch(self, tables: dict[str, DataFrame], batch_seq: int = 1) -> None:
+    def merge_batch(
+        self,
+        tables: dict[str, DataFrame],
+        batch_seq: int = 1,
+        *,
+        txn: tuple[str, int] | None = None,
+    ) -> None:
         """MERGE-upsert a batch into the warehouse: stored rows are seq 0,
         batch rows seq ``batch_seq``; last-write-wins per MERGE key.
+
+        ``txn=(app, version)`` makes the merge EXACTLY-ONCE per writer:
+        a table whose manifest already records ``app`` at >= ``version``
+        is skipped entirely (see :meth:`_commit_manifest`) — the replay
+        contract for streaming foreachBatch sinks and scheduler retries.
 
         At scale the window dedup shuffles on the merge key once — the
         same shuffle MERGE INTO would need; no driver-side loop — but
@@ -1059,6 +1119,10 @@ class Warehouse:
         for name, df in tables.items():
             if name not in MERGE_KEYS:
                 continue
+            if txn is not None:
+                seen = self.last_txn_version(name, txn[0])
+                if seen is not None and seen >= txn[1]:
+                    continue  # replay: committed before, skip the work too
             keys = MERGE_KEYS[name]
             path = Path(self._path(name))
             mvs = self._manifest_versions(name)
@@ -1089,7 +1153,15 @@ class Warehouse:
                 merged = df.dropDuplicates(keys)
                 base = -1  # brand-new table: any concurrent creator conflicts
             names, fb = self._stage_flat(name, merged)
-            self._commit_manifest(name, files=names, base_version=base, file_bytes=fb)
+            try:
+                self._commit_manifest(
+                    name, files=names, base_version=base, file_bytes=fb, txn=txn
+                )
+            except IdempotentReplay:
+                # lost-ack race: a twin writer committed this (app,
+                # version) between our pre-check and publish; the staged
+                # files are orphans for vacuum
+                continue
 
     # -------------------------------------------- incremental MERGE
     #: key-bucket count for incrementally merged tables; at 100 TB this
@@ -1101,7 +1173,12 @@ class Warehouse:
     N_KEY_BUCKETS = 64
 
     def merge_batch_incremental(
-        self, tables: dict[str, DataFrame], batch_seq: int = 1, *, n_buckets: int | None = None
+        self,
+        tables: dict[str, DataFrame],
+        batch_seq: int = 1,
+        *,
+        n_buckets: int | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> dict[str, int]:
         """MERGE-upsert that rewrites ONLY the key-buckets the batch
         touches — the scale fix for :meth:`merge_batch`, whose
@@ -1127,11 +1204,19 @@ class Warehouse:
 
         The dedup invariant is enforced per bucket, which is equivalent
         to global LWW because the bucket is a FUNCTION of the merge
-        key: a key's every version lands in the same bucket."""
+        key: a key's every version lands in the same bucket.
+
+        ``txn=(app, version)`` makes the merge EXACTLY-ONCE per writer
+        (see :meth:`merge_batch`): replayed tables are skipped with
+        zero writes and omitted from the returned dict."""
         out: dict[str, int] = {}
         for name, df in tables.items():
             if name not in MERGE_KEYS:
                 continue
+            if txn is not None:
+                seen = self.last_txn_version(name, txn[0])
+                if seen is not None and seen >= txn[1]:
+                    continue  # replay: committed before, skip the work too
             keys = MERGE_KEYS[name]
             path = Path(self._path(name))
             mvs = self._manifest_versions(name)
@@ -1196,15 +1281,19 @@ class Warehouse:
                 else:
                     base_df = base_df.dropDuplicates(keys)
                 new_buckets, fb = self._stage_bucketed(name, base_df)
-                self._commit_manifest(
-                    name,
-                    new_buckets,
-                    nb,
-                    base_version=newest["version"]
-                    if newest is not None
-                    else (self.versions(name) or [-1])[-1],
-                    file_bytes=fb,
-                )
+                try:
+                    self._commit_manifest(
+                        name,
+                        new_buckets,
+                        nb,
+                        base_version=newest["version"]
+                        if newest is not None
+                        else (self.versions(name) or [-1])[-1],
+                        file_bytes=fb,
+                        txn=txn,
+                    )
+                except IdempotentReplay:
+                    continue  # lost-ack race; staged files → vacuum
                 out[name] = nb
                 continue
             # materialize the batch once: it is scanned twice below (the
@@ -1241,14 +1330,18 @@ class Warehouse:
             for b in touched:
                 # [] = the batch emptied the bucket
                 new_buckets[str(b)] = staged.get(str(b), [])
-            self._commit_manifest(
-                name,
-                new_buckets,
-                nb,
-                base_version=prev["version"],
-                touched={str(b) for b in touched},
-                file_bytes=fb,
-            )
+            try:
+                self._commit_manifest(
+                    name,
+                    new_buckets,
+                    nb,
+                    base_version=prev["version"],
+                    touched={str(b) for b in touched},
+                    file_bytes=fb,
+                    txn=txn,
+                )
+            except IdempotentReplay:
+                continue  # lost-ack race; staged files → vacuum
             out[name] = len(touched)
         return out
 

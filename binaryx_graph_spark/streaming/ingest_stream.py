@@ -47,6 +47,7 @@ def stream_analysis_json(
     maintenance_every: int | None = None,
     vacuum_keep_last: int = 2,
     auto_rebucket_bytes: int | None = None,
+    txn_app: str | None = None,
 ):
     """Streaming graph ingest: each micro-batch runs the SAME batch ETL
     (build_graph_tables) and MERGEs into the warehouse — foreachBatch
@@ -89,7 +90,18 @@ def stream_analysis_json(
     ``Warehouse.maybe_rebucket(table, target_bucket_bytes=...)`` —
     a metadata-only check that re-layouts a merge table only once it
     has outgrown its pinned bucket count 4×, so an endless stream
-    never strands a table on its birth-time modulus."""
+    never strands a table on its birth-time modulus.
+
+    ``txn_app`` (off by default) upgrades the replay story from
+    idempotent-by-LWW to EXACTLY-ONCE-by-metadata: each micro-batch
+    commit carries ``txn=(txn_app, epoch_id)`` into the manifest
+    (Delta's txnAppId/txnVersion), so a replayed epoch — a foreachBatch
+    retry after a sink failure, or a full reprocess after the
+    CHECKPOINT ITSELF is lost — is skipped at the manifest head with
+    zero files written and zero versions published, instead of
+    re-merging equal content.  The contract is the standard one: a
+    given (app, epoch) must denote the same batch content across
+    retries, which availableNow + deterministic file listing provides."""
     wh = Warehouse(spark, warehouse_root)
     wh.initialize()
 
@@ -127,6 +139,7 @@ def stream_analysis_json(
         commit(
             {k: v for k, v in tables.items() if k in keep},
             batch_seq=epoch_id + 1,
+            txn=(txn_app, int(epoch_id)) if txn_app else None,
         )
         if maintenance_every and (epoch_id + 1) % maintenance_every == 0:
             if auto_rebucket_bytes is not None:
