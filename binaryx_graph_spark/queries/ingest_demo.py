@@ -1724,3 +1724,150 @@ def warehouse_exactly_once_replay_certified(spark: SparkSession, sf_dir: str) ->
     return spark.createDataFrame(
         [(t, wh.read(t).count()) for t in watched], "tbl string, n long"
     ).orderBy("tbl")
+
+
+@register(
+    "warehouse_schema_evolution_certified",
+    oracle="""
+    WITH live AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS uid,
+             CAST(CASE WHEN o_orderkey % 1999 = 0 THEN o_orderkey % 983
+                       ELSE o_orderkey % 997 END AS BIGINT) AS size,
+             CASE WHEN o_orderkey % 1999 = 0
+                  THEN 'v' || CAST(o_orderkey % 7 AS VARCHAR) END AS lang
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT '1_evolved_rows' AS phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(COALESCE(sum(size), 0) AS BIGINT) AS checksum
+      FROM live WHERE lang IS NOT NULL
+      UNION ALL
+      SELECT '2_null_backfill', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(size), 0) AS BIGINT)
+      FROM live WHERE lang IS NULL
+      UNION ALL
+      SELECT '3_timetravel_base', CAST(count(*) AS BIGINT),
+             CAST(sum(o_orderkey % 997) AS BIGINT)
+      FROM orders
+    ) t ORDER BY phase
+    """,
+    tags=("warehouse", "layout", "scale"),
+)
+def warehouse_schema_evolution_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse lever #13 — SCHEMA EVOLUTION through the manifest,
+    certified inside the gate.  ``merge_batch_incremental(...,
+    allow_new_columns=True)`` adds batch columns the table lacks: the
+    manifest pins the evolved StructType
+    (`sources/warehouse.py:_resolve_evolution`), stored rows read the
+    new columns as typed nulls through that pin, and NO existing file
+    is rewritten — at 100 TB, adding a column costs O(batch), not
+    O(table) (the alternative — a full-table backfill rewrite — is
+    exactly what Delta/Iceberg's metadata-only evolution exists to
+    avoid).
+
+    One base commit at data scale (no ``lang`` column), one evolution
+    commit (every 1999th key re-merged WITH ``lang``), then the query
+    RAISES unless:
+
+    - **zero rewrites**: the evolution commit only ADDS files under the
+      table directory (stat-map superset check, byte-for-byte);
+    - **time travel keeps each version's own schema**: the base version
+      reads back WITHOUT ``lang``;
+    - **adds-only is enforced**: a follow-up batch missing a stored
+      column raises, and so does re-typing one — evolution never
+      implies implicit nulls or casts on stored data.
+
+    Counts + checksums of evolved rows, null-backfilled rows, and the
+    time-traveled base replay in DuckDB from `orders`."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..model import load_table
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_schemaevo_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(spark, root)
+    orders = load_table(spark, sf_dir, "orders")
+
+    base = orders.select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.concat(F.lit("fn_"), F.col("o_orderkey").cast("string")).alias("name"),
+        F.lit("").alias("address"),
+        (F.col("o_orderkey") % 997).cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+    )
+    overlay = orders.filter(F.col("o_orderkey") % 1999 == 0).select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.concat(F.lit("fn_"), F.col("o_orderkey").cast("string")).alias("name"),
+        F.lit("").alias("address"),
+        (F.col("o_orderkey") % 983).cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+        F.concat(F.lit("v"), (F.col("o_orderkey") % 7).cast("string")).alias("lang"),
+    )
+
+    wh.merge_batch_incremental({"functions": base}, batch_seq=1)
+    v0 = wh.versions("functions")[-1]
+
+    def stat_map():
+        return {
+            str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+            for p in (Path(root) / "functions").rglob("*")
+            if p.is_file()
+        }
+
+    before = stat_map()
+    wh.merge_batch_incremental(
+        {"functions": overlay}, batch_seq=2, allow_new_columns=True
+    )
+    after = stat_map()
+    rewritten = {p for p in before if after.get(p) != before[p]}
+    if rewritten:
+        raise AssertionError(
+            f"schema evolution rewrote {len(rewritten)} pre-existing files: "
+            f"{sorted(rewritten)[:3]}"
+        )
+
+    live = wh.read("functions")
+    if "lang" not in live.columns:
+        raise AssertionError("evolved column missing from the live read")
+    tt = wh.read("functions", version=v0)
+    if "lang" in tt.columns:
+        raise AssertionError("time travel leaked the evolved schema into the base")
+
+    # adds-only enforcement: missing column and re-typed column both raise
+    try:
+        wh.merge_batch_incremental(
+            {"functions": base.limit(1)}, batch_seq=3
+        )
+        raise AssertionError("batch missing the evolved column did not raise")
+    except ValueError:
+        pass
+    retyped = overlay.limit(1).withColumn("size", F.col("size").cast("string"))
+    try:
+        wh.merge_batch_incremental(
+            {"functions": retyped}, batch_seq=3, allow_new_columns=True
+        )
+        raise AssertionError("type-changing batch did not raise")
+    except ValueError:
+        pass
+
+    def snap(df):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("size").alias("checksum")
+        ).collect()[0]
+        return int(r["n"]), int(r["checksum"] or 0)
+
+    ev_n, ev_c = snap(live.filter(F.col("lang").isNotNull()))
+    nu_n, nu_c = snap(live.filter(F.col("lang").isNull()))
+    tt_n, tt_c = snap(tt)
+    return spark.createDataFrame(
+        [
+            ("1_evolved_rows", ev_n, ev_c),
+            ("2_null_backfill", nu_n, nu_c),
+            ("3_timetravel_base", tt_n, tt_c),
+        ],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")

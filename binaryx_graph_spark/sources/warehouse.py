@@ -356,15 +356,20 @@ class Warehouse:
                     continue
             keep.append(str(p))
         if not keep:
-            if table in ALL_TABLES:
+            schema = self._schema_of(m)
+            if schema is not None:
+                empty = self.spark.createDataFrame([], schema)
+            elif table in ALL_TABLES:
                 empty = self.spark.createDataFrame([], ALL_TABLES[table][0])
             else:
                 empty = self._read_manifest(table, v).limit(0).drop("_kb")
             return (empty, {"files_total": total, "files_read": 0}) if with_diagnostics else empty
+        schema = self._schema_of(m)
+        rdr = self.spark.read if schema is None else self.spark.read.schema(schema)
         if bucketed:
-            df = self.spark.read.option("basePath", str(base)).parquet(*keep).drop("_kb")
+            df = rdr.option("basePath", str(base)).parquet(*keep).drop("_kb")
         else:
-            df = self.spark.read.parquet(*keep)
+            df = rdr.parquet(*keep)
         df = self._apply_predicates(df, preds)
         if with_diagnostics:
             return df, {"files_total": total, "files_read": len(keep)}
@@ -423,29 +428,48 @@ class Warehouse:
                 }
                 base = self.root / table
 
-                def _sub(bmap, bs):
+                def _sub(m, bmap, bs):
+                    schema = self._schema_of(m)
                     files = [
                         str(base / f"_kb={b}" / fn)
                         for b in bs
                         for fn in bmap.get(b, [])
                     ]
                     if not files:
+                        if schema is not None:
+                            return self.spark.createDataFrame([], schema)
                         if table in ALL_TABLES:
                             return self.spark.createDataFrame(
                                 [], ALL_TABLES[table][0]
                             )
                         return self._read_manifest(table, to_version).limit(0).drop("_kb")
+                    rdr = (
+                        self.spark.read
+                        if schema is None
+                        else self.spark.read.schema(schema)
+                    )
                     return (
-                        self.spark.read.option("basePath", str(base))
+                        rdr.option("basePath", str(base))
                         .parquet(*files)
                         .drop("_kb")
                     )
 
-                old_df = _sub(ob, changed)
-                new_df = _sub(nb, changed)
+                old_df = _sub(mo, ob, changed)
+                new_df = _sub(mn, nb, changed)
         if old_df is None:
             old_df = self.read(table, version=from_version)
             new_df = self.read(table, version=to_version)
+        # schema evolution between the versions: align BOTH sides to the
+        # union of their schemas (absent columns read as typed nulls on
+        # either side), so an untouched row is NOT reported as changed
+        # just because a column was added — or rolled back
+        if old_df.columns != new_df.columns:
+            have = set(old_df.columns)
+            fields = list(old_df.schema.fields) + [
+                f for f in new_df.schema.fields if f.name not in have
+            ]
+            old_df = self._align_columns(old_df, fields)
+            new_df = self._align_columns(new_df, fields)
         inserts = new_df.exceptAll(old_df).withColumn("_change", F.lit("insert"))
         deletes = old_df.exceptAll(new_df).withColumn("_change", F.lit("delete"))
         out = inserts.unionByName(deletes)
@@ -503,6 +527,7 @@ class Warehouse:
                     base_version=mvs[-1],
                     file_bytes=target.get("bytes"),
                     file_stats=target.get("stats"),
+                    schema_json=target.get("schema"),
                 )
                 return
         if newest is not None and "buckets" in newest:
@@ -517,7 +542,12 @@ class Warehouse:
             )
             new_buckets, fb = self._stage_bucketed(table, df)
             self._commit_manifest(
-                table, new_buckets, nb, base_version=mvs[-1], file_bytes=fb
+                table,
+                new_buckets,
+                nb,
+                base_version=mvs[-1],
+                file_bytes=fb,
+                schema_json=(target or {}).get("schema"),
             )
             return
         # live is flat; target is a legacy directory snapshot → rewrite
@@ -532,6 +562,7 @@ class Warehouse:
             files=names,
             base_version=(self.versions(table) or [-1])[-1],
             file_bytes=fb,
+            schema_json=(target or {}).get("schema"),
         )
 
     def vacuum(
@@ -720,6 +751,7 @@ class Warehouse:
         file_bytes: dict[str, int] | None = None,
         file_stats: dict[str, dict] | None = None,
         txn: tuple[str, int] | None = None,
+        schema_json: str | None | object = "__carry__",
         max_retries: int = 20,
     ) -> int:
         """Publish a new table version with OPTIMISTIC CONCURRENCY (the
@@ -767,7 +799,15 @@ class Warehouse:
         lost and a twin already won — :class:`IdempotentReplay` is
         raised instead of publishing a duplicate.  The map carries
         forward across every commit (rollback included: an applied
-        batch stays applied)."""
+        batch stays applied).
+
+        ``schema_json`` (SCHEMA EVOLUTION): the manifest records the
+        table's logical schema once it diverges from the registered
+        one.  Default carries the head's schema forward (layout-only
+        commits — compaction, rebucket — never change it); an
+        evolution commit passes the evolved ``StructType.json()``;
+        rollback passes the TARGET's (None clears, restoring the
+        pre-evolution schema)."""
         md = self._manifest_dir(table)
         md.mkdir(parents=True, exist_ok=True)
         base = (
@@ -852,6 +892,13 @@ class Warehouse:
                 prev_txn[txn[0]] = txn[1]
             if prev_txn:
                 doc["txn"] = prev_txn
+            sj = (
+                (head_man or {}).get("schema")
+                if schema_json == "__carry__"
+                else schema_json
+            )
+            if sj:
+                doc["schema"] = sj
             # tmp name unique per WRITER, not just per process: two
             # threads racing on one version with a shared tmp would
             # link each other's content or unlink a live tmp
@@ -989,13 +1036,29 @@ class Warehouse:
                 f"with a different modulus; pass its actual n_buckets"
             )
 
+    @staticmethod
+    def _schema_of(m: dict):
+        """The StructType a manifest pins (schema evolution), or None —
+        readers pass it explicitly so files written BEFORE a column was
+        added read back with typed nulls for it (parquet's
+        missing-column semantics under a user schema), with no
+        mergeSchema footer sweep at read time."""
+        from pyspark.sql.types import StructType
+
+        sj = m.get("schema")
+        return StructType.fromJson(json.loads(sj)) if sj else None
+
     def _read_manifest(self, table: str, version: int) -> DataFrame:
         """Read exactly the files a manifest lists. Bucketed manifests
         come back WITH the inferred ``_kb`` partition column — internal
         callers prune/repartition on it; :meth:`read` drops it. Flat
-        manifests read their root files directly."""
+        manifests read their root files directly.  A manifest carrying
+        an evolved schema pins it on the reader (older files' missing
+        columns read as nulls; Spark appends the ``_kb`` partition
+        column on top)."""
         m = self._manifest(table, version)
         base = self.root / table
+        schema = self._schema_of(m)
         if "buckets" in m:
             files = [
                 str(base / f"_kb={b}" / fn)
@@ -1005,16 +1068,19 @@ class Warehouse:
         else:
             files = [str(base / fn) for fn in m["files"]]
         if not files:
-            if table in ALL_TABLES:
+            if schema is not None:
+                empty = self.spark.createDataFrame([], schema)
+            elif table in ALL_TABLES:
                 empty = self.spark.createDataFrame([], ALL_TABLES[table][0])
             else:
                 empty = self.spark.read.parquet(str(base)).limit(0).drop("_kb")
             if "buckets" in m:
                 empty = empty.withColumn("_kb", F.lit(None).cast("int"))
             return empty
+        reader = self.spark.read if schema is None else self.spark.read.schema(schema)
         if "buckets" in m:
-            return self.spark.read.option("basePath", str(base)).parquet(*files)
-        return self.spark.read.parquet(*files)
+            return reader.option("basePath", str(base)).parquet(*files)
+        return reader.parquet(*files)
 
     def _live_bucket_files(self, table: str) -> dict[str, list[str]]:
         """Live bucket→file map (manifest if present, else directory).
@@ -1092,6 +1158,68 @@ class Warehouse:
         shutil.rmtree(staging, ignore_errors=True)
         return new_buckets, sizes
 
+    # ---------------------------------------------------- schema evolution
+    @staticmethod
+    def _align_columns(df: DataFrame, fields) -> DataFrame:
+        """Add any of ``fields`` missing from ``df`` as typed nulls and
+        project to their order (extra internal columns like ``_kb``/
+        ``_seq`` are preserved at the end)."""
+        names = [f.name for f in fields]
+        extras = [c for c in df.columns if c not in names]
+        for f in fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return df.select(*names, *extras)
+
+    def _resolve_evolution(
+        self, table: str, manifest: dict | None, batch_schema, allow_new_columns: bool
+    ):
+        """Validate a batch's schema against the table's stored one and
+        return ``(evolved StructType | None, schema_json_for_commit)``.
+
+        The contract is Delta's: ADDING nullable columns is evolution
+        (opt-in via ``allow_new_columns``); a batch MISSING stored
+        columns, or changing a column's type, raises — implicit nulls
+        and silent casts corrupt last-write-wins rows, so both need an
+        explicit migration, not a merge flag."""
+        stored = self._schema_of(manifest) if manifest else None
+        if stored is None and table in ALL_TABLES:
+            stored = ALL_TABLES[table][0]
+        if stored is None:
+            return None, "__carry__"
+        sf = {f.name: f for f in stored.fields}
+        bf = {f.name: f for f in batch_schema.fields}
+        missing = sorted(set(sf) - set(bf))
+        if missing:
+            raise ValueError(
+                f"table '{table}': batch is missing stored columns {missing} — "
+                f"a MERGE row replaces its key's whole row, so absent columns "
+                f"would silently null stored values; supply every column"
+            )
+        changed = sorted(
+            n for n in bf if n in sf and bf[n].dataType != sf[n].dataType
+        )
+        if changed:
+            raise ValueError(
+                f"table '{table}': batch changes column types for {changed} "
+                f"(stored {[sf[n].dataType.simpleString() for n in changed]}, "
+                f"batch {[bf[n].dataType.simpleString() for n in changed]}) — "
+                f"type changes require an explicit rewrite, not a merge"
+            )
+        extras = [f for f in batch_schema.fields if f.name not in sf]
+        if not extras:
+            return stored, "__carry__"
+        if not allow_new_columns:
+            raise ValueError(
+                f"table '{table}': batch adds new columns "
+                f"{[f.name for f in extras]} — pass allow_new_columns=True to "
+                f"evolve the schema (stored rows read the new columns as null)"
+            )
+        from pyspark.sql.types import StructType
+
+        evolved = StructType(list(stored.fields) + list(extras))
+        return evolved, evolved.json()
+
     # ------------------------------------------------------ E9/E10 upsert
     def merge_batch(
         self,
@@ -1099,6 +1227,7 @@ class Warehouse:
         batch_seq: int = 1,
         *,
         txn: tuple[str, int] | None = None,
+        allow_new_columns: bool = False,
     ) -> None:
         """MERGE-upsert a batch into the warehouse: stored rows are seq 0,
         batch rows seq ``batch_seq``; last-write-wins per MERGE key.
@@ -1107,6 +1236,12 @@ class Warehouse:
         a table whose manifest already records ``app`` at >= ``version``
         is skipped entirely (see :meth:`_commit_manifest`) — the replay
         contract for streaming foreachBatch sinks and scheduler retries.
+
+        ``allow_new_columns=True`` permits SCHEMA EVOLUTION: batch
+        columns the table lacks are added (stored rows read them as
+        nulls; the manifest pins the evolved schema, old files are
+        never rewritten).  Missing columns and type changes raise
+        either way — see :meth:`_resolve_evolution`.
 
         At scale the window dedup shuffles on the merge key once — the
         same shuffle MERGE INTO would need; no driver-side loop — but
@@ -1137,10 +1272,16 @@ class Warehouse:
             if newest is None and path.exists():
                 v = self._adopt_flat(name)
                 newest = self._manifest(name, v)
+            evolved, sj = self._resolve_evolution(
+                name, newest, df.schema, allow_new_columns
+            )
+            if evolved is not None:
+                df = self._align_columns(df, evolved.fields)
             if newest is not None:
-                stored = self._read_manifest(name, newest["version"]).withColumn(
-                    "_seq", F.lit(0)
-                )
+                stored = self._read_manifest(name, newest["version"])
+                if evolved is not None:
+                    stored = self._align_columns(stored, evolved.fields)
+                stored = stored.withColumn("_seq", F.lit(0))
                 merged = stored.unionByName(df.withColumn("_seq", F.lit(batch_seq)))
                 w = Window.partitionBy(*keys).orderBy(F.desc("_seq"))
                 merged = (
@@ -1155,7 +1296,12 @@ class Warehouse:
             names, fb = self._stage_flat(name, merged)
             try:
                 self._commit_manifest(
-                    name, files=names, base_version=base, file_bytes=fb, txn=txn
+                    name,
+                    files=names,
+                    base_version=base,
+                    file_bytes=fb,
+                    txn=txn,
+                    schema_json=sj,
                 )
             except IdempotentReplay:
                 # lost-ack race: a twin writer committed this (app,
@@ -1179,6 +1325,7 @@ class Warehouse:
         *,
         n_buckets: int | None = None,
         txn: tuple[str, int] | None = None,
+        allow_new_columns: bool = False,
     ) -> dict[str, int]:
         """MERGE-upsert that rewrites ONLY the key-buckets the batch
         touches — the scale fix for :meth:`merge_batch`, whose
@@ -1208,7 +1355,12 @@ class Warehouse:
 
         ``txn=(app, version)`` makes the merge EXACTLY-ONCE per writer
         (see :meth:`merge_batch`): replayed tables are skipped with
-        zero writes and omitted from the returned dict."""
+        zero writes and omitted from the returned dict.
+
+        ``allow_new_columns=True`` permits SCHEMA EVOLUTION (see
+        :meth:`merge_batch`): the manifest pins the evolved schema;
+        untouched buckets' files are NOT rewritten — their rows read
+        the new columns as typed nulls through the pinned schema."""
         out: dict[str, int] = {}
         for name, df in tables.items():
             if name not in MERGE_KEYS:
@@ -1256,6 +1408,11 @@ class Warehouse:
                     self._validate_bucket_modulus(name, prev["buckets"], nb)
             else:
                 nb = n_buckets or self.N_KEY_BUCKETS
+            evolved, sj = self._resolve_evolution(
+                name, newest, df.schema, allow_new_columns
+            )
+            if evolved is not None:
+                df = self._align_columns(df, evolved.fields)
             batch = df.withColumn("_kb", self._key_bucket(name, nb))
             if prev is None:
                 # conversion from a flat table (or first commit of a new
@@ -1264,11 +1421,12 @@ class Warehouse:
                 # readable through their own manifests until vacuumed.
                 base_df = batch
                 if newest is not None:
-                    stored = (
-                        self._read_manifest(name, newest["version"])
-                        .withColumn("_kb", self._key_bucket(name, nb))
-                        .withColumn("_seq", F.lit(0))
-                    )
+                    stored = self._read_manifest(name, newest["version"])
+                    if evolved is not None:
+                        stored = self._align_columns(stored, evolved.fields)
+                    stored = stored.withColumn(
+                        "_kb", self._key_bucket(name, nb)
+                    ).withColumn("_seq", F.lit(0))
                     base_df = stored.unionByName(
                         batch.withColumn("_seq", F.lit(batch_seq))
                     )
@@ -1291,6 +1449,7 @@ class Warehouse:
                         else (self.versions(name) or [-1])[-1],
                         file_bytes=fb,
                         txn=txn,
+                        schema_json=sj,
                     )
                 except IdempotentReplay:
                     continue  # lost-ack race; staged files → vacuum
@@ -1311,8 +1470,10 @@ class Warehouse:
                 for fn in prev["buckets"].get(str(b), [])
             ]
             if stored_files:
+                sch = self._schema_of(prev) if evolved is None else evolved
+                rdr = self.spark.read if sch is None else self.spark.read.schema(sch)
                 stored_sub = (
-                    self.spark.read.option("basePath", str(path))
+                    rdr.option("basePath", str(path))
                     .parquet(*stored_files)  # manifest-level pruning
                     .withColumn("_seq", F.lit(0))
                 )
@@ -1339,6 +1500,7 @@ class Warehouse:
                     touched={str(b) for b in touched},
                     file_bytes=fb,
                     txn=txn,
+                    schema_json=sj,
                 )
             except IdempotentReplay:
                 continue  # lost-ack race; staged files → vacuum
@@ -1522,7 +1684,14 @@ class Warehouse:
                     staged = self.root / f"_{name}_compact_{uuid.uuid4().hex[:12]}"
                     if staged.exists():
                         shutil.rmtree(staged)
-                    bdf = self.spark.read.parquet(*[str(f) for f in files])
+                    sch = self._schema_of(newest)  # evolved tables: a
+                    # mixed-schema bucket must not infer from one file
+                    rdr = (
+                        self.spark.read
+                        if sch is None
+                        else self.spark.read.schema(sch)
+                    )
+                    bdf = rdr.parquet(*[str(f) for f in files])
                     if ccols:
                         bdf = bdf.repartitionByRange(
                             bwant, *ccols
