@@ -114,6 +114,16 @@ HEADLINE = [
     # change whose cost this line tracks)
     "warehouse_manifest_time_travel_certified",
     "pipeline_pack_chunks",
+    # r9 additions: the writer-safety pair (optimistic concurrency +
+    # the rebucket lever) and the table-format second ring (zone-map
+    # data skipping, CDC reads, schema evolution) — all certification
+    # harnesses, tracked for maintenance cost, excluded from the
+    # comparable totals below
+    "warehouse_concurrent_commit_certified",
+    "warehouse_rebucket_certified",
+    "warehouse_zonemap_scan_certified",
+    "warehouse_cdc_read_changes_certified",
+    "warehouse_schema_evolution_certified",
 ]
 
 # Certification HARNESSES inside the headline set: multi-phase gate
@@ -125,6 +135,11 @@ HEADLINE = [
 CERTIFICATION = {
     "warehouse_compaction_certified",
     "warehouse_manifest_time_travel_certified",
+    "warehouse_concurrent_commit_certified",
+    "warehouse_rebucket_certified",
+    "warehouse_zonemap_scan_certified",
+    "warehouse_cdc_read_changes_certified",
+    "warehouse_schema_evolution_certified",
 }
 
 
