@@ -124,6 +124,7 @@ HEADLINE = [
     "warehouse_zonemap_scan_certified",
     "warehouse_cdc_read_changes_certified",
     "warehouse_schema_evolution_certified",
+    "warehouse_zorder_scan_certified",
 ]
 
 # Certification HARNESSES inside the headline set: multi-phase gate
@@ -140,6 +141,7 @@ CERTIFICATION = {
     "warehouse_zonemap_scan_certified",
     "warehouse_cdc_read_changes_certified",
     "warehouse_schema_evolution_certified",
+    "warehouse_zorder_scan_certified",
 }
 
 

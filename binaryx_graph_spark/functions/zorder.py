@@ -38,3 +38,38 @@ def sql_morton2(x: str, y: str, *, bits: int = 8) -> str:
         terms.append(f"((({x}) >> {b}) & 1) * {1 << (2 * b)}")
         terms.append(f"((({y}) >> {b}) & 1) * {1 << (2 * b + 1)}")
     return "(" + " + ".join(terms) + ")"
+
+
+def zvalue(df, cols, *, bits: int = 8) -> Column:
+    """Quantized 2-D z-value for ``df``'s numeric ``cols`` — the
+    OPTIMIZE ZORDER key.  Each column is linearly width-bucketed into
+    ``2^bits`` bins between its observed min/max (one tiny agg job for
+    the bounds — metadata-light, the same pass Delta's zorder pays),
+    then the bin ids interleave via :func:`morton2`.  Sorting files by
+    this value makes every file's zone map a small RECTANGLE in
+    (cols[0], cols[1]), so min/max skipping prunes on EITHER dimension.
+
+    Linear bucketing (not quantile) is the documented tradeoff: heavy
+    skew in a dimension concentrates its bins, weakening pruning on it
+    — acceptable for a layout lever; pre-transform the column upstream
+    if its distribution is pathological."""
+    if len(cols) != 2:
+        raise ValueError(f"zvalue interleaves exactly 2 columns, got {cols}")
+    row = df.agg(
+        *[F.min(c).alias(f"__mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"__mx_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    n_bins = 1 << bits
+    bucketed = []
+    for i, c in enumerate(cols):
+        mn, mx = row[f"__mn_{i}"], row[f"__mx_{i}"]
+        if mn is None:  # empty input: any constant works
+            bucketed.append(F.lit(0))
+            continue
+        span = float(mx) - float(mn)
+        if span <= 0:
+            bucketed.append(F.lit(0))
+            continue
+        b = ((F.col(c).cast("double") - float(mn)) / span * n_bins).cast("long")
+        bucketed.append(F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b)))
+    return morton2(bucketed[0], bucketed[1], bits=bits)

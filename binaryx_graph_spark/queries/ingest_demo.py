@@ -1871,3 +1871,114 @@ def warehouse_schema_evolution_certified(spark: SparkSession, sf_dir: str) -> Da
         ],
         "phase string, n long, checksum long",
     ).orderBy("phase")
+
+
+@register(
+    "warehouse_zorder_scan_certified",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(o_orderkey AS BIGINT) AS size,
+             CAST((o_orderkey * 7919) % 1000000 AS BIGINT) AS size2
+      FROM orders
+    ),
+    bnd AS (
+      SELECT min(k) + (max(k) - min(k)) // 10 AS lo,
+             min(k) + (max(k) - min(k)) // 5 AS hi
+      FROM base
+    )
+    SELECT * FROM (
+      SELECT '1_dim1_range_scan' AS phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(COALESCE(sum(size2), 0) AS BIGINT) AS checksum
+      FROM base, bnd WHERE size BETWEEN lo AND hi
+      UNION ALL
+      SELECT '2_dim2_range_scan', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(size), 0) AS BIGINT)
+      FROM base WHERE size2 BETWEEN 100000 AND 300000
+    ) t ORDER BY phase
+    """,
+    tags=("warehouse", "layout", "scale"),
+)
+def warehouse_zorder_scan_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse lever #14 — Z-ORDER CLUSTERING × zone-map skipping,
+    certified inside the gate.  ``optimize(cluster_by={'t': {'zorder':
+    [c1, c2]}})`` interleaves two numeric columns' quantized bits
+    (`functions/zorder.py:zvalue` — Morton code over width-bucketed
+    bins, pure Column expressions, whole-stage codegen) and sorts files
+    by the z-value, so every file's recorded zone map is a small
+    RECTANGLE in (c1, c2): ``scan`` prunes range predicates on EITHER
+    dimension, where lexicographic clustering prunes only the first.
+    This is Delta/Iceberg's OPTIMIZE ZORDER composed with this
+    manifest's footer-derived stats — the multi-dimensional layout
+    lever a 100 TB fact table needs when two access paths matter.
+
+    One commit at data scale carrying a second numeric column
+    (``size2 = (k*7919) % 1e6`` — decorrelated from ``size = k`` by
+    the multiplicative shuffle), one z-order compaction, then the
+    query RAISES unless range scans on BOTH dimensions open strictly
+    fewer files than the manifest lists while matching
+    ``read().filter(...)`` exactly (compared in-gate).  Counts +
+    cross-dimension checksums replay in DuckDB from `orders`."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..model import load_table
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_zorder_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(spark, root)
+    orders = load_table(spark, sf_dir, "orders")
+
+    df = orders.select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.concat(F.lit("fn_"), F.col("o_orderkey").cast("string")).alias("name"),
+        F.lit("").alias("address"),
+        F.col("o_orderkey").cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+        ((F.col("o_orderkey") * 7919) % 1000000).cast("long").alias("size2"),
+    )
+    wh.merge_batch({"functions": df}, allow_new_columns=True)
+    m0 = wh._manifest("functions", wh.versions("functions")[-1])
+    target = max(4096, sum(m0["bytes"].values()) // 16)
+    wh.optimize(
+        target_bytes=target,
+        cluster_by={"functions": {"zorder": ["size", "size2"]}},
+    )
+
+    kb = orders.agg(
+        F.min("o_orderkey").alias("kmin"), F.max("o_orderkey").alias("kmax")
+    ).collect()[0]
+    span = int(kb["kmax"]) - int(kb["kmin"])
+    lo = int(kb["kmin"]) + span // 10
+    hi = int(kb["kmin"]) + span // 5
+
+    def certified_scan(preds, sum_col):
+        scanned, diag = wh.scan("functions", preds, with_diagnostics=True)
+        if not (1 <= diag["files_read"] < diag["files_total"]):
+            raise AssertionError(f"z-order scan did not prune for {preds}: {diag}")
+        r = scanned.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(sum_col).alias("c")
+        ).collect()[0]
+        full = Warehouse._apply_predicates(wh.read("functions"), preds)
+        fr = full.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(sum_col).alias("c")
+        ).collect()[0]
+        if (r["n"], r["c"]) != (fr["n"], fr["c"]):
+            raise AssertionError(
+                f"scan diverged from read().filter for {preds}: "
+                f"{(r['n'], r['c'])} != {(fr['n'], fr['c'])}"
+            )
+        return int(r["n"]), int(r["c"] or 0)
+
+    d1_n, d1_c = certified_scan([("size", "between", (lo, hi))], "size2")
+    d2_n, d2_c = certified_scan([("size2", "between", (100000, 300000))], "size")
+    return spark.createDataFrame(
+        [
+            ("1_dim1_range_scan", d1_n, d1_c),
+            ("2_dim2_range_scan", d2_n, d2_c),
+        ],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")

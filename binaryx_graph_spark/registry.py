@@ -129,7 +129,7 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     "cypher_varlen_rel_pred_not_in", "warehouse_zonemap_scan_certified",
     "warehouse_cdc_read_changes_certified",
     "warehouse_exactly_once_replay_certified",
-    "warehouse_schema_evolution_certified",
+    "warehouse_schema_evolution_certified", "warehouse_zorder_scan_certified",
 )
 
 

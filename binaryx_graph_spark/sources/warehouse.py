@@ -1627,13 +1627,16 @@ class Warehouse:
         versions' files.
 
         ``cluster_by`` maps table → sort columns: that table's rewrite
-        range-partitions + sorts on them (Delta's OPTIMIZE ZORDER for
-        the 1-column case; multi-column gets lexicographic clustering —
-        compose with :func:`functions.zorder` upstream for true
-        multi-dimensional locality).  Clustering makes the per-file zone
-        maps recorded at commit TIGHT, which is what :meth:`scan`'s
-        data skipping prunes on — a clustered table answers a range
-        predicate by opening O(matching) files instead of all of them.
+        range-partitions + sorts on them (a list gives lexicographic
+        clustering — tight zone maps on the FIRST column; a
+        ``{"zorder": [c1, c2]}`` spec interleaves two numeric columns'
+        quantized bits via :func:`functions.zorder.zvalue` — Delta's
+        OPTIMIZE ZORDER — so every file's zone map is a small
+        RECTANGLE and :meth:`scan` prunes on EITHER dimension).
+        Clustering makes the per-file zone maps recorded at commit
+        TIGHT, which is what :meth:`scan`'s data skipping prunes on —
+        a clustered table answers a range predicate by opening
+        O(matching) files instead of all of them.
         A ``cluster_by`` table is rewritten even when already at the
         file-count target (the point is layout, not count).  Tradeoff,
         stated: a clustered FLAT table trades merge-key co-location for
@@ -1641,6 +1644,20 @@ class Warehouse:
         (the bucket dir is the merge unit — clustering happens within
         buckets)."""
         import math
+
+        from ..functions.zorder import zvalue
+
+        def _shape_clustered(df, n_parts, spec):
+            """Range-partition + sort ``df`` per the cluster spec —
+            list = lexicographic, {'zorder': [c1, c2]} = Morton."""
+            if isinstance(spec, dict):
+                z = df.withColumn("_zv", zvalue(df, list(spec["zorder"])))
+                return (
+                    z.repartitionByRange(n_parts, "_zv")
+                    .sortWithinPartitions("_zv")
+                    .drop("_zv")
+                )
+            return df.repartitionByRange(n_parts, *spec).sortWithinPartitions(*spec)
 
         out: dict[str, tuple[int, int]] = {}
         cluster_by = cluster_by or {}
@@ -1693,9 +1710,7 @@ class Warehouse:
                     )
                     bdf = rdr.parquet(*[str(f) for f in files])
                     if ccols:
-                        bdf = bdf.repartitionByRange(
-                            bwant, *ccols
-                        ).sortWithinPartitions(*ccols)
+                        bdf = _shape_clustered(bdf, bwant, ccols)
                     else:
                         bdf = bdf.repartition(bwant)
                     bdf.write.mode("overwrite").parquet(str(staged))
@@ -1739,9 +1754,7 @@ class Warehouse:
             # just without a co-location guarantee
             keys = MERGE_KEYS.get(name)
             if ccols:
-                shaped = df.repartitionByRange(want, *ccols).sortWithinPartitions(
-                    *ccols
-                )
+                shaped = _shape_clustered(df, want, ccols)
             elif keys:
                 shaped = df.repartition(want, *keys)
             else:

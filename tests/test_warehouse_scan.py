@@ -180,3 +180,44 @@ def test_zone_overlap_truth_table():
     )
     assert not _zone_overlaps(st, "between", (21, 99))
     assert _zone_overlaps(st, "in", [1, 15]) and not _zone_overlaps(st, "in", [1, 2])
+
+
+def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.clear()
+    df = spark.range(20000).select(
+        F.col("id").cast("string").alias("uid"),
+        F.concat(F.lit("fn_"), F.col("id")).alias("name"),
+        F.lit("").alias("address"),
+        F.col("id").cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+        ((F.col("id") * 7919) % 1000000).cast("long").alias("size2"),
+    )
+    wh.merge_batch({"functions": df}, allow_new_columns=True)
+    m0 = wh._manifest("functions", wh.versions("functions")[-1])
+    tgt = max(4096, sum(m0["bytes"].values()) // 16)
+    wh.optimize(
+        target_bytes=tgt, cluster_by={"functions": {"zorder": ["size", "size2"]}}
+    )
+    d1 = _assert_scan_exact(wh, "functions", [("size", "between", (4000, 6000))])
+    d2 = _assert_scan_exact(wh, "functions", [("size2", "between", (100000, 200000))])
+    assert d1["files_read"] < d1["files_total"], "z-order must prune dim 1"
+    assert d2["files_read"] < d2["files_total"], "z-order must prune dim 2"
+    # lexicographic control: clustering on (size, size2) prunes size but
+    # NOT size2 (every file spans the full size2 domain)
+    wh.optimize(target_bytes=tgt, cluster_by={"functions": ["size", "size2"]})
+    d3 = _assert_scan_exact(wh, "functions", [("size2", "between", (100000, 200000))])
+    assert d3["files_read"] == d3["files_total"], (
+        "control: lexicographic clustering gives no dim-2 pruning — "
+        "the z-order win is real"
+    )
+
+
+def test_zvalue_rejects_wrong_arity(spark):
+    import pytest
+
+    from binaryx_graph_spark.functions.zorder import zvalue
+
+    df = spark.range(10).select(F.col("id").alias("a"), (F.col("id") * 2).alias("b"))
+    with pytest.raises(ValueError, match="exactly 2"):
+        zvalue(df, ["a"])
