@@ -125,6 +125,7 @@ HEADLINE = [
     "warehouse_cdc_read_changes_certified",
     "warehouse_schema_evolution_certified",
     "warehouse_zorder_scan_certified",
+    "warehouse_bloom_scan_certified",
 ]
 
 # Certification HARNESSES inside the headline set: multi-phase gate
@@ -142,6 +143,7 @@ CERTIFICATION = {
     "warehouse_cdc_read_changes_certified",
     "warehouse_schema_evolution_certified",
     "warehouse_zorder_scan_certified",
+    "warehouse_bloom_scan_certified",
 }
 
 

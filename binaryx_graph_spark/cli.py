@@ -30,6 +30,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _scan_literal(s: str):
+    """CLI scan value: int if it parses, else string (the two types the
+    zone-map/bloom probes support)."""
+    try:
+        return int(s)
+    except ValueError:
+        return s
+
+
 def _truncate_for_table(s: str, width: int = 60) -> str:
     """T5: escape \\n/\\r, truncate to width (query.rs:230-236).
 
@@ -165,6 +174,23 @@ def main(argv: list[str] | None = None) -> int:
     db_rbk = db.add_parser("rebucket")
     db_rbk.add_argument("table")
     db_rbk.add_argument("n_buckets", type=int)
+    db_scan = db.add_parser("scan")  # zone-map/bloom data-skipping read
+    db_scan.add_argument("table")
+    db_scan.add_argument(
+        "--where",
+        action="append",
+        default=[],
+        metavar="COL,OP,VALUE",
+        help="conjunct: col,op,value with op in = < <= > >= between in "
+        "(between: value=lo:hi; in: value=v1:v2:...)",
+    )
+    db_scan.add_argument("--version", type=int, default=None)
+    db_scan.add_argument("--limit", type=int, default=20)
+    db_chg = db.add_parser("changes")  # CDC between versions
+    db_chg.add_argument("table")
+    db_chg.add_argument("from_version", type=int)
+    db_chg.add_argument("to_version", type=int, nargs="?", default=None)
+    db_chg.add_argument("--limit", type=int, default=20)
 
     args = p.parse_args(argv)
 
@@ -275,6 +301,40 @@ def main(argv: list[str] | None = None) -> int:
         elif args.what == "rebucket":
             v = wh.rebucket(args.table, args.n_buckets)
             print(f"rebucketed {args.table} to {args.n_buckets} buckets (v{v:05d})")
+        elif args.what == "scan":
+            preds = []
+            for w in args.where:
+                col, op, val = w.split(",", 2)
+                if op == "between":
+                    lo, hi = val.split(":", 1)
+                    val = (_scan_literal(lo), _scan_literal(hi))
+                elif op == "in":
+                    val = [_scan_literal(v) for v in val.split(":")]
+                else:
+                    val = _scan_literal(val)
+                preds.append((col, op, val))
+            df, diag = wh.scan(
+                args.table, preds, version=args.version, with_diagnostics=True
+            )
+            emit(df.limit(args.limit), fmt)
+            if diag["files_total"] is not None:
+                print(
+                    f"scanned {diag['files_read']}/{diag['files_total']} files "
+                    f"(zone-map/bloom skipping)"
+                )
+        elif args.what == "changes":
+            df, diag = wh.read_changes(
+                args.table,
+                args.from_version,
+                args.to_version,
+                with_diagnostics=True,
+            )
+            emit(df.limit(args.limit), fmt)
+            if diag["buckets_total"] is not None:
+                print(
+                    f"diffed {diag['buckets_read']}/{diag['buckets_total']} "
+                    f"buckets (manifest diff)"
+                )
         return 0
 
     t = tables()

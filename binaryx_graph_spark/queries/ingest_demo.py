@@ -1982,3 +1982,108 @@ def warehouse_zorder_scan_certified(spark: SparkSession, sf_dir: str) -> DataFra
         ],
         "phase string, n long, checksum long",
     ).orderBy("phase")
+
+
+@register(
+    "warehouse_bloom_scan_certified",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(o_orderkey % 997 AS BIGINT) AS size
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT '1_point_hit' AS phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(COALESCE(sum(size), 0) AS BIGINT) AS checksum
+      FROM base WHERE k = (SELECT min(k) FROM base)
+      UNION ALL
+      SELECT '2_definitely_absent', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    ) t ORDER BY phase
+    """,
+    tags=("warehouse", "layout", "scale"),
+)
+def warehouse_bloom_scan_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse lever #15 — PER-FILE BLOOM FILTERS, certified inside
+    the gate.  ``Warehouse(bloom_columns={'t': ['col']})`` builds a
+    bloom sidecar per new file per opted-in column at commit
+    (`sources/warehouse.py:_build_file_bloom` — sized by the textbook
+    m/k formulas at 1% fpp, double-hashed blake2b, referenced — not
+    embedded — by the manifest); ``scan`` probes it for ``=``/``in``
+    predicates.  This is the skipping case zone maps structurally
+    CANNOT serve: a uniformly distributed id (here ``name =
+    md5(uid)``) falls inside ~every file's min/max range, but is
+    definitely-absent from every bloom except its own file's — Delta's
+    bloom index / parquet's column bloom, lifted to manifest level
+    where the prune needs no file opens at all.
+
+    One bucketed commit at data scale, then the query RAISES unless:
+
+    - **zone maps provably can't prune this** (>= 90% of files' name
+      ranges contain the probe value — the control that the win is the
+      bloom's);
+    - **the bloom prunes a point hit** to <= max(2, files/8) file opens
+      while returning exactly the one row;
+    - **a definitely-absent probe** opens <= max(2, files/8) files
+      (false-positive budget) and returns zero rows.
+
+    Counts + checksums replay in DuckDB from `orders` (the oracle never
+    needs md5 — equality on the injective hash selects exactly the
+    min-key row)."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..model import load_table
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_bloom_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(spark, root, bloom_columns={"functions": ["name"]})
+    orders = load_table(spark, sf_dir, "orders")
+
+    df = orders.select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("name"),
+        F.lit("").alias("address"),
+        (F.col("o_orderkey") % 997).cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+    )
+    wh.merge_batch_incremental({"functions": df})
+    m = wh._manifest("functions", wh.versions("functions")[-1])
+    total = sum(len(v) for v in m["buckets"].values())
+    budget = max(2, total // 8)
+
+    k_min = int(orders.agg(F.min("o_orderkey")).collect()[0][0])
+    target = spark.sql(f"SELECT md5('{k_min}') AS h").collect()[0]["h"]
+    inside = sum(
+        1
+        for st in m["stats"].values()
+        if "name" in st and st["name"][0] <= target <= st["name"][1]
+    )
+    if inside < 0.9 * total:
+        raise AssertionError(
+            f"control failed: zone maps could prune the probe "
+            f"({inside}/{total} files contain it) — the test no longer "
+            f"isolates the bloom"
+        )
+
+    hit, d1 = wh.scan("functions", [("name", "=", target)], with_diagnostics=True)
+    if not (d1["files_read"] <= budget < d1["files_total"]):
+        raise AssertionError(f"bloom point scan did not prune: {d1}")
+    r = hit.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("size").alias("c")
+    ).collect()[0]
+    hit_n, hit_c = int(r["n"]), int(r["c"] or 0)
+
+    miss, d2 = wh.scan(
+        "functions", [("name", "=", "definitely_not_a_hash")], with_diagnostics=True
+    )
+    if d2["files_read"] > budget:
+        raise AssertionError(f"absent-value scan exceeded the fp budget: {d2}")
+    miss_n = miss.count()
+    if miss_n:
+        raise AssertionError(f"absent value returned {miss_n} rows")
+    return spark.createDataFrame(
+        [("1_point_hit", hit_n, hit_c), ("2_definitely_absent", miss_n, 0)],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")

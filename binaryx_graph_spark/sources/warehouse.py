@@ -147,12 +147,124 @@ def _parquet_minmax(path) -> dict[str, list]:
     return acc
 
 
+#: Bloom sizing: target false-positive rate and a hard cap on bits per
+#: file per column (128 KB) so a sidecar stays one small object.
+_BLOOM_FPP = 0.01
+_BLOOM_MAX_BITS = 1 << 20
+
+
+def _bloom_params(n_rows: int) -> tuple[int, int]:
+    """(m_bits, k) for ``n_rows`` values at the target fpp — the
+    textbook m = -n·ln(p)/ln2², k = (m/n)·ln2, m rounded to a power of
+    two (cheap modulo) and capped."""
+    import math
+
+    n = max(1, n_rows)
+    m = int(-n * math.log(_BLOOM_FPP) / (math.log(2) ** 2))
+    mb = 1 << max(10, (m - 1).bit_length())
+    mb = min(mb, _BLOOM_MAX_BITS)
+    k = max(1, min(16, round(mb / n * math.log(2))))
+    return mb, k
+
+
+def _bloom_key_bytes(value) -> bytes | None:
+    """Deterministic byte serialization for bloom membership — ints and
+    strings only (float equality is a smell; other types unsupported).
+    MUST be identical at build and probe time."""
+    if isinstance(value, bool) or value is None:
+        return None
+    if isinstance(value, int):
+        return str(value).encode()
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    return None
+
+
+def _bloom_positions(data: bytes, m_bits: int, k: int) -> list[int]:
+    """k double-hashed bit positions (Kirsch–Mitzenmacher over one
+    blake2b digest split into two 64-bit halves)."""
+    import hashlib
+
+    d = hashlib.blake2b(data, digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % m_bits for i in range(k)]
+
+
+def _build_file_bloom(path, cols: list[str]) -> dict[str, dict]:
+    """Per-column bloom filter over one parquet file's values — built by
+    the committing writer, which just wrote the file (the object-store
+    analog computes this inside the write task; a post-pass column read
+    is the honest local stand-in).  Returns
+    {col: {'m': bits, 'k': k, 'b64': base64(bitset)}}."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(str(path))
+    want = [c for c in cols if c in pf.schema_arrow.names]
+    if not want:
+        return {}
+    mb, k = _bloom_params(pf.metadata.num_rows)
+    out: dict[str, dict] = {}
+    table = pf.read(columns=want)
+    for c in want:
+        bits = bytearray(mb // 8)
+        ok = True
+        for v in table.column(c).to_pylist():
+            if v is None:
+                continue
+            data = _bloom_key_bytes(v)
+            if data is None:
+                ok = False  # unsupported type: no bloom for this column
+                break
+            for pos in _bloom_positions(data, mb, k):
+                bits[pos >> 3] |= 1 << (pos & 7)
+        if ok:
+            out[c] = {"m": mb, "k": k, "b64": base64.b64encode(bytes(bits)).decode()}
+    return out
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    """Probe one column's bloom — True unless DEFINITELY absent."""
+    import base64
+
+    data = _bloom_key_bytes(value)
+    if data is None:
+        return True
+    bits = base64.b64decode(bloom["b64"])
+    for pos in _bloom_positions(data, bloom["m"], bloom["k"]):
+        if not (bits[pos >> 3] & (1 << (pos & 7))):
+            return False
+    return True
+
+
+def _same_type_class(a, b) -> bool:
+    """Pruning is only sound when the predicate value and the stored
+    stats compare the way SPARK would compare them.  A cross-type
+    predicate (int against a string column, ...) goes through Spark's
+    implicit casts — e.g. ``uid = '00777'`` matches int 777 — which
+    byte-level stats and bloom hashes know nothing about.  Same
+    type-class ⇒ prune; anything else ⇒ unprunable, Spark decides."""
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool)
+    if isinstance(a, str) or isinstance(b, str):
+        return isinstance(a, str) and isinstance(b, str)
+    num = (int, float)
+    return isinstance(a, num) and isinstance(b, num)
+
+
 def _zone_overlaps(stat: list, op: str, value) -> bool:
     """May rows in a file with zone map ``stat=[min,max]`` satisfy
     ``col <op> value``?  Conservative: True unless the whole range
     provably misses.  NULLs never satisfy a comparison, so min/max of
     the non-null values is the only range that matters."""
     mn, mx = stat
+    probe = value[0] if op in ("between", "in") and len(value) else value
+    if not _same_type_class(mn, probe) or (
+        op in ("between", "in") and not all(_same_type_class(mn, v) for v in value)
+    ):
+        return True  # cross-type predicate: Spark's cast decides, not us
     if op == "=":
         return mn <= value <= mx
     if op == "<":
@@ -189,9 +301,27 @@ class ConcurrentCommitError(RuntimeError):
 
 
 class Warehouse:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        *,
+        bloom_columns: dict[str, list[str]] | None = None,
+    ):
+        """``bloom_columns`` ({table: [col, ...]}) opts columns into
+        PER-FILE BLOOM FILTERS: every commit builds a bloom over each
+        new file's values for those columns (sidecar JSON under
+        ``_blooms/<table>/``, referenced — not embedded — by the
+        manifest, so manifests stay small), and :meth:`scan` probes
+        them for ``=`` / ``in`` predicates — the high-cardinality
+        equality case zone maps can't prune (a uniformly distributed id
+        overlaps every file's min/max range but is definitely-absent
+        from most blooms).  Advisory like zone maps: false positives
+        cost an extra file read, false negatives are impossible
+        (predicates re-apply exactly)."""
         self.spark = spark
         self.root = Path(root)
+        self.bloom_columns = bloom_columns or {}
 
     def _path(self, table: str) -> str:
         return str(self.root / table)
@@ -335,15 +465,75 @@ class Warehouse:
         eq = {c: val for c, op, val in preds if op == "="}
         if bucketed and keys and m.get("n_buckets") and all(k in eq for k in keys):
             # point lookup: one 1-row job hashes the pinned key to its
-            # bucket; all other buckets drop by construction
-            row = (
-                self.spark.range(1)
-                .select(*[F.lit(eq[k]).alias(k) for k in keys])
-                .select(self._key_bucket(table, m["n_buckets"]).alias("b"))
-                .collect()[0]
+            # bucket; all other buckets drop by construction.  ONLY
+            # sound when every value's type matches its key column's
+            # type — xxhash64(int 777) lands in a different bucket than
+            # xxhash64('777'), and Spark's implicit cast would still
+            # match the row (same guard as _same_type_class)
+            schema = self._schema_of(m)
+            if schema is None and table in ALL_TABLES:
+                schema = ALL_TABLES[table][0]
+            fields = {f.name: f.dataType for f in schema.fields} if schema else {}
+
+            def _key_typed(k) -> bool:
+                from pyspark.sql.types import BooleanType, NumericType, StringType
+
+                dt, v = fields.get(k), eq[k]
+                if isinstance(dt, StringType):
+                    return isinstance(v, str)
+                if isinstance(dt, BooleanType):
+                    return isinstance(v, bool)
+                if isinstance(dt, NumericType):
+                    return isinstance(v, (int, float)) and not isinstance(v, bool)
+                return False
+
+            if all(_key_typed(k) for k in keys):
+                row = (
+                    self.spark.range(1)
+                    .select(*[F.lit(eq[k]).alias(k) for k in keys])
+                    .select(self._key_bucket(table, m["n_buckets"]).alias("b"))
+                    .collect()[0]
+                )
+                tb = f"{row['b']}/"
+                rels = [(r, p) for r, p in rels if r.startswith(tb)]
+        blooms = m.get("blooms", {})
+        eq_probes = [
+            (c, [val] if op == "=" else list(val))
+            for c, op, val in preds
+            if op in ("=", "in")
+        ]
+        _bloom_cache: dict[str, dict] = {}
+
+        def _bloom_dead(rel: str) -> bool:
+            """True if some equality predicate's every candidate value
+            is DEFINITELY absent from this file's bloom (sidecar loaded
+            lazily — only for files that survived zone pruning)."""
+            sc = blooms.get(rel)
+            if sc is None or not eq_probes:
+                return False
+            if sc not in _bloom_cache:
+                p = self.root / "_blooms" / table / sc
+                try:
+                    _bloom_cache[sc] = json.loads(p.read_text())
+                except OSError:
+                    _bloom_cache[sc] = {}
+            bl = _bloom_cache[sc]
+            st = stats.get(rel) or {}
+
+            def _typed(c, vals):
+                # bloom pruning needs the same type-class guard as zone
+                # maps: Spark's implicit cast can match values whose
+                # bytes the bloom never saw (see _same_type_class); the
+                # column's zone-map min anchors the stored type
+                return c in st and all(_same_type_class(st[c][0], v) for v in vals)
+
+            return any(
+                c in bl
+                and _typed(c, vals)
+                and not any(_bloom_may_contain(bl[c], v) for v in vals)
+                for c, vals in eq_probes
             )
-            tb = f"{row['b']}/"
-            rels = [(r, p) for r, p in rels if r.startswith(tb)]
+
         keep = []
         for rel, p in rels:
             st = stats.get(rel)
@@ -354,6 +544,8 @@ class Warehouse:
                 )
                 if dead:
                     continue
+            if _bloom_dead(rel):
+                continue
             keep.append(str(p))
         if not keep:
             schema = self._schema_of(m)
@@ -608,6 +800,7 @@ class Warehouse:
                         removed += 1
                 reach_kb: set[str] = set()
                 reach_flat: set[str] = set()
+                reach_blooms: set[str] = set()
                 for v in self._manifest_versions(name):
                     m = self._manifest(name, v)
                     if "buckets" in m:
@@ -615,6 +808,12 @@ class Warehouse:
                             reach_kb |= {f"_kb={b}/{fn}" for fn in files}
                     else:
                         reach_flat |= set(m["files"])
+                    reach_blooms |= set(m.get("blooms", {}).values())
+                bdir = self.root / "_blooms" / name
+                if bdir.exists():
+                    for f in bdir.glob("*.json"):
+                        if f.name not in reach_blooms:
+                            f.unlink()  # bloom of an expired file
                 tdir = self.root / name
                 for f in tdir.glob("_kb=*/*"):
                     rel = f"{f.parent.name}/{f.name}"
@@ -816,6 +1015,7 @@ class Warehouse:
             else (self.versions(table) or [-1])[-1]
         )
         cur_buckets = buckets
+        built_blooms: dict[str, str] = {}  # sidecars built by THIS call
         for attempt in range(max_retries + 1):
             head = (self.versions(table) or [-1])[-1]
             head_man = (
@@ -858,12 +1058,15 @@ class Warehouse:
             prev_bytes: dict[str, int] = {}
             prev_stats: dict[str, dict] = {}
             prev_txn: dict[str, int] = {}
+            prev_blooms: dict[str, str] = {}
             if head_man is not None:
                 prev_bytes = head_man.get("bytes", {})
                 prev_stats = head_man.get("stats", {})
                 prev_txn = head_man.get("txn", {})
+                prev_blooms = head_man.get("blooms", {})
             bmap: dict[str, int] = {}
             smap: dict[str, dict] = {}
+            blmap: dict[str, str] = {}
             for rel in rels:
                 if files is not None:
                     p = self.root / table / rel
@@ -885,8 +1088,27 @@ class Warehouse:
                         smap[rel] = _parquet_minmax(p)
                     except OSError:
                         smap[rel] = {}  # unreadable footer → unprunable
+                bcols = self.bloom_columns.get(table)
+                if rel in prev_blooms:  # carried files keep their blooms
+                    blmap[rel] = prev_blooms[rel]
+                elif bcols:
+                    if rel in built_blooms:
+                        blmap[rel] = built_blooms[rel]
+                    elif p.exists():
+                        # new file of a bloom-indexed table: build once
+                        # (cached across commit-loop retries)
+                        bl = _build_file_bloom(p, bcols)
+                        if bl:
+                            bdir = self.root / "_blooms" / table
+                            bdir.mkdir(parents=True, exist_ok=True)
+                            sc = f"{uuid.uuid4().hex[:16]}.json"
+                            (bdir / sc).write_text(json.dumps(bl))
+                            built_blooms[rel] = sc
+                            blmap[rel] = sc
             doc["bytes"] = bmap
             doc["stats"] = smap
+            if blmap:
+                doc["blooms"] = blmap
             if txn is not None:
                 prev_txn = dict(prev_txn)
                 prev_txn[txn[0]] = txn[1]

@@ -221,3 +221,23 @@ def test_zvalue_rejects_wrong_arity(spark):
     df = spark.range(10).select(F.col("id").alias("a"), (F.col("id") * 2).alias("b"))
     with pytest.raises(ValueError, match="exactly 2"):
         zvalue(df, ["a"])
+
+
+def test_cross_type_predicates_never_prune_wrong(spark, tmp_path):
+    """Spark's implicit casts match rows whose bytes the stats/bloom/
+    bucket-hash never saw (uid = 777 matches '777'; '00777' matches an
+    int column).  Every pruning layer must detect the type mismatch and
+    fall back to unprunable — the scan stays EXACT."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.clear()
+    wh.merge_batch_incremental({"functions": _fns(spark, 2000)})
+    # int probe against the string merge key: bucket pruning must NOT
+    # hash the int (different bucket than the stored string)
+    got, diag = wh.scan("functions", [("uid", "=", 777)], with_diagnostics=True)
+    assert [r["uid"] for r in got.collect()] == ["777"]
+    assert diag["files_read"] == diag["files_total"], (
+        "cross-type key probe must not bucket-prune"
+    )
+    # string probe against the long column: zone maps must not compare
+    got2 = wh.scan("functions", [("size", "=", "777")])
+    assert [r["uid"] for r in got2.collect()] == ["777"]
