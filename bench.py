@@ -126,6 +126,7 @@ HEADLINE = [
     "warehouse_schema_evolution_certified",
     "warehouse_zorder_scan_certified",
     "warehouse_bloom_scan_certified",
+    "warehouse_delete_certified",
 ]
 
 # Certification HARNESSES inside the headline set: multi-phase gate
@@ -144,6 +145,7 @@ CERTIFICATION = {
     "warehouse_schema_evolution_certified",
     "warehouse_zorder_scan_certified",
     "warehouse_bloom_scan_certified",
+    "warehouse_delete_certified",
 }
 
 

@@ -186,6 +186,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     db_scan.add_argument("--version", type=int, default=None)
     db_scan.add_argument("--limit", type=int, default=20)
+    db_del = db.add_parser("delete")  # file-granular row deletes
+    db_del.add_argument("table")
+    db_del.add_argument(
+        "--where", action="append", required=True, metavar="COL,OP,VALUE"
+    )
     db_chg = db.add_parser("changes")  # CDC between versions
     db_chg.add_argument("table")
     db_chg.add_argument("from_version", type=int)
@@ -322,6 +327,23 @@ def main(argv: list[str] | None = None) -> int:
                     f"scanned {diag['files_read']}/{diag['files_total']} files "
                     f"(zone-map/bloom skipping)"
                 )
+        elif args.what == "delete":
+            preds = []
+            for w in args.where:
+                col, op, val = w.split(",", 2)
+                if op == "between":
+                    lo, hi = val.split(":", 1)
+                    val = (_scan_literal(lo), _scan_literal(hi))
+                elif op == "in":
+                    val = [_scan_literal(v) for v in val.split(":")]
+                else:
+                    val = _scan_literal(val)
+                preds.append((col, op, val))
+            d = wh.delete_where(args.table, preds)
+            print(
+                f"deleted {d['rows_deleted']} rows "
+                f"(rewrote {d['files_rewritten']}/{d['files_total']} files)"
+            )
         elif args.what == "changes":
             df, diag = wh.read_changes(
                 args.table,

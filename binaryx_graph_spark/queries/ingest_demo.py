@@ -2087,3 +2087,128 @@ def warehouse_bloom_scan_certified(spark: SparkSession, sf_dir: str) -> DataFram
         [("1_point_hit", hit_n, hit_c), ("2_definitely_absent", miss_n, 0)],
         "phase string, n long, checksum long",
     ).orderBy("phase")
+
+
+@register(
+    "warehouse_delete_certified",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(o_orderkey AS BIGINT) AS size FROM orders
+    ),
+    bnd AS (
+      SELECT min(k) + (max(k) - min(k)) // 10 AS lo,
+             min(k) + (max(k) - min(k)) // 5 AS hi
+      FROM base
+    )
+    SELECT * FROM (
+      SELECT '1_remaining_after_delete' AS phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(COALESCE(sum(size), 0) AS BIGINT) AS checksum
+      FROM base, bnd WHERE size NOT BETWEEN lo AND hi
+      UNION ALL
+      SELECT '2_cdc_deleted_rows', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(size), 0) AS BIGINT)
+      FROM base, bnd WHERE size BETWEEN lo AND hi
+      UNION ALL
+      SELECT '3_timetravel_pre_delete', CAST(count(*) AS BIGINT),
+             CAST(sum(size) AS BIGINT)
+      FROM base
+    ) t ORDER BY phase
+    """,
+    tags=("warehouse", "layout", "scale"),
+)
+def warehouse_delete_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse lever #16 — ROW-LEVEL DELETE, certified inside the
+    gate.  ``delete_where(table, predicates)``
+    (`sources/warehouse.py:delete_where`) composes the whole stack:
+    the skipping core picks the files that MAY contain matches
+    (zone maps here — clustered layout makes the candidate set small),
+    ONLY those are rewritten without their matching rows, every other
+    file is carried untouched, and one manifest commit publishes the
+    result.  At 100 TB, deleting a clustered range (GDPR purge, bad-
+    batch retraction) rewrites O(matching files), not the table —
+    Delta's DELETE semantics, including SQL NULL handling (a NULL
+    predicate keeps the row).
+
+    One clustered commit at data scale, one range delete, then the
+    query RAISES unless:
+
+    - **file-granular**: strictly fewer files rewritten than the
+      manifest lists (and at least one);
+    - **CDC is exactly the deletion**: ``read_changes`` across the
+      delete commit reports the deleted rows as deletes and ZERO
+      inserts;
+    - **history intact**: time travel to the pre-delete version
+      returns the full table, and the untouched files still prune a
+      later scan.
+
+    Remaining rows, the deleted set, and the pre-delete state replay
+    in DuckDB from `orders`."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..model import load_table
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_delete_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(spark, root)
+    orders = load_table(spark, sf_dir, "orders")
+
+    df = orders.select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.concat(F.lit("fn_"), F.col("o_orderkey").cast("string")).alias("name"),
+        F.lit("").alias("address"),
+        F.col("o_orderkey").cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+    )
+    wh.merge_batch({"functions": df})
+    m0 = wh._manifest("functions", wh.versions("functions")[-1])
+    target = max(4096, sum(m0["bytes"].values()) // 8)
+    wh.optimize(target_bytes=target, cluster_by={"functions": ["size"]})
+    v_pre = wh.versions("functions")[-1]
+
+    kb = orders.agg(
+        F.min("o_orderkey").alias("kmin"), F.max("o_orderkey").alias("kmax")
+    ).collect()[0]
+    span = int(kb["kmax"]) - int(kb["kmin"])
+    lo = int(kb["kmin"]) + span // 10
+    hi = int(kb["kmin"]) + span // 5
+
+    d = wh.delete_where("functions", [("size", "between", (lo, hi))])
+    if not (1 <= d["files_rewritten"] < d["files_total"]):
+        raise AssertionError(f"delete was not file-granular: {d}")
+
+    def snap(df_):
+        r = df_.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("size").alias("checksum")
+        ).collect()[0]
+        return int(r["n"]), int(r["checksum"] or 0)
+
+    rem_n, rem_c = snap(wh.read("functions"))
+    ch = wh.read_changes("functions", v_pre)
+    n_ins = ch.filter(F.col("_change") == "insert").count()
+    if n_ins:
+        raise AssertionError(f"delete CDC fabricated {n_ins} inserts")
+    del_n, del_c = snap(ch.filter(F.col("_change") == "delete"))
+    if del_n != d["rows_deleted"]:
+        raise AssertionError(
+            f"CDC delete count {del_n} != reported rows_deleted {d['rows_deleted']}"
+        )
+    tt_n, tt_c = snap(wh.read("functions", version=v_pre))
+    _, diag = wh.scan(
+        "functions",
+        [("size", "between", (int(kb["kmin"]) + span // 2, int(kb["kmin"]) + span // 2 + span // 10))],
+        with_diagnostics=True,
+    )
+    if not diag["files_read"] < diag["files_total"]:
+        raise AssertionError(f"post-delete scan lost its pruning: {diag}")
+    return spark.createDataFrame(
+        [
+            ("1_remaining_after_delete", rem_n, rem_c),
+            ("2_cdc_deleted_rows", del_n, del_c),
+            ("3_timetravel_pre_delete", tt_n, tt_c),
+        ],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")

@@ -449,6 +449,39 @@ class Warehouse:
                 return df, {"files_total": None, "files_read": None}
             return df
         m = self._manifest(table, v)
+        keep_rels, total = self._prune_rels(table, m, preds)
+        keep = [str(p) for _rel, p in keep_rels]
+        base = self.root / table
+        bucketed = "buckets" in m
+        if not keep:
+            schema = self._schema_of(m)
+            if schema is not None:
+                empty = self.spark.createDataFrame([], schema)
+            elif table in ALL_TABLES:
+                empty = self.spark.createDataFrame([], ALL_TABLES[table][0])
+            else:
+                empty = self._read_manifest(table, v).limit(0).drop("_kb")
+            return (empty, {"files_total": total, "files_read": 0}) if with_diagnostics else empty
+        schema = self._schema_of(m)
+        rdr = self.spark.read if schema is None else self.spark.read.schema(schema)
+        if bucketed:
+            df = rdr.option("basePath", str(base)).parquet(*keep).drop("_kb")
+        else:
+            df = rdr.parquet(*keep)
+        df = self._apply_predicates(df, preds)
+        if with_diagnostics:
+            return df, {"files_total": total, "files_read": len(keep)}
+        return df
+
+    def _prune_rels(
+        self, table: str, m: dict, preds: list
+    ) -> tuple[list[tuple[str, Path]], int]:
+        """The skipping core shared by :meth:`scan` and
+        :meth:`delete_where`: from a manifest's file list, keep only
+        files that MAY contain rows matching the predicate conjunction
+        — via key-bucket hashing (fully pinned merge key), zone maps,
+        and bloom sidecars, each guarded against cross-type predicates.
+        Returns (kept (rel, path) pairs, total files listed)."""
         stats = m.get("stats", {})
         base = self.root / table
         bucketed = "buckets" in m
@@ -534,7 +567,7 @@ class Warehouse:
                 for c, vals in eq_probes
             )
 
-        keep = []
+        keep: list[tuple[str, Path]] = []
         for rel, p in rels:
             st = stats.get(rel)
             if st:
@@ -546,26 +579,144 @@ class Warehouse:
                     continue
             if _bloom_dead(rel):
                 continue
-            keep.append(str(p))
-        if not keep:
-            schema = self._schema_of(m)
-            if schema is not None:
-                empty = self.spark.createDataFrame([], schema)
-            elif table in ALL_TABLES:
-                empty = self.spark.createDataFrame([], ALL_TABLES[table][0])
+            keep.append((rel, p))
+        return keep, total
+
+    def delete_where(
+        self,
+        table: str,
+        predicates,
+        *,
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        """Row-level DELETE of every row matching ALL ``predicates``
+        (same conjunct grammar as :meth:`scan`) — Delta's DELETE on
+        this manifest.  FILE-GRANULAR: the skipping stack
+        (:meth:`_prune_rels` — bucket hash, zone maps, blooms) picks
+        the files that MAY contain matches; only those are read and
+        rewritten without their matching rows, every other file is
+        carried untouched, and ONE manifest commit publishes the
+        result — so deleting a clustered range, a point key, or a
+        bloom-indexed value from a 100 TB table rewrites O(matching
+        files), not the table.  The pre-delete version stays
+        time-travelable; :meth:`read_changes` reports exactly the
+        deleted rows.
+
+        NULL semantics are SQL's: a row whose predicate evaluates to
+        NULL does not match and is KEPT (delete uses
+        ``coalesce(pred, false)``, the complement re-applies exactly).
+
+        On a bucketed table the commit declares the affected buckets as
+        ``touched``, so it rebases over concurrent disjoint commits
+        like any incremental merge.  ``txn`` gives the same
+        exactly-once replay contract as :meth:`merge_batch`.
+
+        Returns ``{'files_total', 'files_rewritten', 'rows_deleted'}``
+        (rows_deleted counted before the rewrite; a candidate file with
+        zero actual matches is still rewritten — the row content is
+        identical, only layout changes)."""
+        preds = list(predicates)
+        if not preds:
+            raise ValueError(
+                "delete_where with no predicates would delete the whole "
+                "table — use clear() for that, explicitly"
+            )
+        if txn is not None:
+            seen = self.last_txn_version(table, txn[0])
+            if seen is not None and seen >= txn[1]:
+                return {"files_total": 0, "files_rewritten": 0, "rows_deleted": 0}
+        mvs = self._manifest_versions(table)
+        if not mvs:  # adopt the live directory so delete is a commit
+            if any((self.root / table).glob("_kb=*")):
+                dirb = self._dir_buckets(table)
+                self._validate_bucket_modulus(table, dirb, self.N_KEY_BUCKETS)
+                self._commit_manifest(table, dirb, self.N_KEY_BUCKETS)
             else:
-                empty = self._read_manifest(table, v).limit(0).drop("_kb")
-            return (empty, {"files_total": total, "files_read": 0}) if with_diagnostics else empty
+                self._adopt_flat(table)
+            mvs = self._manifest_versions(table)
+        m = self._manifest(table, mvs[-1])
+        cand, total = self._prune_rels(table, m, preds)
+        if not cand:
+            return {"files_total": total, "files_rewritten": 0, "rows_deleted": 0}
+        base = self.root / table
         schema = self._schema_of(m)
         rdr = self.spark.read if schema is None else self.spark.read.schema(schema)
+        bucketed = "buckets" in m
+        files = [str(p) for _rel, p in cand]
         if bucketed:
-            df = rdr.option("basePath", str(base)).parquet(*keep).drop("_kb")
+            df = rdr.option("basePath", str(base)).parquet(*files)
         else:
-            df = rdr.parquet(*keep)
-        df = self._apply_predicates(df, preds)
-        if with_diagnostics:
-            return df, {"files_total": total, "files_read": len(keep)}
-        return df
+            df = rdr.parquet(*files)
+        match_expr = self._predicate_expr(preds)
+        n_deleted = df.filter(match_expr).count()
+        kept = df.filter(~F.coalesce(match_expr, F.lit(False)))
+        cand_rels = {rel for rel, _p in cand}
+        try:
+            if bucketed:
+                staged, fb = self._stage_bucketed(table, kept)
+                new_buckets = {}
+                touched: set[str] = set()
+                for b, fns in m["buckets"].items():
+                    survivors = [
+                        fn for fn in fns if f"{b}/{fn}" not in cand_rels
+                    ]
+                    fresh = staged.get(b, [])
+                    if len(survivors) != len(fns) or fresh:
+                        touched.add(b)
+                    new_buckets[b] = survivors + fresh
+                self._commit_manifest(
+                    table,
+                    new_buckets,
+                    m["n_buckets"],
+                    base_version=m["version"],
+                    touched=touched,
+                    file_bytes=fb,
+                    txn=txn,
+                )
+            else:
+                staged_names, fb = self._stage_flat(table, kept, key_shuffle=False)
+                survivors = [fn for fn in m["files"] if fn not in cand_rels]
+                self._commit_manifest(
+                    table,
+                    files=survivors + staged_names,
+                    base_version=m["version"],
+                    file_bytes=fb,
+                    txn=txn,
+                )
+        except IdempotentReplay:
+            return {"files_total": total, "files_rewritten": 0, "rows_deleted": 0}
+        return {
+            "files_total": total,
+            "files_rewritten": len(cand),
+            "rows_deleted": int(n_deleted),
+        }
+
+    @staticmethod
+    def _predicate_expr(predicates):
+        """The scan conjunction as ONE Column expression (three-valued:
+        NULL where SQL says so — delete_where needs the exact
+        complement, which _apply_predicates' filter chain can't give)."""
+        expr = None
+        for col, op, val in predicates:
+            c = F.col(col)
+            if op == "=":
+                e = c == val
+            elif op == "<":
+                e = c < val
+            elif op == "<=":
+                e = c <= val
+            elif op == ">":
+                e = c > val
+            elif op == ">=":
+                e = c >= val
+            elif op == "between":
+                e = (c >= val[0]) & (c <= val[1])
+            elif op == "in":
+                e = c.isin(list(val))
+            else:
+                raise ValueError(f"unknown scan predicate op {op!r}")
+            expr = e if expr is None else (expr & e)
+        return expr
 
     def read_changes(
         self,
