@@ -127,6 +127,7 @@ HEADLINE = [
     "warehouse_zorder_scan_certified",
     "warehouse_bloom_scan_certified",
     "warehouse_delete_certified",
+    "warehouse_update_certified",
 ]
 
 # Certification HARNESSES inside the headline set: multi-phase gate
@@ -146,6 +147,7 @@ CERTIFICATION = {
     "warehouse_zorder_scan_certified",
     "warehouse_bloom_scan_certified",
     "warehouse_delete_certified",
+    "warehouse_update_certified",
 }
 
 

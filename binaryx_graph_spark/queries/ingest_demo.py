@@ -2212,3 +2212,124 @@ def warehouse_delete_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "phase string, n long, checksum long",
     ).orderBy("phase")
+
+
+@register(
+    "warehouse_update_certified",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(o_orderkey AS BIGINT) AS size FROM orders
+    ),
+    bnd AS (
+      SELECT min(k) + (max(k) - min(k)) // 10 AS lo,
+             min(k) + (max(k) - min(k)) // 5 AS hi
+      FROM base
+    )
+    SELECT * FROM (
+      SELECT '1_updated_rows' AS phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(COALESCE(sum(size + 1000000), 0) AS BIGINT) AS checksum
+      FROM base, bnd WHERE size BETWEEN lo AND hi
+      UNION ALL
+      SELECT '2_untouched_rows', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(size), 0) AS BIGINT)
+      FROM base, bnd WHERE size NOT BETWEEN lo AND hi
+      UNION ALL
+      SELECT '3_timetravel_pre_update', CAST(count(*) AS BIGINT),
+             CAST(sum(size) AS BIGINT)
+      FROM base
+    ) t ORDER BY phase
+    """,
+    tags=("warehouse", "layout", "scale"),
+)
+def warehouse_update_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse lever #17 — ROW-LEVEL UPDATE, certified inside the
+    gate (completing the DML trio: MERGE upsert, DELETE, UPDATE).
+    ``update_where(table, predicates, set_values)``
+    (`sources/warehouse.py:update_where`) is the same FILE-GRANULAR
+    shape as delete: the skipping stack picks candidate files, only
+    those rewrite (matching rows transformed via when/otherwise —
+    column expressions allowed — non-matching rows carried verbatim in
+    the same file), one manifest commit publishes; merge-key
+    assignments raise (a key change moves the row's bucket — that is a
+    delete + re-merge, stated, not silently mis-bucketed).
+
+    One clustered commit at data scale, one range update
+    (``size += 1_000_000`` + a type flip on the window), then the
+    query RAISES unless the rewrite was file-granular (strictly fewer
+    files than the manifest lists), the row count is preserved, and
+    CDC across the update reports exactly one delete+insert pair per
+    updated row.  Updated rows, untouched rows, and the pre-update
+    state replay in DuckDB from `orders`."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..model import load_table
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_update_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(spark, root)
+    orders = load_table(spark, sf_dir, "orders")
+
+    df = orders.select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.concat(F.lit("fn_"), F.col("o_orderkey").cast("string")).alias("name"),
+        F.lit("").alias("address"),
+        F.col("o_orderkey").cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+    )
+    wh.merge_batch({"functions": df})
+    m0 = wh._manifest("functions", wh.versions("functions")[-1])
+    target = max(4096, sum(m0["bytes"].values()) // 8)
+    wh.optimize(target_bytes=target, cluster_by={"functions": ["size"]})
+    v_pre = wh.versions("functions")[-1]
+
+    kb = orders.agg(
+        F.min("o_orderkey").alias("kmin"), F.max("o_orderkey").alias("kmax")
+    ).collect()[0]
+    span = int(kb["kmax"]) - int(kb["kmin"])
+    lo = int(kb["kmin"]) + span // 10
+    hi = int(kb["kmin"]) + span // 5
+
+    d = wh.update_where(
+        "functions",
+        [("size", "between", (lo, hi))],
+        {"size": F.col("size") + 1_000_000, "type": "External"},
+    )
+    if not (1 <= d["files_rewritten"] < d["files_total"]):
+        raise AssertionError(f"update was not file-granular: {d}")
+
+    live = wh.read("functions")
+    pre = wh.read("functions", version=v_pre)
+    if live.count() != pre.count():
+        raise AssertionError("UPDATE changed the row count")
+    ch = wh.read_changes("functions", v_pre)
+    pairs = (
+        ch.groupBy("_change").count().collect()
+    )
+    counts = {r["_change"]: r["count"] for r in pairs}
+    if counts.get("insert", 0) != d["rows_updated"] or counts.get("delete", 0) != d["rows_updated"]:
+        raise AssertionError(
+            f"CDC should be one delete+insert pair per updated row: "
+            f"{counts} vs rows_updated={d['rows_updated']}"
+        )
+
+    def snap(df_):
+        r = df_.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("size").alias("checksum")
+        ).collect()[0]
+        return int(r["n"]), int(r["checksum"] or 0)
+
+    up_n, up_c = snap(live.filter(F.col("type") == "External"))
+    un_n, un_c = snap(live.filter(F.col("type") == "Internal"))
+    tt_n, tt_c = snap(pre)
+    return spark.createDataFrame(
+        [
+            ("1_updated_rows", up_n, up_c),
+            ("2_untouched_rows", un_n, un_c),
+            ("3_timetravel_pre_update", tt_n, tt_c),
+        ],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")
