@@ -128,6 +128,7 @@ HEADLINE = [
     "warehouse_bloom_scan_certified",
     "warehouse_delete_certified",
     "warehouse_update_certified",
+    "warehouse_replication_certified",
 ]
 
 # Certification HARNESSES inside the headline set: multi-phase gate
@@ -148,6 +149,7 @@ CERTIFICATION = {
     "warehouse_bloom_scan_certified",
     "warehouse_delete_certified",
     "warehouse_update_certified",
+    "warehouse_replication_certified",
 }
 
 

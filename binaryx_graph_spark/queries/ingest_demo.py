@@ -2333,3 +2333,128 @@ def warehouse_update_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "phase string, n long, checksum long",
     ).orderBy("phase")
+
+
+@register(
+    "warehouse_replication_certified",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(o_orderkey AS BIGINT) AS size FROM orders
+    ),
+    bnd AS (
+      SELECT min(k) + (max(k) - min(k)) // 10 AS lo,
+             min(k) + (max(k) - min(k)) // 5 AS hi,
+             min(k) + (max(k) - min(k)) // 2 AS lo3,
+             min(k) + (max(k) - min(k)) // 2 + (max(k) - min(k)) // 10 AS hi3
+      FROM base
+    ),
+    upd AS (
+      SELECT k,
+             CASE WHEN size BETWEEN lo AND hi THEN size + 1000000
+                  ELSE size END AS size
+      FROM base, bnd
+    ),
+    fin AS (SELECT k, size FROM upd, bnd WHERE size NOT BETWEEN lo3 AND hi3)
+    SELECT * FROM (
+      SELECT '1_replica_state' AS phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(size) AS BIGINT) AS checksum FROM fin
+      UNION ALL
+      SELECT '2_replica_equals_source', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT '3_replay_publishes_nothing', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    ) t ORDER BY phase
+    """,
+    tags=("warehouse", "layout", "streaming", "scale"),
+)
+def warehouse_replication_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse lever #18 — CDC REPLICATION end-to-end, certified
+    inside the gate: the composition the r9 ring exists for
+    (`sources/replication.py`).  A polling change-feed consumer
+    (durable offsets) drains ``read_changes`` batches — manifest-diff
+    priced, O(changed buckets) per poll — and applies each to a
+    REPLICA warehouse exactly once: true key deletions (delete rows
+    whose keys don't re-insert in the batch) become a file-granular
+    ``delete_where``, inserts MERGE under ``txn=(app, version)``.
+    Delta's readChangeFeed → idempotent-writes pipeline, on this
+    manifest.
+
+    Source history at data scale: base commit, UPDATE (a key-domain
+    window gets size += 1e6), DELETE (another window), then the query
+    RAISES unless:
+
+    - **the replica equals the source exactly** (exceptAll both ways
+      empty) after draining — across a merge, an update, and a delete;
+    - **one applied batch per source version**;
+    - **crash-replay publishes nothing**: rewinding the consumer
+      offset and re-draining leaves the replica's version list
+      untouched (txn skip + zero-match delete are both metadata-free).
+
+    The replica's final counts + checksums replay in DuckDB from
+    `orders` through the same update/delete algebra."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..model import load_table
+    from ..sources.replication import _write_offset, replicate
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_repl_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    src = Warehouse(spark, os.path.join(root, "src"))
+    dst = Warehouse(spark, os.path.join(root, "dst"))
+    off = os.path.join(root, "offsets.json")
+    orders = load_table(spark, sf_dir, "orders")
+
+    df = orders.select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.concat(F.lit("fn_"), F.col("o_orderkey").cast("string")).alias("name"),
+        F.lit("").alias("address"),
+        F.col("o_orderkey").cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+    )
+    kb = orders.agg(
+        F.min("o_orderkey").alias("kmin"), F.max("o_orderkey").alias("kmax")
+    ).collect()[0]
+    span = int(kb["kmax"]) - int(kb["kmin"])
+    lo = int(kb["kmin"]) + span // 10
+    hi = int(kb["kmin"]) + span // 5
+    lo3 = int(kb["kmin"]) + span // 2
+    hi3 = lo3 + span // 10
+
+    src.merge_batch_incremental({"functions": df})
+    src.update_where(
+        "functions", [("size", "between", (lo, hi))], {"size": F.col("size") + 1_000_000}
+    )
+    src.delete_where("functions", [("size", "between", (lo3, hi3))])
+
+    applied = replicate(src, dst, "functions", off)
+    if len(applied) != len(src.versions("functions")):
+        raise AssertionError(
+            f"expected one applied batch per source version: "
+            f"{applied} vs {src.versions('functions')}"
+        )
+    a, b = src.read("functions"), dst.read("functions")
+    resid = a.exceptAll(b).count() + b.exceptAll(a).count()
+    if resid:
+        raise AssertionError(f"replica diverged from source: {resid} residual rows")
+
+    versions_before = dst.versions("functions")
+    _write_offset(off, "functions", applied[-2])  # crash before last offset write
+    replicate(src, dst, "functions", off)
+    if dst.versions("functions") != versions_before:
+        raise AssertionError("crash-replay published replica versions")
+
+    r = dst.read("functions").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("size").alias("c")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            ("1_replica_state", int(r["n"]), int(r["c"] or 0)),
+            ("2_replica_equals_source", resid, 0),
+            ("3_replay_publishes_nothing", 0, 0),
+        ],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")

@@ -131,7 +131,7 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     "warehouse_exactly_once_replay_certified",
     "warehouse_schema_evolution_certified", "warehouse_zorder_scan_certified",
     "warehouse_bloom_scan_certified", "warehouse_delete_certified",
-    "warehouse_update_certified",
+    "warehouse_update_certified", "warehouse_replication_certified",
 )
 
 

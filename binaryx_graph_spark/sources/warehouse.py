@@ -649,6 +649,11 @@ class Warehouse:
             df = rdr.parquet(*files)
         match_expr = self._predicate_expr(preds)
         n_deleted = df.filter(match_expr).count()
+        if n_deleted == 0:
+            # candidates were only MAYBE-matching (zone/bloom bounds);
+            # zero actual matches → no rewrite, no version — replaying
+            # an already-applied purge is metadata-free
+            return {"files_total": total, "files_rewritten": 0, "rows_deleted": 0}
         kept = df.filter(~F.coalesce(match_expr, F.lit(False)))
         cand_rels = {rel for rel, _p in cand}
         try:
@@ -760,6 +765,8 @@ class Warehouse:
             )
         match_expr = F.coalesce(self._predicate_expr(preds), F.lit(False))
         n_updated = df.filter(match_expr).count()
+        if n_updated == 0:  # maybe-matching candidates, zero real matches
+            return {"files_total": total, "files_rewritten": 0, "rows_updated": 0}
         # SQL UPDATE semantics: the predicate AND every assignment's RHS
         # evaluate against the OLD row — one select, not a withColumn
         # chain (a chained `size` assignment would flip the match for a
