@@ -129,6 +129,7 @@ HEADLINE = [
     "warehouse_delete_certified",
     "warehouse_update_certified",
     "warehouse_replication_certified",
+    "warehouse_cdf_stream_certified",
 ]
 
 # Certification HARNESSES inside the headline set: multi-phase gate
@@ -150,6 +151,7 @@ CERTIFICATION = {
     "warehouse_delete_certified",
     "warehouse_update_certified",
     "warehouse_replication_certified",
+    "warehouse_cdf_stream_certified",
 }
 
 

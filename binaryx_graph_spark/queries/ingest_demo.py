@@ -2458,3 +2458,124 @@ def warehouse_replication_certified(spark: SparkSession, sf_dir: str) -> DataFra
         ],
         "phase string, n long, checksum long",
     ).orderBy("phase")
+
+
+@register(
+    "warehouse_cdf_stream_certified",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(o_orderkey % 997 AS BIGINT) AS sz
+      FROM orders
+    ),
+    changes AS (
+      SELECT 0 AS v, 'insert' AS ch, sz FROM base
+      UNION ALL
+      SELECT 1, 'insert', CAST(k % 983 AS BIGINT) FROM base
+      WHERE k % 1999 = 0 AND k % 983 <> k % 997
+      UNION ALL
+      SELECT 1, 'insert', CAST(123457 AS BIGINT)
+      UNION ALL
+      SELECT 1, 'delete', sz FROM base
+      WHERE k % 1999 = 0 AND k % 983 <> k % 997
+      UNION ALL
+      SELECT 2, 'delete',
+             (SELECT CASE WHEN min(k) % 1999 = 0 THEN CAST(min(k) % 983 AS BIGINT)
+                          ELSE CAST(min(k) % 997 AS BIGINT) END FROM base)
+    )
+    SELECT CAST(v AS VARCHAR) || '_' || ch AS phase,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(sz) AS BIGINT) AS checksum
+    FROM changes GROUP BY 1 ORDER BY 1
+    """,
+    tags=("warehouse", "streaming", "scale"),
+)
+def warehouse_cdf_stream_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse lever #19 — the CHANGE FEED AS A STRUCTURED STREAMING
+    SOURCE (`sources/cdf_stream.py` —
+    ``readStream.format("warehouse_cdf")``, Delta's readChangeFeed
+    streaming mode via Spark 4's Python DataSource API).  Offsets are
+    MANIFEST VERSIONS (latestOffset = one directory listing, no data
+    touched); ``partitions(start, end)`` is the manifest diff — one
+    input partition per CHANGED BUCKET per version transition, so the
+    work distributes bucket-granular and untouched buckets are never
+    listed; ``read`` is executor-side pyarrow over the immutable
+    parquet (no SparkSession on executors), computing the exact
+    row-level multiset diff.  Composes with everything Structured
+    Streaming owns: checkpointed offsets (restart resumes past
+    committed versions — test-pinned on a file sink), watermarks,
+    stream joins, any sink.
+
+    Source history at data scale: base commit, LWW overlay (every
+    1999th key re-merged at a different size + one brand-new key),
+    point delete of the min key.  The stream drains (availableNow)
+    into a memory sink; per-(version, change) counts + size checksums
+    must replay in DuckDB from `orders` — the initial snapshot arrives
+    as version 0's inserts, the overlay as its delete+insert pairs
+    (unchanged-value re-merges contribute NOTHING — row-level, not
+    file-level), the delete as one delete row."""
+    import hashlib
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from ..model import load_table
+    from ..sources.cdf_stream import register_warehouse_cdf_datasource
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_cdfstream_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(spark, root)
+    register_warehouse_cdf_datasource(spark)
+    orders = load_table(spark, sf_dir, "orders")
+
+    base = orders.select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.concat(F.lit("fn_"), F.col("o_orderkey").cast("string")).alias("name"),
+        F.lit("").alias("address"),
+        (F.col("o_orderkey") % 997).cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+    )
+    overlay = orders.filter(F.col("o_orderkey") % 1999 == 0).select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.concat(F.lit("fn_"), F.col("o_orderkey").cast("string")).alias("name"),
+        F.lit("").alias("address"),
+        (F.col("o_orderkey") % 983).cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+    ).unionByName(
+        spark.createDataFrame(
+            [("synthetic_new_key", "fn_synthetic_new_key", "", 123457, "Internal")],
+            "uid string, name string, address string, size long, type string",
+        )
+    )
+    k_min = int(orders.agg(F.min("o_orderkey")).collect()[0][0])
+
+    wh.merge_batch_incremental({"functions": base}, batch_seq=1)
+    wh.merge_batch_incremental({"functions": overlay}, batch_seq=2)
+    wh.delete_where("functions", [("uid", "=", str(k_min))])
+
+    name = f"cdf_gate_{_uuid.uuid4().hex[:10]}"
+    q = (
+        spark.readStream.format("warehouse_cdf")
+        .option("root", root)
+        .option("table", "functions")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(
+            F.concat(
+                F.col("_version").cast("string"), F.lit("_"), F.col("_change")
+            ).alias("phase")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("size").cast("long").alias("checksum"),
+        )
+        .orderBy("phase")
+    )

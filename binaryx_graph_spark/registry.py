@@ -132,6 +132,7 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     "warehouse_schema_evolution_certified", "warehouse_zorder_scan_certified",
     "warehouse_bloom_scan_certified", "warehouse_delete_certified",
     "warehouse_update_certified", "warehouse_replication_certified",
+    "warehouse_cdf_stream_certified",
 )
 
 

@@ -1,0 +1,250 @@
+"""Warehouse CHANGE DATA FEED as a Structured Streaming source —
+``spark.readStream.format("warehouse_cdf").option("root", ...).option(
+"table", ...)`` (Delta's ``readChangeFeed`` streaming mode, on this
+manifest, via Spark 4's Python DataSource API).
+
+Why a real stream source and not the polling consumer
+(`sources/replication.py`): a stream composes — watermarks, windowed
+aggs, stream-stream joins, any sink — and the ENGINE owns offsets
+(checkpointed), so restart recovery is Structured Streaming's own
+exactly-once contract instead of a bespoke offset file.
+
+Scale shape (the part that must survive 100 TB):
+
+* **Offsets are manifest versions** (``{"v": N}`` = consumed through
+  version N).  ``latestOffset`` is one manifest-dir listing; no data
+  touched.
+* **Planning is the manifest diff**: ``partitions(start, end)`` emits
+  one InputPartition PER CHANGED BUCKET per version transition —
+  untouched buckets are never listed, never opened, and the work
+  distributes bucket-granular across executors.
+* **Reads are executor-side pyarrow**: each partition loads ONE
+  bucket's old and new file lists (no SparkSession on executors —
+  the files are immutable parquet, pyarrow reads them directly) and
+  computes the row-level multiset diff in pandas.  An LWW update
+  arrives as its delete+insert pair; a rewritten-but-equal row (bucket
+  compaction) contributes nothing.
+
+Constraints, stated loudly: bucketed tables at one modulus only (a
+rebucket/layout change in the consumed range raises — re-seed the
+consumer, same as Delta across a table rewrite); scalar columns only
+(the diff groups on row values); vacuum retention must cover consumer
+lag (a vacuumed manifest in the range raises FileNotFoundError rather
+than silently skipping commits).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+CHANGE_COLS = "_change string, _version int"
+
+
+def _manifest_versions(root: str, table: str) -> list[int]:
+    md = Path(root) / "_manifests" / table
+    if not md.exists():
+        return []
+    return sorted(int(p.stem[1:]) for p in md.glob("v*.json"))
+
+
+def _manifest(root: str, table: str, v: int) -> dict:
+    p = Path(root) / "_manifests" / table / f"v{v:05d}.json"
+    if not p.exists():
+        raise FileNotFoundError(
+            f"warehouse_cdf: manifest v{v} of '{table}' is gone (vacuumed?) — "
+            f"the consumer lagged past the retention horizon; re-seed it"
+        )
+    return json.loads(p.read_text())
+
+
+def _schema_ddl(root: str, table: str) -> str:
+    """The stream's fixed schema: the NEWEST manifest's pinned schema
+    (schema evolution), else the newest data file's arrow schema."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.types import StructType
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    vs = _manifest_versions(root, table)
+    if not vs:
+        raise ValueError(f"warehouse_cdf: table '{table}' has no manifests")
+    m = _manifest(root, table, vs[-1])
+    if m.get("schema"):
+        st = StructType.fromJson(json.loads(m["schema"]))
+    else:
+        if "buckets" not in m:
+            raise ValueError(
+                f"warehouse_cdf: table '{table}' is flat — the feed is "
+                f"bucket-granular; convert with merge_batch_incremental"
+            )
+        first = next(
+            (
+                Path(root) / table / f"_kb={b}" / fns[0]
+                for b, fns in sorted(m["buckets"].items(), key=lambda kv: int(kv[0]))
+                if fns
+            ),
+            None,
+        )
+        if first is None:
+            raise ValueError(f"warehouse_cdf: table '{table}' is empty")
+        st = from_arrow_schema(pq.read_schema(str(first)))
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in st.fields)
+
+
+class _CdfPartition(InputPartition):
+    def __init__(self, root, table, bucket, old_files, new_files, version, cols):
+        self.root = root
+        self.table = table
+        self.bucket = bucket
+        self.old_files = old_files
+        self.new_files = new_files
+        self.version = version
+        self.cols = cols
+
+
+class WarehouseCdfStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str, table: str, cols: list[str]):
+        self._root = root
+        self._table = table
+        self._cols = cols
+
+    def initialOffset(self) -> dict:
+        vs = _manifest_versions(self._root, self._table)
+        # one BEFORE the oldest: the first batch is the transition into
+        # it — the initial snapshot arrives as that version's inserts
+        return {"v": (vs[0] - 1) if vs else -1}
+
+    def latestOffset(self) -> dict:
+        vs = _manifest_versions(self._root, self._table)
+        return {"v": vs[-1] if vs else -1}
+
+    def partitions(self, start: dict, end: dict):
+        out: list[InputPartition] = []
+        for v in range(start["v"] + 1, end["v"] + 1):
+            new_m = _manifest(self._root, self._table, v)
+            if "buckets" not in new_m:
+                raise ValueError(
+                    f"warehouse_cdf: version {v} of '{self._table}' is not a "
+                    f"bucketed manifest — the feed cannot cross layout changes"
+                )
+            old_m = (
+                _manifest(self._root, self._table, v - 1)
+                if v - 1 >= 0 and v - 1 in set(_manifest_versions(self._root, self._table))
+                else None
+            )
+            if old_m is not None and "buckets" in old_m:
+                if old_m.get("n_buckets") != new_m.get("n_buckets"):
+                    raise ValueError(
+                        f"warehouse_cdf: version {v} rebuckets '{self._table}' "
+                        f"({old_m.get('n_buckets')} -> {new_m.get('n_buckets')}) "
+                        f"— re-seed the consumer past the re-layout"
+                    )
+                ob = old_m["buckets"]
+            else:
+                ob = {}
+            nb = new_m["buckets"]
+            base = str(Path(self._root) / self._table)
+            for b in sorted(set(ob) | set(nb), key=int):
+                if ob.get(b) == nb.get(b):
+                    continue  # untouched bucket: shared files, no diff
+                out.append(
+                    _CdfPartition(
+                        base,
+                        self._table,
+                        b,
+                        [f"_kb={b}/{fn}" for fn in ob.get(b, [])],
+                        [f"_kb={b}/{fn}" for fn in nb.get(b, [])],
+                        v,
+                        self._cols,
+                    )
+                )
+        return out
+
+    def read(self, partition: "_CdfPartition"):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        def load(rel_files):
+            frames = []
+            for rel in rel_files:
+                t = pq.read_table(str(Path(partition.root) / rel))
+                df = t.to_pandas()
+                for c in partition.cols:  # evolved columns: typed nulls
+                    if c not in df.columns:
+                        df[c] = None
+                frames.append(df[partition.cols])
+            if not frames:
+                return pd.DataFrame(columns=partition.cols)
+            return pd.concat(frames, ignore_index=True)
+
+        old, new = load(partition.old_files), load(partition.new_files)
+        # multiset diff: EXACT per-row-value counts (groupby on the
+        # value tuples — no hash collisions), signed difference
+        cols = partition.cols
+
+        def counts(df):
+            if df.empty:
+                return None
+            return df.groupby(cols, dropna=False).size()
+
+        nc, oc = counts(new), counts(old)
+        if nc is None and oc is None:
+            return
+        if oc is None:
+            diff = nc
+        elif nc is None:
+            diff = -oc
+        else:
+            diff = nc.subtract(oc, fill_value=0)
+
+        def rows(sel, tag):
+            for vals, n_rep in sel.items():
+                if len(cols) == 1:
+                    vals = (vals,)
+                row = tuple(
+                    None
+                    if pd.isna(v)
+                    else (v.item() if hasattr(v, "item") else v)
+                    for v in vals
+                )
+                for _ in range(int(n_rep)):
+                    yield row + (tag, partition.version)
+
+        yield from rows(diff[diff > 0], "insert")
+        yield from rows(-diff[diff < 0], "delete")
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream's checkpoint; nothing to ack
+
+
+class WarehouseCdfDataSource(DataSource):
+    """`spark.readStream.format("warehouse_cdf")` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warehouse_cdf"
+
+    def schema(self) -> str:
+        root = self.options.get("root")
+        table = self.options.get("table")
+        if not root or not table:
+            raise ValueError("warehouse_cdf requires options 'root' and 'table'")
+        return f"{_schema_ddl(root, table)}, {CHANGE_COLS}"
+
+    def streamReader(self, schema) -> "WarehouseCdfStreamReader":
+        cols = [f.name for f in schema.fields if f.name not in ("_change", "_version")]
+        return WarehouseCdfStreamReader(
+            self.options["root"], self.options["table"], cols
+        )
+
+
+def register_warehouse_cdf_datasource(spark) -> None:
+    """Idempotent registration."""
+    spark.dataSource.register(WarehouseCdfDataSource)
