@@ -31,12 +31,64 @@ from pyspark.sql import functions as F
 
 
 def _scan_literal(s: str):
-    """CLI scan value: int if it parses, else string (the two types the
-    zone-map/bloom probes support)."""
+    """CLI scan value fallback (schema unknown): int if it parses, else
+    string.  Prefer :func:`_typed_literal`, which types the value from
+    the table's registered schema — ``uid,=,777`` against a string key
+    must stay the STRING '777', or the cross-type guards disable every
+    pruning path and Spark's implicit cast changes match semantics
+    (matching '0777')."""
     try:
         return int(s)
     except ValueError:
         return s
+
+
+def _typed_literal(s: str, dtype):
+    """Coerce a CLI value to the column's stored type.  A quoted value
+    ('x' or \"x\") always forces a string literal regardless of the
+    column type (the escape hatch the schema can't express)."""
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in ("'", '"'):
+        return s[1:-1]
+    if dtype is None:
+        return _scan_literal(s)
+    from pyspark.sql.types import BooleanType, FractionalType, IntegralType
+
+    try:
+        if isinstance(dtype, BooleanType):
+            if s.lower() in ("true", "1"):
+                return True
+            if s.lower() in ("false", "0"):
+                return False
+            raise ValueError(s)
+        if isinstance(dtype, IntegralType):
+            return int(s)
+        if isinstance(dtype, FractionalType):
+            return float(s)
+    except ValueError:
+        raise SystemExit(
+            f"scan value {s!r} does not parse as the column's stored type "
+            f"{dtype.simpleString()}"
+        ) from None
+    return s
+
+
+def _parse_preds(args_where, schema):
+    """``col,op,val`` triples → typed scan predicates, typing each value
+    from the table schema (see _typed_literal)."""
+    fields = {f.name: f.dataType for f in schema.fields} if schema else {}
+    preds = []
+    for w in args_where:
+        col, op, val = w.split(",", 2)
+        dt = fields.get(col)
+        if op == "between":
+            lo, hi = val.split(":", 1)
+            val = (_typed_literal(lo, dt), _typed_literal(hi, dt))
+        elif op == "in":
+            val = [_typed_literal(v, dt) for v in val.split(":")]
+        else:
+            val = _typed_literal(val, dt)
+        preds.append((col, op, val))
+    return preds
 
 
 def _truncate_for_table(s: str, width: int = 60) -> str:
@@ -307,17 +359,7 @@ def main(argv: list[str] | None = None) -> int:
             v = wh.rebucket(args.table, args.n_buckets)
             print(f"rebucketed {args.table} to {args.n_buckets} buckets (v{v:05d})")
         elif args.what == "scan":
-            preds = []
-            for w in args.where:
-                col, op, val = w.split(",", 2)
-                if op == "between":
-                    lo, hi = val.split(":", 1)
-                    val = (_scan_literal(lo), _scan_literal(hi))
-                elif op == "in":
-                    val = [_scan_literal(v) for v in val.split(":")]
-                else:
-                    val = _scan_literal(val)
-                preds.append((col, op, val))
+            preds = _parse_preds(args.where, wh.table_schema(args.table))
             df, diag = wh.scan(
                 args.table, preds, version=args.version, with_diagnostics=True
             )
@@ -328,17 +370,7 @@ def main(argv: list[str] | None = None) -> int:
                     f"(zone-map/bloom skipping)"
                 )
         elif args.what == "delete":
-            preds = []
-            for w in args.where:
-                col, op, val = w.split(",", 2)
-                if op == "between":
-                    lo, hi = val.split(":", 1)
-                    val = (_scan_literal(lo), _scan_literal(hi))
-                elif op == "in":
-                    val = [_scan_literal(v) for v in val.split(":")]
-                else:
-                    val = _scan_literal(val)
-                preds.append((col, op, val))
+            preds = _parse_preds(args.where, wh.table_schema(args.table))
             d = wh.delete_where(args.table, preds)
             print(
                 f"deleted {d['rows_deleted']} rows "

@@ -168,57 +168,59 @@ class WarehouseCdfStreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: "_CdfPartition"):
-        import pandas as pd
+        # Pure arrow→Python diff — deliberately NO pandas round-trip:
+        # pyarrow's to_pandas decays int64-with-nulls to float64 (and
+        # pandas groupby re-coerces even object int keys to float64),
+        # so ids past 2^53 would collapse distinct rows in the multiset
+        # diff and emit floats against a long-typed stream schema.
+        # Counter over exact Python values keeps every type lossless
+        # (int stays int, None for null, bytes/datetime/Decimal as-is).
+        from collections import Counter
+
         import pyarrow.parquet as pq
 
-        def load(rel_files):
-            frames = []
-            for rel in rel_files:
-                t = pq.read_table(str(Path(partition.root) / rel))
-                df = t.to_pandas()
-                for c in partition.cols:  # evolved columns: typed nulls
-                    if c not in df.columns:
-                        df[c] = None
-                frames.append(df[partition.cols])
-            if not frames:
-                return pd.DataFrame(columns=partition.cols)
-            return pd.concat(frames, ignore_index=True)
-
-        old, new = load(partition.old_files), load(partition.new_files)
-        # multiset diff: EXACT per-row-value counts (groupby on the
-        # value tuples — no hash collisions), signed difference
         cols = partition.cols
 
-        def counts(df):
-            if df.empty:
-                return None
-            return df.groupby(cols, dropna=False).size()
+        def tables(rel_files):
+            return [
+                pq.read_table(str(Path(partition.root) / rel))
+                for rel in rel_files
+            ]
 
-        nc, oc = counts(new), counts(old)
-        if nc is None and oc is None:
-            return
-        if oc is None:
-            diff = nc
-        elif nc is None:
-            diff = -oc
-        else:
-            diff = nc.subtract(oc, fill_value=0)
+        old_t, new_t = tables(partition.old_files), tables(partition.new_files)
+        # float NaN: NaN != NaN, but the diff must group NaN rows
+        # together (pandas dropna=False did) — canonicalize to ONE nan
+        # object so dict identity-then-equality lookup unifies them
+        _nan = float("nan")
 
-        def rows(sel, tag):
-            for vals, n_rep in sel.items():
-                if len(cols) == 1:
-                    vals = (vals,)
-                row = tuple(
-                    None
-                    if pd.isna(v)
-                    else (v.item() if hasattr(v, "item") else v)
-                    for v in vals
-                )
-                for _ in range(int(n_rep)):
-                    yield row + (tag, partition.version)
+        def counts(ts) -> Counter:
+            ctr: Counter = Counter()
+            for t in ts:
+                names = set(t.schema.names)
+                arrs = [
+                    t.column(c).to_pylist()
+                    if c in names
+                    else [None] * t.num_rows  # evolved column: typed nulls
+                    for c in cols
+                ]
+                for row in zip(*arrs):
+                    ctr[
+                        tuple(
+                            _nan
+                            if isinstance(v, float) and v != v
+                            else v
+                            for v in row
+                        )
+                    ] += 1
+            return ctr
 
-        yield from rows(diff[diff > 0], "insert")
-        yield from rows(-diff[diff < 0], "delete")
+        oc, nc = counts(old_t), counts(new_t)
+        ver = partition.version
+        for key in nc.keys() | oc.keys():
+            n = nc.get(key, 0) - oc.get(key, 0)
+            tag = "insert" if n > 0 else "delete"
+            for _ in range(abs(n)):
+                yield key + (tag, ver)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the stream's checkpoint; nothing to ack

@@ -102,8 +102,6 @@ def _parquet_minmax(path) -> dict[str, list]:
     (int/float/string/bool); a column missing statistics in ANY row
     group is dropped for the whole file.  Missing stats are always safe:
     readers treat a file without a column's zone map as unprunable."""
-    import math
-
     import pyarrow.parquet as pq
 
     meta = pq.ParquetFile(str(path)).metadata
@@ -129,7 +127,15 @@ def _parquet_minmax(path) -> dict[str, list]:
             elif isinstance(mn, int) and isinstance(mx, int):
                 ok = True
             elif isinstance(mn, float) and isinstance(mx, float):
-                ok = math.isfinite(mn) and math.isfinite(mx)
+                # Floating-point columns are UNPRUNABLE: parquet writers
+                # exclude NaN from min/max, but Spark orders NaN above
+                # every value and NaN = NaN is true, so a file whose only
+                # matching rows are NaN (col > 0, col = NaN) would be
+                # pruned by its NaN-blind stats.  Iceberg solves this
+                # with per-file nan_counts; pyarrow's footer statistics
+                # don't expose one, so we drop float stats entirely —
+                # missing stats are always safe (file stays scanned).
+                ok = False
             elif isinstance(mn, str) and isinstance(mx, str):
                 ok = (
                     len(mn) < _STATS_MAX_STRLEN and len(mx) < _STATS_MAX_STRLEN
@@ -509,21 +515,40 @@ class Warehouse:
             fields = {f.name: f.dataType for f in schema.fields} if schema else {}
 
             def _key_typed(k) -> bool:
-                from pyspark.sql.types import BooleanType, NumericType, StringType
+                # xxhash64 is TYPE-sensitive: the probe literal must
+                # hash exactly as the stored column does, so the guard
+                # demands the same type class (float-vs-integral
+                # rejected — F.lit(5) hashed as Integer/Double lands in
+                # a different bucket than the stored Long) and the
+                # probe below casts to the column's exact dataType.
+                from pyspark.sql.types import (
+                    BooleanType,
+                    FractionalType,
+                    IntegralType,
+                    StringType,
+                )
 
                 dt, v = fields.get(k), eq[k]
                 if isinstance(dt, StringType):
                     return isinstance(v, str)
                 if isinstance(dt, BooleanType):
                     return isinstance(v, bool)
-                if isinstance(dt, NumericType):
-                    return isinstance(v, (int, float)) and not isinstance(v, bool)
+                if isinstance(v, bool):
+                    return False
+                if isinstance(dt, IntegralType):
+                    return isinstance(v, int)
+                if isinstance(dt, FractionalType):
+                    # int literal casts exactly into float/double; a
+                    # float literal against an integral column does NOT
+                    return isinstance(v, (int, float))
                 return False
 
             if all(_key_typed(k) for k in keys):
                 row = (
                     self.spark.range(1)
-                    .select(*[F.lit(eq[k]).alias(k) for k in keys])
+                    .select(
+                        *[F.lit(eq[k]).cast(fields[k]).alias(k) for k in keys]
+                    )
                     .select(self._key_bucket(table, m["n_buckets"]).alias("b"))
                     .collect()[0]
                 )
@@ -772,9 +797,51 @@ class Warehouse:
         # chain (a chained `size` assignment would flip the match for a
         # later `type` assignment; caught by the gate certifier)
         types = {f.name: f.dataType for f in df.schema.fields}
+        rhs_cols = {
+            col: (val if hasattr(val, "cast") else F.lit(val))
+            for col, val in set_values.items()
+        }
+        # Type-changing assignments RAISE (mirroring _resolve_evolution)
+        # rather than silently casting: with ANSI off, a failed cast
+        # (set size='abc' on a long column) would write NULLs into every
+        # matched row.  Lossless numeric widening (int→long, int→double)
+        # and an explicit NULL are the only cross-type forms allowed;
+        # the residual cast below then only normalizes those.
+        from pyspark.sql.types import (
+            FractionalType,
+            IntegralType,
+            NullType,
+            NumericType,
+        )
+
+        resolved = {
+            f.name: f.dataType
+            for f in df.select(
+                *[c.alias(name) for name, c in rhs_cols.items()]
+            ).schema.fields
+        }
+
+        def _assignable(rhs, stored) -> bool:
+            if isinstance(rhs, NullType) or rhs == stored:
+                return True
+            if isinstance(stored, FractionalType) and isinstance(rhs, NumericType):
+                return True  # int/float → double: lossless widen
+            if isinstance(stored, IntegralType) and isinstance(rhs, IntegralType):
+                return True  # int-family literal → stored int width
+            return False
+
+        bad = sorted(
+            n for n in set_values if not _assignable(resolved[n], types[n])
+        )
+        if bad:
+            raise ValueError(
+                f"table '{table}': UPDATE changes column types for {bad} "
+                f"(stored {[types[n].simpleString() for n in bad]}, "
+                f"assigned {[resolved[n].simpleString() for n in bad]}) — "
+                f"type changes require an explicit rewrite, not an UPDATE"
+            )
         assigns = {}
-        for col, val in set_values.items():
-            new_col = val if hasattr(val, "cast") else F.lit(val)
+        for col, new_col in rhs_cols.items():
             assigns[col] = F.when(match_expr, new_col.cast(types[col])).otherwise(
                 F.col(col)
             )
@@ -1551,6 +1618,22 @@ class Warehouse:
 
         sj = m.get("schema")
         return StructType.fromJson(json.loads(sj)) if sj else None
+
+    def table_schema(self, table: str):
+        """The table's CURRENT StructType, or None if unknowable — the
+        manifest-pinned evolved schema when one exists, else the model's
+        registered schema.  Metadata only (no file reads); CLI predicate
+        typing and external tooling use this to build correctly-typed
+        literals so pruning guards (_key_typed, _same_type_class) engage
+        instead of falling back to unprunable cross-type predicates."""
+        mvs = self._manifest_versions(table)
+        if mvs:
+            schema = self._schema_of(self._manifest(table, mvs[-1]))
+            if schema is not None:
+                return schema
+        if table in ALL_TABLES:
+            return ALL_TABLES[table][0]
+        return None
 
     def _read_manifest(self, table: str, version: int) -> DataFrame:
         """Read exactly the files a manifest lists. Bucketed manifests
