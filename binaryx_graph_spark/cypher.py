@@ -2143,33 +2143,76 @@ def cypher(tables: dict[str, DataFrame], text: str, params: dict | None = None) 
 # ------------------------------------------------------- write statements
 
 
+@dataclass(frozen=True)
+class Param:
+    """Unresolved ``$name`` placeholder in a statement TEMPLATE — the
+    batch executor binds it to the params DataFrame's column of the
+    same name (one template parse, N rows bound set-orientedly)."""
+
+    name: str
+
+
+class _TemplateParams(dict):
+    """Parameter mapping that resolves every ``$name`` to a
+    :class:`Param` marker instead of a value — parse once as a
+    template, bind per-row later."""
+
+    def __bool__(self) -> bool:  # noqa: D105 — survive `params or {}`
+        return True
+
+    def __contains__(self, _k) -> bool:  # noqa: D105
+        return True
+
+    def __getitem__(self, k) -> Param:  # noqa: D105
+        return Param(k)
+
+
 @dataclass
 class WriteStmt:
-    kind: str  # 'merge_node' | 'merge_edge' | 'clear'
+    kind: str  # 'merge_node' | 'create_node' | 'merge_edge' | 'clear'
+    #        | 'delete_node' | 'delete_edge' | 'index'
     label: str | None = None  # node label or edge type
     key_props: dict[str, object] = field(default_factory=dict)
     set_props: dict[str, object] = field(default_factory=dict)
     src: tuple[str, str, dict] | None = None  # (label, keycol, props) of MATCH'd src
     dst: tuple[str, str, dict] | None = None
+    detach: bool = False  # delete_node: also remove incident edges
 
 
 class CypherWriteParser(CypherParser):
     """The reference's write statements (importer.rs:86-320,
-    connection.rs:170):
+    connection.rs:170, schema.rs:44-51):
 
     - ``MERGE (v:Label {key: $p}) [SET v.p = $x, ...]`` — node upsert
+    - ``CREATE (v:Label {key: $p, prop: $x, ...})`` — node insert
+      (raises on an existing key: the graph model keys every label, so
+      Neo4j's duplicate-node CREATE cannot be represented; failing loud
+      beats silently merging)
     - ``MATCH (a:L1 {k: $p}), (b:L2 {k: $p}) MERGE (a)-[r:TYPE {props}]->(b)
       [SET r.p = $x, ...]`` — edge upsert between matched nodes
+    - ``MATCH (v:Label {key: $p}) [DETACH] DELETE v`` — node delete;
+      DETACH also deletes incident edges, plain DELETE raises if any
+      exist (Neo4j's constraint)
+    - ``MATCH (a:L1 {k: $p})-[r:TYPE]->(b:L2 {k: $p}) DELETE r`` —
+      edge delete
     - ``MATCH (n) DETACH DELETE n`` — clear database
+    - ``CREATE [FULLTEXT] INDEX ... [IF NOT EXISTS] FOR ... ON ...`` —
+      accepted and acknowledged as a no-op: the engine's zone maps,
+      bloom sidecars and posting tables are its indexes; the statement
+      exists so the reference's schema-init script replays verbatim
     """
 
     def parse_write(self) -> WriteStmt:
         if self._accept_word("MERGE"):
             stmt = self._merge_node()
+        elif self._accept_word("CREATE"):
+            stmt = self._create_stmt()
         elif self._accept("kw", "MATCH"):
             stmt = self._match_stmt()
         else:
-            raise ValueError("cypher write: statement must start with MERGE or MATCH")
+            raise ValueError(
+                "cypher write: statement must start with MERGE, CREATE or MATCH"
+            )
         k, v = self._peek()
         if k is not None:
             raise ValueError(f"cypher write: trailing input at {v!r}")
@@ -2189,6 +2232,27 @@ class CypherWriteParser(CypherParser):
             "merge_node", n.label, dict(n.props), self._set_clause(n.var)
         )
 
+    def _create_stmt(self) -> WriteStmt:
+        # CREATE [FULLTEXT] INDEX ... — schema.rs's init statements:
+        # acknowledge and consume (no-op; see class docstring)
+        if self._peek_word("INDEX", "FULLTEXT", "CONSTRAINT"):
+            while self._peek()[0] is not None:
+                self._next()
+            return WriteStmt("index")
+        n = self._node()
+        if n.label is None or not n.props:
+            raise ValueError("cypher write: CREATE needs (v:Label {key: ..., ...})")
+        _table, key = NODE_LABELS[n.label]
+        if key not in n.props:
+            raise ValueError(
+                f"cypher write: CREATE on :{n.label} must bind the key {{{key}}}"
+            )
+        props = dict(n.props)
+        return WriteStmt(
+            "create_node", n.label, {key: props[key]},
+            {p: v for p, v in props.items() if p != key},
+        )
+
     def _match_stmt(self) -> WriteStmt:
         first = self._node()
         if first.label is None and not first.props:
@@ -2198,6 +2262,45 @@ class CypherWriteParser(CypherParser):
             if self._name() != first.var:
                 raise ValueError("cypher write: DETACH DELETE must name the matched variable")
             return WriteStmt("clear")
+        if first.label is not None and self._peek_word("DETACH", "DELETE"):
+            # MATCH (v:Label {key: $p}) [DETACH] DELETE v
+            detach = self._accept_word("DETACH")
+            if not self._accept_word("DELETE"):
+                raise ValueError("cypher write: expected DELETE")
+            if self._name() != first.var:
+                raise ValueError("cypher write: DELETE must name the matched variable")
+            _table, key = NODE_LABELS[first.label]
+            if list(first.props) != [key]:
+                raise ValueError(
+                    f"cypher write: DELETE on :{first.label} must key on {{{key}}}"
+                )
+            return WriteStmt(
+                "delete_node", first.label, dict(first.props), detach=detach
+            )
+        k, v = self._peek()
+        if k == "sym" and v in ("-", "<-"):
+            # MATCH (a:L {k:$p})-[r:T]->(b:L {k:$p}) DELETE r — edge delete
+            edge = self._edge()
+            second = self._node()
+            if not self._accept_word("DELETE"):
+                raise ValueError("cypher write: pattern MATCH must end in DELETE r")
+            if edge.var is None or self._name() != edge.var:
+                raise ValueError("cypher write: DELETE must name the relationship variable")
+            if len(edge.types) != 1 or edge.varlen:
+                raise ValueError("cypher write: DELETE needs a single concrete relationship type")
+            lhs, rhs = (second, first) if edge.direction == "<-" else (first, second)
+            ty = edge.types[0]
+            _table, sl, _sc, dl, _dc = EDGE_TYPES[ty]
+            for n, want in ((lhs, sl), (rhs, dl)):
+                if n.label != want or list(n.props) != [NODE_LABELS[want][1]]:
+                    raise ValueError(
+                        f"cypher write: ({n.var}:{n.label}) must be keyed :{want} for :{ty}"
+                    )
+            return WriteStmt(
+                "delete_edge", ty, dict(edge.props),
+                src=(lhs.label, NODE_LABELS[lhs.label][1], dict(lhs.props)),
+                dst=(rhs.label, NODE_LABELS[rhs.label][1], dict(rhs.props)),
+            )
         self._expect("sym", ",")
         second = self._node()
         for n in (first, second):
@@ -2250,17 +2353,31 @@ class CypherWriteParser(CypherParser):
         return out
 
 
+def _incident_edges(label: str) -> list[tuple[str, str]]:
+    """Every (edge_table, endpoint_column) pair a node of ``label`` can
+    touch — the DETACH DELETE / DELETE-constraint sweep list."""
+    out = []
+    for _ty, (table, sl, sc, dl, dc) in EDGE_TYPES.items():
+        if sl == label:
+            out.append((table, sc))
+        if dl == label:
+            out.append((table, dc))
+    return out
+
+
 def cypher_write(wh, text: str, params: dict | None = None) -> dict:
     """Execute one reference write statement against the warehouse.
 
     This is the per-statement compat shim for the reference's importer
     calls (one MERGE per entity, importer.rs:86-320) — bulk ingestion
-    goes through the CLI's set-oriented ETL.  Node SET semantics match
-    Neo4j: only the listed properties change; unmentioned columns keep
-    their stored values (or NULL on first create).  A MATCH whose
-    endpoints don't exist merges nothing (zero matched rows).
+    goes through :func:`cypher_write_batch` or the CLI's set-oriented
+    ETL.  Node SET semantics match Neo4j: only the listed properties
+    change; unmentioned columns keep their stored values (or NULL on
+    first create).  A MATCH whose endpoints don't exist merges nothing
+    (zero matched rows).
 
-    Returns {"table": name, "rows": 0|1} ("clear" for DETACH DELETE).
+    Returns {"table": name, "rows": n} ("clear" for DETACH DELETE of
+    everything, "index" for CREATE INDEX acks).
     """
     from .sources.warehouse import ALL_TABLES, MERGE_KEYS
 
@@ -2268,6 +2385,47 @@ def cypher_write(wh, text: str, params: dict | None = None) -> dict:
     if stmt.kind == "clear":
         wh.clear()
         return {"table": "clear", "rows": 0}
+    if stmt.kind == "index":
+        return {"table": "index", "rows": 0}
+
+    if stmt.kind == "delete_node":
+        table, key = NODE_LABELS[stmt.label]
+        val = stmt.key_props[key]
+        incident = _incident_edges(stmt.label)
+        if not stmt.detach:
+            for etab, col in incident:
+                if not wh.read(etab).filter(F.col(col) == F.lit(val)).isEmpty():
+                    raise ValueError(
+                        f"cypher write: cannot DELETE :{stmt.label} {{{key}: "
+                        f"{val!r}}} — it still has :{etab} relationships "
+                        f"(use DETACH DELETE)"
+                    )
+        rows = 0
+        if stmt.detach:
+            for etab, col in incident:
+                d = wh.delete_where(etab, [(col, "=", val)])
+                rows += d["rows_deleted"]
+        d = wh.delete_where(table, [(key, "=", val)])
+        return {"table": table, "rows": d["rows_deleted"] + rows}
+
+    if stmt.kind == "delete_edge":
+        table, _sl, sc, _dl, dc = EDGE_TYPES[stmt.label]
+        _l1, skey, sprops = stmt.src
+        _l2, dkey, dprops = stmt.dst
+        preds = [(sc, "=", sprops[skey]), (dc, "=", dprops[dkey])]
+        preds += [(p, "=", v) for p, v in stmt.key_props.items()]
+        d = wh.delete_where(table, preds)
+        return {"table": table, "rows": d["rows_deleted"]}
+
+    if stmt.kind == "create_node":
+        table, key = NODE_LABELS[stmt.label]
+        val = stmt.key_props[key]
+        if not wh.read(table).filter(F.col(key) == F.lit(val)).isEmpty():
+            raise ValueError(
+                f"cypher write: CREATE (:{stmt.label} {{{key}: {val!r}}}) — "
+                f"node already exists (every label is keyed; use MERGE)"
+            )
+        stmt = WriteStmt("merge_node", stmt.label, stmt.key_props, stmt.set_props)
 
     if stmt.kind == "merge_node":
         table, key = NODE_LABELS[stmt.label]
@@ -2304,3 +2462,134 @@ def cypher_write(wh, text: str, params: dict | None = None) -> dict:
     one = wh.spark.createDataFrame([tuple(base[n] for n in names)], schema)
     wh.merge_batch({table: one})
     return {"table": table, "rows": 1}
+
+
+def cypher_write_batch(
+    wh,
+    text: str,
+    params: DataFrame,
+    *,
+    order_cols: list[str] | None = None,
+    batch_seq: int = 1,
+) -> dict:
+    """SET-ORIENTED execution of ONE write-statement template over a
+    whole DataFrame of parameter rows — the scale lane for the
+    reference's import surface (importer.rs:86-320 issues one Bolt
+    round trip PER ENTITY; this compiles the same verbatim template
+    once and commits all N bindings as one LWW merge).
+
+    ``params`` columns bind the template's ``$name`` placeholders by
+    name.  ``order_cols`` (columns of ``params``) define the within-
+    batch statement order for Cypher's sequential semantics: duplicate
+    MERGE keys collapse last-write-wins by that order BEFORE the
+    commit, exactly like replaying the statements one at a time.
+    Without ``order_cols``, duplicate keys must agree on every bound
+    value (order can't matter); full-row duplicates are collapsed.
+
+    Semantics per statement kind:
+
+    - ``MERGE (v:Label {key: $k}) SET ...`` — node upsert.  Partial
+      SET matches Neo4j: unmentioned columns keep their stored value
+      (NULL on first create) — one left join against the stored table,
+      no per-row reads.
+    - ``MATCH (a:…), (b:…) MERGE (a)-[r:TYPE …]->(b) [SET …]`` — edge
+      upsert.  The MATCH precondition (both endpoints exist) becomes
+      two semi-joins against the node tables — rows whose endpoints
+      are missing merge nothing, same as a MATCH that found no rows.
+    - ``MATCH (n) DETACH DELETE n`` — clears the database (params
+      ignored).
+
+    Scale shape: one shuffle for the LWW collapse (the same shuffle
+    MERGE INTO needs), broadcast-or-shuffle semi-joins Catalyst picks
+    by size, one manifest commit (bucketed tables rewrite only touched
+    key-buckets via merge_batch_incremental).  No driver-side loops,
+    no per-row round trips.
+
+    Returns {"table": name, "rows": merged-row-count}.
+    """
+    from .operators.ingest import _last_wins
+    from .sources.warehouse import ALL_TABLES, MERGE_KEYS
+
+    stmt = CypherWriteParser(text, _TemplateParams()).parse_write()
+    if stmt.kind == "clear":
+        wh.clear()
+        return {"table": "clear", "rows": 0}
+    if stmt.kind == "index":
+        return {"table": "index", "rows": 0}
+    if stmt.kind not in ("merge_node", "merge_edge", "create_node"):
+        raise ValueError(
+            f"cypher write batch: {stmt.kind} is a single-statement form — "
+            f"use cypher_write (deletes take predicates, not param batches)"
+        )
+
+    def _pcol(v, dtype) -> Column:
+        c = F.col(v.name) if isinstance(v, Param) else F.lit(v)
+        return c.cast(dtype)
+
+    if stmt.kind in ("merge_node", "create_node"):
+        table, key = NODE_LABELS[stmt.label]
+        schema, _k = ALL_TABLES[table]
+        types = {f.name: f.dataType for f in schema.fields}
+        bound = {key: stmt.key_props[key], **stmt.set_props}
+        for p in bound:
+            if p not in types:
+                raise ValueError(f"cypher write: {table} has no column {p}")
+        batch = params.select(
+            *[_pcol(v, types[p]).alias(p) for p, v in bound.items()],
+            *(order_cols or []),
+        )
+    else:
+        table, sl, sc, dl, dc = EDGE_TYPES[stmt.label]
+        schema, _k = ALL_TABLES[table]
+        types = {f.name: f.dataType for f in schema.fields}
+        _l1, skey, sprops = stmt.src
+        _l2, dkey, dprops = stmt.dst
+        bound = {sc: sprops[skey], dc: dprops[dkey]}
+        bound.update(stmt.key_props)
+        bound.update(stmt.set_props)
+        for p in bound:
+            if p not in types:
+                raise ValueError(f"cypher write: {table} has no column {p}")
+        batch = params.select(
+            *[_pcol(v, types[p]).alias(p) for p, v in bound.items()],
+            *(order_cols or []),
+        )
+        # MATCH precondition: endpoints must exist (importer templates
+        # MATCH both nodes before MERGE) — semi-joins drop unmatched rows
+        for lbl, col in ((sl, sc), (dl, dc)):
+            ntab, nkey = NODE_LABELS[lbl]
+            nodes = wh.read(ntab).select(F.col(nkey).alias(col))
+            batch = batch.join(nodes, col, "left_semi")
+
+    keys = MERGE_KEYS[table]
+    for k in keys:
+        if k not in bound:
+            raise ValueError(f"cypher write: MERGE on {table} must bind key column {k}")
+    if order_cols:
+        batch = _last_wins(batch, keys, order_cols).select(*bound)
+    else:
+        batch = batch.dropDuplicates()
+
+    if stmt.kind == "create_node":
+        clash = wh.read(table).select(*keys).join(batch.select(*keys), keys, "left_semi")
+        if not clash.isEmpty():
+            raise ValueError(
+                f"cypher write: CREATE batch collides with existing :{stmt.label} "
+                f"keys (every label is keyed; use MERGE)"
+            )
+
+    # partial-SET: unmentioned columns keep their stored values (NULL on
+    # first create) — one broadcast-or-shuffle left join, set-oriented
+    rest = [n for n in types if n not in bound]
+    if rest:
+        stored = wh.read(table).select(*keys, *rest)
+        batch = batch.join(stored, keys, "left")
+    full = batch.select(*[F.col(n).cast(types[n]).alias(n) for n in types])
+
+    mvs = wh._manifest_versions(table)
+    bucketed = bool(mvs) and "buckets" in wh._manifest(table, mvs[-1])
+    if bucketed:
+        wh.merge_batch_incremental({table: full}, batch_seq=batch_seq)
+    else:
+        wh.merge_batch({table: full}, batch_seq=batch_seq)
+    return {"table": table, "rows": batch.count()}

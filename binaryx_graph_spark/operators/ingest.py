@@ -114,32 +114,25 @@ def project_documents(docs: DataFrame) -> DataFrame:
     ).filter(F.col("binary_hash").isNotNull())
 
 
-def build_graph_tables(docs_raw: DataFrame, *, parallel_calls: bool = False) -> dict[str, DataFrame]:
-    """Full batch ETL: documents → the 4 node + 6 edge tables + stats.
+def item_streams(docs: DataFrame) -> dict[str, DataFrame]:
+    """The CLIENT-SESSION entity streams (session.rs): every per-item
+    row the reference computes client-side and hands to its importer's
+    Cypher templates (importer.rs:86-320), BEFORE any MERGE collapse.
 
-    Returns dict with keys: binaries functions strings libraries contains
-    imports imports_library belongs_to calls contains_string import_stats.
+    These are both the building blocks of :func:`build_graph_tables`
+    (which applies the MERGE/LWW collapse set-orientedly) and the
+    parameter batches for the verbatim Cypher write replay
+    (`cypher.cypher_write_batch`) — one source of truth for UID
+    generation, address normalization, the per-file address→uid map and
+    call resolution, so the two paths cannot drift.
 
-    ``parallel_calls=True`` keys CALLS by (src, dst, offset) instead of
-    the reference's pair-collapse — preserving one edge per call SITE so
-    call-frequency aggregations (G8/A4) count real call sites. Richer
-    than the reference; off by default for parity (SURVEY.md §7.3 #7).
+    Keys: ``fn_items str_items imp_items exp_items exp_new
+    fn_nodes_internal fn_nodes_import fn_nodes_export addr_map
+    calls_resolved`` — each carries its (ingest_seq, pos) statement
+    order; the fn_nodes_* streams carry the session's ``stage`` rank
+    (functions=0, imports=1, exports=2) so unioning them reproduces the
+    reference's within-file statement order exactly.
     """
-    docs = project_documents(docs_raw)
-    # The per-binary arrays are re-visited by several branches below —
-    # cache the projected documents once (at scale: this is the raw input
-    # partitioned by file, no shuffle yet).
-    docs.cache()
-
-    order = ["ingest_seq", "pos"]
-
-    # ---------------------------------------------------------------- E1
-    binaries = _last_wins(
-        docs.select("binary_hash", "filename", "file_path", "file_size", "format", "arch", "ingest_seq"),
-        ["binary_hash"],
-        ["ingest_seq"],
-    ).select(F.col("binary_hash").alias("hash"), "filename", "file_path", "file_size", "format", "arch")
-
     # ---------------------------------------------------------------- E2
     fn_items = _explode_items(docs, "functions", FUNCTION_ITEM).select(
         "binary_hash",
@@ -153,7 +146,7 @@ def build_graph_tables(docs_raw: DataFrame, *, parallel_calls: bool = False) -> 
         "uid", function_uid("binary_hash", "raw_address")
     ).withColumn("norm_address", F.coalesce(normalize_address("raw_address"), F.lit("0x0")))
 
-    functions_internal = fn_items.select(
+    fn_nodes_internal = fn_items.select(
         "uid",
         "name",
         F.lit("Internal").alias("type"),
@@ -161,10 +154,9 @@ def build_graph_tables(docs_raw: DataFrame, *, parallel_calls: bool = False) -> 
         F.coalesce(F.col("size"), F.lit(-1)).alias("size"),  # sentinel, importer.rs:131-133
         "binary_hash",
         "ingest_seq",
+        F.lit(0).alias("stage"),
         "pos",
     )
-
-    contains = fn_items.select("binary_hash", F.col("uid").alias("function_uid")).dropDuplicates()
 
     # ---------------------------------------------------------------- E3
     str_items = _explode_items(docs, "strings", STRING_ITEM)
@@ -182,15 +174,6 @@ def build_graph_tables(docs_raw: DataFrame, *, parallel_calls: bool = False) -> 
     str_items = str_items.withColumn("value", F.regexp_replace("value", "\x00+$", "")).withColumn(
         "uid", string_uid("value")
     )
-
-    strings = str_items.select("uid", "value").dropDuplicates(["uid"])  # E11
-    contains_string = str_items.select(
-        "binary_hash",
-        F.col("uid").alias("string_uid"),
-        # normalized-or-RAW (session.rs:368-371); missing → '' sentinel
-        # at the MERGE (importer.rs:227)
-        F.coalesce(normalize_address("address"), F.col("address"), F.lit("")).alias("address"),
-    ).dropDuplicates()  # triple key: occurrences at distinct addresses kept
 
     # ---------------------------------------------------------------- E5
     imp_items = _explode_items(docs, "imports", IMPORT_ITEM).filter(
@@ -210,7 +193,7 @@ def build_graph_tables(docs_raw: DataFrame, *, parallel_calls: bool = False) -> 
         F.coalesce(normalize_address("raw_iat"), F.col("raw_iat")),
     ).withColumn("uid", import_uid("library", "name"))
 
-    functions_import = imp_items.select(
+    fn_nodes_import = imp_items.select(
         "uid",
         "name",
         F.lit("Import").alias("type"),
@@ -218,24 +201,9 @@ def build_graph_tables(docs_raw: DataFrame, *, parallel_calls: bool = False) -> 
         F.lit(-1).cast("long").alias("size"),
         "binary_hash",
         "ingest_seq",
+        F.lit(1).alias("stage"),
         "pos",
     )
-
-    libraries = imp_items.select(F.col("library").alias("name")).dropDuplicates()  # E4
-    belongs_to = imp_items.select(
-        F.col("uid").alias("function_uid"), F.col("library").alias("library_name")
-    ).dropDuplicates()
-    imports_library = imp_items.select(
-        "binary_hash", F.col("library").alias("library_name")
-    ).dropDuplicates()
-    imports_edges = _last_wins(
-        imp_items.select(
-            "binary_hash", F.col("uid").alias("function_uid"), F.col("iat_address").alias("address"),
-            "ingest_seq", "pos",
-        ),
-        ["binary_hash", "function_uid"],
-        order,
-    ).select("binary_hash", "function_uid", "address")
 
     # ---------------------------------------------------------------- E6
     # exports with unparseable addresses are SKIPPED (error-collected),
@@ -255,7 +223,7 @@ def build_graph_tables(docs_raw: DataFrame, *, parallel_calls: bool = False) -> 
     # EVERY parseable export node is MERGEd (import_function always runs,
     # session.rs:226) — an Export at an internal function's address
     # OVERWRITES that node's name/type/size via last-write-wins below.
-    functions_export = exp_items.select(
+    fn_nodes_export = exp_items.select(
         "uid",
         "name",
         F.lit("Export").alias("type"),
@@ -263,6 +231,7 @@ def build_graph_tables(docs_raw: DataFrame, *, parallel_calls: bool = False) -> 
         F.lit(-1).cast("long").alias("size"),
         "binary_hash",
         "ingest_seq",
+        F.lit(2).alias("stage"),
         "pos",
     )
     # the address→uid MAP entry, however, is only-if-absent
@@ -280,18 +249,6 @@ def build_graph_tables(docs_raw: DataFrame, *, parallel_calls: bool = False) -> 
         .dropDuplicates()
     )
     exp_new = exp_items.join(prior_keys, ["binary_hash", "ingest_seq", "norm_address"], "left_anti")
-
-    # function node upsert across Internal ∪ Import ∪ Export (E9):
-    # precedence is pure last-write-wins in stage order — the reference
-    # MERGEs functions, then imports, then exports within one file.
-    stage = F.lit  # stage rank: functions=0, imports=1, exports=2
-    functions = _last_wins(
-        functions_internal.withColumn("stage", stage(0))
-        .unionByName(functions_import.withColumn("stage", stage(1)))
-        .unionByName(functions_export.withColumn("stage", stage(2))),
-        ["uid"],
-        ["ingest_seq", "stage", "pos"],
-    ).select("uid", "name", "type", "address", "size")
 
     # ---------------------------------------------------------------- E7
     # address→uid map per binary; precedence imports > functions > exports
@@ -378,6 +335,88 @@ def build_graph_tables(docs_raw: DataFrame, *, parallel_calls: bool = False) -> 
     resolved = resolve(call_items, "from_norm", "from_address", "src_uid")
     resolved = resolve(resolved, "to_norm", "to_address", "dst_uid")
 
+    return {
+        "fn_items": fn_items,
+        "str_items": str_items,
+        "imp_items": imp_items,
+        "exp_items": exp_items,
+        "exp_new": exp_new,
+        "fn_nodes_internal": fn_nodes_internal,
+        "fn_nodes_import": fn_nodes_import,
+        "fn_nodes_export": fn_nodes_export,
+        "addr_map": addr_map,
+        "calls_resolved": resolved,
+    }
+
+
+def build_graph_tables(docs_raw: DataFrame, *, parallel_calls: bool = False) -> dict[str, DataFrame]:
+    """Full batch ETL: documents → the 4 node + 6 edge tables + stats.
+
+    Returns dict with keys: binaries functions strings libraries contains
+    imports imports_library belongs_to calls contains_string import_stats.
+
+    ``parallel_calls=True`` keys CALLS by (src, dst, offset) instead of
+    the reference's pair-collapse — preserving one edge per call SITE so
+    call-frequency aggregations (G8/A4) count real call sites. Richer
+    than the reference; off by default for parity (SURVEY.md §7.3 #7).
+    """
+    docs = project_documents(docs_raw)
+    # The per-binary arrays are re-visited by several branches below —
+    # cache the projected documents once (at scale: this is the raw input
+    # partitioned by file, no shuffle yet).
+    docs.cache()
+
+    order = ["ingest_seq", "pos"]
+    s = item_streams(docs)
+    fn_items, str_items, imp_items = s["fn_items"], s["str_items"], s["imp_items"]
+
+    # ---------------------------------------------------------------- E1
+    binaries = _last_wins(
+        docs.select("binary_hash", "filename", "file_path", "file_size", "format", "arch", "ingest_seq"),
+        ["binary_hash"],
+        ["ingest_seq"],
+    ).select(F.col("binary_hash").alias("hash"), "filename", "file_path", "file_size", "format", "arch")
+
+    contains = fn_items.select("binary_hash", F.col("uid").alias("function_uid")).dropDuplicates()
+
+    strings = str_items.select("uid", "value").dropDuplicates(["uid"])  # E11
+    contains_string = str_items.select(
+        "binary_hash",
+        F.col("uid").alias("string_uid"),
+        # normalized-or-RAW (session.rs:368-371); missing → '' sentinel
+        # at the MERGE (importer.rs:227)
+        F.coalesce(normalize_address("address"), F.col("address"), F.lit("")).alias("address"),
+    ).dropDuplicates()  # triple key: occurrences at distinct addresses kept
+
+    libraries = imp_items.select(F.col("library").alias("name")).dropDuplicates()  # E4
+    belongs_to = imp_items.select(
+        F.col("uid").alias("function_uid"), F.col("library").alias("library_name")
+    ).dropDuplicates()
+    imports_library = imp_items.select(
+        "binary_hash", F.col("library").alias("library_name")
+    ).dropDuplicates()
+    imports_edges = _last_wins(
+        imp_items.select(
+            "binary_hash", F.col("uid").alias("function_uid"), F.col("iat_address").alias("address"),
+            "ingest_seq", "pos",
+        ),
+        ["binary_hash", "function_uid"],
+        order,
+    ).select("binary_hash", "function_uid", "address")
+
+    # function node upsert across Internal ∪ Import ∪ Export (E9):
+    # precedence is pure last-write-wins in (file, stage, item) order —
+    # the reference MERGEs functions, then imports, then exports within
+    # one file; the streams carry that stage rank.
+    functions = _last_wins(
+        s["fn_nodes_internal"]
+        .unionByName(s["fn_nodes_import"])
+        .unionByName(s["fn_nodes_export"]),
+        ["uid"],
+        ["ingest_seq", "stage", "pos"],
+    ).select("uid", "name", "type", "address", "size")
+
+    resolved = s["calls_resolved"]
     ok = resolved.filter(F.col("src_uid").isNotNull() & F.col("dst_uid").isNotNull())
     call_key = ["src_uid", "dst_uid", "offset"] if parallel_calls else ["src_uid", "dst_uid"]
     calls = _last_wins(ok, call_key, order).select(
