@@ -165,6 +165,7 @@ def load_all() -> dict[str, Query]:
     from .queries import (  # noqa: F401
         analytics_ext,
         cypher_queries,
+        cypher_write_queries,
         graph,
         ingest_demo,
         ingest_scaled,
