@@ -2579,3 +2579,175 @@ def warehouse_cdf_stream_certified(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("phase")
     )
+
+
+@register(
+    "warehouse_deletion_vectors_certified",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS uid,
+             CAST(o_orderkey AS BIGINT) AS size
+      FROM orders
+    ),
+    bnd AS (
+      SELECT min(size) + (max(size) - min(size)) // 10 AS lo,
+             min(size) + (max(size) - min(size)) // 5 AS hi,
+             CAST(min(size) AS VARCHAR) AS point_uid
+      FROM base
+    ),
+    gone AS (
+      SELECT b.* FROM base b, bnd
+      WHERE b.size BETWEEN bnd.lo AND bnd.hi OR b.uid = bnd.point_uid
+    )
+    SELECT * FROM (
+      SELECT '1_remaining' AS phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(COALESCE(sum(size), 0) AS BIGINT) AS checksum
+      FROM base WHERE uid NOT IN (SELECT uid FROM gone)
+      UNION ALL
+      SELECT '2_cdc_deleted', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(size), 0) AS BIGINT) FROM gone
+      UNION ALL
+      SELECT '3_timetravel_pre', CAST(count(*) AS BIGINT),
+             CAST(sum(size) AS BIGINT) FROM base
+      UNION ALL
+      SELECT '4_after_purge', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(size), 0) AS BIGINT)
+      FROM base WHERE uid NOT IN (SELECT uid FROM gone)
+    ) t ORDER BY phase
+    """,
+    tags=("warehouse", "layout", "scale"),
+)
+def warehouse_deletion_vectors_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse lever #18 — DELETION VECTORS (merge-on-read DELETE),
+    certified inside the gate.  ``delete_where_dv``
+    (`sources/warehouse.py:delete_where_dv`) kills the last write-amp
+    scale-killer: a trickle delete under copy-on-write rewrites whole
+    files (O(file) per row); a DV commit records tombstone POSITIONS in
+    one parquet sidecar and republishes the manifest — O(deleted rows)
+    written, data files untouched.  Readers apply DVs as an anti-join;
+    ``optimize`` is the purge point (Delta/Iceberg's design).
+
+    One bucketed table at data scale, a range DV-delete plus a point
+    DV-delete, then the query RAISES unless:
+
+    - **zero rewrites, measured bytes**: both commits report
+      ``files_rewritten == 0`` and the point-delete's sidecar is under
+      half the SMALLEST data file (the O(rows)-not-O(file) claim,
+      measured, not asserted by vibes);
+    - **CDC is exactly the deletions**: ``read_changes`` across both
+      DV commits reports the tombstoned rows as deletes, ZERO inserts
+      — a DV-only commit changes no file list, so this proves the
+      diff consults DV state;
+    - **the CDF STREAM sees the same**: draining ``warehouse_cdf``
+      yields the identical delete multiset for those versions;
+    - **history intact**: time travel to the pre-delete version
+      returns the full table;
+    - **compaction purges**: after ``optimize`` the manifest carries
+      no DV references and the content is unchanged.
+
+    Remaining rows, the deleted set, pre-state and post-purge state
+    replay in DuckDB from `orders`."""
+    import hashlib
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from ..model import load_table
+    from ..sources.cdf_stream import register_warehouse_cdf_datasource
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_dv_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(spark, root)
+    register_warehouse_cdf_datasource(spark)
+    orders = load_table(spark, sf_dir, "orders")
+
+    df = orders.select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.concat(F.lit("fn_"), F.col("o_orderkey").cast("string")).alias("name"),
+        F.lit("").alias("address"),
+        F.col("o_orderkey").cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+    )
+    wh.merge_batch_incremental({"functions": df}, n_buckets=16)
+    v_pre = wh.versions("functions")[-1]
+    m0 = wh._manifest("functions", v_pre)
+    min_file = min(m0["bytes"].values())
+
+    kb = orders.agg(
+        F.min("o_orderkey").alias("kmin"), F.max("o_orderkey").alias("kmax")
+    ).collect()[0]
+    span = int(kb["kmax"]) - int(kb["kmin"])
+    lo = int(kb["kmin"]) + span // 10
+    hi = int(kb["kmin"]) + span // 5
+    point_uid = str(int(kb["kmin"]))
+
+    d1 = wh.delete_where_dv("functions", [("size", "between", (lo, hi))])
+    d2 = wh.delete_where_dv("functions", [("uid", "=", point_uid)])
+    if d1["files_rewritten"] or d2["files_rewritten"]:
+        raise AssertionError(f"DV delete rewrote data files: {d1} {d2}")
+    if d2["rows_deleted"] != 1:
+        raise AssertionError(f"point DV delete matched {d2['rows_deleted']} rows")
+    if not (0 < d2["dv_bytes"] < min_file / 2):
+        raise AssertionError(
+            f"point-delete sidecar {d2['dv_bytes']}B not O(rows) vs "
+            f"smallest data file {min_file}B"
+        )
+    m1 = wh._manifest("functions", wh.versions("functions")[-1])
+    if m1["bytes"] != m0["bytes"]:
+        raise AssertionError("DV commits must not touch data files")
+
+    def snap(df_):
+        r = df_.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("size").alias("checksum")
+        ).collect()[0]
+        return int(r["n"]), int(r["checksum"] or 0)
+
+    rem_n, rem_c = snap(wh.read("functions"))
+    ch = wh.read_changes("functions", v_pre)
+    if ch.filter(F.col("_change") == "insert").count():
+        raise AssertionError("DV delete CDC fabricated inserts")
+    del_n, del_c = snap(ch.filter(F.col("_change") == "delete"))
+    if del_n != d1["rows_deleted"] + d2["rows_deleted"]:
+        raise AssertionError(
+            f"CDC deletes {del_n} != reported {d1['rows_deleted']} + "
+            f"{d2['rows_deleted']}"
+        )
+    # the CDF STREAM must surface the identical delete multiset
+    name = f"cdf_dv_gate_{_uuid.uuid4().hex[:10]}"
+    (
+        spark.readStream.format("warehouse_cdf")
+        .option("root", root)
+        .option("table", "functions")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    sd = spark.table(name).filter(
+        (F.col("_version") > v_pre) & (F.col("_change") == "delete")
+    )
+    sd_n, sd_c = snap(sd)
+    if (sd_n, sd_c) != (del_n, del_c):
+        raise AssertionError(
+            f"CDF stream deletes ({sd_n}, {sd_c}) != read_changes "
+            f"({del_n}, {del_c})"
+        )
+    tt_n, tt_c = snap(wh.read("functions", version=v_pre))
+    wh.optimize(target_bytes=1 << 30)
+    mfin = wh._manifest("functions", wh.versions("functions")[-1])
+    if mfin.get("dvs"):
+        raise AssertionError("optimize must purge deletion vectors")
+    ap_n, ap_c = snap(wh.read("functions"))
+    return spark.createDataFrame(
+        [
+            ("1_remaining", rem_n, rem_c),
+            ("2_cdc_deleted", del_n, del_c),
+            ("3_timetravel_pre", tt_n, tt_c),
+            ("4_after_purge", ap_n, ap_c),
+        ],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")

@@ -99,7 +99,10 @@ def _schema_ddl(root: str, table: str) -> str:
 
 
 class _CdfPartition(InputPartition):
-    def __init__(self, root, table, bucket, old_files, new_files, version, cols):
+    def __init__(
+        self, root, table, bucket, old_files, new_files, version, cols,
+        old_dvs=None, new_dvs=None,
+    ):
         self.root = root
         self.table = table
         self.bucket = bucket
@@ -107,6 +110,10 @@ class _CdfPartition(InputPartition):
         self.new_files = new_files
         self.version = version
         self.cols = cols
+        #: {file_rel: [abs deletion-vector sidecar paths]} per side — a
+        #: DV-only delete changes no file list, the diff sees it here
+        self.old_dvs = old_dvs or {}
+        self.new_dvs = new_dvs or {}
 
 
 class WarehouseCdfStreamReader(DataSourceStreamReader):
@@ -150,10 +157,24 @@ class WarehouseCdfStreamReader(DataSourceStreamReader):
             else:
                 ob = {}
             nb = new_m["buckets"]
+            odv = (old_m or {}).get("dvs", {})
+            ndv = new_m.get("dvs", {})
             base = str(Path(self._root) / self._table)
+            dvdir = Path(self._root) / "_dvs" / self._table
+
+            def _dvs(dvmap, bmap, b):
+                # {file_rel: [abs sidecar paths]} for this bucket's files
+                out_ = {}
+                for fn in bmap.get(b, []):
+                    lst = dvmap.get(f"{b}/{fn}")
+                    if lst:
+                        out_[f"_kb={b}/{fn}"] = [str(dvdir / n) for n in lst]
+                return out_
+
             for b in sorted(set(ob) | set(nb), key=int):
-                if ob.get(b) == nb.get(b):
-                    continue  # untouched bucket: shared files, no diff
+                bodv, bndv = _dvs(odv, ob, b), _dvs(ndv, nb, b)
+                if ob.get(b) == nb.get(b) and bodv == bndv:
+                    continue  # untouched bucket: shared files + DVs, no diff
                 out.append(
                     _CdfPartition(
                         base,
@@ -163,6 +184,8 @@ class WarehouseCdfStreamReader(DataSourceStreamReader):
                         [f"_kb={b}/{fn}" for fn in nb.get(b, [])],
                         v,
                         self._cols,
+                        bodv,
+                        bndv,
                     )
                 )
         return out
@@ -181,13 +204,40 @@ class WarehouseCdfStreamReader(DataSourceStreamReader):
 
         cols = partition.cols
 
-        def tables(rel_files):
-            return [
-                pq.read_table(str(Path(partition.root) / rel))
-                for rel in rel_files
-            ]
+        def _dead_positions(rel: str, dv_paths: list[str]) -> set[int]:
+            # deletion-vector apply, executor-side: a sidecar records
+            # (manifest_rel, pos); pq.read_table preserves physical row
+            # order, so pos indexes straight into the loaded table
+            mrel = rel.replace("_kb=", "", 1)
+            dead: set[int] = set()
+            for p in dv_paths:
+                t = pq.read_table(p, columns=["rel", "pos"])
+                for r, pos in zip(
+                    t.column("rel").to_pylist(), t.column("pos").to_pylist()
+                ):
+                    if r == mrel:
+                        dead.add(pos)
+            return dead
 
-        old_t, new_t = tables(partition.old_files), tables(partition.new_files)
+        def tables(rel_files, dvmap):
+            out = []
+            for rel in rel_files:
+                t = pq.read_table(str(Path(partition.root) / rel))
+                dvp = dvmap.get(rel)
+                if dvp:
+                    dead = _dead_positions(rel, dvp)
+                    if dead:
+                        import pyarrow as pa
+
+                        mask = pa.array(
+                            [i not in dead for i in range(t.num_rows)]
+                        )
+                        t = t.filter(mask)
+                out.append(t)
+            return out
+
+        old_t = tables(partition.old_files, partition.old_dvs)
+        new_t = tables(partition.new_files, partition.new_dvs)
         # float NaN: NaN != NaN, but the diff must group NaN rows
         # together (pandas dropna=False did) — canonicalize to ONE nan
         # object so dict identity-then-equality lookup unifies them

@@ -468,12 +468,9 @@ class Warehouse:
             else:
                 empty = self._read_manifest(table, v).limit(0).drop("_kb")
             return (empty, {"files_total": total, "files_read": 0}) if with_diagnostics else empty
-        schema = self._schema_of(m)
-        rdr = self.spark.read if schema is None else self.spark.read.schema(schema)
-        if bucketed:
-            df = rdr.option("basePath", str(base)).parquet(*keep).drop("_kb")
-        else:
-            df = rdr.parquet(*keep)
+        df = self._read_files_dv(
+            table, m, [(rel, str(p)) for rel, p in keep_rels]
+        ).drop("_kb")
         df = self._apply_predicates(df, preds)
         if with_diagnostics:
             return df, {"files_total": total, "files_read": len(keep)}
@@ -663,15 +660,11 @@ class Warehouse:
         cand, total = self._prune_rels(table, m, preds)
         if not cand:
             return {"files_total": total, "files_rewritten": 0, "rows_deleted": 0}
-        base = self.root / table
-        schema = self._schema_of(m)
-        rdr = self.spark.read if schema is None else self.spark.read.schema(schema)
         bucketed = "buckets" in m
-        files = [str(p) for _rel, p in cand]
-        if bucketed:
-            df = rdr.option("basePath", str(base)).parquet(*files)
-        else:
-            df = rdr.parquet(*files)
+        # DV-aware candidate read: rows already tombstoned by a prior
+        # merge-on-read delete must neither match nor resurrect in the
+        # rewrite (the rewritten file drops its DV list — purge)
+        df = self._read_files_dv(table, m, [(rel, str(p)) for rel, p in cand])
         match_expr = self._predicate_expr(preds)
         n_deleted = df.filter(match_expr).count()
         if n_deleted == 0:
@@ -719,6 +712,160 @@ class Warehouse:
             "files_total": total,
             "files_rewritten": len(cand),
             "rows_deleted": int(n_deleted),
+        }
+
+    def delete_where_dv(
+        self,
+        table: str,
+        predicates,
+        *,
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        """MERGE-ON-READ row-level DELETE: instead of rewriting every
+        candidate file without its matching rows (:meth:`delete_where`
+        — O(file) write-amp per trickle delete), record the matching
+        rows' POSITIONS in a deletion-vector sidecar and publish a
+        manifest that references it — the commit writes O(deleted
+        rows), not O(touched files).  This is Delta/Iceberg's DV
+        design: a parquet file's physical row order is immutable, so
+        ``(file, row_index)`` is a durable row identity.
+
+        Mechanics: the skipping stack picks candidate files; they are
+        read WITH ``_metadata.row_index``, already-tombstoned positions
+        are excluded (stacked deletes never double-count), the fresh
+        tombstones are written as ONE parquet sidecar under
+        ``_dvs/<table>/``, and the manifest commit appends the sidecar
+        to each affected file's DV list — data files untouched, zone
+        maps/blooms untouched (they over-approximate, which only keeps
+        pruning safe).  Readers (:meth:`read`, :meth:`scan`, time
+        travel, :meth:`read_changes`, the CDF stream, incremental
+        merges) apply DVs via an anti-join on the tombstone positions;
+        :meth:`optimize` is the purge point — a compacted bucket
+        rewrites its survivors and drops the DV references.
+
+        On a bucketed table the commit declares the affected buckets
+        ``touched`` (rebases over disjoint concurrent commits); flat
+        tables commit whole-table like every flat commit.  ``txn``
+        gives the exactly-once replay contract.
+
+        Returns ``{'files_total', 'files_rewritten': 0, 'rows_deleted',
+        'dv_bytes'}`` — ``dv_bytes`` is the size of the sidecar this
+        commit wrote (the measured write-amp, asserted by the gate
+        certifier against the rewrite path's file sizes)."""
+        preds = list(predicates)
+        if not preds:
+            raise ValueError(
+                "delete_where_dv with no predicates would delete the whole "
+                "table — use clear() for that, explicitly"
+            )
+        if txn is not None:
+            seen = self.last_txn_version(table, txn[0])
+            if seen is not None and seen >= txn[1]:
+                return {
+                    "files_total": 0, "files_rewritten": 0,
+                    "rows_deleted": 0, "dv_bytes": 0,
+                }
+        mvs = self._manifest_versions(table)
+        if not mvs:  # adopt the live directory so delete is a commit
+            if any((self.root / table).glob("_kb=*")):
+                dirb = self._dir_buckets(table)
+                self._validate_bucket_modulus(table, dirb, self.N_KEY_BUCKETS)
+                self._commit_manifest(table, dirb, self.N_KEY_BUCKETS)
+            else:
+                self._adopt_flat(table)
+            mvs = self._manifest_versions(table)
+        m = self._manifest(table, mvs[-1])
+        cand, total = self._prune_rels(table, m, preds)
+        if not cand:
+            return {
+                "files_total": total, "files_rewritten": 0,
+                "rows_deleted": 0, "dv_bytes": 0,
+            }
+        base = self.root / table
+        bucketed = "buckets" in m
+        schema = self._schema_of(m)
+        rdr = self.spark.read if schema is None else self.spark.read.schema(schema)
+        files = [str(p) for _rel, p in cand]
+        if bucketed:
+            raw = rdr.option("basePath", str(base)).parquet(*files)
+            pat = r"_kb=(\d+)/([^/]+)$"
+            fp = F.col("_metadata.file_path")
+            rel_expr = F.concat(
+                F.regexp_extract(fp, pat, 1),
+                F.lit("/"),
+                F.regexp_extract(fp, pat, 2),
+            )
+        else:
+            raw = rdr.parquet(*files)
+            rel_expr = F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            )
+        match_expr = F.coalesce(self._predicate_expr(preds), F.lit(False))
+        matches = raw.filter(match_expr).select(
+            rel_expr.alias("rel"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        dvs = m.get("dvs", {})
+        cand_dv_names = sorted(
+            {n for rel, _p in cand for n in dvs.get(rel, [])}
+        )
+        if cand_dv_names:  # stacked deletes: skip already-dead positions
+            prior = self.spark.read.schema("rel string, pos long").parquet(
+                *[str(self._dv_dir(table) / n) for n in cand_dv_names]
+            )
+            matches = matches.join(prior, ["rel", "pos"], "left_anti")
+        # one shuffle-free sidecar: positions are tiny relative to data
+        matches = matches.coalesce(1).localCheckpoint(eager=True)
+        n_deleted = matches.count()
+        if n_deleted == 0:
+            return {
+                "files_total": total, "files_rewritten": 0,
+                "rows_deleted": 0, "dv_bytes": 0,
+            }
+        dvdir = self._dv_dir(table)
+        dvdir.mkdir(parents=True, exist_ok=True)
+        stage = self.root / f"_dv_stage_{uuid.uuid4().hex[:12]}"
+        matches.write.mode("overwrite").parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        dv_name = f"dv-{uuid.uuid4().hex[:16]}.parquet"
+        part.rename(dvdir / dv_name)
+        shutil.rmtree(stage, ignore_errors=True)
+        dv_bytes = (dvdir / dv_name).stat().st_size
+        affected = sorted(
+            r["rel"] for r in matches.select("rel").distinct().collect()
+        )  # bounded by the candidate file count
+        file_dvs = {rel: dvs.get(rel, []) + [dv_name] for rel in affected}
+        try:
+            if bucketed:
+                touched = {rel.split("/", 1)[0] for rel in affected}
+                self._commit_manifest(
+                    table,
+                    m["buckets"],
+                    m["n_buckets"],
+                    base_version=m["version"],
+                    touched=touched,
+                    file_dvs=file_dvs,
+                    txn=txn,
+                )
+            else:
+                self._commit_manifest(
+                    table,
+                    files=m["files"],
+                    base_version=m["version"],
+                    file_dvs=file_dvs,
+                    txn=txn,
+                )
+        except IdempotentReplay:
+            (dvdir / dv_name).unlink(missing_ok=True)  # orphaned sidecar
+            return {
+                "files_total": total, "files_rewritten": 0,
+                "rows_deleted": 0, "dv_bytes": 0,
+            }
+        return {
+            "files_total": total,
+            "files_rewritten": 0,
+            "rows_deleted": int(n_deleted),
+            "dv_bytes": int(dv_bytes),
         }
 
     def update_where(
@@ -773,15 +920,10 @@ class Warehouse:
         cand, total = self._prune_rels(table, m, preds)
         if not cand:
             return {"files_total": total, "files_rewritten": 0, "rows_updated": 0}
-        base = self.root / table
-        schema = self._schema_of(m)
-        rdr = self.spark.read if schema is None else self.spark.read.schema(schema)
         bucketed = "buckets" in m
-        files = [str(p) for _rel, p in cand]
-        if bucketed:
-            df = rdr.option("basePath", str(base)).parquet(*files)
-        else:
-            df = rdr.parquet(*files)
+        # DV-aware candidate read (see delete_where): tombstoned rows
+        # neither match nor survive into the rewritten files
+        df = self._read_files_dv(table, m, [(rel, str(p)) for rel, p in cand])
         unknown = sorted(set(set_values) - set(df.columns))
         if unknown:
             raise ValueError(
@@ -959,8 +1101,25 @@ class Warehouse:
                 and mo.get("n_buckets") == mn.get("n_buckets")
             ):
                 ob, nb = mo["buckets"], mn["buckets"]
+                odv, ndv = mo.get("dvs", {}), mn.get("dvs", {})
+
+                def _bdv(dvmap, bmap, b):
+                    # a bucket's DV state: {rel: [dv names]} restricted
+                    # to its files — a DV-only delete changes no file
+                    # list, so the diff must ALSO compare this
+                    return {
+                        f"{b}/{fn}": dvmap[f"{b}/{fn}"]
+                        for fn in bmap.get(b, [])
+                        if f"{b}/{fn}" in dvmap
+                    }
+
                 changed = sorted(
-                    (b for b in set(ob) | set(nb) if ob.get(b) != nb.get(b)),
+                    (
+                        b
+                        for b in set(ob) | set(nb)
+                        if ob.get(b) != nb.get(b)
+                        or _bdv(odv, ob, b) != _bdv(ndv, nb, b)
+                    ),
                     key=int,
                 )
                 diag = {
@@ -971,12 +1130,12 @@ class Warehouse:
 
                 def _sub(m, bmap, bs):
                     schema = self._schema_of(m)
-                    files = [
-                        str(base / f"_kb={b}" / fn)
+                    pairs = [
+                        (f"{b}/{fn}", str(base / f"_kb={b}" / fn))
                         for b in bs
                         for fn in bmap.get(b, [])
                     ]
-                    if not files:
+                    if not pairs:
                         if schema is not None:
                             return self.spark.createDataFrame([], schema)
                         if table in ALL_TABLES:
@@ -984,16 +1143,7 @@ class Warehouse:
                                 [], ALL_TABLES[table][0]
                             )
                         return self._read_manifest(table, to_version).limit(0).drop("_kb")
-                    rdr = (
-                        self.spark.read
-                        if schema is None
-                        else self.spark.read.schema(schema)
-                    )
-                    return (
-                        rdr.option("basePath", str(base))
-                        .parquet(*files)
-                        .drop("_kb")
-                    )
+                    return self._read_files_dv(table, m, pairs).drop("_kb")
 
                 old_df = _sub(mo, ob, changed)
                 new_df = _sub(mn, nb, changed)
@@ -1060,6 +1210,15 @@ class Warehouse:
                 # pure-metadata commit repeating the target's file list
                 # (a bucketed target carries its OWN n_buckets — rolling
                 # back across a rebucket restores the old modulus with it)
+                if "buckets" in target:
+                    t_rels = [
+                        f"{b}/{fn}"
+                        for b, fs in target["buckets"].items()
+                        for fn in fs
+                    ]
+                else:
+                    t_rels = list(target["files"])
+                t_dvs = target.get("dvs", {})
                 self._commit_manifest(
                     table,
                     target.get("buckets"),
@@ -1068,6 +1227,10 @@ class Warehouse:
                     base_version=mvs[-1],
                     file_bytes=target.get("bytes"),
                     file_stats=target.get("stats"),
+                    # restore EXACTLY the target's deletion-vector state:
+                    # an empty list clears a head-side DV on a shared
+                    # file (rolling back past a DV delete un-deletes)
+                    file_dvs={rel: t_dvs.get(rel, []) for rel in t_rels},
                     schema_json=target.get("schema"),
                 )
                 return
@@ -1150,6 +1313,7 @@ class Warehouse:
                 reach_kb: set[str] = set()
                 reach_flat: set[str] = set()
                 reach_blooms: set[str] = set()
+                reach_dvs: set[str] = set()
                 for v in self._manifest_versions(name):
                     m = self._manifest(name, v)
                     if "buckets" in m:
@@ -1158,11 +1322,18 @@ class Warehouse:
                     else:
                         reach_flat |= set(m["files"])
                     reach_blooms |= set(m.get("blooms", {}).values())
+                    for lst in m.get("dvs", {}).values():
+                        reach_dvs |= set(lst)
                 bdir = self.root / "_blooms" / name
                 if bdir.exists():
                     for f in bdir.glob("*.json"):
                         if f.name not in reach_blooms:
                             f.unlink()  # bloom of an expired file
+                dvd = self._dv_dir(name)
+                if dvd.exists():
+                    for f in dvd.glob("dv-*.parquet"):
+                        if f.name not in reach_dvs:
+                            f.unlink()  # tombstones of expired versions
                 tdir = self.root / name
                 for f in tdir.glob("_kb=*/*"):
                     rel = f"{f.parent.name}/{f.name}"
@@ -1298,6 +1469,7 @@ class Warehouse:
         touched: set[str] | None = None,
         file_bytes: dict[str, int] | None = None,
         file_stats: dict[str, dict] | None = None,
+        file_dvs: dict[str, list[str]] | None = None,
         txn: tuple[str, int] | None = None,
         schema_json: str | None | object = "__carry__",
         max_retries: int = 20,
@@ -1408,14 +1580,28 @@ class Warehouse:
             prev_stats: dict[str, dict] = {}
             prev_txn: dict[str, int] = {}
             prev_blooms: dict[str, str] = {}
+            prev_dvs: dict[str, list[str]] = {}
             if head_man is not None:
                 prev_bytes = head_man.get("bytes", {})
                 prev_stats = head_man.get("stats", {})
                 prev_txn = head_man.get("txn", {})
                 prev_blooms = head_man.get("blooms", {})
+                prev_dvs = head_man.get("dvs", {})
             bmap: dict[str, int] = {}
             smap: dict[str, dict] = {}
             blmap: dict[str, str] = {}
+            # DELETION VECTORS carry per rel like bytes/stats: a commit
+            # that stacks/clears a file's DV list passes file_dvs for
+            # it; a carried file keeps its list; a REWRITTEN file has a
+            # fresh name, so its DVs drop automatically (purge-on-
+            # rewrite — compaction and CoW DML never see stale DVs)
+            dvmap: dict[str, list[str]] = {}
+            for rel in rels:
+                if file_dvs is not None and rel in file_dvs:
+                    if file_dvs[rel]:
+                        dvmap[rel] = sorted(file_dvs[rel])
+                elif rel in prev_dvs:
+                    dvmap[rel] = prev_dvs[rel]
             for rel in rels:
                 if files is not None:
                     p = self.root / table / rel
@@ -1458,6 +1644,8 @@ class Warehouse:
             doc["stats"] = smap
             if blmap:
                 doc["blooms"] = blmap
+            if dvmap:
+                doc["dvs"] = dvmap
             if txn is not None:
                 prev_txn = dict(prev_txn)
                 prev_txn[txn[0]] = txn[1]
@@ -1664,10 +1852,76 @@ class Warehouse:
             if "buckets" in m:
                 empty = empty.withColumn("_kb", F.lit(None).cast("int"))
             return empty
-        reader = self.spark.read if schema is None else self.spark.read.schema(schema)
         if "buckets" in m:
-            return reader.option("basePath", str(base)).parquet(*files)
-        return reader.parquet(*files)
+            pairs = [
+                (f"{b}/{fn}", str(base / f"_kb={b}" / fn))
+                for b, fns in m["buckets"].items()
+                for fn in fns
+            ]
+        else:
+            pairs = [(fn, str(base / fn)) for fn in m["files"]]
+        return self._read_files_dv(table, m, pairs)
+
+    def _dv_dir(self, table: str) -> Path:
+        return self.root / "_dvs" / table
+
+    def _read_files_dv(
+        self, table: str, m: dict, pairs: list[tuple[str, str]], *, schema="__manifest__"
+    ) -> DataFrame:
+        """Read manifest-listed files with the manifest's DELETION
+        VECTORS applied (merge-on-read).  ``pairs`` is [(rel, abs
+        path)]; files WITHOUT a DV entry read straight through (the
+        overwhelmingly common case — zero overhead), files WITH one
+        read alongside ``_metadata.row_index`` and anti-join their
+        recorded (rel, pos) tombstones.  The DV side is usually a few
+        KB of positions, so Catalyst broadcasts the anti-join; a file's
+        physical row order is immutable (parquet), which is what makes
+        positions a stable row identity.  Bucketed reads keep the
+        ``_kb`` partition column, exactly like the raw reader."""
+        base = self.root / table
+        bucketed = "buckets" in m
+        sch = self._schema_of(m) if schema == "__manifest__" else schema
+        rdr = self.spark.read if sch is None else self.spark.read.schema(sch)
+
+        def _rd(files: list[str]) -> DataFrame:
+            if bucketed:
+                return rdr.option("basePath", str(base)).parquet(*files)
+            return rdr.parquet(*files)
+
+        dvs = m.get("dvs", {})
+        dv_pairs = [(r, p) for r, p in pairs if r in dvs]
+        if not dv_pairs:
+            return _rd([p for _r, p in pairs])
+        clean = [p for r, p in pairs if r not in dvs]
+        fp = F.col("_metadata.file_path")
+        if bucketed:
+            pat = r"_kb=(\d+)/([^/]+)$"
+            rel_expr = F.concat(
+                F.regexp_extract(fp, pat, 1),
+                F.lit("/"),
+                F.regexp_extract(fp, pat, 2),
+            )
+        else:
+            rel_expr = F.element_at(F.split(fp, "/"), -1)
+        df = _rd([p for _r, p in dv_pairs]).select(
+            "*",
+            rel_expr.alias("__dv_rel"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+        names = sorted({n for r, _p in dv_pairs for n in dvs[r]})
+        pos = (
+            self.spark.read.schema("rel string, pos long")
+            .parquet(*[str(self._dv_dir(table) / n) for n in names])
+            .select(
+                F.col("rel").alias("__dv_rel"), F.col("pos").alias("__dv_pos")
+            )
+        )
+        df = df.join(pos, ["__dv_rel", "__dv_pos"], "left_anti").drop(
+            "__dv_rel", "__dv_pos"
+        )
+        if clean:
+            df = _rd(clean).unionByName(df)
+        return df
 
     def _live_bucket_files(self, table: str) -> dict[str, list[str]]:
         """Live bucket→file map (manifest if present, else directory).
@@ -2051,19 +2305,19 @@ class Warehouse:
             touched = sorted(
                 r["_kb"] for r in batch.select("_kb").distinct().collect()
             )  # bounded by n_buckets
-            stored_files = [
-                str(path / f"_kb={b}" / fn)
+            stored_pairs = [
+                (f"{b}/{fn}", str(path / f"_kb={b}" / fn))
                 for b in touched
                 for fn in prev["buckets"].get(str(b), [])
             ]
-            if stored_files:
+            if stored_pairs:
                 sch = self._schema_of(prev) if evolved is None else evolved
-                rdr = self.spark.read if sch is None else self.spark.read.schema(sch)
-                stored_sub = (
-                    rdr.option("basePath", str(path))
-                    .parquet(*stored_files)  # manifest-level pruning
-                    .withColumn("_seq", F.lit(0))
-                )
+                # manifest-level pruning + DV apply: tombstoned rows in
+                # the touched buckets must lose the LWW race and not
+                # resurrect in the rewrite
+                stored_sub = self._read_files_dv(
+                    name, prev, stored_pairs, schema=sch
+                ).withColumn("_seq", F.lit(0))
                 merged = stored_sub.unionByName(batch.withColumn("_seq", F.lit(batch_seq)))
                 w = Window.partitionBy(*keys).orderBy(F.desc("_seq"))
                 merged = (
@@ -2282,7 +2536,14 @@ class Warehouse:
                         for fn in fnames
                     )
                     bwant = max(1, math.ceil(bsize / target_bytes))
-                    if len(files) <= bwant and not (ccols and files):
+                    # a bucket carrying deletion vectors is ALWAYS
+                    # rewritten — compaction is the DV purge point
+                    # (merge-on-read debt gets paid here, not at every
+                    # future scan)
+                    has_dv = any(
+                        f"{b}/{fn}" in newest.get("dvs", {}) for fn in fnames
+                    )
+                    if len(files) <= bwant and not (ccols and files) and not has_dv:
                         b_after += len(files)
                         continue
                     staged = self.root / f"_{name}_compact_{uuid.uuid4().hex[:12]}"
@@ -2290,12 +2551,12 @@ class Warehouse:
                         shutil.rmtree(staged)
                     sch = self._schema_of(newest)  # evolved tables: a
                     # mixed-schema bucket must not infer from one file
-                    rdr = (
-                        self.spark.read
-                        if sch is None
-                        else self.spark.read.schema(sch)
-                    )
-                    bdf = rdr.parquet(*[str(f) for f in files])
+                    bdf = self._read_files_dv(
+                        name,
+                        newest,
+                        [(f"{b}/{fn}", str(d / fn)) for fn in fnames],
+                        schema=sch,
+                    ).drop("_kb")
                     if ccols:
                         bdf = _shape_clustered(bdf, bwant, ccols)
                     else:
@@ -2333,7 +2594,8 @@ class Warehouse:
                 bm.get(fn, None) or (p / fn).stat().st_size for fn in fnames
             )
             want = max(1, math.ceil(size / target_bytes))
-            if len(files) <= want and not (ccols and files):
+            has_dv = bool(newest.get("dvs"))  # DV purge point (see above)
+            if len(files) <= want and not (ccols and files) and not has_dv:
                 out[name] = (len(files), len(files))
                 continue
             df = self._read_manifest(name, newest["version"])
