@@ -2751,3 +2751,284 @@ def warehouse_deletion_vectors_certified(spark: SparkSession, sf_dir: str) -> Da
         ],
         "phase string, n long, checksum long",
     ).orderBy("phase")
+
+
+@register(
+    "warehouse_column_mapping_certified",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS uid,
+             CAST(o_orderkey AS BIGINT) AS size
+      FROM orders
+    ),
+    bnd AS (SELECT min(size) + 9 AS hi, min(size) AS lo FROM base)
+    SELECT * FROM (
+      SELECT '1_renamed_scan' AS phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(COALESCE(sum(size), 0) AS BIGINT) AS checksum
+      FROM base, bnd WHERE size BETWEEN lo AND hi
+      UNION ALL
+      SELECT '2_timetravel_pre', CAST(count(*) AS BIGINT),
+             CAST(sum(size) AS BIGINT) FROM base
+      UNION ALL
+      SELECT '3_cdf_dv_deletes', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(size), 0) AS BIGINT)
+      FROM base, bnd WHERE size BETWEEN lo AND hi
+      UNION ALL
+      SELECT '4_remaining', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(size), 0) AS BIGINT)
+      FROM base, bnd WHERE size NOT BETWEEN lo AND hi
+    ) t ORDER BY phase
+    """,
+    tags=("warehouse", "layout", "scale"),
+)
+def warehouse_column_mapping_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse lever #19 — COLUMN MAPPING (rename/drop/type-widen as
+    metadata-only commits), certified inside the gate.
+    ``rename_column`` / ``drop_column`` / ``widen_column``
+    (`sources/warehouse.py`) give Delta's column-mapping contract: the
+    manifest's pinned schema is the physical truth, an overlay maps
+    physical→logical names, so a rename is ONE manifest write — at
+    100 TB, renaming a column on a billion-file table costs the same
+    as on an empty one.
+
+    One bucketed table at data scale, then rename size→byte_size and
+    drop address; the query RAISES unless:
+
+    - **zero data movement, measured**: the rename and drop commits
+      carry byte-identical file maps (same rels, same sizes) — the
+      stat-map device from `warehouse_manifest_time_travel_certified`;
+    - **rename is zero-CDC**: ``read_changes`` across the rename
+      reports no row changes;
+    - **everything speaks logical names**: scans prune on the renamed
+      column (zone maps are physical), a DV delete + merge use the new
+      name, the dropped column is gone from live reads;
+    - **time travel is per-version**: the pre-rename version still
+      reads ``size`` and ``address``;
+    - **the CDF stream composes**: a stream started after the rename
+      declares the logical schema and surfaces the DV delete's rows.
+
+    All phase values replay in DuckDB from `orders`."""
+    import hashlib
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from ..model import load_table
+    from ..sources.cdf_stream import register_warehouse_cdf_datasource
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_colmap_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(spark, root)
+    register_warehouse_cdf_datasource(spark)
+    orders = load_table(spark, sf_dir, "orders")
+
+    df = orders.select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.concat(F.lit("fn_"), F.col("o_orderkey").cast("string")).alias("name"),
+        F.lit("").alias("address"),
+        F.col("o_orderkey").cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+    )
+    wh.merge_batch_incremental({"functions": df}, n_buckets=16)
+    v_pre = wh.versions("functions")[-1]
+    m0 = wh._manifest("functions", v_pre)
+
+    v_ren = wh.rename_column("functions", "size", "byte_size")
+    v_drop = wh.drop_column("functions", "address")
+    for v, what in ((v_ren, "rename"), (v_drop, "drop")):
+        mm = wh._manifest("functions", v)
+        if mm["bytes"] != m0["bytes"] or mm["buckets"] != m0["buckets"]:
+            raise AssertionError(f"{what} moved data bytes — not metadata-only")
+    if wh.read_changes("functions", v_pre, v_ren).count() != 0:
+        raise AssertionError("rename must be zero-CDC")
+    cols = wh.read("functions").columns
+    if "byte_size" not in cols or "size" in cols or "address" in cols:
+        raise AssertionError(f"live logical schema wrong: {cols}")
+    old_cols = wh.read("functions", version=v_pre).columns
+    if "size" not in old_cols or "address" not in old_cols:
+        raise AssertionError(f"time travel lost the old schema: {old_cols}")
+
+    kmin = int(orders.agg(F.min("o_orderkey")).collect()[0][0])
+    lo, hi = kmin, kmin + 9
+
+    def snap(df_, col="byte_size"):
+        r = df_.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(col).alias("checksum")
+        ).collect()[0]
+        return int(r["n"]), int(r["checksum"] or 0)
+
+    got, diag = wh.scan(
+        "functions", [("byte_size", "between", (lo, hi))], with_diagnostics=True
+    )
+    if not diag["files_read"] < diag["files_total"]:
+        raise AssertionError(f"renamed-column scan lost its pruning: {diag}")
+    s1_n, s1_c = snap(got)
+    tt_n, tt_c = snap(wh.read("functions", version=v_pre), col="size")
+
+    d = wh.delete_where_dv("functions", [("byte_size", "between", (lo, hi))])
+    if d["files_rewritten"] != 0 or d["rows_deleted"] != s1_n:
+        raise AssertionError(f"DV delete under mapping misbehaved: {d}")
+    name = f"cdf_cm_gate_{_uuid.uuid4().hex[:10]}"
+    (
+        spark.readStream.format("warehouse_cdf")
+        .option("root", root)
+        .option("table", "functions")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    st = spark.table(name)
+    if "byte_size" not in st.columns or "size" in st.columns:
+        raise AssertionError(f"CDF stream schema not logical: {st.columns}")
+    sd_n, sd_c = snap(st.filter(F.col("_change") == "delete"))
+    rem_n, rem_c = snap(wh.read("functions"))
+    return spark.createDataFrame(
+        [
+            ("1_renamed_scan", s1_n, s1_c),
+            ("2_timetravel_pre", tt_n, tt_c),
+            ("3_cdf_dv_deletes", sd_n, sd_c),
+            ("4_remaining", rem_n, rem_c),
+        ],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")
+
+
+@register(
+    "warehouse_multi_table_txn_certified",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS uid,
+             CAST(o_orderkey AS BIGINT) AS size
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT '1_snapshot_during_crash' AS phase,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(size) AS BIGINT) AS checksum
+      FROM base
+      UNION ALL
+      SELECT '2_snapshot_after_retry', CAST(2 * count(*) AS BIGINT),
+             CAST(2 * sum(size) AS BIGINT)
+      FROM base
+    ) t ORDER BY phase
+    """,
+    tags=("warehouse", "layout", "scale"),
+)
+def warehouse_multi_table_txn_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse lever #20 — CATALOG-LEVEL MULTI-TABLE ATOMIC COMMIT,
+    certified inside the gate with real crash injection.
+    ``import_atomic`` (`sources/warehouse.py:import_atomic`) merges
+    each table under one shared txn key, then publishes ONE catalog
+    object pinning {table: version} — so a graph import's 10 tables
+    appear all-or-nothing to snapshot readers.  (The reference cannot
+    offer this at all: one Bolt round trip per entity,
+    importer.rs:86-320.)
+
+    Sequence, with the query RAISING at any violation:
+
+    1. atomic import of functions+calls (catalog v0);
+    2. a second import CRASHES between the two table commits
+       (injected) — the catalog must be untouched, snapshot reads of
+       BOTH tables must still total the complete first import, even
+       though the live per-table head is provably torn;
+    3. retry with the same txn key converges idempotently (committed
+       tables replay as no-ops — no double-merge) and the catalog pin
+       publishes; snapshot reads now total the complete second import;
+    4. re-running the whole import creates no new catalog version.
+
+    Phase 1 totals the first import (sum of sizes over `orders`);
+    phase 2 totals the second (doubled rows: both tables keyed
+    disjointly across imports)."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..model import load_table
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_cat_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(spark, root)
+    orders = load_table(spark, sf_dir, "orders")
+
+    def fns(tag):
+        return orders.select(
+            F.concat(F.lit(tag), F.col("o_orderkey").cast("string")).alias("uid"),
+            F.lit("fn").alias("name"),
+            F.lit("").alias("address"),
+            F.col("o_orderkey").cast("long").alias("size"),
+            F.lit("Internal").alias("type"),
+        )
+
+    def calls(tag):
+        return orders.select(
+            F.concat(F.lit(tag), F.col("o_orderkey").cast("string")).alias("src_uid"),
+            F.concat(F.lit(tag), F.col("o_orderkey").cast("string")).alias("dst_uid"),
+            F.lit("0x0").alias("offset"),
+            F.lit("Direct").alias("call_type"),
+        )
+
+    wh.import_atomic(
+        {"functions": fns("a"), "calls": calls("a")}, txn=("imp", 1)
+    )
+    pins0 = wh.catalog_snapshot()
+
+    try:
+        wh.import_atomic(
+            {"functions": fns("b"), "calls": calls("b")},
+            txn=("imp", 2),
+            batch_seq=2,
+            _crash_after=1,
+        )
+    except RuntimeError:
+        pass
+    else:
+        raise AssertionError("crash injection did not fire")
+    if wh.catalog_snapshot() != pins0:
+        raise AssertionError("crash between table commits moved the catalog")
+    pins = wh.catalog_snapshot()
+
+    def snap(pins_):
+        f = wh.read_snapshot("functions", pins_)
+        c = wh.read_snapshot("calls", pins_)
+        nf = f.count()
+        nc = c.count()
+        if nf != nc:
+            raise AssertionError(
+                f"snapshot is TORN: {nf} functions vs {nc} calls"
+            )
+        s = f.agg(F.sum("size")).collect()[0][0]
+        return int(nf + nc) // 2, int(s or 0)
+
+    # the live head must be torn right now (that is what we protect from)
+    if wh.read("calls").count() == wh.read("functions").count():
+        raise AssertionError("crash injection failed to tear the live head")
+    n1, c1 = snap(pins)
+
+    v2 = wh.import_atomic(
+        {"functions": fns("b"), "calls": calls("b")},
+        txn=("imp", 2),
+        batch_seq=2,
+    )
+    pins2 = wh.catalog_snapshot()
+    n2, c2 = snap(pins2)
+    v3 = wh.import_atomic(
+        {"functions": fns("b"), "calls": calls("b")},
+        txn=("imp", 2),
+        batch_seq=2,
+    )
+    if v3 != v2:
+        raise AssertionError("idempotent replay created a new catalog version")
+    return spark.createDataFrame(
+        [
+            ("1_snapshot_during_crash", n1, c1),
+            ("2_snapshot_after_retry", n2, c2),
+        ],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")

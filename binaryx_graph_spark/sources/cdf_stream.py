@@ -64,9 +64,22 @@ def _manifest(root: str, table: str, v: int) -> dict:
     return json.loads(p.read_text())
 
 
+def _colmap(root: str, table: str) -> dict[str, str]:
+    """{physical: logical} column-mapping renames of the NEWEST
+    manifest.  Physical names are immutable (that is the point of
+    column mapping), so capturing this once at stream start stays
+    valid for the stream's whole life."""
+    vs = _manifest_versions(root, table)
+    if not vs:
+        return {}
+    return _manifest(root, table, vs[-1]).get("colmap") or {}
+
+
 def _schema_ddl(root: str, table: str) -> str:
     """The stream's fixed schema: the NEWEST manifest's pinned schema
-    (schema evolution), else the newest data file's arrow schema."""
+    (schema evolution), else the newest data file's arrow schema —
+    with column-mapping renames applied (the feed speaks the logical
+    names current at stream start)."""
     import pyarrow.parquet as pq
 
     from pyspark.sql.types import StructType
@@ -95,7 +108,11 @@ def _schema_ddl(root: str, table: str) -> str:
         if first is None:
             raise ValueError(f"warehouse_cdf: table '{table}' is empty")
         st = from_arrow_schema(pq.read_schema(str(first)))
-    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in st.fields)
+    cm = _colmap(root, table)
+    return ", ".join(
+        f"{cm.get(f.name, f.name)} {f.dataType.simpleString()}"
+        for f in st.fields
+    )
 
 
 class _CdfPartition(InputPartition):
@@ -114,13 +131,17 @@ class _CdfPartition(InputPartition):
         #: DV-only delete changes no file list, the diff sees it here
         self.old_dvs = old_dvs or {}
         self.new_dvs = new_dvs or {}
+        self.phys = {}  # logical → physical column names (set by reader)
 
 
 class WarehouseCdfStreamReader(DataSourceStreamReader):
     def __init__(self, root: str, table: str, cols: list[str]):
         self._root = root
         self._table = table
-        self._cols = cols
+        self._cols = cols  # logical names (the stream's declared schema)
+        #: logical → physical (files store physical; immutable, so
+        #: captured once — see _colmap)
+        self._phys = {v: k for k, v in _colmap(root, table).items()}
 
     def initialOffset(self) -> dict:
         vs = _manifest_versions(self._root, self._table)
@@ -175,19 +196,19 @@ class WarehouseCdfStreamReader(DataSourceStreamReader):
                 bodv, bndv = _dvs(odv, ob, b), _dvs(ndv, nb, b)
                 if ob.get(b) == nb.get(b) and bodv == bndv:
                     continue  # untouched bucket: shared files + DVs, no diff
-                out.append(
-                    _CdfPartition(
-                        base,
-                        self._table,
-                        b,
-                        [f"_kb={b}/{fn}" for fn in ob.get(b, [])],
-                        [f"_kb={b}/{fn}" for fn in nb.get(b, [])],
-                        v,
-                        self._cols,
-                        bodv,
-                        bndv,
-                    )
+                part = _CdfPartition(
+                    base,
+                    self._table,
+                    b,
+                    [f"_kb={b}/{fn}" for fn in ob.get(b, [])],
+                    [f"_kb={b}/{fn}" for fn in nb.get(b, [])],
+                    v,
+                    self._cols,
+                    bodv,
+                    bndv,
                 )
+                part.phys = self._phys
+                out.append(part)
         return out
 
     def read(self, partition: "_CdfPartition"):
@@ -219,10 +240,19 @@ class WarehouseCdfStreamReader(DataSourceStreamReader):
                         dead.add(pos)
             return dead
 
+        phys = getattr(partition, "phys", {}) or {}
+
         def tables(rel_files, dvmap):
             out = []
             for rel in rel_files:
                 t = pq.read_table(str(Path(partition.root) / rel))
+                if phys:  # column mapping: files store physical names
+                    t = t.rename_columns(
+                        [
+                            {v: k for k, v in phys.items()}.get(n, n)
+                            for n in t.schema.names
+                        ]
+                    )
                 dvp = dvmap.get(rel)
                 if dvp:
                     dead = _dead_positions(rel, dvp)

@@ -362,8 +362,11 @@ class Warehouse:
         mvs = self._manifest_versions(table)
         if version is not None:
             if version in mvs:
+                m = self._manifest(table, version)
                 df = self._read_manifest(table, version)
-                return df.drop("_kb")
+                # THAT version's column mapping: time travel across a
+                # rename shows the old logical names
+                return self._to_logical(df.drop("_kb"), m)
             vp = self._version_dir(table) / f"v{version:05d}"
             if vp.exists():
                 df = self.spark.read.parquet(str(vp))
@@ -378,7 +381,10 @@ class Warehouse:
                 f"(available: {self.versions(table)})"
             )
         if mvs:
-            return self._read_manifest(table, mvs[-1]).drop("_kb")
+            return self._to_logical(
+                self._read_manifest(table, mvs[-1]).drop("_kb"),
+                self._manifest(table, mvs[-1]),
+            )
         if not (self.root / table).exists():
             raise FileNotFoundError(
                 f"warehouse table '{table}' not found under {self.root} — "
@@ -455,6 +461,9 @@ class Warehouse:
                 return df, {"files_total": None, "files_read": None}
             return df
         m = self._manifest(table, v)
+        # predicates arrive over LOGICAL names; the skipping stack
+        # (zone maps, blooms, bucket hash) speaks physical
+        preds = self._preds_physical(preds, m)
         keep_rels, total = self._prune_rels(table, m, preds)
         keep = [str(p) for _rel, p in keep_rels]
         base = self.root / table
@@ -467,11 +476,12 @@ class Warehouse:
                 empty = self.spark.createDataFrame([], ALL_TABLES[table][0])
             else:
                 empty = self._read_manifest(table, v).limit(0).drop("_kb")
+            empty = self._to_logical(empty, m)
             return (empty, {"files_total": total, "files_read": 0}) if with_diagnostics else empty
         df = self._read_files_dv(
             table, m, [(rel, str(p)) for rel, p in keep_rels]
         ).drop("_kb")
-        df = self._apply_predicates(df, preds)
+        df = self._to_logical(self._apply_predicates(df, preds), m)
         if with_diagnostics:
             return df, {"files_total": total, "files_read": len(keep)}
         return df
@@ -657,6 +667,7 @@ class Warehouse:
                 self._adopt_flat(table)
             mvs = self._manifest_versions(table)
         m = self._manifest(table, mvs[-1])
+        preds = self._preds_physical(preds, m)  # column mapping: renames
         cand, total = self._prune_rels(table, m, preds)
         if not cand:
             return {"files_total": total, "files_rewritten": 0, "rows_deleted": 0}
@@ -775,6 +786,7 @@ class Warehouse:
                 self._adopt_flat(table)
             mvs = self._manifest_versions(table)
         m = self._manifest(table, mvs[-1])
+        preds = self._preds_physical(preds, m)  # column mapping: renames
         cand, total = self._prune_rels(table, m, preds)
         if not cand:
             return {
@@ -917,20 +929,26 @@ class Warehouse:
                 self._adopt_flat(table)
             mvs = self._manifest_versions(table)
         m = self._manifest(table, mvs[-1])
+        lpreds = preds  # logical, for the row-level match below
+        preds = self._preds_physical(preds, m)  # column mapping: renames
         cand, total = self._prune_rels(table, m, preds)
         if not cand:
             return {"files_total": total, "files_rewritten": 0, "rows_updated": 0}
         bucketed = "buckets" in m
         # DV-aware candidate read (see delete_where): tombstoned rows
-        # neither match nor survive into the rewritten files
-        df = self._read_files_dv(table, m, [(rel, str(p)) for rel, p in cand])
+        # neither match nor survive into the rewritten files.  The
+        # update logic runs in LOGICAL space (user assignments and
+        # predicates name logical columns); staging converts back.
+        df = self._to_logical(
+            self._read_files_dv(table, m, [(rel, str(p)) for rel, p in cand]), m
+        )
         unknown = sorted(set(set_values) - set(df.columns))
         if unknown:
             raise ValueError(
                 f"table '{table}': UPDATE assigns unknown columns {unknown} — "
                 f"add them with a merge under allow_new_columns first"
             )
-        match_expr = F.coalesce(self._predicate_expr(preds), F.lit(False))
+        match_expr = F.coalesce(self._predicate_expr(lpreds), F.lit(False))
         n_updated = df.filter(match_expr).count()
         if n_updated == 0:  # maybe-matching candidates, zero real matches
             return {"files_total": total, "files_rewritten": 0, "rows_updated": 0}
@@ -987,8 +1005,9 @@ class Warehouse:
             assigns[col] = F.when(match_expr, new_col.cast(types[col])).otherwise(
                 F.col(col)
             )
-        out_df = df.select(
-            *[assigns.get(c, F.col(c)).alias(c) for c in df.columns]
+        out_df = self._to_physical_df(
+            df.select(*[assigns.get(c, F.col(c)).alias(c) for c in df.columns]),
+            m,
         )
         cand_rels = {rel for rel, _p in cand}
         try:
@@ -1145,11 +1164,20 @@ class Warehouse:
                         return self._read_manifest(table, to_version).limit(0).drop("_kb")
                     return self._read_files_dv(table, m, pairs).drop("_kb")
 
-                old_df = _sub(mo, ob, changed)
-                new_df = _sub(mn, nb, changed)
+                # both sides diff in PHYSICAL space, then surface under
+                # the TO version's column mapping (Delta's CDC contract:
+                # a rename is metadata-only — zero row changes, and the
+                # feed speaks the destination schema)
+                old_df = self._to_logical(_sub(mo, ob, changed), mn)
+                new_df = self._to_logical(_sub(mn, nb, changed), mn)
         if old_df is None:
             old_df = self.read(table, version=from_version)
             new_df = self.read(table, version=to_version)
+            if from_version in mvs and to_version in mvs:
+                mo2 = self._manifest(table, from_version)
+                mn2 = self._manifest(table, to_version)
+                # re-map the FROM side to the TO version's logical names
+                old_df = self._to_logical(self._to_physical_df(old_df, mo2), mn2)
         # schema evolution between the versions: align BOTH sides to the
         # union of their schemas (absent columns read as typed nulls on
         # either side), so an untouched row is NOT reported as changed
@@ -1439,6 +1467,125 @@ class Warehouse:
             return None
         return self._manifest(table, mvs[-1]).get("txn", {}).get(app)
 
+    # ------------------------------------------- catalog (multi-table txn)
+    #
+    # A CATALOG COMMIT is one atomic object pinning {table: version} for
+    # every table of a multi-table import — the all-or-nothing layer the
+    # per-table manifests cannot give alone.  A graph import writes 10
+    # tables; with only per-table commits a crash can publish functions
+    # without their calls.  Readers that resolve through
+    # :meth:`catalog_snapshot` see either the complete old import or the
+    # complete new one, never a torn middle.  (The reference is one Bolt
+    # round trip per ENTITY — importer.rs:86-320 — so it cannot offer
+    # this at all.)
+
+    def _catalog_dir(self) -> Path:
+        return self.root / "_catalog"
+
+    def catalog_versions(self) -> list[int]:
+        cd = self._catalog_dir()
+        if not cd.exists():
+            return []
+        return sorted(int(p.stem[1:]) for p in cd.glob("v*.json"))
+
+    def catalog_snapshot(self, version: int | None = None) -> dict[str, int]:
+        """The {table: manifest version} pin set of a catalog commit
+        (newest by default).  Read each table with
+        ``read(t, version=pins[t])`` for a consistent multi-table view;
+        an empty dict means no catalog commit exists yet."""
+        cvs = self.catalog_versions()
+        if not cvs:
+            return {}
+        v = cvs[-1] if version is None else version
+        p = self._catalog_dir() / f"v{v:05d}.json"
+        return json.loads(p.read_text())["pins"]
+
+    def read_snapshot(self, table: str, pins: dict[str, int] | None = None) -> DataFrame:
+        """Read ``table`` at the catalog-pinned version (falls back to
+        the live head for tables the catalog has never pinned)."""
+        pins = self.catalog_snapshot() if pins is None else pins
+        v = pins.get(table)
+        return self.read(table) if v is None else self.read(table, version=v)
+
+    def _commit_catalog(
+        self, pins: dict[str, int], txn: tuple[str, int] | None = None
+    ) -> int:
+        """Publish a catalog version with the same atomic
+        create-if-absent device as table manifests (os.link; the
+        object-store analog is one conditional PUT)."""
+        cd = self._catalog_dir()
+        cd.mkdir(parents=True, exist_ok=True)
+        for _ in range(50):
+            cvs = self.catalog_versions()
+            head = cvs[-1] if cvs else -1
+            if txn is not None and cvs:
+                doc0 = json.loads((cd / f"v{head:05d}.json").read_text())
+                if doc0.get("txn", {}).get(txn[0], -1) >= txn[1]:
+                    return head  # idempotent replay
+                prev_txn = dict(doc0.get("txn", {}))
+            else:
+                prev_txn = {}
+            if txn is not None:
+                prev_txn[txn[0]] = txn[1]
+            nxt = head + 1
+            doc = {"version": nxt, "pins": dict(sorted(pins.items()))}
+            if prev_txn:
+                doc["txn"] = prev_txn
+            tmp = cd / f".v{nxt:05d}.{uuid.uuid4().hex[:12]}.tmp"
+            tmp.write_text(json.dumps(doc, sort_keys=True))
+            try:
+                os.link(tmp, cd / f"v{nxt:05d}.json")
+                return nxt
+            except FileExistsError:
+                continue
+            finally:
+                tmp.unlink(missing_ok=True)
+        raise ConcurrentCommitError("catalog: gave up after 50 commit conflicts")
+
+    def import_atomic(
+        self,
+        tables: dict[str, DataFrame],
+        *,
+        txn: tuple[str, int],
+        batch_seq: int = 1,
+        incremental: bool = True,
+        _crash_after: int | None = None,
+    ) -> int:
+        """Multi-table import, ATOMIC at the catalog level.  Each table
+        merges with the shared ``txn=(app, version)`` idempotence key,
+        then ONE catalog commit pins the resulting versions.
+
+        Crash contract: a writer dying BETWEEN table commits leaves the
+        catalog untouched — snapshot readers keep seeing the complete
+        previous import (the advanced per-table manifests are invisible
+        until pinned).  Re-running the SAME (app, version) converges:
+        already-committed tables replay as no-ops (IdempotentReplay),
+        the rest commit, and the catalog pin finally publishes.  The
+        catalog commit itself is idempotent on the same key.
+
+        ``_crash_after`` (tests only) kills the writer after that many
+        table commits — the crash-injection hook the certifier uses.
+        Returns the catalog version."""
+        done = 0
+        for name in sorted(tables):
+            df = tables[name]
+            if incremental:
+                self.merge_batch_incremental(
+                    {name: df}, batch_seq=batch_seq, txn=txn
+                )
+            else:
+                self.merge_batch({name: df}, batch_seq=batch_seq, txn=txn)
+            done += 1
+            if _crash_after is not None and done >= _crash_after:
+                raise RuntimeError(
+                    f"injected crash after {done} table commits"
+                )
+        prev = self.catalog_snapshot()
+        pins = dict(prev)
+        for name in tables:
+            pins[name] = self._manifest_versions(name)[-1]
+        return self._commit_catalog(pins, txn=txn)
+
     # ----------------------------------------------------- manifest store
     def _manifest_dir(self, table: str) -> Path:
         return self.root / "_manifests" / table
@@ -1472,6 +1619,7 @@ class Warehouse:
         file_dvs: dict[str, list[str]] | None = None,
         txn: tuple[str, int] | None = None,
         schema_json: str | None | object = "__carry__",
+        colmap: dict | None | object = "__carry__",
         max_retries: int = 20,
     ) -> int:
         """Publish a new table version with OPTIMISTIC CONCURRENCY (the
@@ -1658,6 +1806,15 @@ class Warehouse:
             )
             if sj:
                 doc["schema"] = sj
+            # COLUMN MAPPING (renames): {physical: logical} carried like
+            # the schema; a rename/restore commit passes its own map
+            cm = (
+                (head_man or {}).get("colmap")
+                if colmap == "__carry__"
+                else colmap
+            )
+            if cm:
+                doc["colmap"] = cm
             # tmp name unique per WRITER, not just per process: two
             # threads racing on one version with a shared tmp would
             # link each other's content or unlink a live tmp
@@ -1808,20 +1965,229 @@ class Warehouse:
         return StructType.fromJson(json.loads(sj)) if sj else None
 
     def table_schema(self, table: str):
-        """The table's CURRENT StructType, or None if unknowable — the
-        manifest-pinned evolved schema when one exists, else the model's
-        registered schema.  Metadata only (no file reads); CLI predicate
-        typing and external tooling use this to build correctly-typed
-        literals so pruning guards (_key_typed, _same_type_class) engage
-        instead of falling back to unprunable cross-type predicates."""
+        """The table's CURRENT LOGICAL StructType, or None if unknowable
+        — the manifest-pinned evolved schema (with column-mapping
+        renames applied) when one exists, else the model's registered
+        schema.  Metadata only (no file reads); CLI predicate typing and
+        external tooling use this to build correctly-typed literals so
+        pruning guards (_key_typed, _same_type_class) engage instead of
+        falling back to unprunable cross-type predicates."""
+        from pyspark.sql.types import StructField, StructType
+
         mvs = self._manifest_versions(table)
         if mvs:
-            schema = self._schema_of(self._manifest(table, mvs[-1]))
+            m = self._manifest(table, mvs[-1])
+            schema = self._schema_of(m)
             if schema is not None:
-                return schema
+                cm = self._colmap_of(m)
+                return StructType(
+                    [
+                        StructField(cm.get(f.name, f.name), f.dataType, f.nullable)
+                        for f in schema.fields
+                    ]
+                )
         if table in ALL_TABLES:
             return ALL_TABLES[table][0]
         return None
+
+    # ------------------------------------------------ column mapping
+    #
+    # Delta-style COLUMN MAPPING: the manifest's pinned schema is the
+    # table's PHYSICAL truth (the names/types actually addressed in
+    # parquet footers, zone maps, blooms, bucket keys); an optional
+    # ``colmap`` {physical: logical} overlays user-visible RENAMES.
+    # Rename is a pure metadata commit; DROP removes the field from the
+    # pinned schema (files keep the bytes, every reader pins the schema
+    # so the column simply stops being read — time travel still sees
+    # it); WIDEN changes the pinned type to a lossless supertype
+    # (int→long, int→double, float→double — Spark's parquet readers
+    # promote narrow files natively, so zero files rewrite).  Old
+    # versions carry their own schema+colmap: time travel shows old
+    # names, old types, dropped columns.
+
+    @staticmethod
+    def _colmap_of(m: dict | None) -> dict[str, str]:
+        """{physical: logical} renames a manifest carries (possibly {})."""
+        return (m or {}).get("colmap") or {}
+
+    def _to_logical(self, df: DataFrame, m: dict | None) -> DataFrame:
+        """Physical frame → logical names (renames only; drops/widens
+        already live in the pinned schema).  Identity when unmapped."""
+        cm = self._colmap_of(m)
+        if not cm:
+            return df
+        return df.select(
+            *[
+                F.col(c).alias(cm[c]) if c in cm else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+    def _to_physical_df(self, df: DataFrame, m: dict | None) -> DataFrame:
+        """Logical frame (a user batch) → physical names for staging.
+        A batch still naming a RETIRED column (the physical name of a
+        renamed column) raises — silently accepting it would let stale
+        writers keep using the old name forever, because physical names
+        never change."""
+        cm = self._colmap_of(m)
+        if not cm:
+            return df
+        inv = {v: k for k, v in cm.items()}
+        retired = sorted(
+            c for c in df.columns if c in cm and cm[c] != c and c not in inv
+        )
+        if retired:
+            raise ValueError(
+                f"batch names renamed-away columns {retired} — use the "
+                f"current names {[cm[c] for c in retired]}"
+            )
+        return df.select(
+            *[
+                F.col(c).alias(inv[c]) if c in inv else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+    def _preds_physical(self, preds: list, m: dict | None) -> list:
+        """Scan/delete predicates arrive over LOGICAL names; the whole
+        skipping stack (zone maps, blooms, bucket hash) speaks physical."""
+        cm = self._colmap_of(m)
+        if not cm:
+            return preds
+        inv = {v: k for k, v in cm.items()}
+        return [(inv.get(c, c), op, val) for c, op, val in preds]
+
+    def _newest_manifest(self, table: str) -> dict | None:
+        mvs = self._manifest_versions(table)
+        return self._manifest(table, mvs[-1]) if mvs else None
+
+    def _pinned_physical(self, table: str, m: dict):
+        """The manifest's pinned physical schema, materializing the
+        registered one on first mapping DDL (mapping needs an explicit
+        schema to rewrite)."""
+        schema = self._schema_of(m)
+        if schema is None:
+            if table not in ALL_TABLES:
+                raise ValueError(
+                    f"table '{table}' has no pinned or registered schema — "
+                    f"column mapping needs one"
+                )
+            schema = ALL_TABLES[table][0]
+        return schema
+
+    def _mapping_commit(
+        self, table: str, m: dict, schema, cm: dict[str, str]
+    ) -> int:
+        """Publish a METADATA-ONLY commit: same files, new pinned
+        schema / colmap.  Zero data bytes move — the certifier asserts
+        this via the manifest byte map."""
+        return self._commit_manifest(
+            table,
+            m.get("buckets"),
+            m.get("n_buckets"),
+            files=m.get("files"),
+            base_version=m["version"],
+            schema_json=schema.json(),
+            colmap={k: v for k, v in cm.items() if k != v} or None,
+        )
+
+    def rename_column(self, table: str, old: str, new: str) -> int:
+        """Rename a column — METADATA ONLY (Delta column mapping).  The
+        physical name stays what every existing file stores; readers
+        overlay the new logical name; old versions time-travel with the
+        old one.  Returns the new version."""
+        m = self._newest_manifest(table)
+        if m is None:
+            raise ValueError(f"table '{table}' has no manifest to rename in")
+        schema = self._pinned_physical(table, m)
+        cm = dict(self._colmap_of(m))
+        logical = {cm.get(f.name, f.name): f.name for f in schema.fields}
+        if old not in logical:
+            raise ValueError(
+                f"table '{table}': no column {old!r} (have {sorted(logical)})"
+            )
+        if new in logical and logical.get(new) != logical[old]:
+            raise ValueError(f"table '{table}': column {new!r} already exists")
+        cm[logical[old]] = new
+        return self._mapping_commit(table, m, schema, cm)
+
+    def drop_column(self, table: str, name: str) -> int:
+        """Drop a column — METADATA ONLY: the field leaves the pinned
+        schema, so no reader ever scans it again (parquet's projection
+        pushdown means the bytes are never read, not just hidden); old
+        versions still carry it.  Merge-key columns refuse (the LWW
+        identity must stay addressable)."""
+        from pyspark.sql.types import StructType
+
+        m = self._newest_manifest(table)
+        if m is None:
+            raise ValueError(f"table '{table}' has no manifest to drop from")
+        schema = self._pinned_physical(table, m)
+        cm = dict(self._colmap_of(m))
+        logical = {cm.get(f.name, f.name): f.name for f in schema.fields}
+        if name not in logical:
+            raise ValueError(f"table '{table}': no column {name!r}")
+        phys = logical[name]
+        if phys in MERGE_KEYS.get(table, []):
+            raise ValueError(
+                f"table '{table}': cannot drop merge-key column {name!r}"
+            )
+        schema = StructType([f for f in schema.fields if f.name != phys])
+        cm.pop(phys, None)
+        return self._mapping_commit(table, m, schema, cm)
+
+    #: lossless widening lattice (Delta's type widening): every pair the
+    #: parquet readers promote natively, so existing files never rewrite
+    _WIDEN_OK = {  # simpleString spellings
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"), ("int", "bigint"),
+        ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
+        ("float", "double"),
+    }
+
+    def widen_column(self, table: str, name: str, new_type: str) -> int:
+        """Widen a column's type — METADATA ONLY.  Allowed pairs are the
+        lossless promotions Spark's parquet readers perform on narrow
+        files under a wide pinned schema (int→long, int→double,
+        float→double, …); anything lossy (long→int, long→double past
+        2^53, string casts) raises.  New files write the wide type; old
+        files promote at scan time; old versions time-travel narrow."""
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+        m = self._newest_manifest(table)
+        if m is None:
+            raise ValueError(f"table '{table}' has no manifest to widen in")
+        schema = self._pinned_physical(table, m)
+        cm = dict(self._colmap_of(m))
+        logical = {cm.get(f.name, f.name): f.name for f in schema.fields}
+        if name not in logical:
+            raise ValueError(f"table '{table}': no column {name!r}")
+        phys = logical[name]
+        if phys in MERGE_KEYS.get(table, []):
+            # xxhash64 is type-sensitive: old rows bucketed as the
+            # narrow type would stop colocating with new wide-typed
+            # rows of the SAME key — widening a key needs a rebucket,
+            # not a metadata commit
+            raise ValueError(
+                f"table '{table}': cannot widen merge-key column {name!r} "
+                f"(bucket hashes are type-sensitive; rebucket instead)"
+            )
+        tgt = _parse_datatype_string(new_type)
+        fields = []
+        for f in schema.fields:
+            if f.name == phys:
+                pair = (f.dataType.simpleString(), tgt.simpleString())
+                if pair[0] == pair[1]:
+                    return m["version"]  # already there: no-op
+                if pair not in self._WIDEN_OK:
+                    raise ValueError(
+                        f"table '{table}': {pair[0]} → {pair[1]} is not a "
+                        f"lossless widening (allowed: {sorted(self._WIDEN_OK)})"
+                    )
+                fields.append(StructField(phys, tgt, f.nullable))
+            else:
+                fields.append(f)
+        return self._mapping_commit(table, m, StructType(fields), cm)
 
     def _read_manifest(self, table: str, version: int) -> DataFrame:
         """Read exactly the files a manifest lists. Bucketed manifests
@@ -2113,6 +2479,9 @@ class Warehouse:
             if newest is None and path.exists():
                 v = self._adopt_flat(name)
                 newest = self._manifest(name, v)
+            # column mapping: user batches arrive with LOGICAL names;
+            # storage (schema pin, bucket hash, staging) speaks physical
+            df = self._to_physical_df(df, newest)
             evolved, sj = self._resolve_evolution(
                 name, newest, df.schema, allow_new_columns
             )
@@ -2249,6 +2618,9 @@ class Warehouse:
                     self._validate_bucket_modulus(name, prev["buckets"], nb)
             else:
                 nb = n_buckets or self.N_KEY_BUCKETS
+            # column mapping: user batches arrive with LOGICAL names;
+            # storage (schema pin, bucket hash, staging) speaks physical
+            df = self._to_physical_df(df, newest)
             evolved, sj = self._resolve_evolution(
                 name, newest, df.schema, allow_new_columns
             )
