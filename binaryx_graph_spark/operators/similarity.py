@@ -64,15 +64,25 @@ def sql_cosine(a: str, b: str) -> str:
 
 
 def cosine_topk(
-    embeddings: DataFrame, query_id: int, *, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+    embeddings: DataFrame,
+    query_id: int,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    where: Column | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k against one stored vector →
-    (vec_id, cos_sim), excluding the query row, ties broken on id."""
+    (vec_id, cos_sim), excluding the query row, ties broken on id.
+    ``where`` restricts the CANDIDATES (filtered retrieval, the RAG
+    shape) — the query vector is looked up before the filter, so a
+    query row outside the filter still anchors the search."""
     q = embeddings.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("_qvec")
     )
+    cand = embeddings if where is None else embeddings.filter(where)
     return (
-        embeddings.crossJoin(F.broadcast(q))
+        cand.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != query_id)
         .select(id_col, cosine(F.col(vec_col), F.col("_qvec")).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), id_col)
@@ -487,9 +497,19 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_key: str | None = None,
+    where: Column | None = None,
 ) -> DataFrame:
     """IVF-flat ANN with a real k-means codebook: score only vectors
     whose centroid is among the query's ``n_probe`` nearest centroids.
+
+    ``where`` gives FILTERED retrieval (the RAG shape: ``lang = 'en'
+    AND similarity top-k``): the predicate restricts the CANDIDATES —
+    applied before centroid assignment, so Catalyst pushes it into the
+    parquet scan (PushedFilters) and only matching rows in the probed
+    lists are ever assigned or scored.  The codebook and probe
+    selection are the INDEX and stay unfiltered (trained once per
+    corpus, shared by every predicate — re-training per filter would
+    make recall accounting incomparable across queries).
     At scale the lists are ``repartition(centroid_id)``-ed parquet
     partitions and a probe touches n_probe/n_centroids of the data;
     codebook training runs on a sample there. Pass ``corpus_key`` (e.g.
@@ -525,7 +545,8 @@ def cosine_topk_ivf(
     )  # cos DESC, centroid_id ASC — the oracle's row_number ordering
     probe_ids = [cid for _negcos, cid in scored[:n_probe]]
     lit_q = F.array(*[F.lit(x) for x in qv])
-    assigned = ivf_assign(embeddings, codebook, id_col=id_col, vec_col=vec_col)
+    cand = embeddings if where is None else embeddings.filter(where)
+    assigned = ivf_assign(cand, codebook, id_col=id_col, vec_col=vec_col)
     return (
         assigned.filter(F.col("centroid_id").isin(probe_ids))
         .filter(F.col(id_col) != query_id)
@@ -872,11 +893,15 @@ def sql_ivf_kmeans(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    where_sql: str | None = None,
 ) -> str:
     """DuckDB twin of k-means codebook + IVF probe + scoring: the same
     quantized integer sums, the same single-division centroid doubles,
     the same argmax/tie-break — so the oracle pins the WHOLE IVF path
-    including codebook training, not just the probe."""
+    including codebook training, not just the probe.  ``where_sql``
+    (a predicate over alias ``tt``, the base table) replays filtered
+    retrieval: candidates restricted, codebook/probe unfiltered —
+    exactly :func:`cosine_topk_ivf`'s ``where`` contract."""
     ctes = _sql_kmeans_ctes(
         table, n_centroids=n_centroids, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
     )
@@ -890,11 +915,17 @@ def sql_ivf_kmeans(
     )""",
     ]
     body = ",\n    ".join(ctes)
+    flt = (
+        f"JOIN {table} tt ON tt.{id_col} = a.vec_id AND ({where_sql})"
+        if where_sql
+        else ""
+    )
     return f"""
     WITH {body}
     SELECT ev.vec_id, {sql_cosine('ev.v', 'qq.v')} AS cos_sim
     FROM af a
       JOIN probe p ON a.centroid_id = p.centroid_id
+      {flt}
       JOIN e ev ON ev.vec_id = a.vec_id,
       (SELECT v FROM e WHERE vec_id = {query_id}) qq
     WHERE ev.vec_id <> {query_id}

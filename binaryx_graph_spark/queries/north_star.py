@@ -1868,3 +1868,81 @@ def dedup_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_lsh, n_exact, recall)],
         "n_lsh_pairs long, n_exact_pairs long, recall double",
     )
+
+
+@register(
+    "ann_cosine_ivf_filtered",
+    oracle=sql_ivf_kmeans(
+        "embeddings", 7, k=10, n_centroids=8, n_probe=2, iters=2, dim=64,
+        where_sql="tt.label = 1",
+    ),
+    tags=("similarity",),
+)
+def ann_cosine_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN — the RAG shape: ``WHERE label = 1 AND cosine
+    top-k``.  The predicate restricts CANDIDATES and is applied before
+    centroid assignment (Catalyst pushes it into the parquet scan);
+    the codebook and probe selection are the shared INDEX and stay
+    unfiltered, so the same trained centroids serve every predicate.
+    The oracle replays training + probe + the filtered scoring
+    bit-for-bit (same corpus_key ⇒ the codebook is literally the one
+    `ann_cosine_ivf` trained)."""
+    from ..operators.similarity import cosine_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(
+        emb, 7, k=10, n_centroids=8, n_probe=2, kmeans_iters=2,
+        corpus_key=sf_dir, where=F.col("label") == 1,
+    )
+
+
+from ..operators.similarity import sql_cosine as _sql_cos  # noqa: E402
+
+
+@register(
+    "ann_recall_ivf_filtered",
+    oracle=f"""
+    WITH approx AS ({sql_ivf_kmeans(
+        "embeddings", 7, k=10, n_centroids=8, n_probe=2, iters=2, dim=64,
+        where_sql="tt.label = 1",
+    )}),
+    exact AS (
+      SELECT e2.vec_id
+      FROM embeddings e2,
+           (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7) qq
+      WHERE e2.label = 1 AND e2.vec_id <> 7
+      ORDER BY {_sql_cos('(e2.embedding::DOUBLE[])', 'qq.v')} DESC, e2.vec_id
+      LIMIT 10
+    )
+    SELECT CAST(7 AS BIGINT) AS query_id,
+           ROUND(count(*) / 10.0, 3) AS recall_at_10
+    FROM approx JOIN exact ON approx.vec_id = exact.vec_id
+    """,
+    tags=("similarity", "quality"),
+)
+def ann_recall_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall accounting for FILTERED retrieval, pinned like
+    `ann_recall_lsh_multiprobe`: recall@10 of the filtered IVF probe
+    against the exact filtered brute force.  Filtering shrinks each
+    probed list, so filtered recall is the number a RAG deployment
+    must actually watch (a selective predicate can empty the probed
+    lists long before the exact top-k runs out) — the oracle replays
+    BOTH sides, so the number is measured, not asserted."""
+    from ..operators.similarity import cosine_topk, cosine_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flt = F.col("label") == 1
+    approx = cosine_topk_ivf(
+        emb, 7, k=10, n_centroids=8, n_probe=2, kmeans_iters=2,
+        corpus_key=sf_dir, where=flt,
+    )
+    exact = cosine_topk(emb, 7, k=10, where=flt)
+    return (
+        approx.select("vec_id")
+        .join(exact.select("vec_id"), "vec_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .select(
+            F.lit(7).cast("long").alias("query_id"),
+            F.round(F.col("_hits") / 10.0, 3).alias("recall_at_10"),
+        )
+    )
