@@ -3032,3 +3032,229 @@ def warehouse_multi_table_txn_certified(spark: SparkSession, sf_dir: str) -> Dat
         ],
         "phase string, n long, checksum long",
     ).orderBy("phase")
+
+
+@register(
+    "warehouse_cdf_watermark_certified",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey % 100 AS res, 1000 + (o_orderkey % 100) AS ts
+      FROM orders
+    ),
+    wm AS (SELECT 1000 + max(res) + 5 AS wm2 FROM r)
+    SELECT win_start, n_rows, sum_size FROM (
+      SELECT CAST(1000 + 10 * (res // 10) AS BIGINT) AS win_start,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(ts) AS BIGINT) AS sum_size
+      FROM r
+      GROUP BY 1
+    ) w, wm
+    WHERE w.win_start + 10 <= wm.wm2
+    ORDER BY win_start
+    """,
+    tags=("warehouse", "streaming", "scale"),
+)
+def warehouse_cdf_watermark_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF lever #21 — WATERMARK / LATE-DATA semantics over the change
+    feed, certified with REAL multi-batch processing (not a single
+    drained batch, where nothing can ever be late).
+    `streaming/cdf_consumers.cdf_windowed_query`: event-time tumbling
+    windows under a 10s watermark in APPEND mode, event time derived
+    from a data column.
+
+    Phases, interleaving commits with ``processAllAvailable()``:
+
+    1. snapshot commit (residue-spread event times) → batch 1 emits
+       exactly the windows whose end the watermark passed — STRICTLY
+       FEWER than the final set (asserted: append mode closes windows
+       incrementally, not all at once);
+    2. a second commit carries one LATE row (event time far below the
+       advanced watermark — must be DROPPED) and one on-time row that
+       advances the watermark further → batch 2 closes the remaining
+       snapshot windows; the late row's window total must NOT change,
+       and the on-time row's own window (still open) must not emit;
+    3. every window appears EXACTLY once in the append sink (no
+       re-emission).
+
+    The final sink equals the batch twin the oracle computes from
+    `orders` with the same watermark arithmetic."""
+    import hashlib
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from ..model import load_table
+    from ..sources.warehouse import Warehouse
+    from ..streaming.cdf_consumers import cdf_windowed_query
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_cdfwm_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(spark, root)
+    orders = load_table(spark, sf_dir, "orders")
+
+    snap = orders.select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.lit("fn").alias("name"),
+        F.lit("").alias("address"),
+        (F.lit(1000) + F.col("o_orderkey") % 100).cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+    )
+    wh.merge_batch_incremental({"functions": snap}, n_buckets=8)
+    max_res = int(orders.agg(F.max(F.col("o_orderkey") % 100)).collect()[0][0])
+    wm1 = 1000 + max_res - 10
+
+    name = f"cdfwm_gate_{_uuid.uuid4().hex[:10]}"
+    q = cdf_windowed_query(
+        spark, root, "functions",
+        window="10 seconds", watermark="10 seconds",
+        queryName=name,
+        checkpoint=os.path.join(root, "_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        n_batch1 = spark.table(name).count()
+        late = spark.createDataFrame(
+            [("late", "fn", "", 1000, "Internal"),
+             ("ontime", "fn", "", wm1 + 25, "Internal")],
+            "uid string, name string, address string, size long, type string",
+        )
+        wh.merge_batch_incremental({"functions": late}, batch_seq=2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    n_final = out.count()
+    if not n_batch1 < n_final:
+        raise AssertionError(
+            f"append mode must close windows incrementally: batch1 emitted "
+            f"{n_batch1}, final {n_final}"
+        )
+    if out.groupBy("win_start").count().filter(F.col("count") > 1).count():
+        raise AssertionError("append sink re-emitted a window")
+    w0 = out.filter(F.col("win_start") == 1000).head()
+    base0 = orders.filter(F.col("o_orderkey") % 100 < 10).count()
+    if w0 is None or w0["n_rows"] != base0:
+        raise AssertionError(
+            f"late row leaked into a closed window: {w0} vs base {base0}"
+        )
+    if out.filter(F.col("win_start") > 1000 + max_res).count():
+        raise AssertionError("the on-time row's open window must not emit")
+    return out.orderBy("win_start")
+
+
+@register(
+    "warehouse_cdf_join_certified",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderkey % 40 AS lag
+      FROM orders
+      WHERE o_orderkey % 2 = 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_replicated,
+           CAST(sum(lag) AS BIGINT) AS sum_lag_s,
+           CAST(max(lag) AS BIGINT) AS max_lag_s
+    FROM p
+    WHERE lag <= 30
+    """,
+    tags=("warehouse", "streaming", "scale"),
+)
+def warehouse_cdf_join_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF lever #22 — STREAM-STREAM JOIN over TWO change feeds: the
+    replica-lag monitor.  `streaming/cdf_consumers.cdf_two_feed_join`
+    inner-joins the primary table's insert feed with the replica's on
+    uid, constraining the replica's event time to
+    [primary, primary + 30s], BOTH sides watermarked — Spark evicts
+    join state past watermark + bound, so state is O(one lag-window),
+    not O(stream) (measured by tools/endurance_cdf_watermark.py).
+
+    Fixture: every even-keyed primary row exists on the replica with
+    apply time = primary + (key mod 40) seconds — so exactly the
+    lag ≤ 30 subset must join; rows beyond the bound (the lag monitor's
+    alarms) and odd keys (not yet replicated) must not.  The drained
+    stream result must equal the batch twin (asserted in-gate against
+    a static join of the two live tables; the oracle replays the same
+    from `orders`)."""
+    import hashlib
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from ..model import load_table
+    from ..sources.warehouse import Warehouse
+    from ..streaming.cdf_consumers import cdf_two_feed_join
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_cdfjoin_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(spark, root)
+    orders = load_table(spark, sf_dir, "orders")
+
+    def fns(df):
+        return df.select(
+            "uid",
+            F.lit("fn").alias("name"),
+            F.lit("").alias("address"),
+            F.col("ts").cast("long").alias("size"),
+            F.lit("Internal").alias("type"),
+        )
+
+    p = orders.select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        (F.lit(1000) + F.col("o_orderkey") % 100).alias("ts"),
+    )
+    r = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        (F.lit(1000) + F.col("o_orderkey") % 100 + F.col("o_orderkey") % 40).alias("ts"),
+    )
+    wh.merge_batch_incremental({"functions": fns(p)}, n_buckets=8)
+    # the replica table reuses the functions schema under another name:
+    # register it ad hoc (same shape, own manifest)
+    from ..sources import warehouse as wh_mod
+
+    if "functions_replica" not in wh_mod.MERGE_KEYS:
+        wh_mod.MERGE_KEYS["functions_replica"] = ["uid"]
+        wh_mod.ALL_TABLES["functions_replica"] = wh_mod.ALL_TABLES["functions"]
+    wh.merge_batch_incremental({"functions_replica": fns(r)}, n_buckets=8)
+
+    joined = cdf_two_feed_join(
+        spark, root, "functions", "functions_replica",
+        lag_bound_s=30, watermark="60 seconds",
+    )
+    name = f"cdfjoin_gate_{_uuid.uuid4().hex[:10]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name)
+    # batch twin, in-gate: the same join computed statically
+    twin = (
+        wh.read("functions")
+        .select("uid", F.col("size").alias("p_ts"))
+        .join(
+            wh.read("functions_replica").select("uid", F.col("size").alias("r_ts")),
+            "uid",
+        )
+        .filter(
+            (F.col("r_ts") >= F.col("p_ts"))
+            & (F.col("r_ts") <= F.col("p_ts") + 30)
+        )
+        .select("uid", (F.col("r_ts") - F.col("p_ts")).alias("lag_s"))
+    )
+    sg = sorted(tuple(x) for x in got.collect())
+    st = sorted(tuple(x) for x in twin.collect())
+    if sg != st:
+        raise AssertionError(
+            f"stream-stream join diverged from the batch twin: "
+            f"{len(sg)} vs {len(st)} rows"
+        )
+    return got.agg(
+        F.count(F.lit(1)).alias("n_replicated"),
+        F.sum("lag_s").alias("sum_lag_s"),
+        F.max("lag_s").alias("max_lag_s"),
+    )
