@@ -430,9 +430,9 @@ def ivf_assign(
 _CODEBOOK_CACHE: dict[tuple, dict[int, list[float]]] = {}
 
 
-def _codebook_disk_key(ck: tuple) -> str:
-    """Content-addressed file name for a trained codebook: the cache key
-    plus a hash of THIS module's source (training-code version) — a new
+def _codebook_content_key(ck: tuple) -> str:
+    """Content address for a trained codebook: the cache key plus a
+    hash of THIS module's source (training-code version) — a new
     implementation invalidates old artifacts automatically, and training
     is deterministic so a hit is bit-identical to retraining."""
     import hashlib
@@ -444,46 +444,69 @@ def _codebook_disk_key(ck: tuple) -> str:
     return h.hexdigest()[:24]
 
 
-def _codebook_cache_get(ck: tuple | None) -> dict[int, list[float]] | None:
-    """Two-level codebook cache: process dict, then a /tmp JSON artifact
-    shared across sessions (the driver gate runs each query in a fresh
-    process — retraining there is pure waste since results are
-    deterministic)."""
+def _default_model_store(spark, ck: tuple):
+    """The per-corpus MODEL WAREHOUSE (`sources/model_store.ModelStore`)
+    a corpus_key resolves to when the caller does not pass a store: a
+    warehouse root derived from the corpus identity.  In production the
+    caller passes ``ModelStore(spark, wh_root)`` so artifacts live IN
+    the data warehouse; the derived default keeps the zero-config lane
+    (gate queries, notebooks) on the same manifest protocol — commit,
+    time travel, vacuum — rather than on loose tempfiles."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from ..sources.model_store import ModelStore
+
+    key = hashlib.md5(repr(ck[0]).encode()).hexdigest()[:12]
+    root = Path(tempfile.gettempdir()) / f"bxg_models_wh_{key}"
+    return ModelStore(spark, str(root))
+
+
+def _codebook_cache_get(
+    ck: tuple | None, spark=None, store=None
+) -> dict[int, list[float]] | None:
+    """Two-level codebook cache: process dict, then the WAREHOUSE model
+    store (`_models` table — LWW commit, time travel, vacuum; shared
+    across sessions, so the driver gate's fresh process reuses the
+    trained artifact instead of retraining deterministically)."""
     if ck is None:
         return None
     if ck in _CODEBOOK_CACHE:
         return _CODEBOOK_CACHE[ck]
-    import json
-    import tempfile
-    from pathlib import Path
+    if store is None and spark is not None:
+        store = _default_model_store(spark, ck)
+    if store is None:
+        return None
+    payload = store.get(
+        f"codebook:{ck!r}", content_key=_codebook_content_key(ck)
+    )
+    if payload is None:
+        return None
+    book = {int(k): v for k, v in payload.items()}
+    _CODEBOOK_CACHE[ck] = book
+    return book
 
-    p = Path(tempfile.gettempdir()) / f"bxg_codebook_{_codebook_disk_key(ck)}.json"
-    if p.exists():
-        try:
-            book = {int(k): v for k, v in json.loads(p.read_text()).items()}
-            _CODEBOOK_CACHE[ck] = book
-            return book
-        except (ValueError, OSError):
-            return None
-    return None
 
-
-def _codebook_cache_put(ck: tuple | None, book: dict[int, list[float]]) -> None:
+def _codebook_cache_put(
+    ck: tuple | None, book: dict[int, list[float]], spark=None, store=None
+) -> None:
     if ck is None:
         return
     _CODEBOOK_CACHE[ck] = book
-    import json
-    import os
-    import tempfile
-    from pathlib import Path
-
-    p = Path(tempfile.gettempdir()) / f"bxg_codebook_{_codebook_disk_key(ck)}.json"
-    tmp = p.with_suffix(f".{os.getpid()}.tmp")
+    if store is None and spark is not None:
+        store = _default_model_store(spark, ck)
+    if store is None:
+        return
     try:
-        tmp.write_text(json.dumps(book))
-        os.replace(tmp, p)  # atomic publish
-    except OSError:
-        pass
+        store.put(
+            f"codebook:{ck!r}",
+            book,
+            kind="kmeans_codebook",
+            content_key=_codebook_content_key(ck),
+        )
+    except Exception:
+        pass  # best-effort publish: a lost artifact only costs retraining
 
 
 def cosine_topk_ivf(
@@ -525,12 +548,12 @@ def cosine_topk_ivf(
     into the final projection as a literal, so the whole query is ONE
     job: scan → assign+score projection → TakeOrderedAndProject."""
     ck = (corpus_key, n_centroids, kmeans_iters) if corpus_key is not None else None
-    codebook = _codebook_cache_get(ck)
+    codebook = _codebook_cache_get(ck, embeddings.sparkSession)
     if codebook is None:
         codebook = kmeans_codebook(
             embeddings, n_centroids=n_centroids, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
         )
-        _codebook_cache_put(ck, codebook)
+        _codebook_cache_put(ck, codebook, embeddings.sparkSession)
     qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).head()
     if not codebook or qrow is None:
         # empty corpus / unknown query id: empty typed frame, like the
@@ -681,7 +704,7 @@ def knn_join_ivf(
     from pyspark.sql.window import Window
 
     ck = (corpus_key, n_centroids, kmeans_iters) if corpus_key is not None else None
-    codebook = _codebook_cache_get(ck)
+    codebook = _codebook_cache_get(ck, corpus.sparkSession)
     if codebook is None:
         codebook = kmeans_codebook(
             corpus,
@@ -690,7 +713,7 @@ def knn_join_ivf(
             id_col=corpus_id_col,
             vec_col=vec_col,
         )
-        _codebook_cache_put(ck, codebook)
+        _codebook_cache_put(ck, codebook, corpus.sparkSession)
     spark = corpus.sparkSession
     cent = spark.createDataFrame(
         [(cid, list(map(float, c))) for cid, c in sorted(codebook.items())],
@@ -960,12 +983,12 @@ def semantic_near_dup(
     clustering so the contract (and its misses) are pinned.
     """
     ck = (corpus_key, n_centroids, kmeans_iters) if corpus_key is not None else None
-    codebook = _codebook_cache_get(ck)
+    codebook = _codebook_cache_get(ck, embeddings.sparkSession)
     if codebook is None:
         codebook = kmeans_codebook(
             embeddings, n_centroids=n_centroids, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
         )
-        _codebook_cache_put(ck, codebook)
+        _codebook_cache_put(ck, codebook, embeddings.sparkSession)
     assigned = ivf_assign(embeddings, codebook, id_col=id_col, vec_col=vec_col)
     # Precompute ‖v‖ ONCE PER ROW before the pair join: cosine() would
     # re-fold both norms per PAIR (O(pairs·dim) instead of O(N·dim) —
@@ -1060,7 +1083,7 @@ def pq_codebooks(
     books: list[dict[int, list[float]]] = []
     for j in range(m):
         ck = (corpus_key, "pq", j, k_sub, iters) if corpus_key is not None else None
-        book = _codebook_cache_get(ck)
+        book = _codebook_cache_get(ck, embeddings.sparkSession)
         if book is None:
             sliced = embeddings.select(
                 F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col)
@@ -1068,7 +1091,7 @@ def pq_codebooks(
             book = kmeans_codebook(
                 sliced, n_centroids=k_sub, iters=iters, id_col=id_col, vec_col=vec_col
             )
-            _codebook_cache_put(ck, book)
+            _codebook_cache_put(ck, book, embeddings.sparkSession)
         books.append(book)
     return books
 

@@ -68,7 +68,30 @@ from pyspark.sql.window import Window
 
 from ..model import EDGE_TABLES, NODE_TABLES
 
-ALL_TABLES = {**NODE_TABLES, **EDGE_TABLES}
+#: the MODEL STORE table: trained artifacts (IVF/PQ codebooks, …) as
+#: rows of a keyed warehouse table — so models share the manifest
+#: protocol's whole story (LWW commit, time travel, concurrency,
+#: vacuum) instead of living as driver-local tempfiles.  `content_key`
+#: is the training-code-versioned content address (a stale artifact
+#: misses and retrains); `payload` is the JSON artifact (dimension-
+#: sized — a codebook is k·dim floats, a row, not a table).
+_MODELS_SCHEMA = None  # materialized below (needs pyspark.sql.types)
+
+
+def _models_schema():
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    return StructType(
+        [
+            StructField("name", StringType(), False),
+            StructField("kind", StringType(), True),
+            StructField("content_key", StringType(), True),
+            StructField("payload", StringType(), True),
+        ]
+    )
+
+
+ALL_TABLES = {**NODE_TABLES, **EDGE_TABLES, "_models": (_models_schema(), ["name"])}
 
 #: MERGE key per table (FIXTURES.md §2). Tables whose key is the full row
 #: use plain dropDuplicates; keyed tables are last-write-wins.
@@ -83,6 +106,7 @@ MERGE_KEYS = {
     "belongs_to": ["function_uid", "library_name"],
     "calls": ["src_uid", "dst_uid"],
     "contains_string": ["binary_hash", "string_uid", "address"],
+    "_models": ["name"],
 }
 
 
