@@ -59,6 +59,32 @@ class Engine:
         docs = read_analysis_json(self.spark, json_path)
         self.warehouse.merge_batch(build_graph_tables(docs), batch_seq=batch_seq)
 
+    def ingest_atomic(
+        self, json_path: str | list[str], *, txn: tuple[str, int], batch_seq: int = 1
+    ) -> int:
+        """Like :meth:`ingest` but ALL-OR-NOTHING across the 10 graph
+        tables: every table merges under the shared ``txn`` key and one
+        catalog commit pins the result (``Warehouse.import_atomic``) —
+        a crash mid-import is invisible to snapshot readers, and a
+        retry with the same txn converges idempotently.  Returns the
+        catalog version."""
+        docs = read_analysis_json(self.spark, json_path)
+        tables = build_graph_tables(docs)
+        tables.pop("import_stats", None)  # derived stats, not a graph table
+        return self.warehouse.import_atomic(
+            tables, txn=txn, batch_seq=batch_seq, incremental=False
+        )
+
+    def cypher_replay_import(self, json_path: str | list[str]) -> dict[str, int]:
+        """Import via the reference's VERBATIM Cypher templates
+        (importer.rs:86-320) replayed set-orientedly — produces
+        bit-identical tables to :meth:`ingest` (certified by
+        cypher_merge_import_verbatim)."""
+        from .operators.cypher_import import replay_reference_import
+
+        docs = read_analysis_json(self.spark, json_path)
+        return replay_reference_import(self.warehouse, docs)
+
     # ------------------------------------------------------------ search
     def search_strings(self, pattern: str, *, raw: bool = False,
                        binary_filter: str | None = None, limit: int = 100) -> DataFrame:
@@ -181,11 +207,21 @@ class Engine:
         return _cypher(self.tables(), text, params)
 
     def cypher_write(self, text: str, params: dict | None = None) -> dict:
-        """Run one reference write statement (MERGE/SET/DETACH DELETE)
-        against the warehouse — the importer-compat surface."""
+        """Run one reference write statement (MERGE/CREATE/SET/[DETACH]
+        DELETE) against the warehouse — the importer-compat surface."""
         from .cypher import cypher_write as _cw
 
         return _cw(self.warehouse, text, params)
+
+    def cypher_write_batch(
+        self, text: str, params: DataFrame, *, order_cols: list[str] | None = None
+    ) -> dict:
+        """One write-statement TEMPLATE bound to a whole DataFrame of
+        ``$param`` rows, executed as a single LWW merge commit — the
+        scale lane for the reference's per-entity import statements."""
+        from .cypher import cypher_write_batch as _cwb
+
+        return _cwb(self.warehouse, text, params, order_cols=order_cols)
 
     # ------------------------------------------------- pipeline operators
     # Arbitrary-DataFrame operators: bound pass-throughs so `Engine` is

@@ -150,3 +150,32 @@ def test_real_decoder_passthroughs(eng, spark):
     assert eng.decode_wav(synthesize_wav(docs)).count() == 6
     frames = eng.decode_y4m(synthesize_y4m(docs))
     assert frames.count() >= 12  # >= 2 frames per doc
+
+
+def test_ingest_atomic_and_cypher_replay(spark, tmp_path):
+    from binaryx_graph_spark.engine import Engine
+
+    d = write_fixture(tmp_path / "docs")
+    # atomic lane: catalog pin spans all 10 tables
+    e1 = Engine(spark, str(tmp_path / "wh1"))
+    v = e1.ingest_atomic(d, txn=("t", 1))
+    pins = e1.warehouse.catalog_snapshot()
+    assert len(pins) == 10
+    assert e1.warehouse.read_snapshot("functions", pins).count() == 6
+    # replay with the same txn is a catalog-level no-op
+    assert e1.ingest_atomic(d, txn=("t", 1)) == v
+
+    # verbatim-Cypher lane equals the direct lane, via the engine API
+    e2 = Engine(spark, str(tmp_path / "wh2"))
+    e2.cypher_replay_import(d)
+    for t in ("functions", "calls", "binaries", "strings"):
+        a = sorted(tuple(r) for r in e1.table(t).collect())
+        b = sorted(tuple(r) for r in e2.table(t).select(*e1.table(t).columns).collect())
+        assert a == b, t
+
+    # batched write template through the engine surface
+    r = e2.cypher_write_batch(
+        "MERGE (l:Library {name: $n})",
+        spark.createDataFrame([("libz",), ("libq",)], "n string"),
+    )
+    assert r["table"] == "libraries" and r["rows"] == 2
