@@ -54,6 +54,16 @@ REGISTRY: dict[str, Query] = {}
 # r1-r3.  Names, signatures and oracle strings of already-green queries stay
 # byte-stable — only dict ordering changes.
 _WITNESS_PRIORITY: tuple[str, ...] = (
+    # new-in-r10: the Cypher write surface, deletion vectors, column
+    # mapping, the catalog txn, the CDF consumers and filtered ANN —
+    # never witnessed, so they float to the driver sample head first
+    "cypher_merge_import_verbatim", "cypher_merge_import_edges_verbatim",
+    "cypher_write_merge_upsert", "cypher_write_detach_delete",
+    "warehouse_deletion_vectors_certified",
+    "warehouse_column_mapping_certified",
+    "warehouse_multi_table_txn_certified",
+    "warehouse_cdf_watermark_certified", "warehouse_cdf_join_certified",
+    "ann_cosine_ivf_filtered", "ann_recall_ivf_filtered",
     # (a) upgraded from rows-only to an error-bounds oracle this round
     "stats_approx_distinct",
     # (b) new-in-r4 queries (skipped harmlessly until they register)
