@@ -144,6 +144,7 @@ MAINTENANCE = [
     "warehouse_multi_table_txn_certified",
     "warehouse_cdf_watermark_certified",
     "warehouse_cdf_join_certified",
+    "warehouse_merge_into_certified",
     "cypher_merge_import_verbatim",
 ]
 

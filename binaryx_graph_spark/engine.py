@@ -213,6 +213,12 @@ class Engine:
 
         return _cw(self.warehouse, text, params)
 
+    def merge_into(self, table: str, source: DataFrame, **kw) -> dict:
+        """Delta's three-arm conditional MERGE INTO (update / delete /
+        insert arms with per-arm conditions) — see
+        ``Warehouse.merge_into``."""
+        return self.warehouse.merge_into(table, source, **kw)
+
     def cypher_write_batch(
         self, text: str, params: DataFrame, *, order_cols: list[str] | None = None
     ) -> dict:

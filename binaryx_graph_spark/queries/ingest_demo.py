@@ -3258,3 +3258,156 @@ def warehouse_cdf_join_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lag_s").alias("sum_lag_s"),
         F.max("lag_s").alias("max_lag_s"),
     )
+
+
+@register(
+    "warehouse_merge_into_certified",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS uid,
+             CAST(o_orderkey AS BIGINT) AS size,
+             o_orderkey AS k
+      FROM orders
+    ),
+    merged AS (
+      SELECT uid,
+             CASE WHEN k % 5 = 0 THEN size + 1000000 ELSE size END AS size
+      FROM base WHERE k % 5 <> 1
+      UNION ALL
+      SELECT 'x' || uid AS uid, CAST(NULL AS BIGINT) AS size
+      FROM base WHERE k % 11 = 0
+    )
+    SELECT * FROM (
+      SELECT '1_updated' AS phase,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(COALESCE(sum(size + 1000000), 0) AS BIGINT) AS checksum
+      FROM base WHERE k % 5 = 0
+      UNION ALL
+      SELECT '2_deleted', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(size), 0) AS BIGINT)
+      FROM base WHERE k % 5 = 1
+      UNION ALL
+      SELECT '3_inserted', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+      FROM base WHERE k % 11 = 0
+      UNION ALL
+      SELECT '4_final', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(size), 0) AS BIGINT)
+      FROM merged
+    ) t ORDER BY phase
+    """,
+    tags=("warehouse", "layout", "scale"),
+)
+def warehouse_merge_into_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse lever #23 — Delta's three-arm **MERGE INTO**
+    (`sources/warehouse.py:merge_into`), certified inside the gate:
+    one conditional merge whose source drives an UPDATE arm
+    (``size += 1e6`` on keys ≡0 mod 5), a DELETE arm (keys ≡1 mod 5)
+    and an INSERT arm (fresh ``x``-prefixed keys), against a bucketed
+    table at data scale.  The engine reads and rewrites ONLY the
+    buckets the source touches (manifest-level pruning, DV-applied),
+    runs ONE full-outer join in logical space, and publishes one
+    commit.
+
+    In-gate raises unless: the arm counts match the constructed sets;
+    ``read_changes`` across the merge is EXACTLY the arms (update =
+    delete+insert pair, delete = delete, insert = insert, carries
+    contribute nothing); and replaying the merge under the same txn key
+    publishes nothing.  Final state replays in DuckDB from `orders`."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..model import load_table
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_mi_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(spark, root)
+    orders = load_table(spark, sf_dir, "orders")
+
+    df = orders.select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.concat(F.lit("fn_"), F.col("o_orderkey").cast("string")).alias("name"),
+        F.lit("").alias("address"),
+        F.col("o_orderkey").cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+    )
+    wh.merge_batch_incremental({"functions": df}, n_buckets=16)
+    v0 = wh.versions("functions")[-1]
+
+    upd = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        (F.col("o_orderkey").cast("long") + 1000000).alias("new_size"),
+    )
+    dele = orders.filter(F.col("o_orderkey") % 5 == 1).select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.lit(-1).cast("long").alias("new_size"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 11 == 0).select(
+        F.concat(F.lit("x"), F.col("o_orderkey").cast("string")).alias("uid"),
+        F.lit(0).cast("long").alias("new_size"),
+    )
+    src = upd.unionByName(dele).unionByName(ins)
+    d = wh.merge_into(
+        "functions", src,
+        when_matched_update={"size": F.col("s.new_size")},
+        when_matched_condition=F.col("s.new_size") >= 0,
+        when_matched_delete=F.col("s.new_size") < 0,
+        when_not_matched_insert=True,
+        txn=("mi", 1),
+    )
+    n_upd = orders.filter(F.col("o_orderkey") % 5 == 0).count()
+    n_del = orders.filter(F.col("o_orderkey") % 5 == 1).count()
+    n_ins = orders.filter(F.col("o_orderkey") % 11 == 0).count()
+    if (d["rows_updated"], d["rows_deleted"], d["rows_inserted"]) != (
+        n_upd, n_del, n_ins,
+    ):
+        raise AssertionError(f"merge arms wrong: {d} vs {(n_upd, n_del, n_ins)}")
+    ch = wh.read_changes("functions", v0)
+    cc = {
+        r["_change"]: r["n"]
+        for r in ch.groupBy("_change").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # update = delete+insert pair; delete = delete; insert = insert
+    if cc != {"delete": n_upd + n_del, "insert": n_upd + n_ins}:
+        raise AssertionError(f"merge CDC wrong: {cc}")
+    v1 = wh.versions("functions")[-1]
+    d2 = wh.merge_into(
+        "functions", src,
+        when_matched_update={"size": F.col("s.new_size")},
+        when_matched_condition=F.col("s.new_size") >= 0,
+        when_matched_delete=F.col("s.new_size") < 0,
+        when_not_matched_insert=True,
+        txn=("mi", 1),
+    )
+    if wh.versions("functions")[-1] != v1 or d2["rows_updated"]:
+        raise AssertionError("txn replay must publish nothing")
+
+    def snap(df_):
+        r = df_.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("size").alias("c")
+        ).collect()[0]
+        return int(r["n"]), int(r["c"] or 0)
+
+    live = wh.read("functions")
+    u_n, u_c = snap(live.filter(F.col("size") >= 1000000))
+    del_keys = orders.filter(F.col("o_orderkey") % 5 == 1).select(
+        F.col("o_orderkey").cast("string").alias("uid")
+    )
+    if live.join(del_keys, "uid", "left_semi").count():
+        raise AssertionError("deleted keys survived the merge")
+    i_n, _ = snap(live.filter(F.col("uid").startswith("x")))
+    f_n, f_c = snap(live)
+    return spark.createDataFrame(
+        [
+            ("1_updated", u_n, u_c),
+            ("2_deleted", n_del, int(
+                orders.filter(F.col("o_orderkey") % 5 == 1)
+                .agg(F.sum(F.col("o_orderkey").cast("long"))).collect()[0][0] or 0
+            )),
+            ("3_inserted", i_n, 0),
+            ("4_final", f_n, f_c),
+        ],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")

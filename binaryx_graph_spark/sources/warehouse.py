@@ -2744,6 +2744,218 @@ class Warehouse:
             out[name] = len(touched)
         return out
 
+    def merge_into(
+        self,
+        table: str,
+        source: DataFrame,
+        *,
+        when_matched_update: dict | str | None = None,
+        when_matched_condition: Column | None = None,
+        when_matched_delete: Column | bool | None = None,
+        when_not_matched_insert: bool = True,
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        """Delta's three-arm **MERGE INTO** on this manifest: join the
+        target with ``source`` on the table's merge keys, then per row
+
+        - MATCHED & ``when_matched_delete`` (a Column over the joined
+          aliases, or True) → the target row is DELETED;
+        - MATCHED & ``when_matched_update`` (and, if given,
+          ``when_matched_condition``) → the listed columns are
+          reassigned — values may be literals or Column expressions
+          over the aliases ``t`` (target) and ``s`` (source), e.g.
+          ``{"size": F.col("t.size") + F.col("s.size")}``; the string
+          ``"all"`` takes every source column;
+        - MATCHED otherwise → carried unchanged;
+        - NOT MATCHED (source-only) & ``when_not_matched_insert`` →
+          INSERTED (target columns the source lacks become NULL);
+        - target-only rows are always carried.
+
+        Delta's multiple-source-rows error is enforced: a source with
+        duplicate merge keys raises (the update would be ambiguous).
+
+        Scale shape = :meth:`merge_batch_incremental`'s: on a bucketed
+        table only the buckets the SOURCE touches are read (DV-applied)
+        and rewritten — one full-outer join per touched-bucket subset,
+        one manifest commit with disjoint-bucket rebase; flat tables
+        rewrite whole-table like every flat commit.  Column mapping:
+        source and assignments speak LOGICAL names.
+
+        Returns ``{'rows_updated', 'rows_deleted', 'rows_inserted',
+        'buckets_touched'}`` (buckets_touched None on flat tables)."""
+        keys = MERGE_KEYS.get(table)
+        if not keys:
+            raise ValueError(f"table '{table}' has no merge keys")
+        if (
+            when_matched_update is None
+            and when_matched_delete is None
+            and not when_not_matched_insert
+        ):
+            raise ValueError("merge_into with no arms is a no-op — say so explicitly")
+        if txn is not None:
+            seen = self.last_txn_version(table, txn[0])
+            if seen is not None and seen >= txn[1]:
+                return {
+                    "rows_updated": 0, "rows_deleted": 0,
+                    "rows_inserted": 0, "buckets_touched": 0,
+                }
+        mvs = self._manifest_versions(table)
+        if not mvs:
+            if any((self.root / table).glob("_kb=*")):
+                dirb = self._dir_buckets(table)
+                self._validate_bucket_modulus(table, dirb, self.N_KEY_BUCKETS)
+                self._commit_manifest(table, dirb, self.N_KEY_BUCKETS)
+            else:
+                self._adopt_flat(table)
+            mvs = self._manifest_versions(table)
+        m = self._manifest(table, mvs[-1])
+        bucketed = "buckets" in m
+        schema = self._schema_of(m)
+        if schema is None and table in ALL_TABLES:
+            schema = ALL_TABLES[table][0]
+        types = {f.name: f.dataType for f in schema.fields}
+        cm = self._colmap_of(m)
+        logical_names = [cm.get(f.name, f.name) for f in schema.fields]
+        lkeys = [cm.get(k, k) for k in keys]
+
+        src = self._to_physical_df(source, m)
+        missing_keys = [k for k in keys if k not in src.columns]
+        if missing_keys:
+            raise ValueError(
+                f"merge_into source must carry the merge keys; missing "
+                f"{[cm.get(k, k) for k in missing_keys]}"
+            )
+        src = src.localCheckpoint(eager=True)
+        dup = src.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
+        if not dup.isEmpty():
+            raise ValueError(
+                "merge_into source has duplicate merge keys — multiple "
+                "source rows match one target row (Delta's ambiguity error)"
+            )
+
+        # target subset: touched buckets only (bucketed), else whole table
+        if bucketed:
+            kb = src.withColumn("_kb", self._key_bucket(table, m["n_buckets"]))
+            touched = sorted(
+                r["_kb"] for r in kb.select("_kb").distinct().collect()
+            )
+            pairs = [
+                (f"{b}/{fn}", str(self.root / table / f"_kb={b}" / fn))
+                for b in touched
+                for fn in m["buckets"].get(str(b), [])
+            ]
+            stored = (
+                self._read_files_dv(table, m, pairs).drop("_kb")
+                if pairs
+                else self.spark.createDataFrame([], schema)
+            )
+        else:
+            touched = None
+            stored = self._read_manifest(table, m["version"])
+        # merge logic runs in LOGICAL space over aliases t / s
+        t = self._to_logical(stored, m).alias("t")
+        s = self._to_logical(src, m).alias("s")
+        joined = t.join(s, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in lkeys], "full_outer")
+        matched = F.col(f"t.{lkeys[0]}").isNotNull() & F.col(f"s.{lkeys[0]}").isNotNull()
+        s_only = F.col(f"t.{lkeys[0]}").isNull()
+
+        if when_matched_update == "all":
+            when_matched_update = {
+                cm.get(c, c): F.col(f"s.{cm.get(c, c)}")
+                for c in src.columns
+                if c in types and c not in keys
+            }
+        upd = {}
+        for col, val in (when_matched_update or {}).items():
+            if col in lkeys:
+                raise ValueError(f"merge_into cannot update merge-key column {col!r}")
+            if col not in logical_names:
+                raise ValueError(f"table '{table}' has no column {col!r}")
+            upd[col] = val if hasattr(val, "cast") else F.lit(val)
+        del_cond = None
+        if when_matched_delete is True:
+            del_cond = F.lit(True)
+        elif when_matched_delete is not None and when_matched_delete is not False:
+            del_cond = when_matched_delete
+        upd_cond = (
+            when_matched_condition if when_matched_condition is not None else F.lit(True)
+        )
+
+        outcome = F.when(matched & (del_cond if del_cond is not None else F.lit(False)), "delete")
+        if upd:
+            outcome = outcome.when(matched & upd_cond, "update")
+        outcome = outcome.when(matched, "carry")
+        if when_not_matched_insert:
+            outcome = outcome.when(s_only, "insert")
+        outcome = outcome.otherwise(F.when(s_only, "skip").otherwise("carry"))
+
+        phys = {v: k for k, v in cm.items()}
+
+        def _out_col(lname: str) -> Column:
+            tcol, scol = F.col(f"t.{lname}"), None
+            if phys.get(lname, lname) in src.columns:
+                scol = F.col(f"s.{lname}")
+            c = F.when(F.col("_m_outcome") == "update", upd.get(lname, tcol))
+            if when_not_matched_insert:
+                c = c.when(
+                    F.col("_m_outcome") == "insert",
+                    scol if scol is not None else F.lit(None),
+                )
+            c = c.otherwise(tcol)
+            return c.cast(types[phys.get(lname, lname)]).alias(lname)
+
+        tagged = joined.withColumn("_m_outcome", outcome)
+        tagged = tagged.localCheckpoint(eager=True)
+        counts = {
+            r["_m_outcome"]: r["n"]
+            for r in tagged.groupBy("_m_outcome")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        result = (
+            tagged.filter(~F.col("_m_outcome").isin("delete", "skip"))
+            .select(*[_out_col(n) for n in logical_names])
+        )
+        result = self._to_physical_df(result, m)
+        try:
+            if bucketed:
+                out_df = result.withColumn(
+                    "_kb", self._key_bucket(table, m["n_buckets"])
+                )
+                staged, fb = self._stage_bucketed(table, out_df)
+                new_buckets = dict(m["buckets"])
+                for b in touched:
+                    new_buckets[str(b)] = staged.get(str(b), staged.get(b, []))
+                self._commit_manifest(
+                    table,
+                    new_buckets,
+                    m["n_buckets"],
+                    base_version=m["version"],
+                    touched={str(b) for b in touched},
+                    file_bytes=fb,
+                    txn=txn,
+                )
+            else:
+                names, fb = self._stage_flat(table, result)
+                self._commit_manifest(
+                    table,
+                    files=names,
+                    base_version=m["version"],
+                    file_bytes=fb,
+                    txn=txn,
+                )
+        except IdempotentReplay:
+            return {
+                "rows_updated": 0, "rows_deleted": 0,
+                "rows_inserted": 0, "buckets_touched": 0,
+            }
+        return {
+            "rows_updated": int(counts.get("update", 0)),
+            "rows_deleted": int(counts.get("delete", 0)),
+            "rows_inserted": int(counts.get("insert", 0)),
+            "buckets_touched": len(touched) if touched is not None else None,
+        }
+
     def rebucket(self, table: str, n_buckets: int) -> int:
         """One-time O(table) re-layout to a new bucket modulus, AS a
         manifest commit — the B ∝ table-size lever (SCALE.md addendum
