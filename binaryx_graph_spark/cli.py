@@ -243,6 +243,25 @@ def main(argv: list[str] | None = None) -> int:
     db_del.add_argument(
         "--where", action="append", required=True, metavar="COL,OP,VALUE"
     )
+    db_del.add_argument(
+        "--dv",
+        action="store_true",
+        help="merge-on-read: record deletion-vector tombstones instead "
+        "of rewriting files (O(deleted rows) written; optimize purges)",
+    )
+    db_ren = db.add_parser("rename-column")  # metadata-only (column mapping)
+    db_ren.add_argument("table")
+    db_ren.add_argument("old")
+    db_ren.add_argument("new")
+    db_drop = db.add_parser("drop-column")
+    db_drop.add_argument("table")
+    db_drop.add_argument("column")
+    db_wide = db.add_parser("widen-column")
+    db_wide.add_argument("table")
+    db_wide.add_argument("column")
+    db_wide.add_argument("type", help="lossless supertype, e.g. bigint / double")
+    db_snap = db.add_parser("snapshot")  # catalog-pinned consistent view
+    db_snap.add_argument("--version", type=int, default=None)
     db_chg = db.add_parser("changes")  # CDC between versions
     db_chg.add_argument("table")
     db_chg.add_argument("from_version", type=int)
@@ -371,11 +390,33 @@ def main(argv: list[str] | None = None) -> int:
                 )
         elif args.what == "delete":
             preds = _parse_preds(args.where, wh.table_schema(args.table))
-            d = wh.delete_where(args.table, preds)
-            print(
-                f"deleted {d['rows_deleted']} rows "
-                f"(rewrote {d['files_rewritten']}/{d['files_total']} files)"
-            )
+            if args.dv:
+                d = wh.delete_where_dv(args.table, preds)
+                print(
+                    f"deleted {d['rows_deleted']} rows merge-on-read "
+                    f"({d['dv_bytes']} tombstone bytes, 0 files rewritten)"
+                )
+            else:
+                d = wh.delete_where(args.table, preds)
+                print(
+                    f"deleted {d['rows_deleted']} rows "
+                    f"(rewrote {d['files_rewritten']}/{d['files_total']} files)"
+                )
+        elif args.what == "rename-column":
+            v = wh.rename_column(args.table, args.old, args.new)
+            print(f"renamed {args.table}.{args.old} -> {args.new} (v{v:05d}, metadata-only)")
+        elif args.what == "drop-column":
+            v = wh.drop_column(args.table, args.column)
+            print(f"dropped {args.table}.{args.column} (v{v:05d}, metadata-only)")
+        elif args.what == "widen-column":
+            v = wh.widen_column(args.table, args.column, args.type)
+            print(f"widened {args.table}.{args.column} to {args.type} (v{v:05d}, metadata-only)")
+        elif args.what == "snapshot":
+            pins = wh.catalog_snapshot(version=args.version)
+            if not pins:
+                print("no catalog commit yet (use import_atomic / Engine.ingest_atomic)")
+            for t, v in sorted(pins.items()):
+                print(f"{t:<18} v{v:05d}")
         elif args.what == "changes":
             df, diag = wh.read_changes(
                 args.table,

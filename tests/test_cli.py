@@ -499,3 +499,50 @@ def test_rollback_across_conversion(spark, tmp_path):
     wh.merge_batch_incremental({"functions": fns([(5, 555)])}, batch_seq=9)
     vals = {r["uid"]: r["size"] for r in wh.read("functions").collect()}
     assert vals["5"] == 555 and vals["7"] == 7  # rollback undid the 77 overlay
+
+
+def test_db_dv_delete_and_column_mapping_cli(spark, tmp_path, capsys):
+    from binaryx_graph_spark.sources.warehouse import Warehouse
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    df = spark.range(100).select(
+        F.col("id").cast("string").alias("uid"),
+        F.concat(F.lit("fn_"), F.col("id")).alias("name"),
+        F.lit("").alias("address"),
+        F.col("id").cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+    )
+    wh.merge_batch_incremental({"functions": df}, n_buckets=4)
+
+    assert main([
+        "--warehouse", root, "db", "delete", "functions",
+        "--where", "size,between,10:19", "--dv",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "deleted 10 rows merge-on-read" in out and "0 files rewritten" in out
+    assert wh.read("functions").count() == 90
+
+    assert main([
+        "--warehouse", root, "db", "rename-column", "functions", "size", "byte_size",
+    ]) == 0
+    assert "metadata-only" in capsys.readouterr().out
+    # typed predicate over the RENAMED column through the CLI scan
+    assert main([
+        "--warehouse", root, "--format", "json", "db", "scan", "functions",
+        "--where", "byte_size,=,42",
+    ]) == 0
+    assert '"uid": "42"' in capsys.readouterr().out
+
+    assert main([
+        "--warehouse", root, "db", "drop-column", "functions", "address",
+    ]) == 0
+    capsys.readouterr()
+    assert "address" not in wh.read("functions").columns
+
+    # snapshot subcommand over a catalog commit
+    wh.import_atomic({"functions": df.withColumnRenamed("size", "byte_size").drop("address")},
+                     txn=("cli", 1), incremental=True)
+    assert main(["--warehouse", root, "db", "snapshot"]) == 0
+    assert "functions" in capsys.readouterr().out
