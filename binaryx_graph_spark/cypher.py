@@ -2202,7 +2202,25 @@ class CypherWriteParser(CypherParser):
       exists so the reference's schema-init script replays verbatim
     """
 
+    #: set by an ``UNWIND $rows AS r`` prefix: (rows-or-Param, var name)
+    unwind: tuple | None = None
+
     def parse_write(self) -> WriteStmt:
+        if self._accept_word("UNWIND"):
+            # the idiomatic Neo4j BULK form: UNWIND $rows AS r MERGE …
+            # — each row of the $rows list binds the statement once;
+            # compiled to ONE set-oriented merge, not a row loop
+            k, v = self._next()
+            if k != "param":
+                raise ValueError("cypher write: UNWIND takes a $param list")
+            name = v[1:]
+            if name not in self.params:
+                raise ValueError(f"cypher: missing parameter ${name}")
+            rows = self.params[name]
+            if not self._accept("kw", "AS"):
+                raise ValueError("cypher write: UNWIND $rows AS <var>")
+            var = self._expect("word")
+            self.unwind = (rows, var)
         if self._accept_word("MERGE"):
             stmt = self._merge_node()
         elif self._accept_word("CREATE"):
@@ -2213,10 +2231,26 @@ class CypherWriteParser(CypherParser):
             raise ValueError(
                 "cypher write: statement must start with MERGE, CREATE or MATCH"
             )
+        if self.unwind is not None and stmt.kind not in (
+            "merge_node", "merge_edge", "create_node",
+        ):
+            raise ValueError(
+                f"cypher write: UNWIND supports MERGE/CREATE forms, not {stmt.kind}"
+            )
         k, v = self._peek()
         if k is not None:
             raise ValueError(f"cypher write: trailing input at {v!r}")
         return stmt
+
+    def _literal(self):
+        # inside an UNWIND statement, `r.field` references the row's
+        # field — compiled to a column binding of the rows DataFrame
+        k, v = self._peek()
+        if k == "word" and self.unwind is not None and v == self.unwind[1]:
+            self._next()
+            self._expect("sym", ".")
+            return Param(self._name())
+        return super()._literal()
 
     def _merge_node(self) -> WriteStmt:
         n = self._node()
@@ -2381,7 +2415,23 @@ def cypher_write(wh, text: str, params: dict | None = None) -> dict:
     """
     from .sources.warehouse import ALL_TABLES, MERGE_KEYS
 
-    stmt = CypherWriteParser(text, params).parse_write()
+    parser = CypherWriteParser(text, params)
+    stmt = parser.parse_write()
+    if parser.unwind is not None:
+        # UNWIND $rows AS r — bind each row dict, execute as ONE
+        # set-oriented merge in list order (Cypher's sequential
+        # statement semantics via the _seq order column)
+        rows, _var = parser.unwind
+        if not isinstance(rows, (list, tuple)) or not all(
+            isinstance(r, dict) for r in rows
+        ):
+            raise ValueError("cypher write: UNWIND $rows must be a list of maps")
+        if not rows:
+            return {"table": None, "rows": 0}
+        cols = sorted({k for r in rows for k in r})
+        data = [tuple(r.get(c) for c in cols) + (i,) for i, r in enumerate(rows)]
+        df = wh.spark.createDataFrame(data, cols + ["_seq"])
+        return _execute_write_batch(wh, stmt, df, order_cols=["_seq"])
     if stmt.kind == "clear":
         wh.clear()
         return {"table": "clear", "rows": 0}
@@ -2507,9 +2557,6 @@ def cypher_write_batch(
 
     Returns {"table": name, "rows": merged-row-count}.
     """
-    from .operators.ingest import _last_wins
-    from .sources.warehouse import ALL_TABLES, MERGE_KEYS
-
     stmt = CypherWriteParser(text, _TemplateParams()).parse_write()
     if stmt.kind == "clear":
         wh.clear()
@@ -2521,6 +2568,24 @@ def cypher_write_batch(
             f"cypher write batch: {stmt.kind} is a single-statement form — "
             f"use cypher_write (deletes take predicates, not param batches)"
         )
+    return _execute_write_batch(
+        wh, stmt, params, order_cols=order_cols, batch_seq=batch_seq
+    )
+
+
+def _execute_write_batch(
+    wh,
+    stmt: WriteStmt,
+    params: DataFrame,
+    *,
+    order_cols: list[str] | None = None,
+    batch_seq: int = 1,
+) -> dict:
+    """Execute a parsed merge/create write statement over a params
+    DataFrame — the shared engine behind :func:`cypher_write_batch`
+    (template text) and the ``UNWIND $rows`` bulk form."""
+    from .operators.ingest import _last_wins
+    from .sources.warehouse import ALL_TABLES, MERGE_KEYS
 
     def _pcol(v, dtype) -> Column:
         c = F.col(v.name) if isinstance(v, Param) else F.lit(v)

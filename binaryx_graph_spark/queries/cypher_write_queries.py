@@ -272,3 +272,47 @@ def cypher_write_detach_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "phase string, n long",
     ).orderBy("phase")
+
+
+@register(
+    "cypher_write_unwind_bulk",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('a', 'last',  CAST(3 AS BIGINT)),
+      ('b', 'bee',   CAST(2 AS BIGINT)),
+      ('c', 'sea',   CAST(9 AS BIGINT))
+    ) AS t(uid, name, size)
+    ORDER BY uid
+    """,
+    tags=("cypher", "write"),
+)
+def cypher_write_unwind_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The idiomatic Neo4j BULK import form — ``UNWIND $rows AS r
+    MERGE (f:Function {uid: r.uid}) SET …`` — compiled to ONE
+    set-oriented LWW merge commit (list order = statement order; a
+    duplicate uid later in the list wins), never a row loop."""
+    from ..cypher import cypher_write
+    from ..sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="bxg_cyunwind_"))
+    wh.initialize()
+    r = cypher_write(
+        wh,
+        """
+        UNWIND $rows AS r
+        MERGE (f:Function {uid: r.uid})
+        SET f.name = r.name, f.address = r.addr, f.type = $ty, f.size = r.size
+        """,
+        params={
+            "ty": "Internal",
+            "rows": [
+                {"uid": "a", "name": "first", "addr": "0x1", "size": 1},
+                {"uid": "b", "name": "bee", "addr": "0x2", "size": 2},
+                {"uid": "c", "name": "sea", "addr": "0x3", "size": 9},
+                {"uid": "a", "name": "last", "addr": "0x1b", "size": 3},
+            ],
+        },
+    )
+    if r != {"table": "functions", "rows": 3}:
+        raise AssertionError(f"UNWIND bulk merge misreported: {r}")
+    return wh.read("functions").select("uid", "name", "size").orderBy("uid")

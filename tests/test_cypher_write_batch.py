@@ -230,3 +230,52 @@ def test_verbatim_replay_equals_direct_etl(spark, tmp_path):
             tuple(r) for r in wh.read(table).select(*expected[table].columns).collect()
         )
         assert got == exp, f"replay diverged from ETL on {table}"
+
+
+def test_unwind_bulk_merge(spark, wh):
+    """The idiomatic Neo4j bulk-import form: UNWIND $rows AS r MERGE …
+    — one set-oriented merge, sequential LWW by list order."""
+    r = cypher_write(
+        wh,
+        """
+        UNWIND $rows AS r
+        MERGE (f:Function {uid: r.uid})
+        SET f.name = r.name, f.address = r.addr, f.type = $ty, f.size = r.size
+        """,
+        params={
+            "ty": "Internal",
+            "rows": [
+                {"uid": "a", "name": "first", "addr": "0x1", "size": 1},
+                {"uid": "b", "name": "bee", "addr": "0x2", "size": 2},
+                {"uid": "a", "name": "last", "addr": "0x1b", "size": 3},
+            ],
+        },
+    )
+    assert r == {"table": "functions", "rows": 2}
+    got = {x["uid"]: (x["name"], x["size"]) for x in wh.read("functions").collect()}
+    assert got == {"a": ("last", 3), "b": ("bee", 2)}
+
+    # UNWIND edge form with MATCH endpoints
+    r = cypher_write(
+        wh,
+        """
+        UNWIND $rows AS r
+        MATCH (from:Function {uid: r.src}), (to:Function {uid: r.dst})
+        MERGE (from)-[c:CALLS]->(to)
+        SET c.offset = r.off, c.call_type = r.ct
+        """,
+        params={
+            "rows": [
+                {"src": "a", "dst": "b", "off": "0x10", "ct": "Direct"},
+                {"src": "a", "dst": "ghost", "off": "0x20", "ct": "Direct"},
+            ]
+        },
+    )
+    assert r == {"table": "calls", "rows": 1}  # missing endpoint dropped
+    assert [tuple(x) for x in wh.read("calls").collect()] == [
+        ("a", "b", "0x10", "Direct")
+    ]
+    # empty list is a clean no-op
+    assert cypher_write(
+        wh, "UNWIND $rows AS r MERGE (l:Library {name: r.n})", params={"rows": []}
+    ) == {"table": None, "rows": 0}
