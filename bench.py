@@ -145,6 +145,7 @@ MAINTENANCE = [
     "warehouse_cdf_watermark_certified",
     "warehouse_cdf_join_certified",
     "warehouse_merge_into_certified",
+    "warehouse_timestamp_travel_certified",
     "cypher_merge_import_verbatim",
 ]
 

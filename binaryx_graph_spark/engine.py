@@ -47,10 +47,17 @@ class Engine:
     def table(self, name: str) -> DataFrame:
         return self.warehouse.read(name)
 
-    def tables(self) -> dict[str, DataFrame]:
+    def tables(self, *, snapshot: bool = False) -> dict[str, DataFrame]:
         """All node+edge tables, keyed by warehouse name (the dict shape
-        the Cypher compiler consumes)."""
-        return {n: self.warehouse.read(n) for n in {**NODE_TABLES, **EDGE_TABLES}}
+        the Cypher compiler consumes).  ``snapshot=True`` resolves every
+        table through the newest CATALOG pin (see
+        ``Warehouse.catalog_snapshot``) — a consistent multi-table view
+        even while an import is mid-flight on the live heads."""
+        names = {**NODE_TABLES, **EDGE_TABLES}
+        if snapshot:
+            pins = self.warehouse.catalog_snapshot()
+            return {n: self.warehouse.read_snapshot(n, pins) for n in names}
+        return {n: self.warehouse.read(n) for n in names}
 
     # ------------------------------------------------------------ ingest
     def ingest(self, json_path: str | list[str], *, batch_seq: int = 1) -> None:
@@ -202,9 +209,13 @@ class Engine:
         return self.warehouse.export_graph(out_path)
 
     # -------------------------------------------------------------- cypher
-    def cypher(self, text: str, params: dict | None = None) -> DataFrame:
-        """Run a (reference-compatible) Cypher-subset query verbatim."""
-        return _cypher(self.tables(), text, params)
+    def cypher(
+        self, text: str, params: dict | None = None, *, snapshot: bool = False
+    ) -> DataFrame:
+        """Run a (reference-compatible) Cypher-subset query verbatim.
+        ``snapshot=True`` reads every table at the catalog pin — the
+        query sees one consistent import, never a torn mid-write mix."""
+        return _cypher(self.tables(snapshot=snapshot), text, params)
 
     def cypher_write(self, text: str, params: dict | None = None) -> dict:
         """Run one reference write statement (MERGE/CREATE/SET/[DETACH]

@@ -3411,3 +3411,97 @@ def warehouse_merge_into_certified(spark: SparkSession, sf_dir: str) -> DataFram
         ],
         "phase string, n long, checksum long",
     ).orderBy("phase")
+
+
+@register(
+    "warehouse_timestamp_travel_certified",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS size FROM orders
+    )
+    SELECT * FROM (
+      SELECT '1_as_of_first_commit' AS phase,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(size) AS BIGINT) AS checksum
+      FROM base
+      UNION ALL
+      SELECT '2_as_of_second_commit', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(size), 0) AS BIGINT)
+      FROM base WHERE size >= (SELECT min(size) + 100 FROM base)
+    ) t ORDER BY phase
+    """,
+    tags=("warehouse", "layout"),
+)
+def warehouse_timestamp_travel_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse lever #24 — TIMESTAMP AS OF (Delta's second time-travel
+    axis).  Every manifest records its PUBLISH wall-clock
+    (``committed_at``, re-stamped on commit-loop retries so it is the
+    moment the version became visible); ``read(table, timestamp=ts)``
+    resolves to the newest version published at or before ``ts`` —
+    metadata-only resolution, no file reads.
+
+    In-gate raises unless: reading AT each commit's own timestamp
+    returns that commit's exact state; a timestamp BETWEEN two commits
+    resolves to the earlier one; a far-future timestamp reads the live
+    head; and a timestamp BEFORE the first commit raises loudly
+    (asking for a state that never existed must not silently read
+    something else).  Both states replay in DuckDB from `orders`."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..model import load_table
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_tstravel_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(spark, root)
+    orders = load_table(spark, sf_dir, "orders")
+    df = orders.select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.lit("fn").alias("name"),
+        F.lit("").alias("address"),
+        F.col("o_orderkey").cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+    )
+    wh.merge_batch_incremental({"functions": df}, n_buckets=8)
+    v0 = wh.versions("functions")[-1]
+    ts0 = wh._manifest("functions", v0)["committed_at"]
+    kmin = int(orders.agg(F.min("o_orderkey")).collect()[0][0])
+    wh.delete_where_dv(
+        "functions", [("size", "<", kmin + 100)]
+    )
+    v1 = wh.versions("functions")[-1]
+    ts1 = wh._manifest("functions", v1)["committed_at"]
+    if not ts1 >= ts0:
+        raise AssertionError("publish timestamps must be monotone")
+
+    def snap(ts):
+        r = wh.read("functions", timestamp=ts).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("size").alias("c")
+        ).collect()[0]
+        return int(r["n"]), int(r["c"] or 0)
+
+    n0, c0 = snap(ts0)
+    mid = (ts0 + ts1) / 2
+    if ts1 > ts0 and snap(mid) != (n0, c0):
+        raise AssertionError("between-commit timestamp must resolve backward")
+    n1, c1 = snap(ts1)
+    import time as _t
+
+    if snap(_t.time() + 3600) != (n1, c1):
+        raise AssertionError("future timestamp must read the live head")
+    try:
+        wh.read("functions", timestamp=ts0 - 1e6)
+    except FileNotFoundError:
+        pass
+    else:
+        raise AssertionError("pre-first-commit timestamp must raise")
+    return spark.createDataFrame(
+        [
+            ("1_as_of_first_commit", n0, c0),
+            ("2_as_of_second_commit", n1, c1),
+        ],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")

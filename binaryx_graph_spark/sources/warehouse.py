@@ -378,11 +378,42 @@ class Warehouse:
             shutil.rmtree(self.root)
         self.initialize()
 
-    def read(self, table: str, version: int | None = None) -> DataFrame:
-        """Read a table — the live state, or (time travel) a committed
-        version by number (see :meth:`versions`). Manifested tables
-        resolve through their manifest; the internal ``_kb`` partition
-        column is never part of the logical schema, live or versioned."""
+    def version_at(self, table: str, timestamp: float) -> int:
+        """TIMESTAMP AS OF resolution (Delta's): the newest committed
+        version whose publish time is <= ``timestamp`` (epoch seconds).
+        Raises when the timestamp predates the first commit — asking
+        for a state that never existed must not silently read
+        something else.  Pre-timestamp manifests (older rounds) count
+        as epoch 0, i.e. always included."""
+        mvs = self._manifest_versions(table)
+        best = None
+        for v in mvs:
+            if self._manifest(table, v).get("committed_at", 0.0) <= timestamp:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"warehouse table '{table}' has no version at or before "
+                f"timestamp {timestamp} (first commit is later)"
+            )
+        return best
+
+    def read(
+        self,
+        table: str,
+        version: int | None = None,
+        *,
+        timestamp: float | None = None,
+    ) -> DataFrame:
+        """Read a table — the live state, a committed version by number
+        (see :meth:`versions`), or TIMESTAMP AS OF (epoch seconds —
+        resolved to the newest version published at or before it).
+        Manifested tables resolve through their manifest; the internal
+        ``_kb`` partition column is never part of the logical schema,
+        live or versioned."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at(table, timestamp)
         mvs = self._manifest_versions(table)
         if version is not None:
             if version in mvs:
@@ -1839,6 +1870,13 @@ class Warehouse:
             )
             if cm:
                 doc["colmap"] = cm
+            # commit wall-clock for timestamp time travel (Delta's
+            # TIMESTAMP AS OF): the PUBLISH time, re-stamped on every
+            # retry so the winning manifest carries when it actually
+            # became visible
+            import time as _time
+
+            doc["committed_at"] = round(_time.time(), 3)
             # tmp name unique per WRITER, not just per process: two
             # threads racing on one version with a shared tmp would
             # link each other's content or unlink a live tmp
