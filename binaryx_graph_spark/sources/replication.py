@@ -122,16 +122,25 @@ def replicate(
     offset_path: str,
     *,
     app: str = "cdc_replication",
+    register: bool = True,
 ) -> list[int]:
     """Drain the change feed into the replica (availableNow semantics):
     apply every unconsumed version in order, advancing the durable
     offset after each successful apply.  Returns the versions applied.
     Crash-safe at every boundary: a crash before the offset write
     re-applies the batch on restart, and the txn'd apply makes that
-    re-apply a zero-write no-op."""
+    re-apply a zero-write no-op.
+
+    ``register`` (default on) mirrors the offset into the SOURCE
+    warehouse (`Warehouse.register_consumer`), so its vacuum retains
+    every manifest this consumer still needs — the retention guard
+    that turns "a vacuumed manifest in the range raises" from a
+    documented failure mode into a non-event."""
     applied = []
     for changes, _v0, v1 in stream_changes(src, table, offset_path):
         apply_changes(dst, table, changes, v1, app=app)
         _write_offset(offset_path, table, v1)
+        if register:
+            src.register_consumer(app, table, v1)
         applied.append(v1)
     return applied

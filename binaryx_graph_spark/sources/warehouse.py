@@ -1352,6 +1352,57 @@ class Warehouse:
             schema_json=(target or {}).get("schema"),
         )
 
+    # -------------------------------------------- consumer registration
+    def register_consumer(self, name: str, table: str, version: int) -> None:
+        """Record that change-feed consumer ``name`` has applied
+        ``table`` through ``version`` (its durable offset, mirrored
+        into the warehouse).  :meth:`vacuum` then retains every
+        manifest version >= the slowest registered consumer's offset,
+        so a lagging replica can never find its next diff vacuumed
+        away — the retention guard Delta solves with time-based
+        retention windows, solved here with EXACT offsets (no
+        guessing how far behind a consumer might be)."""
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+            raise ValueError(f"consumer name {name!r} must be a simple slug")
+        cd = self.root / "_consumers"
+        cd.mkdir(parents=True, exist_ok=True)
+        p = cd / f"{name}.json"
+        doc = {}
+        if p.exists():
+            try:
+                doc = json.loads(p.read_text())
+            except ValueError:
+                doc = {}
+        if doc.get(table, -1) > version:
+            raise ValueError(
+                f"consumer {name!r} offset for '{table}' would move "
+                f"BACKWARD ({doc[table]} -> {version}) — offsets are monotone"
+            )
+        doc[table] = version
+        tmp = p.with_suffix(f".{uuid.uuid4().hex[:8]}.tmp")
+        tmp.write_text(json.dumps(doc, sort_keys=True))
+        os.replace(tmp, p)  # atomic
+
+    def consumer_offsets(self, table: str) -> dict[str, int]:
+        """{consumer name: applied-through version} for ``table``."""
+        cd = self.root / "_consumers"
+        out: dict[str, int] = {}
+        if not cd.exists():
+            return out
+        for p in cd.glob("*.json"):
+            try:
+                doc = json.loads(p.read_text())
+            except ValueError:
+                continue
+            if table in doc:
+                out[p.stem] = int(doc[table])
+        return out
+
+    def deregister_consumer(self, name: str) -> None:
+        (self.root / "_consumers" / f"{name}.json").unlink(missing_ok=True)
+
     def vacuum(
         self, keep_last: int = 2, *, staging_ttl_hours: float = 24.0
     ) -> dict[str, int]:
@@ -1385,6 +1436,14 @@ class Warehouse:
                 all_vs = self.versions(name)
                 retain = set(all_vs[-(keep_last + 1):]) if keep_last > 0 else {all_vs[-1]}
                 retain.add(mvs[-1])
+                # retention GUARD: a registered change-feed consumer at
+                # offset k needs manifests k..head to compute its next
+                # diffs — keep them regardless of keep_last (the
+                # consumer advances, re-vacuum reclaims)
+                offs = self.consumer_offsets(name)
+                if offs:
+                    floor = min(offs.values())
+                    retain |= {v for v in all_vs if v >= floor}
                 for v in mvs:
                     if v not in retain:
                         (self._manifest_dir(name) / f"v{v:05d}.json").unlink()

@@ -139,3 +139,42 @@ def test_engine_snapshot_cypher_sees_consistent_import(spark, tmp_path):
         "MATCH ()-[r:CALLS]->() RETURN count(r) AS n", snapshot=True
     ).head()["n"]
     assert live == 80 and snap == 50
+
+
+def test_vacuum_retention_guard_for_registered_consumers(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.merge_batch_incremental({"functions": _fns(spark, 50)}, n_buckets=4)
+    for i in range(2, 7):  # five more commits
+        wh.merge_batch_incremental(
+            {"functions": _fns(spark, 50, tag=f"b{i}_")}, batch_seq=i
+        )
+    mvs = wh._manifest_versions("functions")
+    assert len(mvs) == 6
+    # a lagging consumer parked at the SECOND version
+    wh.register_consumer("replica_eu", "functions", mvs[1])
+    wh.vacuum(keep_last=1, staging_ttl_hours=0)
+    kept = wh._manifest_versions("functions")
+    # everything from the consumer's offset onward survives keep_last=1
+    assert kept == mvs[1:]
+    # its next diff is still computable
+    assert wh.read_changes("functions", mvs[1], mvs[2]).count() > 0
+    # consumer advances to head → re-vacuum reclaims the tail
+    wh.register_consumer("replica_eu", "functions", kept[-1])
+    wh.vacuum(keep_last=1, staging_ttl_hours=0)
+    assert len(wh._manifest_versions("functions")) == 2  # head + keep_last
+    # offsets are monotone
+    with pytest.raises(ValueError, match="BACKWARD"):
+        wh.register_consumer("replica_eu", "functions", 0)
+
+
+def test_replicate_registers_consumer_offset(spark, tmp_path):
+    from binaryx_graph_spark.sources.replication import replicate
+
+    src = Warehouse(spark, str(tmp_path / "src"))
+    dst = Warehouse(spark, str(tmp_path / "dst"))
+    src.merge_batch_incremental({"functions": _fns(spark, 30)}, n_buckets=4)
+    off = str(tmp_path / "offsets.json")
+    replicate(src, dst, "functions", off)
+    head = src._manifest_versions("functions")[-1]
+    assert src.consumer_offsets("functions") == {"cdc_replication": head}
+    assert dst.read("functions").count() == 30
