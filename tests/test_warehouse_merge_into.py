@@ -133,3 +133,51 @@ def test_merge_into_txn_idempotent(spark, wh):
     assert d1["rows_updated"] == 1 and d2["rows_updated"] == 0
     assert wh.versions("functions")[-1] == v
     assert wh.read("functions").filter(F.col("uid") == "5").head()["size"] == 500
+
+
+def test_merge_into_rebases_over_disjoint_concurrent_commit(spark, wh):
+    """merge_into declares its touched buckets, so it must rebase over
+    a commit that landed on OTHER buckets between its read and its
+    publish — same contract as merge_batch_incremental."""
+    src = spark.createDataFrame([("5", 555)], "uid string, new_size long")
+    m0 = wh._manifest("functions", wh.versions("functions")[-1])
+
+    # interleave: while the merge plan is built against m0, another
+    # writer commits a disjoint-bucket batch (key chosen to hash into a
+    # different bucket than '5')
+    cands = spark.createDataFrame(
+        [(f"zz_{i}",) for i in range(40)] + [("5",)], "uid string"
+    ).select("uid", wh._key_bucket("functions", m0["n_buckets"]).alias("b"))
+    kb = {r["uid"]: r["b"] for r in cands.collect()}
+    # pick a patch key that provably hashes into a DIFFERENT bucket
+    other = next(u for u, b in kb.items() if u != "5" and b != kb["5"])
+    patch = spark.createDataFrame(
+        [(other, "fresh", "", 1, "Internal")],
+        "uid string, name string, address string, size long, type string",
+    )
+
+    # the race: commit the disjoint batch, then run merge_into whose
+    # base_version is now stale — _commit_manifest must rebase, not raise
+    import binaryx_graph_spark.sources.warehouse as wh_mod
+
+    orig = wh_mod.Warehouse._commit_manifest
+    fired = {"done": False}
+
+    def _racy(self, table, *a, **kw):
+        if not fired["done"] and kw.get("touched") and table == "functions":
+            fired["done"] = True
+            wh.merge_batch_incremental({"functions": patch}, batch_seq=9)
+        return orig(self, table, *a, **kw)
+
+    wh_mod.Warehouse._commit_manifest = _racy
+    try:
+        d = wh.merge_into(
+            "functions", src,
+            when_matched_update={"size": F.col("s.new_size")},
+        )
+    finally:
+        wh_mod.Warehouse._commit_manifest = orig
+    assert d["rows_updated"] == 1
+    live = wh.read("functions")
+    assert live.filter(F.col("uid") == "5").head()["size"] == 555
+    assert live.filter(F.col("uid") == other).count() == 1  # both landed
