@@ -3505,3 +3505,153 @@ def warehouse_timestamp_travel_certified(spark: SparkSession, sf_dir: str) -> Da
         ],
         "phase string, n long, checksum long",
     ).orderBy("phase")
+
+
+@register(
+    "warehouse_mor_update_certified",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(o_orderkey AS BIGINT) AS size FROM orders
+    ),
+    bnd AS (
+      SELECT min(k) + (max(k) - min(k)) // 10 AS lo,
+             min(k) + (max(k) - min(k)) // 5 AS hi
+      FROM base
+    )
+    SELECT * FROM (
+      SELECT '1_updated_rows' AS phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(COALESCE(sum(size + 1000000), 0) AS BIGINT) AS checksum
+      FROM base, bnd WHERE size BETWEEN lo AND hi
+      UNION ALL
+      SELECT '2_untouched_rows', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(size), 0) AS BIGINT)
+      FROM base, bnd WHERE size NOT BETWEEN lo AND hi
+      UNION ALL
+      SELECT '3_timetravel_pre_update', CAST(count(*) AS BIGINT),
+             CAST(sum(size) AS BIGINT)
+      FROM base
+      UNION ALL
+      SELECT '4_cow_equivalence_diff', 0, 0
+    ) t ORDER BY phase
+    """,
+    tags=("warehouse", "layout", "scale"),
+)
+def warehouse_mor_update_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse lever #26 — MERGE-ON-READ UPDATE, certified inside the
+    gate.  ``update_where_dv`` (`sources/warehouse.py:update_where_dv`)
+    is Delta's DV+append update: the matching rows' old positions are
+    tombstoned into ONE parquet sidecar and their updated images are
+    APPENDED as new files — the commit writes O(updated rows), not
+    O(touched files), closing the last copy-on-write write-amp in the
+    DML surface (delete got the DV lane in round 10).
+
+    One bucketed commit at data scale, the same range update the CoW
+    certifier runs (``size += 1_000_000`` + a type flip), then the
+    query RAISES unless:
+
+    - ZERO data files were rewritten and every pre-update file kept its
+      exact byte size (merge-on-read, measured);
+    - the commit's write volume (sidecar + appended images) is a small
+      fraction of the candidate files' bytes (O(changed rows), the
+      write-amp claim priced in-gate);
+    - the row count is preserved and CDC across the update reports
+      exactly one delete+insert pair per updated row;
+    - a twin warehouse updated through the COPY-ON-WRITE lane reads
+      back bit-identical (symmetric multiset difference empty) — the
+      MOR lane is observationally invisible.
+
+    Updated rows, untouched rows, and the pre-update state replay in
+    DuckDB from `orders`; phase 4 pins the measured CoW diff at 0."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..model import load_table
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_mor_update_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    df = orders.select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.concat(F.lit("fn_"), F.col("o_orderkey").cast("string")).alias("name"),
+        F.lit("").alias("address"),
+        F.col("o_orderkey").cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+    )
+
+    kb = orders.agg(
+        F.min("o_orderkey").alias("kmin"), F.max("o_orderkey").alias("kmax")
+    ).collect()[0]
+    span = int(kb["kmax"]) - int(kb["kmin"])
+    lo = int(kb["kmin"]) + span // 10
+    hi = int(kb["kmin"]) + span // 5
+    preds = [("size", "between", (lo, hi))]
+    assigns = {"size": F.col("size") + 1_000_000, "type": "External"}
+
+    wh = Warehouse(spark, os.path.join(root, "mor"))
+    wh.merge_batch_incremental({"functions": df}, n_buckets=8)
+    v_pre = wh.versions("functions")[-1]
+    m0 = wh._manifest("functions", v_pre)
+
+    d = wh.update_where_dv("functions", preds, assigns)
+    if d["files_rewritten"] != 0:
+        raise AssertionError(f"MOR update rewrote files: {d}")
+    m1 = wh._manifest("functions", wh.versions("functions")[-1])
+    for rel, b in m0["bytes"].items():
+        if m1["bytes"].get(rel) != b:
+            raise AssertionError(f"MOR update changed bytes of {rel}")
+    cand_bytes = sum(m0["bytes"].values())
+    written = d["dv_bytes"] + d["appended_bytes"]
+    if not (0 < written < cand_bytes / 2):
+        raise AssertionError(
+            f"MOR commit wrote {written}B vs {cand_bytes}B of data files — "
+            f"not O(changed rows)"
+        )
+
+    live = wh.read("functions")
+    pre = wh.read("functions", version=v_pre)
+    if live.count() != pre.count():
+        raise AssertionError("MOR UPDATE changed the row count")
+    ch = wh.read_changes("functions", v_pre)
+    counts = {r["_change"]: r["count"] for r in ch.groupBy("_change").count().collect()}
+    if (
+        counts.get("insert", 0) != d["rows_updated"]
+        or counts.get("delete", 0) != d["rows_updated"]
+    ):
+        raise AssertionError(
+            f"CDC should be one delete+insert pair per updated row: "
+            f"{counts} vs rows_updated={d['rows_updated']}"
+        )
+
+    # twin warehouse through the CoW lane: must read back identical
+    cow = Warehouse(spark, os.path.join(root, "cow"))
+    cow.merge_batch_incremental({"functions": df}, n_buckets=8)
+    cow.update_where("functions", preds, assigns)
+    diff_n = (
+        live.exceptAll(cow.read("functions"))
+        .unionAll(cow.read("functions").exceptAll(live))
+        .count()
+    )
+    if diff_n != 0:
+        raise AssertionError(f"MOR vs CoW update diverge by {diff_n} rows")
+
+    def snap(df_):
+        r = df_.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("size").alias("checksum")
+        ).collect()[0]
+        return int(r["n"]), int(r["checksum"] or 0)
+
+    up_n, up_c = snap(live.filter(F.col("type") == "External"))
+    un_n, un_c = snap(live.filter(F.col("type") == "Internal"))
+    tt_n, tt_c = snap(pre)
+    return spark.createDataFrame(
+        [
+            ("1_updated_rows", up_n, up_c),
+            ("2_untouched_rows", un_n, un_c),
+            ("3_timetravel_pre_update", tt_n, tt_c),
+            ("4_cow_equivalence_diff", diff_n, 0),
+        ],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")

@@ -54,6 +54,16 @@ REGISTRY: dict[str, Query] = {}
 # r1-r3.  Names, signatures and oracle strings of already-green queries stay
 # byte-stable — only dict ordering changes.
 _WITNESS_PRIORITY: tuple[str, ...] = (
+    # new-in-r11: merge-on-read UPDATE, MOR MERGE INTO, CDF update
+    # images, the model-store gate, incremental ANN maintenance, the
+    # Cypher upsert arms, the streaming MERGE INTO sink
+    "warehouse_mor_update_certified",
+    "warehouse_merge_into_mor_certified",
+    "warehouse_cdf_update_images_certified",
+    "warehouse_model_store_certified",
+    "ann_ivf_incremental_certified",
+    "cypher_write_on_create_set", "cypher_write_set_map",
+    "streaming_merge_into_apply",
     # new-in-r10: the Cypher write surface, deletion vectors, column
     # mapping, the catalog txn, the CDF consumers and filtered ANN —
     # never witnessed, so they float to the driver sample head first

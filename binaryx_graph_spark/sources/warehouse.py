@@ -118,6 +118,30 @@ MERGE_KEYS = {
 _STATS_MAX_STRLEN = 64
 
 
+def _assignable_type(rhs, stored) -> bool:
+    """Whether an assignment's resolved type may be written into a
+    stored column WITHOUT a lossy/ANSI-off-silent cast: same type,
+    explicit NULL, or lossless numeric widening only.  Shared by
+    :meth:`Warehouse.update_where` and :meth:`Warehouse.merge_into` so
+    the two DML paths agree — with ANSI off, a mistyped assignment
+    (``{"size": "abc"}`` on a long column) would otherwise silently
+    write NULL into every matched row."""
+    from pyspark.sql.types import (
+        FractionalType,
+        IntegralType,
+        NullType,
+        NumericType,
+    )
+
+    if isinstance(rhs, NullType) or rhs == stored:
+        return True
+    if isinstance(stored, FractionalType) and isinstance(rhs, NumericType):
+        return True  # int/float → double: lossless widen
+    if isinstance(stored, IntegralType) and isinstance(rhs, IntegralType):
+        return True  # int-family literal → stored int width
+    return False
+
+
 def _parquet_minmax(path) -> dict[str, list]:
     """Per-column ``[min, max]`` zone map from a parquet file's FOOTER —
     metadata only, no data pages read (the object-store analog is one
@@ -891,7 +915,10 @@ class Warehouse:
             }
         dvdir = self._dv_dir(table)
         dvdir.mkdir(parents=True, exist_ok=True)
-        stage = self.root / f"_dv_stage_{uuid.uuid4().hex[:12]}"
+        # _dvs_staging_* matches vacuum's `_*_staging_*` orphan sweep, so
+        # a writer crashing between the parquet write and the rename
+        # leaves a stage dir that ages out like any other staging orphan
+        stage = self.root / f"_dvs_staging_{uuid.uuid4().hex[:12]}"
         matches.write.mode("overwrite").parquet(str(stage))
         part = next(stage.glob("part-*.parquet"))
         dv_name = f"dv-{uuid.uuid4().hex[:16]}.parquet"
@@ -1020,15 +1047,9 @@ class Warehouse:
         # rather than silently casting: with ANSI off, a failed cast
         # (set size='abc' on a long column) would write NULLs into every
         # matched row.  Lossless numeric widening (int→long, int→double)
-        # and an explicit NULL are the only cross-type forms allowed;
-        # the residual cast below then only normalizes those.
-        from pyspark.sql.types import (
-            FractionalType,
-            IntegralType,
-            NullType,
-            NumericType,
-        )
-
+        # and an explicit NULL are the only cross-type forms allowed
+        # (_assignable_type); the residual cast below only normalizes
+        # those.
         resolved = {
             f.name: f.dataType
             for f in df.select(
@@ -1036,17 +1057,8 @@ class Warehouse:
             ).schema.fields
         }
 
-        def _assignable(rhs, stored) -> bool:
-            if isinstance(rhs, NullType) or rhs == stored:
-                return True
-            if isinstance(stored, FractionalType) and isinstance(rhs, NumericType):
-                return True  # int/float → double: lossless widen
-            if isinstance(stored, IntegralType) and isinstance(rhs, IntegralType):
-                return True  # int-family literal → stored int width
-            return False
-
         bad = sorted(
-            n for n in set_values if not _assignable(resolved[n], types[n])
+            n for n in set_values if not _assignable_type(resolved[n], types[n])
         )
         if bad:
             raise ValueError(
@@ -1103,6 +1115,237 @@ class Warehouse:
             "files_total": total,
             "files_rewritten": len(cand),
             "rows_updated": int(n_updated),
+        }
+
+    def _read_files_pos(
+        self, table: str, m: dict, pairs: list[tuple[str, str]]
+    ) -> DataFrame:
+        """Candidate files read WITH durable row identity — physical
+        columns plus ``__rel`` (manifest-relative file name) and
+        ``__pos`` (``_metadata.row_index``) — and the manifest's prior
+        deletion vectors ALREADY APPLIED (a tombstoned position neither
+        matches a predicate nor gets re-tombstoned).  The positional
+        substrate every merge-on-read writer (DV delete, DV update,
+        MOR MERGE) builds on: parquet's physical row order is
+        immutable, so (file, row_index) identifies a row forever."""
+        base = self.root / table
+        bucketed = "buckets" in m
+        schema = self._schema_of(m)
+        rdr = self.spark.read if schema is None else self.spark.read.schema(schema)
+        files = [p for _rel, p in pairs]
+        fp = F.col("_metadata.file_path")
+        if bucketed:
+            raw = rdr.option("basePath", str(base)).parquet(*files)
+            pat = r"_kb=(\d+)/([^/]+)$"
+            rel_expr = F.concat(
+                F.regexp_extract(fp, pat, 1),
+                F.lit("/"),
+                F.regexp_extract(fp, pat, 2),
+            )
+        else:
+            raw = rdr.parquet(*files)
+            rel_expr = F.element_at(F.split(fp, "/"), -1)
+        df = raw.select(
+            "*",
+            rel_expr.alias("__rel"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        dvs = m.get("dvs", {})
+        names = sorted({n for rel, _p in pairs for n in dvs.get(rel, [])})
+        if names:
+            prior = (
+                self.spark.read.schema("rel string, pos long")
+                .parquet(*[str(self._dv_dir(table) / n) for n in names])
+                .select(F.col("rel").alias("__rel"), F.col("pos").alias("__pos"))
+            )
+            df = df.join(prior, ["__rel", "__pos"], "left_anti")
+        return df
+
+    def _write_dv_sidecar(self, table: str, tombstones: DataFrame) -> tuple[str, int]:
+        """Write (rel, pos) tombstones as ONE sidecar parquet under
+        ``_dvs/<table>/`` and return (name, bytes).  The input must be
+        small (positions of the rows ONE commit kills); staged under
+        ``_dvs_staging_*`` so a crash before the rename leaves an
+        orphan vacuum's ``_*_staging_*`` sweep ages out."""
+        dvdir = self._dv_dir(table)
+        dvdir.mkdir(parents=True, exist_ok=True)
+        stage = self.root / f"_dvs_staging_{uuid.uuid4().hex[:12]}"
+        tombstones.select(
+            F.col("__rel").alias("rel"), F.col("__pos").alias("pos")
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        dv_name = f"dv-{uuid.uuid4().hex[:16]}.parquet"
+        part.rename(dvdir / dv_name)
+        shutil.rmtree(stage, ignore_errors=True)
+        return dv_name, (dvdir / dv_name).stat().st_size
+
+    def update_where_dv(
+        self,
+        table: str,
+        predicates,
+        set_values: dict,
+        *,
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        """MERGE-ON-READ row-level UPDATE (Delta's DV + append design):
+        instead of rewriting every candidate file with its matching
+        rows transformed (:meth:`update_where` — O(file) write-amp for
+        a point update), DV-TOMBSTONE the matching rows' old positions
+        and APPEND one new file holding their updated images, in ONE
+        manifest commit — the commit writes O(updated rows), not
+        O(touched files).  Observationally identical to the
+        copy-on-write path: read/scan/time travel/CDC/merge all agree
+        (the gate certifier asserts it).
+
+        Validation contract is exactly :meth:`update_where`'s: no
+        empty predicate list, no merge-key assignment, unknown columns
+        raise, type-changing assignments raise
+        (:func:`_assignable_type`), predicates and assignment RHS
+        evaluate against the OLD row, NULL predicates don't match.
+
+        Returns ``{'files_total', 'files_rewritten': 0, 'rows_updated',
+        'dv_bytes', 'appended_bytes'}`` — the two byte counts are the
+        measured write volume (asserted O(changed rows) by the tests).
+        """
+        preds = list(predicates)
+        if not preds:
+            raise ValueError(
+                "update_where_dv with no predicates would rewrite the whole "
+                "table — filter explicitly"
+            )
+        if not set_values:
+            raise ValueError("update_where_dv needs at least one assignment")
+        keys = MERGE_KEYS.get(table, [])
+        bad = sorted(set(set_values) & set(keys))
+        if bad:
+            raise ValueError(
+                f"table '{table}': cannot UPDATE merge-key columns {bad} — "
+                f"a key change moves the row's bucket; delete + re-merge it"
+            )
+        zero = {
+            "files_total": 0, "files_rewritten": 0, "rows_updated": 0,
+            "dv_bytes": 0, "appended_bytes": 0,
+        }
+        if txn is not None:
+            seen = self.last_txn_version(table, txn[0])
+            if seen is not None and seen >= txn[1]:
+                return zero
+        mvs = self._manifest_versions(table)
+        if not mvs:
+            if any((self.root / table).glob("_kb=*")):
+                dirb = self._dir_buckets(table)
+                self._validate_bucket_modulus(table, dirb, self.N_KEY_BUCKETS)
+                self._commit_manifest(table, dirb, self.N_KEY_BUCKETS)
+            else:
+                self._adopt_flat(table)
+            mvs = self._manifest_versions(table)
+        m = self._manifest(table, mvs[-1])
+        lpreds = preds  # logical, for the row-level match below
+        preds = self._preds_physical(preds, m)  # column mapping: renames
+        cand, total = self._prune_rels(table, m, preds)
+        if not cand:
+            return {**zero, "files_total": total}
+        bucketed = "buckets" in m
+        df = self._to_logical(
+            self._read_files_pos(table, m, [(rel, str(p)) for rel, p in cand]),
+            m,
+        )
+        data_cols = [c for c in df.columns if c not in ("__rel", "__pos")]
+        unknown = sorted(set(set_values) - set(data_cols))
+        if unknown:
+            raise ValueError(
+                f"table '{table}': UPDATE assigns unknown columns {unknown} — "
+                f"add them with a merge under allow_new_columns first"
+            )
+        match_expr = F.coalesce(self._predicate_expr(lpreds), F.lit(False))
+        # ONE pass over the candidates: the matched rows (with their
+        # positions) are both the tombstone set and the update input
+        matched = df.filter(match_expr).localCheckpoint(eager=True)
+        n_updated = matched.count()
+        if n_updated == 0:
+            return {**zero, "files_total": total}
+        types = {f.name: f.dataType for f in df.schema.fields}
+        rhs_cols = {
+            col: (val if hasattr(val, "cast") else F.lit(val))
+            for col, val in set_values.items()
+        }
+        resolved = {
+            f.name: f.dataType
+            for f in df.select(
+                *[c.alias(name) for name, c in rhs_cols.items()]
+            ).schema.fields
+        }
+        bad = sorted(
+            n for n in set_values if not _assignable_type(resolved[n], types[n])
+        )
+        if bad:
+            raise ValueError(
+                f"table '{table}': UPDATE changes column types for {bad} "
+                f"(stored {[types[n].simpleString() for n in bad]}, "
+                f"assigned {[resolved[n].simpleString() for n in bad]}) — "
+                f"type changes require an explicit rewrite, not an UPDATE"
+            )
+        images = self._to_physical_df(
+            matched.select(
+                *[
+                    (rhs_cols[c].cast(types[c]) if c in rhs_cols else F.col(c)).alias(c)
+                    for c in data_cols
+                ]
+            ),
+            m,
+        )
+        dv_name, dv_bytes = self._write_dv_sidecar(
+            table, matched.select("__rel", "__pos")
+        )
+        affected = sorted(
+            r["__rel"] for r in matched.select("__rel").distinct().collect()
+        )  # bounded by the candidate file count
+        dvs = m.get("dvs", {})
+        file_dvs = {rel: dvs.get(rel, []) + [dv_name] for rel in affected}
+        try:
+            if bucketed:
+                out_df = images.withColumn(
+                    "_kb", self._key_bucket(table, m["n_buckets"])
+                )
+                staged, fb = self._stage_bucketed(table, out_df)
+                new_buckets = dict(m["buckets"])
+                touched = {rel.split("/", 1)[0] for rel in affected}
+                for b, fresh in staged.items():
+                    new_buckets[str(b)] = list(new_buckets.get(str(b), [])) + fresh
+                    touched.add(str(b))
+                self._commit_manifest(
+                    table,
+                    new_buckets,
+                    m["n_buckets"],
+                    base_version=m["version"],
+                    touched=touched,
+                    file_bytes=fb,
+                    file_dvs=file_dvs,
+                    txn=txn,
+                )
+            else:
+                names, fb = self._stage_flat(
+                    table, images.coalesce(1), key_shuffle=False
+                )
+                self._commit_manifest(
+                    table,
+                    files=list(m["files"]) + names,
+                    base_version=m["version"],
+                    file_bytes=fb,
+                    file_dvs=file_dvs,
+                    txn=txn,
+                )
+        except IdempotentReplay:
+            (self._dv_dir(table) / dv_name).unlink(missing_ok=True)
+            return {**zero, "files_total": total}
+        return {
+            "files_total": total,
+            "files_rewritten": 0,
+            "rows_updated": int(n_updated),
+            "dv_bytes": dv_bytes,
+            "appended_bytes": sum(
+                (fb or {}).values()
+            ),
         }
 
     @staticmethod
@@ -1626,15 +1869,25 @@ class Warehouse:
     ) -> int:
         """Publish a catalog version with the same atomic
         create-if-absent device as table manifests (os.link; the
-        object-store analog is one conditional PUT)."""
+        object-store analog is one conditional PUT).
+
+        ``pins`` are THIS commit's updates, rebased over whatever pins
+        the head catalog doc carries at publish time: on every retry
+        the head is re-read and the update set is merged over its pin
+        map, so a concurrent ``import_atomic`` of a DISJOINT table set
+        keeps its pins instead of being silently overwritten by a
+        stale snapshot (the same disjoint-rebase rule the manifest
+        commit applies to buckets)."""
         cd = self._catalog_dir()
         cd.mkdir(parents=True, exist_ok=True)
         for _ in range(50):
             cvs = self.catalog_versions()
             head = cvs[-1] if cvs else -1
-            if txn is not None and cvs:
+            head_pins: dict[str, int] = {}
+            if cvs:
                 doc0 = json.loads((cd / f"v{head:05d}.json").read_text())
-                if doc0.get("txn", {}).get(txn[0], -1) >= txn[1]:
+                head_pins = dict(doc0.get("pins", {}))
+                if txn is not None and doc0.get("txn", {}).get(txn[0], -1) >= txn[1]:
                     return head  # idempotent replay
                 prev_txn = dict(doc0.get("txn", {}))
             else:
@@ -1642,7 +1895,8 @@ class Warehouse:
             if txn is not None:
                 prev_txn[txn[0]] = txn[1]
             nxt = head + 1
-            doc = {"version": nxt, "pins": dict(sorted(pins.items()))}
+            merged = {**head_pins, **pins}
+            doc = {"version": nxt, "pins": dict(sorted(merged.items()))}
             if prev_txn:
                 doc["txn"] = prev_txn
             tmp = cd / f".v{nxt:05d}.{uuid.uuid4().hex[:12]}.tmp"
@@ -1694,10 +1948,9 @@ class Warehouse:
                 raise RuntimeError(
                     f"injected crash after {done} table commits"
                 )
-        prev = self.catalog_snapshot()
-        pins = dict(prev)
-        for name in tables:
-            pins[name] = self._manifest_versions(name)[-1]
+        pins = {
+            name: self._manifest_versions(name)[-1] for name in tables
+        }
         return self._commit_catalog(pins, txn=txn)
 
     # ----------------------------------------------------- manifest store
@@ -1932,10 +2185,17 @@ class Warehouse:
             # commit wall-clock for timestamp time travel (Delta's
             # TIMESTAMP AS OF): the PUBLISH time, re-stamped on every
             # retry so the winning manifest carries when it actually
-            # became visible
+            # became visible.  Clamped to be MONOTONE over the previous
+            # manifest's committed_at (Delta's in-commit timestamp
+            # adjustment): with multi-writer clock skew a later version
+            # could otherwise carry an earlier stamp, making TIMESTAMP
+            # AS OF resolve to a version that skips an intermediate one.
             import time as _time
 
+            prev_ts = (head_man or {}).get("committed_at")
             doc["committed_at"] = round(_time.time(), 3)
+            if prev_ts is not None and doc["committed_at"] <= prev_ts:
+                doc["committed_at"] = round(prev_ts + 0.001, 3)
             # tmp name unique per WRITER, not just per process: two
             # threads racing on one version with a shared tmp would
             # link each other's content or unlink a live tmp
@@ -2949,12 +3209,26 @@ class Warehouse:
         else:
             touched = None
             stored = self._read_manifest(table, m["version"])
-        # merge logic runs in LOGICAL space over aliases t / s
-        t = self._to_logical(stored, m).alias("t")
-        s = self._to_logical(src, m).alias("s")
+        # merge logic runs in LOGICAL space over aliases t / s.  Side
+        # PRESENCE is tagged with marker columns before the join — NOT
+        # inferred from key nullness: a target row whose key column is
+        # NULL never key-matches, but it still exists and must be
+        # carried, not misread as source-only.
+        t = (
+            self._to_logical(stored, m)
+            .withColumn("_m_t_present", F.lit(True))
+            .alias("t")
+        )
+        s = (
+            self._to_logical(src, m)
+            .withColumn("_m_s_present", F.lit(True))
+            .alias("s")
+        )
         joined = t.join(s, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in lkeys], "full_outer")
-        matched = F.col(f"t.{lkeys[0]}").isNotNull() & F.col(f"s.{lkeys[0]}").isNotNull()
-        s_only = F.col(f"t.{lkeys[0]}").isNull()
+        t_present = F.col("t._m_t_present").isNotNull()
+        s_present = F.col("s._m_s_present").isNotNull()
+        matched = t_present & s_present
+        s_only = ~t_present
 
         if when_matched_update == "all":
             when_matched_update = {
@@ -2969,6 +3243,44 @@ class Warehouse:
             if col not in logical_names:
                 raise ValueError(f"table '{table}' has no column {col!r}")
             upd[col] = val if hasattr(val, "cast") else F.lit(val)
+        # Same typed-assignment guard as update_where: mistyped update
+        # or insert values raise instead of ANSI-off silently casting to
+        # NULL.  Update RHS types resolve over the joined aliases (they
+        # may reference t/s); insert types are the source's own columns.
+        phys0 = {v: k for k, v in cm.items()}
+        if upd:
+            resolved_u = {
+                f.name: f.dataType
+                for f in joined.select(
+                    *[c.alias(n) for n, c in upd.items()]
+                ).schema.fields
+            }
+            bad = sorted(
+                n
+                for n in upd
+                if not _assignable_type(resolved_u[n], types[phys0.get(n, n)])
+            )
+            if bad:
+                raise ValueError(
+                    f"table '{table}': MERGE update changes column types for "
+                    f"{bad} (stored "
+                    f"{[types[phys0.get(n, n)].simpleString() for n in bad]}, "
+                    f"assigned {[resolved_u[n].simpleString() for n in bad]}) — "
+                    f"type changes require an explicit rewrite"
+                )
+        if when_not_matched_insert:
+            src_types = {f.name: f.dataType for f in src.schema.fields}
+            bad = sorted(
+                cm.get(c, c)
+                for c in src.columns
+                if c in types and not _assignable_type(src_types[c], types[c])
+            )
+            if bad:
+                raise ValueError(
+                    f"table '{table}': MERGE insert source column types "
+                    f"disagree with stored types for {bad} — cast the source "
+                    f"explicitly"
+                )
         del_cond = None
         if when_matched_delete is True:
             del_cond = F.lit(True)
