@@ -3655,3 +3655,178 @@ def warehouse_mor_update_certified(spark: SparkSession, sf_dir: str) -> DataFram
         ],
         "phase string, n long, checksum long",
     ).orderBy("phase")
+
+
+@register(
+    "warehouse_merge_into_mor_certified",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS uid,
+             CAST(o_orderkey AS BIGINT) AS size,
+             o_orderkey AS k
+      FROM orders
+    ),
+    merged AS (
+      SELECT uid,
+             CASE WHEN k % 5 = 0 THEN size + 1000000 ELSE size END AS size
+      FROM base WHERE k % 5 <> 1
+      UNION ALL
+      SELECT 'x' || uid AS uid, CAST(NULL AS BIGINT) AS size
+      FROM base WHERE k % 11 = 0
+    )
+    SELECT * FROM (
+      SELECT '1_updated' AS phase,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(COALESCE(sum(size + 1000000), 0) AS BIGINT) AS checksum
+      FROM base WHERE k % 5 = 0
+      UNION ALL
+      SELECT '2_deleted', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(size), 0) AS BIGINT)
+      FROM base WHERE k % 5 = 1
+      UNION ALL
+      SELECT '3_inserted', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+      FROM base WHERE k % 11 = 0
+      UNION ALL
+      SELECT '4_final', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(size), 0) AS BIGINT)
+      FROM merged
+      UNION ALL
+      SELECT '5_mor_cow_diff', 0, 0
+    ) t ORDER BY phase
+    """,
+    tags=("warehouse", "layout", "scale"),
+)
+def warehouse_merge_into_mor_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse lever #27 — MERGE INTO through the MERGE-ON-READ lane
+    (``strategy='mor'``, the r11 default): matched update/delete arms
+    DV-tombstone their target positions into ONE sidecar and only the
+    update/insert images are appended — carry rows are never rewritten,
+    so the commit writes O(changed rows) where the copy-on-write lane
+    rewrites every touched bucket in full.
+
+    The same three-arm conditional merge the CoW certifier runs, driven
+    through BOTH lanes on twin warehouses; in-gate raises unless:
+
+    - the MOR manifest carries every pre-merge file at its exact byte
+      size (zero rewrites, measured);
+    - the MOR commit's new bytes (appended images + DV sidecar) are a
+      small fraction of the bytes the CoW lane rewrote;
+    - both lanes read back bit-identical (symmetric multiset
+      difference pinned at 0 in phase 5) and report identical arm
+      counts;
+    - CDC across the MOR merge is exactly the arms (update =
+      delete+insert pair, delete = delete, insert = insert).
+
+    Arm counts and the final state replay in DuckDB from `orders`."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..model import load_table
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_mi_mor_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    df = orders.select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.concat(F.lit("fn_"), F.col("o_orderkey").cast("string")).alias("name"),
+        F.lit("").alias("address"),
+        F.col("o_orderkey").cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        (F.col("o_orderkey").cast("long") + 1000000).alias("new_size"),
+    )
+    dele = orders.filter(F.col("o_orderkey") % 5 == 1).select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.lit(-1).cast("long").alias("new_size"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 11 == 0).select(
+        F.concat(F.lit("x"), F.col("o_orderkey").cast("string")).alias("uid"),
+        F.lit(0).cast("long").alias("new_size"),
+    )
+    src = upd.unionByName(dele).unionByName(ins)
+    arms = dict(
+        when_matched_update={"size": F.col("s.new_size")},
+        when_matched_condition=F.col("s.new_size") >= 0,
+        when_matched_delete=F.col("s.new_size") < 0,
+        when_not_matched_insert=True,
+    )
+
+    mor = Warehouse(spark, os.path.join(root, "mor"))
+    cow = Warehouse(spark, os.path.join(root, "cow"))
+    for w in (mor, cow):
+        w.merge_batch_incremental({"functions": df}, n_buckets=16)
+    v0 = mor.versions("functions")[-1]
+    m0 = mor._manifest("functions", v0)
+    c0 = cow._manifest("functions", cow.versions("functions")[-1])
+
+    d_mor = mor.merge_into("functions", src, strategy="mor", **arms)
+    d_cow = cow.merge_into("functions", src, strategy="cow", **arms)
+    if d_mor != d_cow:
+        raise AssertionError(f"lanes report different outcomes: {d_mor} vs {d_cow}")
+
+    m1 = mor._manifest("functions", mor.versions("functions")[-1])
+    for rel, b in m0["bytes"].items():
+        if m1["bytes"].get(rel) != b:
+            raise AssertionError(f"MOR merge rewrote {rel}")
+    mor_new = sum(
+        b for rel, b in m1["bytes"].items() if rel not in m0["bytes"]
+    ) + sum(f.stat().st_size for f in mor._dv_dir("functions").glob("dv-*.parquet"))
+    c1 = cow._manifest("functions", cow.versions("functions")[-1])
+    cow_rewritten = sum(
+        b for rel, b in c1["bytes"].items() if rel not in c0["bytes"]
+    )
+    # every key-bucket is touched here (dense arms), so CoW rewrites the
+    # whole table; MOR must still write materially less than that
+    if not (0 < mor_new < cow_rewritten):
+        raise AssertionError(
+            f"MOR wrote {mor_new}B, CoW rewrote {cow_rewritten}B — "
+            f"merge-on-read saved nothing"
+        )
+
+    ch = mor.read_changes("functions", v0)
+    cc = {
+        r["_change"]: r["n"]
+        for r in ch.groupBy("_change").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_upd, n_del, n_ins = (
+        d_mor["rows_updated"], d_mor["rows_deleted"], d_mor["rows_inserted"],
+    )
+    if cc != {"delete": n_upd + n_del, "insert": n_upd + n_ins}:
+        raise AssertionError(f"MOR merge CDC wrong: {cc}")
+
+    live_m, live_c = mor.read("functions"), cow.read("functions")
+    diff_n = (
+        live_m.exceptAll(live_c).unionAll(live_c.exceptAll(live_m)).count()
+    )
+    if diff_n != 0:
+        raise AssertionError(f"MOR vs CoW merge diverge by {diff_n} rows")
+
+    def snap(df_):
+        r = df_.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("size").alias("c")
+        ).collect()[0]
+        return int(r["n"]), int(r["c"] or 0)
+
+    u_n, u_c = snap(live_m.filter(F.col("size") >= 1000000))
+    d_n, d_c = snap(
+        mor.read("functions", version=v0).join(
+            dele.select("uid"), "uid", "left_semi"
+        )
+    )
+    i_n, _ = snap(live_m.filter(F.col("uid").startswith("x")))
+    f_n, f_c = snap(live_m)
+    return spark.createDataFrame(
+        [
+            ("1_updated", u_n, u_c),
+            ("2_deleted", d_n, d_c),
+            ("3_inserted", i_n, 0),
+            ("4_final", f_n, f_c),
+            ("5_mor_cow_diff", diff_n, 0),
+        ],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")

@@ -3110,6 +3110,7 @@ class Warehouse:
         when_matched_condition: Column | None = None,
         when_matched_delete: Column | bool | None = None,
         when_not_matched_insert: bool = True,
+        strategy: str = "mor",
         txn: tuple[str, int] | None = None,
     ) -> dict:
         """Delta's three-arm **MERGE INTO** on this manifest: join the
@@ -3131,18 +3132,31 @@ class Warehouse:
         Delta's multiple-source-rows error is enforced: a source with
         duplicate merge keys raises (the update would be ambiguous).
 
-        Scale shape = :meth:`merge_batch_incremental`'s: on a bucketed
-        table only the buckets the SOURCE touches are read (DV-applied)
-        and rewritten — one full-outer join per touched-bucket subset,
-        one manifest commit with disjoint-bucket rebase; flat tables
-        rewrite whole-table like every flat commit.  Column mapping:
-        source and assignments speak LOGICAL names.
+        Scale shape: on a bucketed table only the buckets the SOURCE
+        touches are read (DV-applied) — one full-outer join per
+        touched-bucket subset, one manifest commit with disjoint-bucket
+        rebase.  The WRITE path is chosen by ``strategy``:
+
+        - ``"mor"`` (default, Delta's DV merge): matched update/delete
+          rows have their old positions DV-TOMBSTONED into one sidecar
+          and the update/insert images are APPENDED as new files —
+          carry rows are never rewritten, so the commit writes
+          O(changed rows), not O(touched buckets);
+        - ``"cow"``: every touched bucket rewrites in full (flat
+          tables rewrite whole-table) — the compacting choice when a
+          merge churns most of a bucket anyway.
+
+        Both are observationally identical (the gate certifier asserts
+        it).  Column mapping: source and assignments speak LOGICAL
+        names.
 
         Returns ``{'rows_updated', 'rows_deleted', 'rows_inserted',
         'buckets_touched'}`` (buckets_touched None on flat tables)."""
         keys = MERGE_KEYS.get(table)
         if not keys:
             raise ValueError(f"table '{table}' has no merge keys")
+        if strategy not in ("mor", "cow"):
+            raise ValueError(f"merge_into strategy must be 'mor' or 'cow', got {strategy!r}")
         if (
             when_matched_update is None
             and when_matched_delete is None
@@ -3190,7 +3204,9 @@ class Warehouse:
                 "source rows match one target row (Delta's ambiguity error)"
             )
 
-        # target subset: touched buckets only (bucketed), else whole table
+        # target subset: touched buckets only (bucketed), else whole
+        # table — read WITH durable (file, row_index) identity so the
+        # MOR write path can tombstone exactly the rows its arms kill
         if bucketed:
             kb = src.withColumn("_kb", self._key_bucket(table, m["n_buckets"]))
             touched = sorted(
@@ -3201,14 +3217,22 @@ class Warehouse:
                 for b in touched
                 for fn in m["buckets"].get(str(b), [])
             ]
-            stored = (
-                self._read_files_dv(table, m, pairs).drop("_kb")
-                if pairs
-                else self.spark.createDataFrame([], schema)
-            )
         else:
             touched = None
-            stored = self._read_manifest(table, m["version"])
+            pairs = [
+                (fn, str(self.root / table / fn))
+                for fn in m.get("files", [])
+            ]
+        if pairs:
+            stored = self._read_files_pos(table, m, pairs)
+            if bucketed:
+                stored = stored.drop("_kb")
+        else:
+            stored = self.spark.createDataFrame([], schema).select(
+                "*",
+                F.lit(None).cast("string").alias("__rel"),
+                F.lit(None).cast("long").alias("__pos"),
+            )
         # merge logic runs in LOGICAL space over aliases t / s.  Side
         # PRESENCE is tagged with marker columns before the join — NOT
         # inferred from key nullness: a target row whose key column is
@@ -3321,6 +3345,91 @@ class Warehouse:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+        if strategy == "mor":
+            # merge-on-read: tombstone the positions the matched arms
+            # kill, append only the update/insert images — carry rows
+            # stay in their files untouched
+            tomb = (
+                tagged.filter(F.col("_m_outcome").isin("update", "delete"))
+                .select(
+                    F.col("t.__rel").alias("__rel"),
+                    F.col("t.__pos").alias("__pos"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            n_dead = tomb.count()
+            n_new = int(counts.get("update", 0)) + int(counts.get("insert", 0))
+            images = self._to_physical_df(
+                tagged.filter(F.col("_m_outcome").isin("update", "insert"))
+                .select(*[_out_col(n) for n in logical_names]),
+                m,
+            )
+            dv_name = None
+            file_dvs = None
+            if n_dead:
+                dv_name, _dvb = self._write_dv_sidecar(table, tomb)
+                affected = sorted(
+                    r["__rel"] for r in tomb.select("__rel").distinct().collect()
+                )  # bounded by the touched buckets' file count
+                dvs0 = m.get("dvs", {})
+                file_dvs = {
+                    rel: dvs0.get(rel, []) + [dv_name] for rel in affected
+                }
+            try:
+                if bucketed:
+                    new_buckets = dict(m["buckets"])
+                    fb: dict[str, int] = {}
+                    touched_commit = {
+                        rel.split("/", 1)[0] for rel in (file_dvs or {})
+                    }
+                    if n_new:
+                        out_df = images.withColumn(
+                            "_kb", self._key_bucket(table, m["n_buckets"])
+                        )
+                        staged, fb = self._stage_bucketed(table, out_df)
+                        for b, fresh in staged.items():
+                            new_buckets[str(b)] = (
+                                list(new_buckets.get(str(b), [])) + fresh
+                            )
+                            touched_commit.add(str(b))
+                    self._commit_manifest(
+                        table,
+                        new_buckets,
+                        m["n_buckets"],
+                        base_version=m["version"],
+                        touched=touched_commit,
+                        file_bytes=fb,
+                        file_dvs=file_dvs,
+                        txn=txn,
+                    )
+                else:
+                    names: list[str] = []
+                    fb = {}
+                    if n_new:
+                        names, fb = self._stage_flat(
+                            table, images.coalesce(1), key_shuffle=False
+                        )
+                    self._commit_manifest(
+                        table,
+                        files=list(m.get("files", [])) + names,
+                        base_version=m["version"],
+                        file_bytes=fb,
+                        file_dvs=file_dvs,
+                        txn=txn,
+                    )
+            except IdempotentReplay:
+                if dv_name is not None:
+                    (self._dv_dir(table) / dv_name).unlink(missing_ok=True)
+                return {
+                    "rows_updated": 0, "rows_deleted": 0,
+                    "rows_inserted": 0, "buckets_touched": 0,
+                }
+            return {
+                "rows_updated": int(counts.get("update", 0)),
+                "rows_deleted": int(counts.get("delete", 0)),
+                "rows_inserted": int(counts.get("insert", 0)),
+                "buckets_touched": len(touched) if touched is not None else None,
+            }
         result = (
             tagged.filter(~F.col("_m_outcome").isin("delete", "skip"))
             .select(*[_out_col(n) for n in logical_names])
