@@ -3830,3 +3830,169 @@ def warehouse_merge_into_mor_certified(spark: SparkSession, sf_dir: str) -> Data
         ],
         "phase string, n long, checksum long",
     ).orderBy("phase")
+
+
+@register(
+    "warehouse_cdf_update_images_certified",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS uid,
+             CAST(o_orderkey AS BIGINT) AS size,
+             o_orderkey AS k
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT '1_update_preimages' AS phase,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(COALESCE(sum(size), 0) AS BIGINT) AS checksum
+      FROM base WHERE k % 5 = 0
+      UNION ALL
+      SELECT '2_update_postimages', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(size + 1000000), 0) AS BIGINT)
+      FROM base WHERE k % 5 = 0
+      UNION ALL
+      SELECT '3_plain_deletes', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(size), 0) AS BIGINT)
+      FROM base WHERE k % 5 = 1
+      UNION ALL
+      SELECT '4_plain_inserts', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+      FROM base WHERE k % 11 = 0
+      UNION ALL
+      SELECT '5_replica_diff', 0, 0
+    ) t ORDER BY phase
+    """,
+    tags=("warehouse", "streaming", "scale"),
+)
+def warehouse_cdf_update_images_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse lever #28 — CDF UPDATE PRE/POST IMAGES (Delta's change
+    types).  ``read_changes(update_images=True)``
+    (`sources/warehouse.py:read_changes`) relabels a version diff's
+    keyed delete+insert pairs as ``update_preimage``/``update_postimage``
+    by linking on the table's MERGE KEYS — the signal CDC consumers use
+    to distinguish row MUTATION from key churn.  The linking is one
+    window over the CHANGE SET (O(commit), never O(table)); the
+    streaming source's ``updateImages`` option does the same pairing
+    executor-locally per bucket (merge keys are bucket-colocated — no
+    extra shuffle at any scale).
+
+    One three-arm MERGE at data scale (updates ≡0 mod 5, deletes ≡1
+    mod 5, inserts ≡0 mod 11), then the gate RAISES unless:
+
+    - every updated key yields exactly one preimage (old values) and
+      one postimage (new values), deletes and inserts keep plain
+      labels, and key churn is never mislabeled;
+    - the multiset identity rebuilds the new version exactly:
+      old − preimages + postimages − (none) ∪ plain arms == live;
+    - the replication consumer draining the feed WITH images
+      (`sources/replication.py:apply_changes` — postimages merge,
+      preimages drop, plain deletes delete) leaves a replica
+      bit-identical to the source (phase 5 pins the diff at 0).
+
+    All four label populations replay in DuckDB from `orders`."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..model import load_table
+    from ..sources.replication import replicate
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_cdfimg_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    df = orders.select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.concat(F.lit("fn_"), F.col("o_orderkey").cast("string")).alias("name"),
+        F.lit("").alias("address"),
+        F.col("o_orderkey").cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+    )
+    src_wh = Warehouse(spark, os.path.join(root, "src"))
+    src_wh.merge_batch_incremental({"functions": df}, n_buckets=16)
+    v0 = src_wh.versions("functions")[-1]
+
+    upd = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        (F.col("o_orderkey").cast("long") + 1000000).alias("new_size"),
+    )
+    dele = orders.filter(F.col("o_orderkey") % 5 == 1).select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.lit(-1).cast("long").alias("new_size"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 11 == 0).select(
+        F.concat(F.lit("x"), F.col("o_orderkey").cast("string")).alias("uid"),
+        F.lit(0).cast("long").alias("new_size"),
+    )
+    src_wh.merge_into(
+        "functions", upd.unionByName(dele).unionByName(ins),
+        when_matched_update={"size": F.col("s.new_size")},
+        when_matched_condition=F.col("s.new_size") >= 0,
+        when_matched_delete=F.col("s.new_size") < 0,
+        when_not_matched_insert=True,
+    )
+
+    ch = src_wh.read_changes("functions", v0, update_images=True)
+    ch = ch.localCheckpoint(eager=True)
+
+    def snap(df_):
+        r = df_.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("size").alias("c")
+        ).collect()[0]
+        return int(r["n"]), int(r["c"] or 0)
+
+    pre = ch.filter(F.col("_change") == "update_preimage")
+    post = ch.filter(F.col("_change") == "update_postimage")
+    pdel = ch.filter(F.col("_change") == "delete")
+    pins = ch.filter(F.col("_change") == "insert")
+    pre_n, pre_c = snap(pre)
+    post_n, post_c = snap(post)
+    del_n, del_c = snap(pdel)
+    ins_n, _ = snap(pins)
+    if pre_n != post_n:
+        raise AssertionError(f"unbalanced images: {pre_n} pre vs {post_n} post")
+    # each updated key yields exactly one pre + one post
+    bad_keys = (
+        pre.select("uid").groupBy("uid").count().filter(F.col("count") != 1)
+    )
+    if not bad_keys.isEmpty():
+        raise AssertionError("a key produced multiple preimages")
+    if pins.filter(~F.col("uid").startswith("x")).count():
+        raise AssertionError("a non-inserted key was labeled insert")
+    if pdel.join(post.select("uid"), "uid", "left_semi").count():
+        raise AssertionError("key churn mislabeled: a deleted key has a postimage")
+
+    # multiset identity with image labels
+    old = src_wh.read("functions", version=v0)
+    live = src_wh.read("functions")
+    rebuilt = (
+        old.exceptAll(pre.drop("_change"))
+        .exceptAll(pdel.drop("_change"))
+        .unionAll(post.drop("_change"))
+        .unionAll(pins.drop("_change"))
+    )
+    ident = rebuilt.exceptAll(live).unionAll(live.exceptAll(rebuilt)).count()
+    if ident != 0:
+        raise AssertionError(f"image multiset identity broken by {ident} rows")
+
+    # replication consumer drains the feed WITH images
+    dst_wh = Warehouse(spark, os.path.join(root, "dst"))
+    replicate(
+        src_wh, dst_wh, "functions",
+        os.path.join(root, "offsets.json"), update_images=True,
+    )
+    rep = dst_wh.read("functions")
+    diff_n = rep.exceptAll(live).unionAll(live.exceptAll(rep)).count()
+    if diff_n != 0:
+        raise AssertionError(f"image-fed replica diverges by {diff_n} rows")
+
+    return spark.createDataFrame(
+        [
+            ("1_update_preimages", pre_n, pre_c),
+            ("2_update_postimages", post_n, post_c),
+            ("3_plain_deletes", del_n, del_c),
+            ("4_plain_inserts", ins_n, 0),
+            ("5_replica_diff", diff_n, 0),
+        ],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")

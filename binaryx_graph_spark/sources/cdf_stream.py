@@ -132,16 +132,47 @@ class _CdfPartition(InputPartition):
         self.old_dvs = old_dvs or {}
         self.new_dvs = new_dvs or {}
         self.phys = {}  # logical → physical column names (set by reader)
+        #: logical merge-key names; non-empty = relabel keyed
+        #: delete+insert pairs as update_preimage/update_postimage
+        self.image_keys: list[str] = []
 
 
 class WarehouseCdfStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str, table: str, cols: list[str]):
+    def __init__(
+        self,
+        root: str,
+        table: str,
+        cols: list[str],
+        update_images: bool = False,
+        keys: list[str] | None = None,
+    ):
         self._root = root
         self._table = table
         self._cols = cols  # logical names (the stream's declared schema)
         #: logical → physical (files store physical; immutable, so
         #: captured once — see _colmap)
         self._phys = {v: k for k, v in _colmap(root, table).items()}
+        #: Delta CDF change types: when on, a version's keyed
+        #: delete+insert pair is relabeled update_pre/postimage.  Keys
+        #: are LOGICAL names; merge keys are bucket-colocated, so the
+        #: linking is executor-local per partition — no extra shuffle.
+        self._image_keys: list[str] = []
+        if update_images:
+            if keys:
+                self._image_keys = list(keys)
+            else:
+                from .warehouse import MERGE_KEYS
+
+                cm = _colmap(root, table)
+                self._image_keys = [
+                    cm.get(k, k) for k in MERGE_KEYS.get(table, [])
+                ]
+            missing = [k for k in self._image_keys if k not in cols]
+            if missing:
+                raise ValueError(
+                    f"warehouse_cdf: updateImages keys {missing} are not "
+                    f"stream columns {cols}"
+                )
 
     def initialOffset(self) -> dict:
         vs = _manifest_versions(self._root, self._table)
@@ -208,6 +239,7 @@ class WarehouseCdfStreamReader(DataSourceStreamReader):
                     bndv,
                 )
                 part.phys = self._phys
+                part.image_keys = self._image_keys
                 out.append(part)
         return out
 
@@ -296,9 +328,37 @@ class WarehouseCdfStreamReader(DataSourceStreamReader):
 
         oc, nc = counts(old_t), counts(new_t)
         ver = partition.version
+        image_keys = getattr(partition, "image_keys", []) or []
+        if not image_keys:
+            for key in nc.keys() | oc.keys():
+                n = nc.get(key, 0) - oc.get(key, 0)
+                tag = "insert" if n > 0 else "delete"
+                for _ in range(abs(n)):
+                    yield key + (tag, ver)
+            return
+        # Delta CDF change types: within this version transition, a
+        # merge-key present on BOTH sides of the diff is a row MUTATION
+        # — its delete is the update_preimage, its insert the
+        # update_postimage.  Merge keys are bucket-colocated, so the
+        # pairing is complete inside one partition.
+        kidx = [cols.index(k) for k in image_keys]
+        dels: Counter = Counter()
+        inss: Counter = Counter()
+        emits = []
         for key in nc.keys() | oc.keys():
             n = nc.get(key, 0) - oc.get(key, 0)
-            tag = "insert" if n > 0 else "delete"
+            if n == 0:
+                continue
+            kt = tuple(key[i] for i in kidx)
+            keyed = all(v is not None for v in kt)
+            if keyed:
+                (inss if n > 0 else dels)[kt] += abs(n)
+            emits.append((key, n, kt if keyed else None))
+        for key, n, kt in emits:
+            if kt is not None and dels.get(kt) and inss.get(kt):
+                tag = "update_postimage" if n > 0 else "update_preimage"
+            else:
+                tag = "insert" if n > 0 else "delete"
             for _ in range(abs(n)):
                 yield key + (tag, ver)
 
@@ -322,8 +382,16 @@ class WarehouseCdfDataSource(DataSource):
 
     def streamReader(self, schema) -> "WarehouseCdfStreamReader":
         cols = [f.name for f in schema.fields if f.name not in ("_change", "_version")]
+        keys_opt = self.options.get("keys")
         return WarehouseCdfStreamReader(
-            self.options["root"], self.options["table"], cols
+            self.options["root"],
+            self.options["table"],
+            cols,
+            update_images=str(
+                self.options.get("updateImages", "false")
+            ).lower()
+            == "true",
+            keys=[k.strip() for k in keys_opt.split(",")] if keys_opt else None,
         )
 
 

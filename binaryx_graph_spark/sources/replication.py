@@ -52,7 +52,13 @@ def _write_offset(offset_path: str, table: str, version: int) -> None:
     tmp.replace(p)
 
 
-def stream_changes(src: Warehouse, table: str, offset_path: str):
+def stream_changes(
+    src: Warehouse,
+    table: str,
+    offset_path: str,
+    *,
+    update_images: bool = False,
+):
     """Yield ``(changes_df, v0, v1)`` for every committed version past
     the consumer's durable offset, oldest first — one batch per
     version, so the consumer sees the same intermediate states any
@@ -75,7 +81,9 @@ def stream_changes(src: Warehouse, table: str, offset_path: str):
             full = src.read(table, version=v)
             yield full.withColumn("_change", F.lit("insert")), None, v
         else:
-            yield src.read_changes(table, seen, v), seen, v
+            yield src.read_changes(
+                table, seen, v, update_images=update_images
+            ), seen, v
         seen = v
 
 
@@ -93,9 +101,17 @@ def apply_changes(
     batch (an LWW update's delete+insert pair must not delete).  Only
     single-column-key tables support the delete arm (delete_where
     predicates are per-column conjuncts); multi-column-key tables with
-    actual key deletions raise rather than silently diverge."""
+    actual key deletions raise rather than silently diverge.
+
+    Feeds carrying Delta CDF change types (``update_images=True``
+    upstream) apply natively: ``update_postimage`` rows merge like
+    inserts, ``update_preimage`` rows are dropped (their key's new
+    image supersedes them), and the delete arm sees only PLAIN deletes
+    — no pair-detection heuristic needed, the labels carry it."""
     keys = MERGE_KEYS[table]
-    ins = changes.filter(F.col("_change") == "insert").drop("_change")
+    ins = changes.filter(
+        F.col("_change").isin("insert", "update_postimage")
+    ).drop("_change")
     dels = changes.filter(F.col("_change") == "delete").drop("_change")
     gone = (
         dels.select(*keys).distinct().exceptAll(ins.select(*keys).distinct())
@@ -123,6 +139,7 @@ def replicate(
     *,
     app: str = "cdc_replication",
     register: bool = True,
+    update_images: bool = False,
 ) -> list[int]:
     """Drain the change feed into the replica (availableNow semantics):
     apply every unconsumed version in order, advancing the durable
@@ -137,7 +154,9 @@ def replicate(
     that turns "a vacuumed manifest in the range raises" from a
     documented failure mode into a non-event."""
     applied = []
-    for changes, _v0, v1 in stream_changes(src, table, offset_path):
+    for changes, _v0, v1 in stream_changes(
+        src, table, offset_path, update_images=update_images
+    ):
         apply_changes(dst, table, changes, v1, app=app)
         _write_offset(offset_path, table, v1)
         if register:

@@ -1381,6 +1381,7 @@ class Warehouse:
         from_version: int,
         to_version: int | None = None,
         *,
+        update_images: bool = False,
         with_diagnostics: bool = False,
     ):
         """CDC: the row-level NET difference between two committed
@@ -1390,6 +1391,15 @@ class Warehouse:
         pair).  The multiset identity ``from − deletes + inserts ==
         to`` holds exactly — an incremental consumer applies the
         changes instead of re-reading the table.
+
+        ``update_images=True`` (Delta's CDF change types): delete+insert
+        pairs sharing the table's MERGE KEYS are relabeled
+        ``update_preimage`` / ``update_postimage`` — the signal CDC
+        consumers key on to distinguish row MUTATION from key churn.
+        The linking is one window over the change set (never the
+        table); rows with a NULL key column, and tables without merge
+        keys, keep the plain insert/delete labels.  The multiset
+        identity still holds with preimage≡delete, postimage≡insert.
 
         Scale shape: when both versions are bucketed manifests at one
         modulus, the MANIFEST DIFF picks the buckets whose file lists
@@ -1490,6 +1500,34 @@ class Warehouse:
         inserts = new_df.exceptAll(old_df).withColumn("_change", F.lit("insert"))
         deletes = old_df.exceptAll(new_df).withColumn("_change", F.lit("delete"))
         out = inserts.unionByName(deletes)
+        if update_images:
+            keys = MERGE_KEYS.get(table, [])
+            cmn = (
+                self._colmap_of(self._manifest(table, to_version))
+                if to_version in mvs
+                else {}
+            )
+            lkeys = [cmn.get(k, k) for k in keys]
+            if lkeys and all(k in out.columns for k in lkeys):
+                w = Window.partitionBy(*lkeys)
+                has_ins = (
+                    F.max(F.when(F.col("_change") == "insert", 1).otherwise(0)).over(w)
+                    == 1
+                )
+                has_del = (
+                    F.max(F.when(F.col("_change") == "delete", 1).otherwise(0)).over(w)
+                    == 1
+                )
+                nonnull = F.lit(True)
+                for k in lkeys:
+                    nonnull = nonnull & F.col(k).isNotNull()
+                paired = has_ins & has_del & nonnull
+                out = out.withColumn(
+                    "_change",
+                    F.when(paired & (F.col("_change") == "delete"), "update_preimage")
+                    .when(paired & (F.col("_change") == "insert"), "update_postimage")
+                    .otherwise(F.col("_change")),
+                )
         return (out, diag) if with_diagnostics else out
 
     # ------------------------------------------------- snapshot versioning
