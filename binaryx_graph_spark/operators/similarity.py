@@ -446,12 +446,17 @@ def _codebook_content_key(ck: tuple) -> str:
 
 def _default_model_store(spark, ck: tuple):
     """The per-corpus MODEL WAREHOUSE (`sources/model_store.ModelStore`)
-    a corpus_key resolves to when the caller does not pass a store: a
-    warehouse root derived from the corpus identity.  In production the
-    caller passes ``ModelStore(spark, wh_root)`` so artifacts live IN
-    the data warehouse; the derived default keeps the zero-config lane
-    (gate queries, notebooks) on the same manifest protocol — commit,
-    time travel, vacuum — rather than on loose tempfiles."""
+    a corpus_key resolves to when the caller does not pass a store.
+
+    Resolution order: the session conf ``spark.bxg.modelRoot`` (the
+    production setting — a shared warehouse root on real storage, so a
+    cluster's executors and future sessions all resolve artifacts
+    through one durable location), else a root derived from the corpus
+    identity under the local tempdir — the documented NOTEBOOK fallback
+    only: on a real cluster the tempdir is driver-local, which is
+    exactly why the conf exists.  Either way artifacts live on the
+    manifest protocol — commit, time travel, vacuum — never loose
+    tempfiles."""
     import hashlib
     import tempfile
     from pathlib import Path
@@ -459,6 +464,9 @@ def _default_model_store(spark, ck: tuple):
     from ..sources.model_store import ModelStore
 
     key = hashlib.md5(repr(ck[0]).encode()).hexdigest()[:12]
+    conf_root = spark.conf.get("spark.bxg.modelRoot", None)
+    if conf_root:
+        return ModelStore(spark, str(Path(conf_root) / f"corpus_{key}"))
     root = Path(tempfile.gettempdir()) / f"bxg_models_wh_{key}"
     return ModelStore(spark, str(root))
 

@@ -3996,3 +3996,111 @@ def warehouse_cdf_update_images_certified(spark: SparkSession, sf_dir: str) -> D
         ],
         "phase string, n long, checksum long",
     ).orderBy("phase")
+
+
+@register(
+    "warehouse_model_store_certified",
+    oracle="""
+    WITH s AS (SELECT CAST(sum(o_orderkey) AS BIGINT) AS t FROM orders)
+    SELECT * FROM (
+      SELECT '1_put_get' AS phase, CAST(1 AS BIGINT) AS n,
+             t AS checksum FROM s
+      UNION ALL SELECT '2_stale_key_miss', 1, 0
+      UNION ALL SELECT '3_overwrite_live', 1, 2 * t FROM s
+      UNION ALL SELECT '4_timetravel_old', 1, t FROM s
+      UNION ALL SELECT '5_vacuumed_live', 1, 2 * t FROM s
+    ) q ORDER BY phase
+    """,
+    tags=("warehouse", "scale"),
+)
+def warehouse_model_store_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse lever #29 — the MODEL STORE
+    (`sources/model_store.ModelStore`), certified inside the gate like
+    every other warehouse feature: trained artifacts (IVF/PQ codebooks)
+    are LWW rows of the ``_models`` table, so they inherit the manifest
+    protocol wholesale instead of living as driver-local tempfiles.
+
+    The full artifact lifecycle, each step RAISING on divergence:
+
+    - **put → get** round-trips a payload derived from `orders` (so
+      DuckDB replays the checksum);
+    - **stale content key** misses (a retrained implementation
+      invalidates old artifacts — get returns None, never a stale
+      codebook);
+    - **LWW overwrite** publishes a new version whose get supersedes;
+    - **time travel** still reads the OLD artifact at its version;
+    - **vacuum** (keep_last=0) expires the old version — the live
+      artifact survives, the expired one is gone.
+
+    Production roots resolve via ``spark.bxg.modelRoot``
+    (`operators/similarity.py:_default_model_store`); the scratch root
+    here plays that role."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..model import load_table
+    from ..sources.model_store import ModelStore
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_modelstore_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    t = int(orders.agg(F.sum("o_orderkey").alias("t")).collect()[0]["t"])
+
+    store = ModelStore(spark, root)
+    ck = "trainer-v1"
+    store.put("codebook:test", {"total": t}, kind="kmeans_codebook", content_key=ck)
+    got1 = store.get("codebook:test", content_key=ck)
+    if got1 != {"total": t}:
+        raise AssertionError(f"put/get round-trip lost the payload: {got1}")
+    v1 = store.wh.versions("_models")[-1]
+
+    if store.get("codebook:test", content_key="trainer-v2") is not None:
+        raise AssertionError("stale content key must MISS, not serve old bits")
+    miss_n = 1
+
+    store.put(
+        "codebook:test", {"total": 2 * t}, kind="kmeans_codebook", content_key=ck
+    )
+    got2 = store.get("codebook:test", content_key=ck)
+    if got2 != {"total": 2 * t}:
+        raise AssertionError(f"LWW overwrite not visible: {got2}")
+
+    import json as _json
+
+    old_rows = (
+        store.wh.read("_models", version=v1)
+        .filter(F.col("name") == "codebook:test")
+        .collect()
+    )
+    if len(old_rows) != 1:
+        raise AssertionError("time travel lost the old artifact version")
+    old_payload = _json.loads(old_rows[0]["payload"])
+    if old_payload != {"total": t}:
+        raise AssertionError(f"old version payload wrong: {old_payload}")
+
+    store.wh.vacuum(keep_last=0, staging_ttl_hours=0)
+    got3 = store.get("codebook:test", content_key=ck)
+    if got3 != {"total": 2 * t}:
+        raise AssertionError("vacuum harmed the live artifact")
+    try:
+        store.wh.read("_models", version=v1).collect()
+    except Exception:
+        pass  # expired version unreadable, as vacuum promises
+    else:
+        # some layouts share files across versions — acceptable only if
+        # the version list itself no longer advertises v1
+        if v1 in store.wh.versions("_models")[:-1]:
+            raise AssertionError("vacuum kept the expired artifact version")
+
+    return spark.createDataFrame(
+        [
+            ("1_put_get", 1, got1["total"]),
+            ("2_stale_key_miss", miss_n, 0),
+            ("3_overwrite_live", 1, got2["total"]),
+            ("4_timetravel_old", 1, old_payload["total"]),
+            ("5_vacuumed_live", 1, got3["total"]),
+        ],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")

@@ -79,3 +79,24 @@ def test_codebook_content_key_invalidates_on_param_change(spark, tmp_path):
     assert store.get(
         f"codebook:{ck8!r}", content_key=sim._codebook_content_key(ck8)
     ) is None
+
+
+def test_default_store_resolves_spark_bxg_model_root(spark, tmp_path):
+    """spark.bxg.modelRoot (the production setting) overrides the
+    tempdir fallback — artifacts land under the configured root."""
+    root = str(tmp_path / "shared_models")
+    ck = (str(tmp_path / "corpus_x"), 4, 1)
+    try:
+        spark.conf.set("spark.bxg.modelRoot", root)
+        store = sim._default_model_store(spark, ck)
+        assert str(store.wh.root).startswith(root)
+        store.put("m", {"v": 1}, kind="k", content_key="c1")
+        assert store.get("m", content_key="c1") == {"v": 1}
+        import pathlib
+
+        assert list(pathlib.Path(root).glob("corpus_*/_manifests/_models/v*.json"))
+    finally:
+        spark.conf.unset("spark.bxg.modelRoot")
+    # conf cleared → tempdir fallback, a DIFFERENT root
+    fallback = sim._default_model_store(spark, ck)
+    assert not str(fallback.wh.root).startswith(root)
