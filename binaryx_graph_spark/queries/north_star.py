@@ -1946,3 +1946,118 @@ def ann_recall_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_hits") / 10.0, 3).alias("recall_at_10"),
         )
     )
+
+
+@register(
+    "ann_ivf_incremental_certified",
+    oracle=f"""
+    WITH live AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 5 = 3 THEN list_reverse(embedding)
+                  ELSE embedding END AS v
+      FROM embeddings WHERE vec_id % 7 <> 0
+      UNION ALL
+      SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 11 = 0
+    )
+    SELECT e.vec_id, {sql_cosine('e.v', 'q.v')} AS cos_sim
+    FROM live e, (SELECT v FROM live WHERE vec_id = 9) q
+    WHERE e.vec_id <> 9
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "warehouse", "scale"),
+)
+def ann_ivf_incremental_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF INDEX MAINTENANCE (`operators/ann_index.py`),
+    certified inside the gate — the index-freshness-under-DML lever: at
+    100 TB an ANN index cannot be rebuilt per commit, so assignments
+    live as a keyed warehouse table refreshed from the CHANGE FEED
+    (``read_changes(update_images=True)``): postimages/inserts are
+    re-assigned and LWW-merged, deletes are DV-tombstoned out —
+    O(changed rows) per refresh, never O(corpus).
+
+    The gate seeds a `vectors` warehouse table from `embeddings`, full-
+    builds the index, then drives three MIXED commits — a MOR MERGE
+    delete arm (ids ≡0 mod 7), a MOR MERGE update arm reversing the
+    vectors of ids ≡3 mod 5, and a fresh-insert merge (original vectors
+    re-keyed +100000 for ids ≡0 mod 11) — and refreshes incrementally.
+    RAISES unless the refresh ran in incremental mode with exactly the
+    changed-row counts, and the maintained assignments are IDENTICAL
+    (symmetric difference 0) to a full re-assignment of the live table.
+
+    Returned rows: an ALL-LISTS probe over the maintained index (top-10
+    for stored vector 9) — which must equal DuckDB's brute-force cosine
+    over the post-DML corpus, replayed relationally in the oracle."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.ann_index import (
+        cosine_topk_ivf_index,
+        ivf_index_assignments,
+        ivf_index_refresh,
+    )
+    from ..operators.similarity import ivf_assign, kmeans_codebook
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_annidx_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(spark, root)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        F.col("label").cast("int").alias("label"),
+    )
+    wh.merge_batch_incremental({"vectors": emb}, n_buckets=8)
+    cb = kmeans_codebook(emb, n_centroids=8, iters=1)
+
+    d0 = ivf_index_refresh(wh, "vectors", "corpus", cb)
+    if d0["mode"] != "full":
+        raise AssertionError(f"first refresh should be a full build: {d0}")
+
+    # commit 1: MOR MERGE delete arm
+    dele = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    d1 = wh.merge_into(
+        "vectors", dele, when_matched_delete=True, when_not_matched_insert=False
+    )
+    # commit 2: MOR MERGE update arm — reversed vectors move lists
+    updsrc = emb.filter(F.col("vec_id") % 5 == 3).select(
+        "vec_id", F.reverse(F.col("embedding")).alias("embedding"), "label"
+    )
+    d2 = wh.merge_into(
+        "vectors", updsrc, when_matched_update="all", when_not_matched_insert=False
+    )
+    # commit 3: fresh inserts re-keyed out of the id range
+    ins = emb.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    wh.merge_batch_incremental({"vectors": ins}, batch_seq=2)
+
+    d = ivf_index_refresh(wh, "vectors", "corpus", cb)
+    if d["mode"] != "incremental":
+        raise AssertionError(f"refresh should be incremental: {d}")
+    if d["rows_removed"] != d1["rows_deleted"]:
+        raise AssertionError(
+            f"removed {d['rows_removed']} != deleted {d1['rows_deleted']}"
+        )
+    n_ins = ins.count()
+    if d["rows_assigned"] != d2["rows_updated"] + n_ins:
+        raise AssertionError(
+            f"assigned {d['rows_assigned']} != updated {d2['rows_updated']} "
+            f"+ inserted {n_ins}"
+        )
+
+    got = ivf_index_assignments(wh, "corpus")
+    want = ivf_assign(wh.read("vectors"), cb).select("vec_id", "centroid_id")
+    diff = got.exceptAll(want).unionAll(want.exceptAll(got)).count()
+    if diff != 0:
+        raise AssertionError(
+            f"incremental assignments diverge from a full rebuild by {diff} rows"
+        )
+
+    q = wh.read("vectors").filter(F.col("vec_id") == 9).head()["embedding"]
+    return cosine_topk_ivf_index(
+        wh, "corpus", cb, q, k=10, n_probe=len(cb), exclude_id=9
+    )

@@ -91,7 +91,58 @@ def _models_schema():
     )
 
 
-ALL_TABLES = {**NODE_TABLES, **EDGE_TABLES, "_models": (_models_schema(), ["name"])}
+def _vectors_schema():
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), True),
+            StructField("label", IntegerType(), True),
+        ]
+    )
+
+
+def _ivf_assignments_schema():
+    """The persisted IVF index: one assignment row per (corpus,
+    vector) — centroid_id for probe pruning, the vector denormalized
+    for scoring (the inverted-list layout, as a KEYED warehouse table
+    so DML maintenance composes: LWW re-assign on update, DV-delete on
+    tombstone, cluster-by-centroid compaction for scan pruning)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("corpus", StringType(), False),
+            StructField("vec_id", LongType(), False),
+            StructField("centroid_id", IntegerType(), True),
+            StructField("embedding", ArrayType(FloatType()), True),
+        ]
+    )
+
+
+ALL_TABLES = {
+    **NODE_TABLES,
+    **EDGE_TABLES,
+    "_models": (_models_schema(), ["name"]),
+    "vectors": (_vectors_schema(), ["vec_id"]),
+    "_ivf_assignments": (_ivf_assignments_schema(), ["corpus", "vec_id"]),
+}
 
 #: MERGE key per table (FIXTURES.md §2). Tables whose key is the full row
 #: use plain dropDuplicates; keyed tables are last-write-wins.
@@ -107,6 +158,8 @@ MERGE_KEYS = {
     "calls": ["src_uid", "dst_uid"],
     "contains_string": ["binary_hash", "string_uid", "address"],
     "_models": ["name"],
+    "vectors": ["vec_id"],
+    "_ivf_assignments": ["corpus", "vec_id"],
 }
 
 
