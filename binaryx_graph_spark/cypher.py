@@ -95,7 +95,7 @@ _TOKEN = re.compile(
       | (?P<num>\d+(?:\.\d+)?)
       | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
       | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-      | (?P<sym><>|<=|>=|<-|->|\.\.|[()\[\]{}:,.*=<>|-])
+      | (?P<sym><>|<=|>=|<-|->|\.\.|\+=|[()\[\]{}:,.*=<>|+-])
     )""",
     re.VERBOSE,
 )
@@ -2177,6 +2177,13 @@ class WriteStmt:
     src: tuple[str, str, dict] | None = None  # (label, keycol, props) of MATCH'd src
     dst: tuple[str, str, dict] | None = None
     detach: bool = False  # delete_node: also remove incident edges
+    #: conditional MERGE arms (Neo4j's upsert idiom): ON CREATE SET
+    #: applies only when the merge CREATES the row, ON MATCH SET only
+    #: when it finds one; plain SET applies to both.  REMOVE nulls the
+    #: listed properties on whatever the merge bound (both arms).
+    on_create: dict[str, object] = field(default_factory=dict)
+    on_match: dict[str, object] = field(default_factory=dict)
+    remove: list[str] = field(default_factory=list)
 
 
 class CypherWriteParser(CypherParser):
@@ -2262,9 +2269,78 @@ class CypherWriteParser(CypherParser):
                 f"cypher write: MERGE on :{n.label} must key on {{{key}}} "
                 f"(the unique constraint), got {list(n.props)}"
             )
+        set_props, on_create, on_match, remove = self._merge_arms(n.var, {key})
         return WriteStmt(
-            "merge_node", n.label, dict(n.props), self._set_clause(n.var)
+            "merge_node", n.label, dict(n.props), set_props,
+            on_create=on_create, on_match=on_match, remove=remove,
         )
+
+    def _merge_arms(
+        self, var: str | None, forbidden: set[str]
+    ) -> tuple[dict, dict, dict, list[str]]:
+        """The full Neo4j upsert tail after a MERGE pattern, any order:
+        ``ON CREATE SET …``, ``ON MATCH SET …``, plain ``SET …``
+        (including ``var += $map``), ``REMOVE var.prop, …``.  Returns
+        (set_props, on_create, on_match, remove) with the conflict
+        rules enforced: a property may appear in plain SET or in the
+        conditional arms (both arms together is the classic idiom) or
+        in REMOVE — never across those groups, and never the key."""
+        set_props: dict[str, object] = {}
+        on_create: dict[str, object] = {}
+        on_match: dict[str, object] = {}
+        remove: list[str] = []
+        while True:
+            if self._accept_word("ON"):
+                if self._accept_word("CREATE"):
+                    arm = on_create
+                elif self._accept_word("MATCH") or self._accept("kw", "MATCH"):
+                    arm = on_match
+                else:
+                    raise ValueError("cypher write: ON must be ON CREATE / ON MATCH")
+                got = self._set_clause(var, require=True)
+                dup = sorted(set(arm) & set(got))
+                if dup:
+                    raise ValueError(f"cypher write: duplicate arm assignment {dup}")
+                arm.update(got)
+            elif self._peek_word("SET"):
+                got = self._set_clause(var)
+                dup = sorted(set(set_props) & set(got))
+                if dup:
+                    raise ValueError(f"cypher write: duplicate SET assignment {dup}")
+                set_props.update(got)
+            elif self._accept_word("REMOVE"):
+                while True:
+                    v = self._expect("word")
+                    if var is not None and v != var:
+                        raise ValueError(
+                            f"cypher write: REMOVE must name {var}.prop, got {v}"
+                        )
+                    self._expect("sym", ".")
+                    remove.append(self._name())
+                    if not self._accept("sym", ","):
+                        break
+            else:
+                break
+        groups = {
+            "SET": set(set_props),
+            "ON CREATE/ON MATCH": set(on_create) | set(on_match),
+            "REMOVE": set(remove),
+        }
+        names = list(groups)
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                dup = sorted(groups[a] & groups[b])
+                if dup:
+                    raise ValueError(
+                        f"cypher write: {dup} assigned in both {a} and {b}"
+                    )
+        assigned = set(set_props) | set(on_create) | set(on_match) | set(remove)
+        bad = sorted(assigned & forbidden)
+        if bad:
+            raise ValueError(
+                f"cypher write: cannot SET/REMOVE the merge key column(s) {bad}"
+            )
+        return set_props, on_create, on_match, remove
 
     def _create_stmt(self) -> WriteStmt:
         # CREATE [FULLTEXT] INDEX ... — schema.rs's init statements:
@@ -2360,7 +2436,12 @@ class CypherWriteParser(CypherParser):
                 raise ValueError(
                     f"cypher write: ({n.var}:{n.label}) cannot anchor :{ty} (needs :{want})"
                 )
-        set_props = self._set_clause(edge.var) if edge.var else {}
+        if edge.var:
+            set_props, on_create, on_match, remove = self._merge_arms(
+                edge.var, {_sc, _dc}
+            )
+        else:
+            set_props, on_create, on_match, remove = {}, {}, {}, []
         return WriteStmt(
             "merge_edge",
             ty,
@@ -2368,20 +2449,47 @@ class CypherWriteParser(CypherParser):
             set_props,
             src=(sn.label, NODE_LABELS[sn.label][1], dict(sn.props)),
             dst=(dn.label, NODE_LABELS[dn.label][1], dict(dn.props)),
+            on_create=on_create,
+            on_match=on_match,
+            remove=remove,
         )
 
-    def _set_clause(self, var: str | None) -> dict[str, object]:
+    def _set_clause(self, var: str | None, *, require: bool = False) -> dict[str, object]:
         out: dict[str, object] = {}
         if not self._accept_word("SET"):
+            if require:
+                raise ValueError("cypher write: expected SET after ON CREATE / ON MATCH")
             return out
         while True:
             v = self._expect("word")
             if var is not None and v != var:
                 raise ValueError(f"cypher write: SET must assign {var}.prop, got {v}")
-            self._expect("sym", ".")
-            prop = self._name()
-            self._expect("sym", "=")
-            out[prop] = self._literal()
+            if self._accept("sym", "+="):
+                # SET v += $map — Neo4j's non-destructive property-map
+                # merge: every (prop, value) of the bound map becomes an
+                # assignment; the map must be a REAL parameter value
+                # (the template/batch lane has no per-row maps)
+                k, pv = self._next()
+                if k != "param":
+                    raise ValueError("cypher write: SET += takes a $param map")
+                name = pv[1:]
+                if name not in self.params:
+                    raise ValueError(f"cypher: missing parameter ${name}")
+                m = self.params[name]
+                if isinstance(m, Param):
+                    raise ValueError(
+                        "cypher write: SET += $map needs a bound map value — "
+                        "the batch template lane binds scalar columns only"
+                    )
+                if not isinstance(m, dict):
+                    raise ValueError("cypher write: SET += $map must bind a map")
+                for prop, val in m.items():
+                    out[str(prop)] = val
+            else:
+                self._expect("sym", ".")
+                prop = self._name()
+                self._expect("sym", "=")
+                out[prop] = self._literal()
             if not self._accept("sym", ","):
                 break
         return out
@@ -2496,7 +2604,9 @@ def cypher_write(wh, text: str, params: dict | None = None) -> dict:
 
     schema, _k = ALL_TABLES[table]
     names = [f.name for f in schema.fields]
-    for p in new_props:
+    for p in (
+        set(new_props) | set(stmt.on_create) | set(stmt.on_match) | set(stmt.remove)
+    ):
         if p not in names:
             raise ValueError(f"cypher write: {table} has no column {p}")
     keys = MERGE_KEYS[table]
@@ -2509,6 +2619,11 @@ def cypher_write(wh, text: str, params: dict | None = None) -> dict:
     stored = existing.limit(1).collect()
     base = stored[0].asDict() if stored else {n: None for n in names}
     base.update(new_props)
+    # conditional arms (Neo4j): the arm matching this row's fate
+    # applies; REMOVE nulls its properties on either fate
+    base.update(stmt.on_match if stored else stmt.on_create)
+    for p in stmt.remove:
+        base[p] = None
     one = wh.spark.createDataFrame([tuple(base[n] for n in names)], schema)
     wh.merge_batch({table: one})
     return {"table": table, "rows": 1}
@@ -2591,16 +2706,23 @@ def _execute_write_batch(
         c = F.col(v.name) if isinstance(v, Param) else F.lit(v)
         return c.cast(dtype)
 
+    oc, om, rmv = stmt.on_create, stmt.on_match, stmt.remove
+    arm_sel = []
+
     if stmt.kind in ("merge_node", "create_node"):
         table, key = NODE_LABELS[stmt.label]
         schema, _k = ALL_TABLES[table]
         types = {f.name: f.dataType for f in schema.fields}
         bound = {key: stmt.key_props[key], **stmt.set_props}
-        for p in bound:
+        for p in set(bound) | set(oc) | set(om) | set(rmv):
             if p not in types:
                 raise ValueError(f"cypher write: {table} has no column {p}")
+        arm_sel = [
+            _pcol(v, types[p]).alias(f"__oc_{p}") for p, v in oc.items()
+        ] + [_pcol(v, types[p]).alias(f"__om_{p}") for p, v in om.items()]
         batch = params.select(
             *[_pcol(v, types[p]).alias(p) for p, v in bound.items()],
+            *arm_sel,
             *(order_cols or []),
         )
     else:
@@ -2612,11 +2734,15 @@ def _execute_write_batch(
         bound = {sc: sprops[skey], dc: dprops[dkey]}
         bound.update(stmt.key_props)
         bound.update(stmt.set_props)
-        for p in bound:
+        for p in set(bound) | set(oc) | set(om) | set(rmv):
             if p not in types:
                 raise ValueError(f"cypher write: {table} has no column {p}")
+        arm_sel = [
+            _pcol(v, types[p]).alias(f"__oc_{p}") for p, v in oc.items()
+        ] + [_pcol(v, types[p]).alias(f"__om_{p}") for p, v in om.items()]
         batch = params.select(
             *[_pcol(v, types[p]).alias(p) for p, v in bound.items()],
+            *arm_sel,
             *(order_cols or []),
         )
         # MATCH precondition: endpoints must exist (importer templates
@@ -2630,8 +2756,9 @@ def _execute_write_batch(
     for k in keys:
         if k not in bound:
             raise ValueError(f"cypher write: MERGE on {table} must bind key column {k}")
+    arm_names = [f"__oc_{p}" for p in oc] + [f"__om_{p}" for p in om]
     if order_cols:
-        batch = _last_wins(batch, keys, order_cols).select(*bound)
+        batch = _last_wins(batch, keys, order_cols).select(*bound, *arm_names)
     else:
         batch = batch.dropDuplicates()
 
@@ -2644,12 +2771,30 @@ def _execute_write_batch(
             )
 
     # partial-SET: unmentioned columns keep their stored values (NULL on
-    # first create) — one broadcast-or-shuffle left join, set-oriented
+    # first create) — one broadcast-or-shuffle left join, set-oriented.
+    # The conditional arms ride the SAME join: a presence marker tells
+    # each row its fate, ON MATCH values apply over stored rows, ON
+    # CREATE values over fresh ones, REMOVE nulls either — still one
+    # shuffle, no per-row reads.
     rest = [n for n in types if n not in bound]
+    arm_props = set(oc) | set(om)
     if rest:
         stored = wh.read(table).select(*keys, *rest)
+        if arm_props or rmv:
+            stored = stored.withColumn("__stored", F.lit(True))
         batch = batch.join(stored, keys, "left")
-    full = batch.select(*[F.col(n).cast(types[n]).alias(n) for n in types])
+    present = F.col("__stored").isNotNull() if (arm_props or rmv) else None
+
+    def _final(n: str) -> Column:
+        if n in rmv:
+            return F.lit(None)
+        if n in arm_props:
+            matched_val = F.col(f"__om_{n}") if n in om else F.col(n)
+            created_val = F.col(f"__oc_{n}") if n in oc else F.lit(None)
+            return F.when(present, matched_val).otherwise(created_val)
+        return F.col(n)
+
+    full = batch.select(*[_final(n).cast(types[n]).alias(n) for n in types])
 
     mvs = wh._manifest_versions(table)
     bucketed = bool(mvs) and "buckets" in wh._manifest(table, mvs[-1])

@@ -316,3 +316,120 @@ def cypher_write_unwind_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if r != {"table": "functions", "rows": 3}:
         raise AssertionError(f"UNWIND bulk merge misreported: {r}")
     return wh.read("functions").select("uid", "name", "size").orderBy("uid")
+
+
+@register(
+    "cypher_write_on_create_set",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('u_existing', 'kept',    'Seen',  CAST(99 AS BIGINT)),
+      ('u_fresh1',   'fresh1',  'Fresh', CAST(5  AS BIGINT)),
+      ('u_fresh2',   'fresh2',  'Fresh', CAST(6  AS BIGINT))
+    ) AS t(uid, name, type, size)
+    ORDER BY uid
+    """,
+    tags=("cypher", "write"),
+)
+def cypher_write_on_create_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neo4j's conditional MERGE arms — ``ON CREATE SET`` / ``ON MATCH
+    SET`` — through BOTH write lanes (`cypher.py:_merge_arms`; lowered
+    onto the same presence-marker join MERGE INTO uses).  The batch
+    form runs one set-oriented merge: created rows take the ON CREATE
+    arm (name bound, type='Fresh'), the pre-existing row takes ON MATCH
+    (type='Seen', its stored name KEPT — the ON CREATE name must not
+    re-apply), plain SET (size) applies to both.  In-gate: the
+    single-statement lane replayed per row must agree with the batch
+    lane bit-for-bit (raise otherwise)."""
+    from ..cypher import cypher_write, cypher_write_batch
+    from ..sources.warehouse import Warehouse
+
+    tpl = """
+        MERGE (f:Function {uid: $uid})
+        ON CREATE SET f.name = $name, f.type = 'Fresh'
+        ON MATCH SET f.type = 'Seen'
+        SET f.size = $size
+    """
+    rows = [
+        ("u_existing", "IGNORED", 99),
+        ("u_fresh1", "fresh1", 5),
+        ("u_fresh2", "fresh2", 6),
+    ]
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="bxg_cyarms_"))
+    wh.initialize()
+    cypher_write(
+        wh,
+        "MERGE (f:Function {uid: $uid}) SET f.name = $name, f.type = 'Old'",
+        params={"uid": "u_existing", "name": "kept"},
+    )
+    params = spark.createDataFrame(rows, "uid string, name string, size long")
+    cypher_write_batch(wh, tpl, params)
+
+    # single-statement twin: one cypher_write per row must agree
+    wh2 = Warehouse(spark, tempfile.mkdtemp(prefix="bxg_cyarms1_"))
+    wh2.initialize()
+    cypher_write(
+        wh2,
+        "MERGE (f:Function {uid: $uid}) SET f.name = $name, f.type = 'Old'",
+        params={"uid": "u_existing", "name": "kept"},
+    )
+    for uid, name, size in rows:
+        cypher_write(wh2, tpl, params={"uid": uid, "name": name, "size": size})
+    a = wh.read("functions").select("uid", "name", "type", "size")
+    b = wh2.read("functions").select("uid", "name", "type", "size")
+    diff = a.exceptAll(b).unionAll(b.exceptAll(a)).count()
+    if diff != 0:
+        raise AssertionError(
+            f"batch vs single-statement upsert arms diverge by {diff} rows"
+        )
+    return a.orderBy("uid")
+
+
+@register(
+    "cypher_write_set_map",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('u_map', 'mapped', 'Internal', CAST(8 AS BIGINT), CAST(NULL AS VARCHAR))
+    ) AS t(uid, name, type, size, address)
+    """,
+    tags=("cypher", "write"),
+)
+def cypher_write_set_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SET v += $map`` (Neo4j's non-destructive property-map merge)
+    and ``REMOVE v.prop`` through the write parser: the first += binds
+    name/type/size/address from a map, the second += overwrites ONLY
+    size (name/type kept — non-destructive), REMOVE then nulls address.
+    In-gate: a later plain MERGE on the same key must still see the
+    surviving properties (raise otherwise)."""
+    from ..cypher import cypher_write
+    from ..sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="bxg_cymap_"))
+    wh.initialize()
+    cypher_write(
+        wh,
+        "MERGE (f:Function {uid: $uid}) SET f += $props",
+        params={
+            "uid": "u_map",
+            "props": {
+                "name": "mapped", "type": "Internal",
+                "size": 7, "address": "0x1000",
+            },
+        },
+    )
+    cypher_write(
+        wh,
+        "MERGE (f:Function {uid: $uid}) SET f += $props",
+        params={"uid": "u_map", "props": {"size": 8}},
+    )
+    cypher_write(
+        wh,
+        "MERGE (f:Function {uid: $uid}) REMOVE f.address",
+        params={"uid": "u_map"},
+    )
+    got = wh.read("functions").filter(F.col("uid") == "u_map").collect()
+    if len(got) != 1 or got[0]["name"] != "mapped" or got[0]["size"] != 8:
+        raise AssertionError(f"+= map merge produced {got}")
+    return wh.read("functions").select(
+        "uid", "name", "type", "size", "address"
+    ).orderBy("uid")
