@@ -147,6 +147,15 @@ MAINTENANCE = [
     "warehouse_merge_into_certified",
     "warehouse_timestamp_travel_certified",
     "cypher_merge_import_verbatim",
+    # r11 ring: merge-on-read UPDATE + MOR MERGE, CDF update images,
+    # the model store, incremental ANN maintenance, and the DV-density
+    # auto-compaction policy (scan-time recovery measured in-gate)
+    "warehouse_mor_update_certified",
+    "warehouse_merge_into_mor_certified",
+    "warehouse_cdf_update_images_certified",
+    "warehouse_model_store_certified",
+    "ann_ivf_incremental_certified",
+    "warehouse_auto_optimize_certified",
 ]
 
 

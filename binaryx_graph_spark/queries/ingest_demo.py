@@ -4104,3 +4104,134 @@ def warehouse_model_store_certified(spark: SparkSession, sf_dir: str) -> DataFra
         ],
         "phase string, n long, checksum long",
     ).orderBy("phase")
+
+
+@register(
+    "warehouse_auto_optimize_certified",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(o_orderkey AS BIGINT) AS size FROM orders
+    ),
+    live AS (
+      SELECT k, CASE WHEN k % 5 = 1 THEN size + 1000000 ELSE size END AS size
+      FROM base WHERE k % 3 <> 0
+    )
+    SELECT * FROM (
+      SELECT '1_live_after_dml' AS phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(size) AS BIGINT) AS checksum
+      FROM live
+      UNION ALL
+      SELECT '2_tombstones_before_purge',
+             CAST((SELECT count(*) FROM base WHERE k % 3 = 0)
+                + (SELECT count(*) FROM base WHERE k % 5 = 1 AND k % 3 <> 0)
+                AS BIGINT),
+             0
+      UNION ALL
+      SELECT '3_tombstones_after_purge', 0, 0
+      UNION ALL
+      SELECT '4_content_diff_across_purge', 0, 0
+    ) t ORDER BY phase
+    """,
+    tags=("warehouse", "layout", "scale"),
+)
+def warehouse_auto_optimize_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse lever #30 — the DV-DENSITY AUTO-COMPACTION POLICY
+    (`sources/warehouse.py:maybe_optimize`): checking costs one
+    manifest read plus sidecar parquet footers (``dv_stats`` — no data
+    pages), and the O(table) compaction runs ONLY when a trigger fires
+    (DV'd-file fraction, sidecar stack depth, or small-file factor —
+    the `maybe_rebucket` cadence pattern).  Compaction is the DV purge
+    point, so a fired trigger resets every metric it measured — SCALE
+    addendum 56 priced the read tax this policy bounds.
+
+    At data scale: a DV delete (ids ≡0 mod 3) plus a MOR update (ids
+    ≡1 mod 5) build real merge-on-read debt, then the gate RAISES
+    unless (a) ``dv_stats`` counts exactly the tombstones the DML
+    wrote, (b) ``maybe_optimize`` fires on the fraction trigger and a
+    re-check reports zero debt, (c) the purge changed NOTHING
+    observable (symmetric multiset diff across it pinned at 0), and
+    (d) a threshold-disarmed call is a metadata-only no-op (no commit).
+    Phases replay in DuckDB from `orders`."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..model import load_table
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_autoopt_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(spark, root)
+    orders = load_table(spark, sf_dir, "orders")
+    df = orders.select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.concat(F.lit("fn_"), F.col("o_orderkey").cast("string")).alias("name"),
+        F.lit("").alias("address"),
+        F.col("o_orderkey").cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+    )
+    wh.merge_batch_incremental({"functions": df}, n_buckets=16)
+
+    # disarmed thresholds: checking must commit nothing
+    v0 = wh.versions("functions")[-1]
+    if wh.maybe_optimize(
+        "functions", dv_file_fraction=1.1, max_dv_stack=10_000,
+        small_file_factor=10_000,
+    ) is not None:
+        raise AssertionError("disarmed policy check still fired")
+    if wh.versions("functions")[-1] != v0:
+        raise AssertionError("policy CHECK published a commit")
+
+    # build merge-on-read debt: a DV delete + a MOR update
+    del_ids = [
+        r["uid"]
+        for r in df.filter(F.col("size") % 3 == 0).select("uid").collect()
+    ]
+    d1 = wh.delete_where_dv("functions", [("uid", "in", del_ids)])
+    upd_ids = [
+        r["uid"]
+        for r in df.filter(
+            (F.col("size") % 5 == 1) & (F.col("size") % 3 != 0)
+        ).select("uid").collect()
+    ]
+    d2 = wh.update_where_dv(
+        "functions",
+        [("uid", "in", upd_ids)],
+        {"size": F.col("size") + 1_000_000},
+    )
+    s_before = wh.dv_stats("functions")
+    if s_before["tombstone_rows"] != d1["rows_deleted"] + d2["rows_updated"]:
+        raise AssertionError(
+            f"dv_stats counted {s_before['tombstone_rows']} tombstones, DML "
+            f"wrote {d1['rows_deleted'] + d2['rows_updated']}"
+        )
+    before_df = wh.read("functions").localCheckpoint(eager=True)
+
+    fired = wh.maybe_optimize(
+        "functions", target_bytes=1 << 30, dv_file_fraction=0.2,
+    )
+    if fired is None or "dv_file_fraction" not in fired["triggers"]:
+        raise AssertionError(f"policy did not fire on DV density: {fired}")
+    s_after = wh.dv_stats("functions")
+    if s_after["files_dvd"] or s_after["tombstone_rows"]:
+        raise AssertionError(f"purge left debt behind: {s_after}")
+    live = wh.read("functions")
+    diff_n = (
+        live.exceptAll(before_df).unionAll(before_df.exceptAll(live)).count()
+    )
+    if diff_n != 0:
+        raise AssertionError(f"auto-purge changed content by {diff_n} rows")
+
+    r = live.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("size").alias("c")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            ("1_live_after_dml", int(r["n"]), int(r["c"] or 0)),
+            ("2_tombstones_before_purge", int(s_before["tombstone_rows"]), 0),
+            ("3_tombstones_after_purge", int(s_after["tombstone_rows"]), 0),
+            ("4_content_diff_across_purge", diff_n, 0),
+        ],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")

@@ -64,6 +64,7 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     "ann_ivf_incremental_certified",
     "cypher_write_on_create_set", "cypher_write_set_map",
     "streaming_merge_into_apply",
+    "warehouse_auto_optimize_certified",
     # new-in-r10: the Cypher write surface, deletion vectors, column
     # mapping, the catalog txn, the CDF consumers and filtered ANN —
     # never witnessed, so they float to the driver sample head first

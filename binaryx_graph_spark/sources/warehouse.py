@@ -3660,11 +3660,100 @@ class Warehouse:
             return self.rebucket(table, rec)
         return None
 
+    def dv_stats(self, table: str) -> dict:
+        """Merge-on-read DEBT metrics for ``table``, METADATA-ONLY (one
+        manifest read + sidecar parquet FOOTERS — no data pages): how
+        many live files carry deletion vectors, the deepest sidecar
+        stack on any one file (the read-tax lever SCALE addendum 56
+        priced), and the total tombstone row count.  The policy inputs
+        :meth:`maybe_optimize` decides on."""
+        mvs = self._manifest_versions(table)
+        if not mvs:
+            return {
+                "files_total": 0, "files_dvd": 0, "dv_fraction": 0.0,
+                "max_stack": 0, "tombstone_rows": 0,
+            }
+        m = self._manifest(table, mvs[-1])
+        if "buckets" in m:
+            rels = [f"{b}/{fn}" for b, fs in m["buckets"].items() for fn in fs]
+        else:
+            rels = list(m.get("files", []))
+        dvs = m.get("dvs", {})
+        live_dvs = {rel: dvs[rel] for rel in rels if rel in dvs}
+        names = sorted({n for lst in live_dvs.values() for n in lst})
+        rows = 0
+        for n in names:
+            p = self._dv_dir(table) / n
+            if p.exists():
+                import pyarrow.parquet as pq
+
+                rows += pq.ParquetFile(str(p)).metadata.num_rows
+        return {
+            "files_total": len(rels),
+            "files_dvd": len(live_dvs),
+            "dv_fraction": (len(live_dvs) / len(rels)) if rels else 0.0,
+            "max_stack": max((len(v) for v in live_dvs.values()), default=0),
+            "tombstone_rows": rows,
+        }
+
+    def maybe_optimize(
+        self,
+        table: str,
+        *,
+        target_bytes: int = 128 * 1024 * 1024,
+        dv_file_fraction: float = 0.2,
+        max_dv_stack: int = 4,
+        small_file_factor: int = 4,
+    ) -> dict | None:
+        """Compact ``table`` iff its merge-on-read debt or file
+        fragmentation crossed a threshold — the maintenance-cadence
+        policy (the :meth:`maybe_rebucket` pattern): CHECKING costs one
+        manifest read plus sidecar footer stats, the O(table) rewrite
+        runs only when a trigger fires.  Triggers:
+
+        - ``dv_file_fraction``: the share of live files carrying
+          deletion vectors (every DV'd file pays the anti-join read tax
+          on every scan — flat per file, so the FRACTION is the cost);
+        - ``max_dv_stack``: the deepest sidecar stack on any one file
+          (bounds the tombstone-union work a single read does);
+        - ``small_file_factor``: live file count vs the byte-ideal at
+          ``target_bytes`` (the small-file problem).
+
+        Compaction is the DV PURGE POINT (:meth:`optimize` rewrites
+        every DV'd bucket and drops the references), so a fired trigger
+        resets all three metrics.  Returns ``{'triggers': [...],
+        'stats': …, 'optimized': {table: (files_before, files_after)}}``
+        or None when nothing fired."""
+        import math
+
+        stats = self.dv_stats(table)
+        if not stats["files_total"]:
+            return None
+        triggers = []
+        if stats["dv_fraction"] >= dv_file_fraction:
+            triggers.append("dv_file_fraction")
+        if stats["max_stack"] >= max_dv_stack:
+            triggers.append("max_dv_stack")
+        mvs = self._manifest_versions(table)
+        m = self._manifest(table, mvs[-1])
+        total_bytes = sum(m.get("bytes", {}).values())
+        # per-bucket compaction can't go below one file per bucket, so
+        # the byte-ideal floors at the bucket count
+        floor = m.get("n_buckets") or 1
+        ideal = max(floor, math.ceil(total_bytes / target_bytes))
+        if stats["files_total"] >= small_file_factor * ideal:
+            triggers.append("small_file_factor")
+        if not triggers:
+            return None
+        done = self.optimize(target_bytes=target_bytes, tables=[table])
+        return {"triggers": triggers, "stats": stats, "optimized": done}
+
     # ---------------------------------------------------------- compaction
     def optimize(
         self,
         target_bytes: int = 128 * 1024 * 1024,
         cluster_by: dict[str, list[str]] | None = None,
+        tables: list[str] | None = None,
     ) -> dict[str, tuple[int, int]]:
         """Compact each table to ~``target_bytes`` files (the small-file
         problem: every incremental merge writes a key-hashed partition
@@ -3719,7 +3808,7 @@ class Warehouse:
 
         out: dict[str, tuple[int, int]] = {}
         cluster_by = cluster_by or {}
-        for name in ALL_TABLES:
+        for name in (tables if tables is not None else ALL_TABLES):
             p = Path(self._path(name))
             if not p.exists():
                 continue
