@@ -4235,3 +4235,135 @@ def warehouse_auto_optimize_certified(spark: SparkSession, sf_dir: str) -> DataF
         ],
         "phase string, n long, checksum long",
     ).orderBy("phase")
+
+
+@register(
+    "streaming_merge_into_apply",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS uid,
+             CAST(o_orderkey AS BIGINT) AS size,
+             o_orderkey AS k
+      FROM orders
+    ),
+    live AS (
+      SELECT uid,
+             CASE WHEN k % 5 = 0 THEN size + 1000000 ELSE size END AS size
+      FROM base WHERE k % 3 <> 0
+      UNION ALL
+      SELECT 'x' || uid, CAST(0 AS BIGINT) FROM base WHERE k % 11 = 0
+    )
+    SELECT * FROM (
+      SELECT '1_replica_state' AS phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(size) AS BIGINT) AS checksum
+      FROM live
+      UNION ALL
+      SELECT '2_source_replica_diff', 0, 0
+      UNION ALL
+      SELECT '3_replayed_batch_writes', 0, 0
+    ) t ORDER BY phase
+    """,
+    tags=("streaming", "warehouse", "scale"),
+)
+def streaming_merge_into_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING MERGE INTO sink (`streaming/merge_sink.py`) — the
+    canonical lakehouse CDC-apply: the ``warehouse_cdf`` feed (update
+    images on) drains through ``foreachBatch`` into a replica via
+    per-version MOR MERGE INTO under ``txn=(app, version)`` keys —
+    Structured Streaming owns delivery (checkpointed offsets), the txn
+    map makes the apply idempotent, so the composition is exactly-once
+    end to end.
+
+    At data scale: seed, then a MOR update commit (ids ≡0 mod 5), a DV
+    delete commit (ids ≡0 mod 3), and an insert commit (x-prefixed ids
+    ≡0 mod 11) on the source; one availableNow drain.  The gate RAISES
+    unless the replica reads back bit-identical to the source (phase 2
+    pins the diff at 0), and a hand-replayed copy of the final feed
+    batch publishes ZERO writes (phase 3 — the crash contract).
+    The replica state replays in DuckDB from `orders`."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..model import load_table
+    from ..sources.warehouse import Warehouse
+    from ..streaming.merge_sink import (
+        apply_changes_merge_into,
+        cdf_merge_into_apply,
+    )
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_mergesink_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    df = orders.select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.concat(F.lit("fn_"), F.col("o_orderkey").cast("string")).alias("name"),
+        F.lit("").alias("address"),
+        F.col("o_orderkey").cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+    )
+    src = Warehouse(spark, os.path.join(root, "src"))
+    src.merge_batch_incremental({"functions": df}, n_buckets=16)
+    src.merge_into(
+        "functions",
+        orders.filter(F.col("o_orderkey") % 5 == 0).select(
+            F.col("o_orderkey").cast("string").alias("uid"),
+            (F.col("o_orderkey").cast("long") + 1000000).alias("new_size"),
+        ),
+        when_matched_update={"size": F.col("s.new_size")},
+        when_not_matched_insert=False,
+    )
+    del_ids = [
+        r["uid"]
+        for r in df.filter(F.col("size") % 3 == 0).select("uid").collect()
+    ]
+    src.delete_where_dv("functions", [("uid", "in", del_ids)])
+    src.merge_batch_incremental(
+        {"functions": orders.filter(F.col("o_orderkey") % 11 == 0).select(
+            F.concat(F.lit("x"), F.col("o_orderkey").cast("string")).alias("uid"),
+            F.lit("ins").alias("name"),
+            F.lit("").alias("address"),
+            F.lit(0).cast("long").alias("size"),
+            F.lit("Internal").alias("type"),
+        )},
+        batch_seq=2,
+    )
+
+    cdf_merge_into_apply(
+        spark, os.path.join(root, "src"), "functions",
+        os.path.join(root, "dst"), checkpoint=os.path.join(root, "ckpt"),
+    )
+    dst = Warehouse(spark, os.path.join(root, "dst"))
+    s_live, d_live = src.read("functions"), dst.read("functions")
+    diff_n = (
+        s_live.exceptAll(d_live).unionAll(d_live.exceptAll(s_live)).count()
+    )
+    if diff_n != 0:
+        raise AssertionError(f"replica diverges from source by {diff_n} rows")
+
+    # crash contract: re-deliver the final version's feed by hand — the
+    # txn'd merges must publish nothing
+    head = src.versions("functions")[-1]
+    replay = src.read_changes(
+        "functions", head - 1, head, update_images=True
+    ).withColumn("_version", F.lit(head))
+    v_dst = dst.versions("functions")[-1]
+    stats = apply_changes_merge_into(dst, "functions", replay)
+    replay_writes = sum(sum(s.values()) for s in stats.values())
+    if replay_writes or dst.versions("functions")[-1] != v_dst:
+        raise AssertionError(
+            f"replayed batch wrote {replay_writes} rows / published a commit"
+        )
+
+    r = d_live.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("size").alias("c")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            ("1_replica_state", int(r["n"]), int(r["c"] or 0)),
+            ("2_source_replica_diff", diff_n, 0),
+            ("3_replayed_batch_writes", int(replay_writes), 0),
+        ],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")
