@@ -219,3 +219,32 @@ def test_upsert_arms_fuzz_rejects_cleanly():
             pass  # loud rejection is the contract
 
     run()
+
+
+def test_unwind_bulk_with_arms(spark, wh):
+    """UNWIND $rows AS r composes with the conditional arms — one
+    set-oriented merge, per-row fate."""
+    cypher_write(
+        wh,
+        "MERGE (f:Function {uid: $uid}) SET f.name = $name, f.type = 'Old'",
+        params={"uid": "w1", "name": "kept"},
+    )
+    cypher_write(
+        wh,
+        """
+        UNWIND $rows AS r
+        MERGE (f:Function {uid: r.uid})
+        ON CREATE SET f.name = r.name, f.type = 'Fresh'
+        ON MATCH SET f.type = 'Seen'
+        SET f.size = r.size
+        """,
+        params={
+            "rows": [
+                {"uid": "w1", "name": "IGNORED", "size": 11},
+                {"uid": "w2", "name": "fresh", "size": 22},
+            ]
+        },
+    )
+    r1, r2 = _fn(wh, "w1"), _fn(wh, "w2")
+    assert (r1["name"], r1["type"], r1["size"]) == ("kept", "Seen", 11)
+    assert (r2["name"], r2["type"], r2["size"]) == ("fresh", "Fresh", 22)
