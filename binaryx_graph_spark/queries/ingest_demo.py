@@ -4183,22 +4183,22 @@ def warehouse_auto_optimize_certified(spark: SparkSession, sf_dir: str) -> DataF
     if wh.versions("functions")[-1] != v0:
         raise AssertionError("policy CHECK published a commit")
 
-    # build merge-on-read debt: a DV delete + a MOR update
-    del_ids = [
-        r["uid"]
-        for r in df.filter(F.col("size") % 3 == 0).select("uid").collect()
-    ]
-    d1 = wh.delete_where_dv("functions", [("uid", "in", del_ids)])
-    upd_ids = [
-        r["uid"]
-        for r in df.filter(
-            (F.col("size") % 5 == 1) & (F.col("size") % 3 != 0)
-        ).select("uid").collect()
-    ]
-    d2 = wh.update_where_dv(
+    # build merge-on-read debt SET-ORIENTEDLY: a MOR MERGE delete arm
+    # then a MOR MERGE update arm (a collected IN-list predicate would
+    # be a plan-size bomb at data scale — the source stays a DataFrame)
+    d1 = wh.merge_into(
         "functions",
-        [("uid", "in", upd_ids)],
-        {"size": F.col("size") + 1_000_000},
+        df.filter(F.col("size") % 3 == 0).select("uid"),
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    d2 = wh.merge_into(
+        "functions",
+        df.filter(F.col("size") % 5 == 1).select(
+            "uid", (F.col("size") + 1_000_000).alias("new_size")
+        ),
+        when_matched_update={"size": F.col("s.new_size")},
+        when_not_matched_insert=False,
     )
     s_before = wh.dv_stats("functions")
     if s_before["tombstone_rows"] != d1["rows_deleted"] + d2["rows_updated"]:
@@ -4314,11 +4314,14 @@ def streaming_merge_into_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         when_matched_update={"size": F.col("s.new_size")},
         when_not_matched_insert=False,
     )
-    del_ids = [
-        r["uid"]
-        for r in df.filter(F.col("size") % 3 == 0).select("uid").collect()
-    ]
-    src.delete_where_dv("functions", [("uid", "in", del_ids)])
+    # set-oriented MOR delete (a collected IN-list predicate would be
+    # a plan-size bomb at data scale)
+    src.merge_into(
+        "functions",
+        df.filter(F.col("size") % 3 == 0).select("uid"),
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
     src.merge_batch_incremental(
         {"functions": orders.filter(F.col("o_orderkey") % 11 == 0).select(
             F.concat(F.lit("x"), F.col("o_orderkey").cast("string")).alias("uid"),
