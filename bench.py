@@ -156,6 +156,7 @@ MAINTENANCE = [
     "warehouse_model_store_certified",
     "ann_ivf_incremental_certified",
     "warehouse_auto_optimize_certified",
+    "warehouse_merge_into_by_source_certified",
 ]
 
 

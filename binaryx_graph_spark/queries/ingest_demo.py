@@ -4370,3 +4370,138 @@ def streaming_merge_into_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "phase string, n long, checksum long",
     ).orderBy("phase")
+
+
+@register(
+    "warehouse_merge_into_by_source_certified",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS uid,
+             CAST(o_orderkey AS BIGINT) AS size,
+             o_orderkey AS k
+      FROM orders
+    ),
+    live AS (
+      SELECT uid, size + 1000000 AS size, 'Internal' AS type
+      FROM base WHERE k % 2 = 0
+      UNION ALL
+      SELECT uid, size, 'Stale' FROM base WHERE k % 2 = 1 AND k % 3 <> 0
+    )
+    SELECT * FROM (
+      SELECT '1_matched_updates' AS phase, CAST(count(*) AS BIGINT) AS n,
+             CAST(COALESCE(sum(size + 1000000), 0) AS BIGINT) AS checksum
+      FROM base WHERE k % 2 = 0
+      UNION ALL
+      SELECT '2_by_source_deleted', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(size), 0) AS BIGINT)
+      FROM base WHERE k % 2 = 1 AND k % 3 = 0
+      UNION ALL
+      SELECT '3_by_source_updated', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(size), 0) AS BIGINT)
+      FROM base WHERE k % 2 = 1 AND k % 3 <> 0
+      UNION ALL
+      SELECT '4_final', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(sum(size), 0) AS BIGINT)
+      FROM live
+      UNION ALL
+      SELECT '5_mor_cow_diff', 0, 0
+    ) t ORDER BY phase
+    """,
+    tags=("warehouse", "layout", "scale"),
+)
+def warehouse_merge_into_by_source_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse lever #31 — Delta's FOURTH merge arm, **WHEN NOT
+    MATCHED BY SOURCE** (`sources/warehouse.py:merge_into`,
+    ``when_not_matched_by_source_delete/update/condition``): target
+    rows the source does NOT name take their own delete/update arms —
+    the full-table-sync idiom (one merge makes the target mirror the
+    source).  A by-source arm forces a WHOLE-TABLE read by definition
+    (every target row must learn its fate), which the engine makes
+    explicit: without one, only source-touched buckets are read.
+
+    One merge at data scale driving all three target fates — matched
+    rows update (``size += 1e6``), unmatched rows with ``t.size % 3 =
+    0`` DELETE, the remaining unmatched rows get ``type = 'Stale'`` —
+    through BOTH write lanes on twin warehouses.  RAISES unless the
+    lanes report identical arm counts and read back bit-identical
+    (phase 5 pins the diff at 0) and every pre-merge file kept its
+    exact bytes on the MOR side.  All four populations replay in
+    DuckDB from `orders`."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..model import load_table
+    from ..sources.warehouse import Warehouse
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), "bxg_mibs_scratch", key)
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    df = orders.select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        F.concat(F.lit("fn_"), F.col("o_orderkey").cast("string")).alias("name"),
+        F.lit("").alias("address"),
+        F.col("o_orderkey").cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+    )
+    src = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").cast("string").alias("uid"),
+        (F.col("o_orderkey").cast("long") + 1000000).alias("new_size"),
+    )
+    arms = dict(
+        when_matched_update={"size": F.col("s.new_size")},
+        when_not_matched_insert=False,
+        when_not_matched_by_source_delete=F.col("t.size") % 3 == 0,
+        when_not_matched_by_source_update={"type": "Stale"},
+    )
+    mor = Warehouse(spark, os.path.join(root, "mor"))
+    cow = Warehouse(spark, os.path.join(root, "cow"))
+    for w in (mor, cow):
+        w.merge_batch_incremental({"functions": df}, n_buckets=16)
+    m0 = mor._manifest("functions", mor.versions("functions")[-1])
+
+    d_mor = mor.merge_into("functions", src, strategy="mor", **arms)
+    d_cow = cow.merge_into("functions", src, strategy="cow", **arms)
+    if d_mor != d_cow:
+        raise AssertionError(f"lanes disagree: {d_mor} vs {d_cow}")
+    m1 = mor._manifest("functions", mor.versions("functions")[-1])
+    for rel, b in m0["bytes"].items():
+        if m1["bytes"].get(rel) != b:
+            raise AssertionError(f"by-source MOR merge rewrote {rel}")
+
+    live_m, live_c = mor.read("functions"), cow.read("functions")
+    diff_n = (
+        live_m.exceptAll(live_c).unionAll(live_c.exceptAll(live_m)).count()
+    )
+    if diff_n != 0:
+        raise AssertionError(f"MOR vs CoW by-source merge diverge by {diff_n}")
+
+    def snap(df_):
+        r = df_.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("size").alias("c")
+        ).collect()[0]
+        return int(r["n"]), int(r["c"] or 0)
+
+    mu_n, mu_c = snap(live_m.filter(F.col("size") >= 1000000))
+    st_n, st_c = snap(live_m.filter(F.col("type") == "Stale"))
+    del_n = d_mor["rows_deleted"]
+    del_c = int(
+        df.filter((F.col("size") % 2 == 1) & (F.col("size") % 3 == 0))
+        .agg(F.sum("size")).collect()[0][0] or 0
+    )
+    if d_mor["rows_updated"] != mu_n + st_n:
+        raise AssertionError(
+            f"arm accounting wrong: {d_mor['rows_updated']} != {mu_n}+{st_n}"
+        )
+    f_n, f_c = snap(live_m)
+    return spark.createDataFrame(
+        [
+            ("1_matched_updates", mu_n, mu_c),
+            ("2_by_source_deleted", del_n, del_c),
+            ("3_by_source_updated", st_n, st_c),
+            ("4_final", f_n, f_c),
+            ("5_mor_cow_diff", diff_n, 0),
+        ],
+        "phase string, n long, checksum long",
+    ).orderBy("phase")

@@ -65,6 +65,7 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     "cypher_write_on_create_set", "cypher_write_set_map",
     "streaming_merge_into_apply",
     "warehouse_auto_optimize_certified",
+    "warehouse_merge_into_by_source_certified",
     # new-in-r10: the Cypher write surface, deletion vectors, column
     # mapping, the catalog txn, the CDF consumers and filtered ANN —
     # never witnessed, so they float to the driver sample head first

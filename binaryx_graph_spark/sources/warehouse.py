@@ -3201,6 +3201,9 @@ class Warehouse:
         when_matched_condition: Column | None = None,
         when_matched_delete: Column | bool | None = None,
         when_not_matched_insert: bool = True,
+        when_not_matched_by_source_delete: Column | bool | None = None,
+        when_not_matched_by_source_update: dict | None = None,
+        when_not_matched_by_source_condition: Column | None = None,
         strategy: str = "mor",
         txn: tuple[str, int] | None = None,
     ) -> dict:
@@ -3218,7 +3221,17 @@ class Warehouse:
         - MATCHED otherwise → carried unchanged;
         - NOT MATCHED (source-only) & ``when_not_matched_insert`` →
           INSERTED (target columns the source lacks become NULL);
-        - target-only rows are always carried.
+        - NOT MATCHED BY SOURCE (target-only; Delta's fourth arm) &
+          ``when_not_matched_by_source_delete`` (Column over ``t``, or
+          True) → DELETED; else &
+          ``when_not_matched_by_source_update`` (+ optional
+          ``when_not_matched_by_source_condition``) → reassigned —
+          values are literals or Columns over ``t`` only (there is no
+          source row).  The full-sync idiom: a by-source arm makes the
+          merge read the WHOLE target (every row must learn its fate),
+          so it costs O(table) by definition — without one, only
+          source-touched buckets are read;
+        - target-only rows are otherwise always carried.
 
         Delta's multiple-source-rows error is enforced: a source with
         duplicate merge keys raises (the update would be ambiguous).
@@ -3252,8 +3265,14 @@ class Warehouse:
             when_matched_update is None
             and when_matched_delete is None
             and not when_not_matched_insert
+            and when_not_matched_by_source_delete is None
+            and when_not_matched_by_source_update is None
         ):
             raise ValueError("merge_into with no arms is a no-op — say so explicitly")
+        by_source = (
+            when_not_matched_by_source_delete is not None
+            or when_not_matched_by_source_update is not None
+        )
         if txn is not None:
             seen = self.last_txn_version(table, txn[0])
             if seen is not None and seen >= txn[1]:
@@ -3299,10 +3318,16 @@ class Warehouse:
         # table — read WITH durable (file, row_index) identity so the
         # MOR write path can tombstone exactly the rows its arms kill
         if bucketed:
-            kb = src.withColumn("_kb", self._key_bucket(table, m["n_buckets"]))
-            touched = sorted(
-                r["_kb"] for r in kb.select("_kb").distinct().collect()
-            )
+            if by_source:
+                # a by-source arm must see EVERY target row: whole table
+                touched = sorted(int(b) for b in m["buckets"])
+            else:
+                kb = src.withColumn(
+                    "_kb", self._key_bucket(table, m["n_buckets"])
+                )
+                touched = sorted(
+                    r["_kb"] for r in kb.select("_kb").distinct().collect()
+                )
             pairs = [
                 (f"{b}/{fn}", str(self.root / table / f"_kb={b}" / fn))
                 for b in touched
@@ -3396,6 +3421,32 @@ class Warehouse:
                     f"disagree with stored types for {bad} — cast the source "
                     f"explicitly"
                 )
+        # by-source arms (Delta's WHEN NOT MATCHED BY SOURCE): values
+        # and conditions speak the t alias only — there is no source row
+        bs_upd = {}
+        for col, val in (when_not_matched_by_source_update or {}).items():
+            if col in lkeys:
+                raise ValueError(f"merge_into cannot update merge-key column {col!r}")
+            if col not in logical_names:
+                raise ValueError(f"table '{table}' has no column {col!r}")
+            bs_upd[col] = val if hasattr(val, "cast") else F.lit(val)
+        if bs_upd:
+            resolved_b = {
+                f.name: f.dataType
+                for f in joined.select(
+                    *[c.alias(n) for n, c in bs_upd.items()]
+                ).schema.fields
+            }
+            bad = sorted(
+                n
+                for n in bs_upd
+                if not _assignable_type(resolved_b[n], types[phys0.get(n, n)])
+            )
+            if bad:
+                raise ValueError(
+                    f"table '{table}': MERGE by-source update changes column "
+                    f"types for {bad} — type changes require an explicit rewrite"
+                )
         del_cond = None
         if when_matched_delete is True:
             del_cond = F.lit(True)
@@ -3404,6 +3455,20 @@ class Warehouse:
         upd_cond = (
             when_matched_condition if when_matched_condition is not None else F.lit(True)
         )
+        bs_del_cond = None
+        if when_not_matched_by_source_delete is True:
+            bs_del_cond = F.lit(True)
+        elif (
+            when_not_matched_by_source_delete is not None
+            and when_not_matched_by_source_delete is not False
+        ):
+            bs_del_cond = when_not_matched_by_source_delete
+        bs_upd_cond = (
+            when_not_matched_by_source_condition
+            if when_not_matched_by_source_condition is not None
+            else F.lit(True)
+        )
+        t_only = t_present & ~s_present
 
         outcome = F.when(matched & (del_cond if del_cond is not None else F.lit(False)), "delete")
         if upd:
@@ -3411,6 +3476,10 @@ class Warehouse:
         outcome = outcome.when(matched, "carry")
         if when_not_matched_insert:
             outcome = outcome.when(s_only, "insert")
+        if bs_del_cond is not None:
+            outcome = outcome.when(t_only & bs_del_cond, "delete")
+        if bs_upd:
+            outcome = outcome.when(t_only & bs_upd_cond, "update_bs")
         outcome = outcome.otherwise(F.when(s_only, "skip").otherwise("carry"))
 
         phys = {v: k for k, v in cm.items()}
@@ -3420,6 +3489,10 @@ class Warehouse:
             if phys.get(lname, lname) in src.columns:
                 scol = F.col(f"s.{lname}")
             c = F.when(F.col("_m_outcome") == "update", upd.get(lname, tcol))
+            if bs_upd:
+                c = c.when(
+                    F.col("_m_outcome") == "update_bs", bs_upd.get(lname, tcol)
+                )
             if when_not_matched_insert:
                 c = c.when(
                     F.col("_m_outcome") == "insert",
@@ -3441,7 +3514,9 @@ class Warehouse:
             # kill, append only the update/insert images — carry rows
             # stay in their files untouched
             tomb = (
-                tagged.filter(F.col("_m_outcome").isin("update", "delete"))
+                tagged.filter(
+                    F.col("_m_outcome").isin("update", "delete", "update_bs")
+                )
                 .select(
                     F.col("t.__rel").alias("__rel"),
                     F.col("t.__pos").alias("__pos"),
@@ -3449,9 +3524,15 @@ class Warehouse:
                 .localCheckpoint(eager=True)
             )
             n_dead = tomb.count()
-            n_new = int(counts.get("update", 0)) + int(counts.get("insert", 0))
+            n_new = (
+                int(counts.get("update", 0))
+                + int(counts.get("insert", 0))
+                + int(counts.get("update_bs", 0))
+            )
             images = self._to_physical_df(
-                tagged.filter(F.col("_m_outcome").isin("update", "insert"))
+                tagged.filter(
+                    F.col("_m_outcome").isin("update", "insert", "update_bs")
+                )
                 .select(*[_out_col(n) for n in logical_names]),
                 m,
             )
@@ -3516,7 +3597,8 @@ class Warehouse:
                     "rows_inserted": 0, "buckets_touched": 0,
                 }
             return {
-                "rows_updated": int(counts.get("update", 0)),
+                "rows_updated": int(counts.get("update", 0))
+                + int(counts.get("update_bs", 0)),
                 "rows_deleted": int(counts.get("delete", 0)),
                 "rows_inserted": int(counts.get("insert", 0)),
                 "buckets_touched": len(touched) if touched is not None else None,
@@ -3559,7 +3641,8 @@ class Warehouse:
                 "rows_inserted": 0, "buckets_touched": 0,
             }
         return {
-            "rows_updated": int(counts.get("update", 0)),
+            "rows_updated": int(counts.get("update", 0))
+            + int(counts.get("update_bs", 0)),
             "rows_deleted": int(counts.get("delete", 0)),
             "rows_inserted": int(counts.get("insert", 0)),
             "buckets_touched": len(touched) if touched is not None else None,

@@ -189,3 +189,65 @@ def test_mor_merge_on_flat_table(spark, tmp_path):
     assert (
         wh.read("functions").filter(F.col("uid") == "5").head()["size"] == 111
     )
+
+
+def test_by_source_arms_full_sync(spark, tmp_path):
+    """Delta's WHEN NOT MATCHED BY SOURCE: the full-sync idiom — one
+    merge makes the target exactly mirror the source (update matches,
+    insert new, delete everything the source no longer has)."""
+    wh = _mk(spark, tmp_path / "wh")
+    src = spark.range(100, 150).select(
+        F.col("id").cast("string").alias("uid"),
+        (F.col("id") + 5000).cast("long").alias("size"),
+    )
+    d = wh.merge_into(
+        "functions",
+        src,
+        when_matched_update={"size": F.col("s.size")},
+        when_not_matched_insert=False,  # all src keys exist here
+        when_not_matched_by_source_delete=True,
+    )
+    assert d["rows_updated"] == 50
+    assert d["rows_deleted"] == 1950  # everything outside the source
+    live = wh.read("functions")
+    assert live.count() == 50
+    assert live.filter(F.col("size") < 5000).count() == 0
+
+
+def test_by_source_update_with_condition(spark, tmp_path):
+    wh = _mk(spark, tmp_path / "wh")
+    src = spark.createDataFrame([("5", 111)], "uid string, size long")
+    d = wh.merge_into(
+        "functions",
+        src,
+        when_matched_update={"size": F.col("s.size")},
+        when_not_matched_insert=False,
+        when_not_matched_by_source_update={"type": "Stale"},
+        when_not_matched_by_source_condition=F.col("t.size") < 10,
+    )
+    assert d["rows_updated"] == 1 + 9  # the match + rows 0..9 minus uid 5
+    live = wh.read("functions")
+    assert live.filter(F.col("type") == "Stale").count() == 9
+    assert live.filter(F.col("uid") == "5").head()["size"] == 111
+    assert live.count() == 2000  # nothing deleted or inserted
+
+
+def test_by_source_mor_equals_cow(spark, tmp_path):
+    a = _mk(spark, tmp_path / "a")
+    b = _mk(spark, tmp_path / "b")
+    src = spark.range(0, 1000).select(
+        F.col("id").cast("string").alias("uid"),
+        (F.col("id") + 9000).cast("long").alias("size"),
+    )
+    kw = dict(
+        when_matched_update={"size": F.col("s.size")},
+        when_not_matched_insert=False,
+        when_not_matched_by_source_delete=F.col("t.size") >= 1900,
+        when_not_matched_by_source_update={"name": F.lit("leftover")},
+    )
+    da = a.merge_into("functions", src, strategy="mor", **kw)
+    db = b.merge_into("functions", src, strategy="cow", **kw)
+    assert da == db
+    assert da["rows_deleted"] == 100  # sizes 1900..1999
+    assert da["rows_updated"] == 1000 + 900  # matches + leftover updates
+    assert _rows(a.read("functions")) == _rows(b.read("functions"))
