@@ -225,10 +225,35 @@ class Engine:
         return _cw(self.warehouse, text, params)
 
     def merge_into(self, table: str, source: DataFrame, **kw) -> dict:
-        """Delta's three-arm conditional MERGE INTO (update / delete /
-        insert arms with per-arm conditions) — see
+        """Delta's four-arm conditional MERGE INTO (matched update /
+        delete, not-matched insert, not-matched-BY-SOURCE update /
+        delete), merge-on-read by default — see
         ``Warehouse.merge_into``."""
         return self.warehouse.merge_into(table, source, **kw)
+
+    def update_where(self, table: str, predicates, set_values: dict, **kw) -> dict:
+        """Merge-on-read row-level UPDATE (DV-tombstone + append —
+        O(changed rows) per commit); pass ``strategy='cow'`` via
+        ``Warehouse.update_where`` directly for the compacting rewrite."""
+        return self.warehouse.update_where_dv(table, predicates, set_values, **kw)
+
+    def delete_where(self, table: str, predicates, **kw) -> dict:
+        """Merge-on-read row-level DELETE (deletion-vector sidecar)."""
+        return self.warehouse.delete_where_dv(table, predicates, **kw)
+
+    def changes(self, table: str, from_version: int, **kw) -> DataFrame:
+        """The change feed between versions; ``update_images=True``
+        for Delta's update_preimage/update_postimage change types."""
+        return self.warehouse.read_changes(table, from_version, **kw)
+
+    def maybe_optimize(self, table: str, **kw) -> dict | None:
+        """DV-density auto-compaction policy: metadata-only check,
+        O(table) purge only when a threshold fires."""
+        return self.warehouse.maybe_optimize(table, **kw)
+
+    def dv_stats(self, table: str) -> dict:
+        """Merge-on-read debt metrics (metadata-only)."""
+        return self.warehouse.dv_stats(table)
 
     def cypher_write_batch(
         self, text: str, params: DataFrame, *, order_cols: list[str] | None = None

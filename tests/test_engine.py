@@ -179,3 +179,35 @@ def test_ingest_atomic_and_cypher_replay(spark, tmp_path):
         spark.createDataFrame([("libz",), ("libq",)], "n string"),
     )
     assert r["table"] == "libraries" and r["rows"] == 2
+
+
+def test_engine_mor_dml_facade(spark, tmp_path):
+    """The r11 merge-on-read surface is reachable from the Engine
+    facade: update/delete (DV lanes), change feed with images, the
+    auto-compaction policy, and debt metrics."""
+    import pyspark.sql.functions as F
+
+    from binaryx_graph_spark import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    fns = spark.range(100).select(
+        F.col("id").cast("string").alias("uid"),
+        F.concat(F.lit("fn_"), F.col("id")).alias("name"),
+        F.lit("").alias("address"),
+        F.col("id").cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+    )
+    eng.warehouse.merge_batch_incremental({"functions": fns}, n_buckets=4)
+    v0 = eng.warehouse.versions("functions")[-1]
+    d = eng.update_where("functions", [("uid", "=", "5")], {"size": F.lit(999).cast("long")})
+    assert d["rows_updated"] == 1 and d["files_rewritten"] == 0
+    d = eng.delete_where("functions", [("uid", "=", "6")])
+    assert d["rows_deleted"] == 1 and d["files_rewritten"] == 0
+    ch = eng.changes("functions", v0, update_images=True)
+    labels = {r["_change"] for r in ch.collect()}
+    assert labels == {"update_preimage", "update_postimage", "delete"}
+    s = eng.dv_stats("functions")
+    assert s["tombstone_rows"] == 2
+    fired = eng.maybe_optimize("functions", target_bytes=1 << 30, dv_file_fraction=0.01)
+    assert fired is not None and eng.dv_stats("functions")["tombstone_rows"] == 0
+    assert eng.table("functions").count() == 99
