@@ -166,3 +166,42 @@ def test_dv_update_on_flat_table(spark, tmp_path):
     ch = wh.read_changes("functions", v0)
     assert ch.filter(F.col("_change") == "insert").count() == 100
     assert ch.filter(F.col("_change") == "delete").count() == 100
+
+
+def test_dv_update_rebases_over_disjoint_concurrent_commit(spark, wh):
+    """update_where_dv declares its touched buckets, so it must rebase
+    over a commit that landed on OTHER buckets between its read and its
+    publish — same contract as the other bucket-granular writers."""
+    m0 = wh._manifest("functions", wh.versions("functions")[-1])
+    cands = spark.createDataFrame(
+        [(f"zz_{i}",) for i in range(40)] + [("5",)], "uid string"
+    ).select("uid", wh._key_bucket("functions", m0["n_buckets"]).alias("b"))
+    kb = {r["uid"]: r["b"] for r in cands.collect()}
+    other = next(u for u, b in kb.items() if u != "5" and b != kb["5"])
+    patch = spark.createDataFrame(
+        [(other, "fresh", "", 1, "Internal")],
+        "uid string, name string, address string, size long, type string",
+    )
+    import binaryx_graph_spark.sources.warehouse as wh_mod
+
+    orig = wh_mod.Warehouse._commit_manifest
+    fired = {"done": False}
+
+    def _racy(self, table, *a, **kw):
+        if not fired["done"] and kw.get("touched") and table == "functions":
+            fired["done"] = True
+            wh.merge_batch_incremental({"functions": patch}, batch_seq=9)
+        return orig(self, table, *a, **kw)
+
+    wh_mod.Warehouse._commit_manifest = _racy
+    try:
+        d = wh.update_where_dv(
+            "functions", [("uid", "=", "5")], {"size": F.lit(424242).cast("long")}
+        )
+    finally:
+        wh_mod.Warehouse._commit_manifest = orig
+    assert d["rows_updated"] == 1
+    live = wh.read("functions")
+    assert live.filter(F.col("uid") == "5").head()["size"] == 424242
+    assert live.filter(F.col("uid") == other).count() == 1  # both landed
+    assert live.count() == 2001
