@@ -2152,6 +2152,20 @@ class Param:
     name: str
 
 
+@dataclass(frozen=True)
+class PropExpr:
+    """A SET value that references the bound variable's OWN stored
+    property — Neo4j's counter idiom (``SET f.count = f.count + 1``)
+    and property copy (``SET f.a = f.b``).  ``op`` is '+', '-' or None
+    (plain copy); ``operand`` a literal/param when ``op`` is set.
+    Resolved against the stored row at execution time; NULL propagates
+    (Neo4j: NULL + 1 IS NULL)."""
+
+    prop: str
+    op: str | None = None
+    operand: object = None
+
+
 class _TemplateParams(dict):
     """Parameter mapping that resolves every ``$name`` to a
     :class:`Param` marker instead of a value — parse once as a
@@ -2489,7 +2503,21 @@ class CypherWriteParser(CypherParser):
                 self._expect("sym", ".")
                 prop = self._name()
                 self._expect("sym", "=")
-                out[prop] = self._literal()
+                k, pv = self._peek()
+                if k == "word" and var is not None and pv == var:
+                    # self-reference: SET v.p = v.q [± literal/$param]
+                    # (the counter idiom / property copy)
+                    self._next()
+                    self._expect("sym", ".")
+                    ref = self._name()
+                    k2, opv = self._peek()
+                    if k2 == "sym" and opv in ("+", "-"):
+                        self._next()
+                        out[prop] = PropExpr(ref, opv, self._literal())
+                    else:
+                        out[prop] = PropExpr(ref)
+                else:
+                    out[prop] = self._literal()
             if not self._accept("sym", ","):
                 break
         return out
@@ -2618,10 +2646,28 @@ def cypher_write(wh, text: str, params: dict | None = None) -> dict:
         existing = existing.filter(F.col(k) == F.lit(new_props[k]))
     stored = existing.limit(1).collect()
     base = stored[0].asDict() if stored else {n: None for n in names}
-    base.update(new_props)
+    # SQL/Neo4j SET semantics: every RHS — including self-references
+    # (PropExpr: `SET f.count = f.count + 1`) — evaluates against the
+    # OLD row, so assignments never see each other
+    old = dict(base)
+
+    def _resolve(v):
+        if not isinstance(v, PropExpr):
+            return v
+        if v.prop not in old:
+            raise ValueError(f"cypher write: {table} has no column {v.prop}")
+        cur = old[v.prop]
+        if v.op is None:
+            return cur
+        if cur is None:
+            return None  # Neo4j: NULL + x IS NULL
+        return cur + v.operand if v.op == "+" else cur - v.operand
+
+    base.update({k: _resolve(v) for k, v in new_props.items()})
     # conditional arms (Neo4j): the arm matching this row's fate
     # applies; REMOVE nulls its properties on either fate
-    base.update(stmt.on_match if stored else stmt.on_create)
+    arm = stmt.on_match if stored else stmt.on_create
+    base.update({k: _resolve(v) for k, v in arm.items()})
     for p in stmt.remove:
         base[p] = None
     one = wh.spark.createDataFrame([tuple(base[n] for n in names)], schema)
@@ -2701,6 +2747,15 @@ def _execute_write_batch(
     (template text) and the ``UNWIND $rows`` bulk form."""
     from .operators.ingest import _last_wins
     from .sources.warehouse import ALL_TABLES, MERGE_KEYS
+
+    for d in (stmt.set_props, stmt.on_create, stmt.on_match, stmt.key_props):
+        for p, v in d.items():
+            if isinstance(v, PropExpr):
+                raise ValueError(
+                    f"cypher write: self-reference assignment to {p!r} "
+                    f"(SET v.{p} = v.{v.prop} …) needs the single-statement "
+                    f"lane — the batch template binds scalar columns only"
+                )
 
     def _pcol(v, dtype) -> Column:
         c = F.col(v.name) if isinstance(v, Param) else F.lit(v)

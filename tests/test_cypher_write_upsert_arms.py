@@ -248,3 +248,45 @@ def test_unwind_bulk_with_arms(spark, wh):
     r1, r2 = _fn(wh, "w1"), _fn(wh, "w2")
     assert (r1["name"], r1["type"], r1["size"]) == ("kept", "Seen", 11)
     assert (r2["name"], r2["type"], r2["size"]) == ("fresh", "Fresh", 22)
+
+
+def test_counter_idiom_self_reference_set(spark, wh):
+    """Neo4j's counter idiom: SET values may reference the variable's
+    own stored properties (RHS evaluates against the OLD row)."""
+    upsert = """
+        MERGE (f:Function {uid: $uid})
+        ON CREATE SET f.size = 1
+        ON MATCH SET f.size = f.size + 1
+    """
+    for _ in range(3):
+        cypher_write(wh, upsert, params={"uid": "ctr"})
+    assert _fn(wh, "ctr")["size"] == 3
+    # minus + param operand; plain copy; old-row semantics for pairs
+    cypher_write(
+        wh,
+        "MERGE (f:Function {uid: $uid}) SET f.size = f.size - $n, f.name = f.type",
+        params={"uid": "ctr", "n": 2},
+    )
+    r = _fn(wh, "ctr")
+    assert r["size"] == 1 and r["name"] == r["type"]
+    # NULL propagates (Neo4j: NULL + 1 IS NULL)
+    cypher_write(
+        wh,
+        "MERGE (f:Function {uid: $uid}) ON CREATE SET f.size = f.size + 1",
+        params={"uid": "nullctr"},
+    )
+    assert _fn(wh, "nullctr")["size"] is None
+    # unknown referenced property raises
+    with pytest.raises(ValueError, match="no column"):
+        cypher_write(
+            wh,
+            "MERGE (f:Function {uid: $uid}) SET f.size = f.nope + 1",
+            params={"uid": "ctr"},
+        )
+    # the batch lane rejects self-references loudly
+    with pytest.raises(ValueError, match="single-statement lane"):
+        cypher_write_batch(
+            wh,
+            "MERGE (f:Function {uid: $uid}) ON MATCH SET f.size = f.size + 1",
+            spark.createDataFrame([("ctr",)], "uid string"),
+        )
