@@ -157,6 +157,9 @@ MAINTENANCE = [
     "ann_ivf_incremental_certified",
     "warehouse_auto_optimize_certified",
     "warehouse_merge_into_by_source_certified",
+    # r12 ring: the unattended maintenance cadence (auto_maintain wired
+    # into the CDC-apply sink — trickle replication + zero manual calls)
+    "warehouse_auto_maintenance_certified",
 ]
 
 

@@ -38,10 +38,28 @@ from .sources.warehouse import Warehouse
 class Engine:
     """Open (or initialize) a parquet warehouse and query it."""
 
-    def __init__(self, spark: SparkSession, warehouse_root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_root: str,
+        *,
+        auto_maintenance: int | None = None,
+    ):
         self.spark = spark
         self.warehouse = Warehouse(spark, warehouse_root)
         self.warehouse.initialize()
+        #: opt-in unattended maintenance: every DML commit through this
+        #: Engine is followed by Warehouse.auto_maintain's cadence (a
+        #: version-arithmetic skip, a metadata-only debt check every k
+        #: commits, the O(table) DV purge only past thresholds) — a
+        #: long-lived writer never accumulates unbounded MOR debt.
+        self.auto_maintenance = auto_maintenance
+
+    def _post_dml(self, table: str) -> None:
+        if self.auto_maintenance:
+            self.warehouse.auto_maintain(
+                table, every_k_commits=self.auto_maintenance
+            )
 
     # ------------------------------------------------------------ tables
     def table(self, name: str) -> DataFrame:
@@ -229,17 +247,23 @@ class Engine:
         delete, not-matched insert, not-matched-BY-SOURCE update /
         delete), merge-on-read by default — see
         ``Warehouse.merge_into``."""
-        return self.warehouse.merge_into(table, source, **kw)
+        d = self.warehouse.merge_into(table, source, **kw)
+        self._post_dml(table)
+        return d
 
     def update_where(self, table: str, predicates, set_values: dict, **kw) -> dict:
         """Merge-on-read row-level UPDATE (DV-tombstone + append —
         O(changed rows) per commit); pass ``strategy='cow'`` via
         ``Warehouse.update_where`` directly for the compacting rewrite."""
-        return self.warehouse.update_where_dv(table, predicates, set_values, **kw)
+        d = self.warehouse.update_where_dv(table, predicates, set_values, **kw)
+        self._post_dml(table)
+        return d
 
     def delete_where(self, table: str, predicates, **kw) -> dict:
         """Merge-on-read row-level DELETE (deletion-vector sidecar)."""
-        return self.warehouse.delete_where_dv(table, predicates, **kw)
+        d = self.warehouse.delete_where_dv(table, predicates, **kw)
+        self._post_dml(table)
+        return d
 
     def changes(self, table: str, from_version: int, **kw) -> DataFrame:
         """The change feed between versions; ``update_images=True``

@@ -54,6 +54,9 @@ REGISTRY: dict[str, Query] = {}
 # r1-r3.  Names, signatures and oracle strings of already-green queries stay
 # byte-stable — only dict ordering changes.
 _WITNESS_PRIORITY: tuple[str, ...] = (
+    # new-in-r12: unattended maintenance cadence (auto_maintain wired
+    # into the CDC-apply sink and Engine DML)
+    "warehouse_auto_maintenance_certified",
     # new-in-r11: merge-on-read UPDATE, MOR MERGE INTO, CDF update
     # images, the model-store gate, incremental ANN maintenance, the
     # Cypher upsert arms, the streaming MERGE INTO sink

@@ -21,8 +21,14 @@ Why this shape:
 * **Scale shape**: the feed plans one InputPartition per changed
   bucket per version (untouched buckets never open); each apply is a
   MOR MERGE INTO that tombstones/append-writes O(changed rows) on the
-  replica.  Replica maintenance (DV purge) is `maybe_optimize`'s job,
-  same as any table.
+  replica.  Replica maintenance runs UNATTENDED when
+  ``auto_maintenance`` is set: after each applied micro-batch the sink
+  calls :meth:`Warehouse.auto_maintain` — version arithmetic gates a
+  metadata-only debt check every k replica commits, the O(table) DV
+  purge fires only past the thresholds, and the txn map rides every
+  manifest so a fire never breaks replay idempotency.  A long-running
+  replica keeps flat scan time with zero operator intervention
+  (``tools/endurance_replication.py --auto-maintain``).
 """
 
 from __future__ import annotations
@@ -40,7 +46,8 @@ def apply_changes_merge_into(
     batch_df: DataFrame,
     *,
     app: str = "cdf_merge_apply",
-) -> dict[int, dict]:
+    auto_maintenance: int | None = None,
+) -> dict:
     """Apply one CDC micro-batch (rows + ``_change`` + ``_version``,
     image labels) to the replica via MERGE INTO — one version at a
     time, in order, each under its own ``txn=(app, version)`` key so a
@@ -49,7 +56,12 @@ def apply_changes_merge_into(
     Within one version the arms commute: update images target existing
     keys, inserts target fresh keys, plain deletes target keys with no
     new image (the feed's labels guarantee disjointness), so the two
-    merges per version (upsert arm, delete arm) are order-safe."""
+    merges per version (upsert arm, delete arm) are order-safe.
+
+    ``auto_maintenance=k`` runs the replica's unattended maintenance
+    cadence after the batch (:meth:`Warehouse.auto_maintain`, checked
+    every ``k`` replica commits); when the policy fires, the result
+    lands under the ``"maintenance"`` key."""
     keys = MERGE_KEYS[table]
     out: dict[int, dict] = {}
     versions = sorted(
@@ -87,6 +99,10 @@ def apply_changes_merge_into(
             )
             stats["rows_deleted"] += d["rows_deleted"]
         out[v] = stats
+    if auto_maintenance:
+        maint = dst.auto_maintain(table, every_k_commits=auto_maintenance)
+        if maint is not None:
+            out["maintenance"] = maint
     return out
 
 
@@ -98,12 +114,15 @@ def cdf_merge_into_apply(
     *,
     checkpoint: str,
     app: str = "cdf_merge_apply",
+    auto_maintenance: int | None = None,
 ) -> None:
     """Drain the source table's change feed into a replica warehouse
     (availableNow semantics): one structured-streaming run whose
     ``foreachBatch`` applies each version via MERGE INTO.  Restarting
     with the same ``checkpoint`` resumes from the consumed offset;
-    re-delivered versions replay as zero-write no-ops (txn keys)."""
+    re-delivered versions replay as zero-write no-ops (txn keys).
+    ``auto_maintenance=k`` bounds the replica's merge-on-read debt
+    unattended (post-batch :meth:`Warehouse.auto_maintain` cadence)."""
     register_warehouse_cdf_datasource(spark)
     dst = Warehouse(spark, dst_root)
     feed = (
@@ -115,7 +134,9 @@ def cdf_merge_into_apply(
     )
     (
         feed.writeStream.foreachBatch(
-            lambda df, _bid: apply_changes_merge_into(dst, table, df, app=app)
+            lambda df, _bid: apply_changes_merge_into(
+                dst, table, df, app=app, auto_maintenance=auto_maintenance
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
