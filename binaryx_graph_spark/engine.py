@@ -226,6 +226,27 @@ class Engine:
         every node as a NODE:<label> row, written to parquet."""
         return self.warehouse.export_graph(out_path)
 
+    # ----------------------------------------------------------------- sql
+    def sql(
+        self,
+        query: str,
+        *,
+        snapshot: bool = False,
+        params: dict | list | None = None,
+    ) -> DataFrame:
+        """ANSI SQL over the warehouse's tables (every table a session
+        view — Catalyst inherits the DataFrame lane's pruned scans),
+        with time travel (``orders@v12``, ``orders@ts1700000000``) and
+        the change feed as a relation (``bxg_changes(functions, 3)``,
+        Delta's ``table_changes`` shape).  ``snapshot=True`` pins every
+        base view to the newest catalog commit.  See ``sqlapi``."""
+        from .sqlapi import run_sql
+
+        return run_sql(
+            self.spark, self.warehouse, query,
+            snapshot=snapshot, params=params,
+        )
+
     # -------------------------------------------------------------- cypher
     def cypher(
         self, text: str, params: dict | None = None, *, snapshot: bool = False

@@ -39,6 +39,8 @@ from .warehouse_base import (  # noqa: F401
     _zone_overlaps,
     IdempotentReplay,
     ConcurrentCommitError,
+    SUPPORTED_FEATURES,
+    UnsupportedTableFeatureError,
 )
 
 
@@ -322,6 +324,66 @@ class _MaintenanceMixin:
             return None
         done = self.optimize(target_bytes=target_bytes, tables=[table])
         return {"triggers": triggers, "stats": stats, "optimized": done}
+
+    def auto_maintain(
+        self,
+        table: str,
+        *,
+        every_k_commits: int = 8,
+        vacuum_keep_last: int | None = None,
+        **optimize_kw,
+    ) -> dict | None:
+        """UNATTENDED maintenance cadence (r12): the hook DML and
+        CDC-apply paths call after every commit, so merge-on-read debt
+        is bounded by POLICY instead of by an operator remembering to
+        run :meth:`maybe_optimize` — at 100 TB "remember to run
+        maintenance" is the thing that doesn't scale.
+
+        Cost ladder (each rung gates the next):
+
+        1. **Version arithmetic only** (no I/O beyond the manifest
+           directory listing the commit just did anyway): skip unless
+           ``every_k_commits`` manifest versions elapsed since this
+           process last checked ``table`` (first observation arms the
+           counter without checking — a restart never stampedes).
+        2. **Metadata-only check** (:meth:`maybe_optimize`: one
+           manifest read + DV sidecar parquet FOOTERS).
+        3. **O(table) compaction** only when a debt trigger fires —
+           and compaction is the purge point, so a fire resets every
+           metric the policy measures.
+        4. ``vacuum_keep_last`` (opt-in): vacuum right AFTER a fire —
+           rewrites are what strand unreachable files, so the purge is
+           exactly when garbage appears; trickle MOR commits only add
+           shared files and create none.
+
+        The cadence state is per-process (an in-memory watermark, not
+        a table property): concurrent maintainers are safe because
+        :meth:`optimize` commits through the same optimistic manifest
+        protocol as any writer, and a duplicate check is just a
+        re-read of footers.  Returns ``None`` when skipped or nothing
+        fired at the check, else ``{'checked_at_version': v,
+        'optimize': {...}, 'vacuum': {...}?}``."""
+        state = getattr(self, "_auto_maint_last", None)
+        if state is None:
+            state = self._auto_maint_last = {}
+        mvs = self._manifest_versions(table)
+        if not mvs:
+            return None
+        head = mvs[-1]
+        last = state.get(table)
+        if last is None:
+            state[table] = head
+            return None
+        if head - last < max(1, every_k_commits):
+            return None
+        state[table] = head
+        fired = self.maybe_optimize(table, **optimize_kw)
+        if fired is None:
+            return None
+        out = {"checked_at_version": head, "optimize": fired}
+        if vacuum_keep_last is not None:
+            out["vacuum"] = self.vacuum(keep_last=vacuum_keep_last)
+        return out
 
     # ---------------------------------------------------------- compaction
     def optimize(

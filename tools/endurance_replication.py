@@ -144,5 +144,122 @@ def main() -> None:
     )
 
 
+
+
+def main_auto_maintain() -> None:
+    """r12 endurance arm (--auto-maintain): does the UNATTENDED
+    maintenance cadence keep a long-running replica's scan time flat
+    with ZERO manual maintenance calls?
+
+    Controlled shape: ONE trickle-DML source (each wave: one spread
+    MOR delete + one spread MOR update — every wave DVs most buckets),
+    TWO replicas drained through the same CDC-apply sink
+    (`apply_changes_merge_into`): `auto` passes auto_maintenance=2,
+    `manual` never maintains.  Per wave we record each replica's full-
+    scan wall seconds and DV debt (files_dvd / tombstone_rows / deepest
+    sidecar stack).  The 100 TB claim this prices: the manual replica's
+    scan tax climbs with the DV stack (SCALE addendum 58 measured 3.4×
+    when all files carry DVs); the auto replica's stays flat because
+    the cadence purges debt as it forms — and content remains
+    bit-identical to the source on BOTH (asserted every wave).
+
+    Usage: python -m tools.endurance_replication --auto-maintain [waves]
+    """
+    import time
+
+    from binaryx_graph_spark.streaming.merge_sink import (
+        apply_changes_merge_into,
+    )
+
+    argv = [a for a in sys.argv[1:] if a != "--auto-maintain"]
+    waves = int(argv[0]) if argv else 12
+    spark = get_spark("endurance-auto-maintenance")
+    root = os.path.join(tempfile.gettempdir(), "bxg_endurance_automaint")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    src = Warehouse(spark, os.path.join(root, "src"))
+    dsts = {
+        "auto": Warehouse(spark, os.path.join(root, "auto")),
+        "manual": Warehouse(spark, os.path.join(root, "manual")),
+    }
+
+    n = 60_000
+    base = spark.range(n).select(
+        F.col("id").cast("string").alias("uid"),
+        F.concat(F.lit("fn_"), F.col("id")).alias("name"),
+        F.lit("").alias("address"),
+        F.col("id").cast("long").alias("size"),
+        F.lit("Internal").alias("type"),
+    )
+    src.merge_batch_incremental({"functions": base}, n_buckets=32)
+    for d in dsts.values():
+        d.merge_batch_incremental({"functions": base}, n_buckets=32)
+
+    def scan_sec(wh):
+        t0 = time.time()
+        wh.read("functions").agg(F.sum("size")).collect()
+        return round(time.time() - t0, 3)
+
+    out = {"waves": [], "n_rows_seeded": n}
+    for w in range(waves):
+        v0 = src.versions("functions")[-1]
+        # spread slices: ~150 deletes + ~151 updates hit most buckets
+        src.merge_into(
+            "functions",
+            base.filter(F.col("size") % 400 == w).select("uid"),
+            when_matched_delete=True, when_not_matched_insert=False,
+        )
+        src.merge_into(
+            "functions",
+            base.filter(F.col("size") % 397 == w).select(
+                "uid", (F.col("size") + 1_000_000).alias("new_size")
+            ),
+            when_matched_update={"size": F.col("s.new_size")},
+            when_not_matched_insert=False,
+        )
+        head = src.versions("functions")[-1]
+        rec = {"wave": w}
+        for name, dst in dsts.items():
+            for v in range(v0 + 1, head + 1):
+                feed = src.read_changes(
+                    "functions", v - 1, v, update_images=True
+                ).withColumn("_version", F.lit(v))
+                apply_changes_merge_into(
+                    dst, "functions", feed,
+                    auto_maintenance=2 if name == "auto" else None,
+                )
+            stats = dst.dv_stats("functions")
+            rec[name] = {
+                "scan_sec": scan_sec(dst),
+                "files_dvd": stats["files_dvd"],
+                "tombstones": stats["tombstone_rows"],
+                "max_stack": stats["max_stack"],
+            }
+        out["waves"].append(rec)
+    # content equality on both replicas at the end
+    s_live = src.read("functions")
+    for name, dst in dsts.items():
+        d_live = dst.read("functions")
+        resid = (
+            s_live.exceptAll(d_live).unionAll(d_live.exceptAll(s_live)).count()
+        )
+        out[f"{name}_exact"] = resid == 0
+        assert resid == 0, f"{name} replica diverged by {resid} rows"
+    first, last = out["waves"][0], out["waves"][-1]
+    out["auto_scan_first_to_last"] = round(
+        last["auto"]["scan_sec"] / max(first["auto"]["scan_sec"], 1e-9), 3
+    )
+    out["manual_scan_first_to_last"] = round(
+        last["manual"]["scan_sec"] / max(first["manual"]["scan_sec"], 1e-9), 3
+    )
+    out["manual_final_debt"] = last["manual"]
+    out["auto_final_debt"] = last["auto"]
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if "--auto-maintain" in sys.argv:
+        main_auto_maintain()
+    else:
+        main()
