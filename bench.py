@@ -159,7 +159,10 @@ MAINTENANCE = [
     "warehouse_merge_into_by_source_certified",
     # r12 ring: the unattended maintenance cadence (auto_maintain wired
     # into the CDC-apply sink — trickle replication + zero manual calls)
+    # and the SQL surface (time travel + change-feed relation)
     "warehouse_auto_maintenance_certified",
+    "sql_time_travel_certified",
+    "sql_changes_certified",
 ]
 
 

@@ -3883,10 +3883,14 @@ def warehouse_cdf_update_images_certified(spark: SparkSession, sf_dir: str) -> D
       labels, and key churn is never mislabeled;
     - the multiset identity rebuilds the new version exactly:
       old − preimages + postimages − (none) ∪ plain arms == live;
-    - the replication consumer draining the feed WITH images
-      (`sources/replication.py:apply_changes` — postimages merge,
-      preimages drop, plain deletes delete) leaves a replica
-      bit-identical to the source (phase 5 pins the diff at 0).
+    - the canonical CDC-apply sink draining the feed WITH images
+      (`streaming/merge_sink.py:apply_changes_merge_into` — postimages
+      and inserts MERGE-upsert, plain deletes delete) leaves a replica
+      bit-identical to the source (phase 5 pins the diff at 0); the
+      replica seeds from a filesystem snapshot of v0 (how a real
+      replica bootstraps) and the sink consumes the SAME checkpointed
+      change frame every assertion phase reads — the r12 diet: one
+      feed derivation for the whole harness, not one per phase.
 
     All four label populations replay in DuckDB from `orders`."""
     import hashlib
@@ -3894,8 +3898,8 @@ def warehouse_cdf_update_images_certified(spark: SparkSession, sf_dir: str) -> D
     import shutil
 
     from ..model import load_table
-    from ..sources.replication import replicate
     from ..sources.warehouse import Warehouse
+    from ..streaming.merge_sink import apply_changes_merge_into
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), "bxg_cdfimg_scratch", key)
@@ -3911,6 +3915,10 @@ def warehouse_cdf_update_images_certified(spark: SparkSession, sf_dir: str) -> D
     src_wh = Warehouse(spark, os.path.join(root, "src"))
     src_wh.merge_batch_incremental({"functions": df}, n_buckets=16)
     v0 = src_wh.versions("functions")[-1]
+    # replica bootstrap = filesystem snapshot of v0 (copied BEFORE the
+    # DML commit) — a real replica restores from a storage snapshot,
+    # and the harness saves a second full-table Spark write
+    shutil.copytree(os.path.join(root, "src"), os.path.join(root, "dst"))
 
     upd = orders.filter(F.col("o_orderkey") % 5 == 0).select(
         F.col("o_orderkey").cast("string").alias("uid"),
@@ -3935,20 +3943,21 @@ def warehouse_cdf_update_images_certified(spark: SparkSession, sf_dir: str) -> D
     ch = src_wh.read_changes("functions", v0, update_images=True)
     ch = ch.localCheckpoint(eager=True)
 
-    def snap(df_):
-        r = df_.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("size").alias("c")
-        ).collect()[0]
-        return int(r["n"]), int(r["c"] or 0)
-
     pre = ch.filter(F.col("_change") == "update_preimage")
     post = ch.filter(F.col("_change") == "update_postimage")
     pdel = ch.filter(F.col("_change") == "delete")
     pins = ch.filter(F.col("_change") == "insert")
-    pre_n, pre_c = snap(pre)
-    post_n, post_c = snap(post)
-    del_n, del_c = snap(pdel)
-    ins_n, _ = snap(pins)
+    # all four label populations in ONE aggregation job
+    by_label = {
+        r["_change"]: (int(r["n"]), int(r["c"] or 0))
+        for r in ch.groupBy("_change").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("size").alias("c")
+        ).collect()
+    }
+    pre_n, pre_c = by_label.get("update_preimage", (0, 0))
+    post_n, post_c = by_label.get("update_postimage", (0, 0))
+    del_n, del_c = by_label.get("delete", (0, 0))
+    ins_n, _ = by_label.get("insert", (0, 0))
     if pre_n != post_n:
         raise AssertionError(f"unbalanced images: {pre_n} pre vs {post_n} post")
     # each updated key yields exactly one pre + one post
@@ -3964,7 +3973,7 @@ def warehouse_cdf_update_images_certified(spark: SparkSession, sf_dir: str) -> D
 
     # multiset identity with image labels
     old = src_wh.read("functions", version=v0)
-    live = src_wh.read("functions")
+    live = src_wh.read("functions").localCheckpoint(eager=True)
     rebuilt = (
         old.exceptAll(pre.drop("_change"))
         .exceptAll(pdel.drop("_change"))
@@ -3975,11 +3984,11 @@ def warehouse_cdf_update_images_certified(spark: SparkSession, sf_dir: str) -> D
     if ident != 0:
         raise AssertionError(f"image multiset identity broken by {ident} rows")
 
-    # replication consumer drains the feed WITH images
+    # the canonical CDC-apply sink drains the SAME checkpointed frame
     dst_wh = Warehouse(spark, os.path.join(root, "dst"))
-    replicate(
-        src_wh, dst_wh, "functions",
-        os.path.join(root, "offsets.json"), update_images=True,
+    head = src_wh.versions("functions")[-1]
+    apply_changes_merge_into(
+        dst_wh, "functions", ch.withColumn("_version", F.lit(head))
     )
     rep = dst_wh.read("functions")
     diff_n = rep.exceptAll(live).unionAll(live.exceptAll(rep)).count()
@@ -4581,14 +4590,16 @@ def warehouse_auto_maintenance_certified(
     dst = Warehouse(spark, os.path.join(root, "dst"))
     dst.merge_batch_incremental({"functions": df}, n_buckets=16)
 
-    # trickle-DML waves, each one MOR merge commit, all set-oriented
+    # trickle-DML waves, each one MOR merge commit, all set-oriented;
+    # wave 1 arms the cadence, wave 2's post-apply check fires (the
+    # spread delete DVs every bucket) — the MINIMAL fire-and-verify
+    # script, because this harness is priced per-job in MAINTBENCH
+    # (the long-session claim lives in tools/endurance_replication.py
+    # --auto-maintain, not here)
     waves = [
-        ("delete", df.filter(F.col("size") % 12 == 0).select("uid")),
-        ("delete", df.filter(F.col("size") % 12 == 3).select("uid")),
+        ("delete", df.filter(F.col("size") % 3 == 0).select("uid")),
         ("update", df.filter(F.col("size") % 5 == 1).select(
             "uid", (F.col("size") + 1_000_000).alias("new_size"))),
-        ("delete", df.filter(F.col("size") % 12 == 6).select("uid")),
-        ("delete", df.filter(F.col("size") % 12 == 9).select("uid")),
     ]
     fires = 0
     last_feed = None

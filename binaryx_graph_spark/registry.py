@@ -55,8 +55,10 @@ REGISTRY: dict[str, Query] = {}
 # byte-stable — only dict ordering changes.
 _WITNESS_PRIORITY: tuple[str, ...] = (
     # new-in-r12: unattended maintenance cadence (auto_maintain wired
-    # into the CDC-apply sink and Engine DML)
+    # into the CDC-apply sink and Engine DML), and the SQL surface
+    # (session views + @v/@ts time travel + bxg_changes relation)
     "warehouse_auto_maintenance_certified",
+    "sql_time_travel_certified", "sql_changes_certified",
     # new-in-r11: merge-on-read UPDATE, MOR MERGE INTO, CDF update
     # images, the model-store gate, incremental ANN maintenance, the
     # Cypher upsert arms, the streaming MERGE INTO sink
@@ -201,6 +203,7 @@ def load_all() -> dict[str, Query]:
         relational,
         scalars,
         search,
+        sql_surface,
         tpch_ext,
     )
 
