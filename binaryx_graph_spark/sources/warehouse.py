@@ -89,6 +89,8 @@ from .warehouse_base import (  # noqa: F401
     _zone_overlaps,
     IdempotentReplay,
     ConcurrentCommitError,
+    SUPPORTED_FEATURES,
+    UnsupportedTableFeatureError,
 )
 from .warehouse_cdf import _CdfMixin
 from .warehouse_dml import _DmlMixin

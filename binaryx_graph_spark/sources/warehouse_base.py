@@ -340,6 +340,28 @@ def _zone_overlaps(stat: list, op: str, value) -> bool:
     raise ValueError(f"unknown scan predicate op {op!r}")
 
 
+#: READER-REQUIRED manifest features this build understands (r12;
+#: Delta's reader-version/table-feature gate).  A manifest lists under
+#: ``"features"`` every protocol capability a correct read of the table
+#: DEPENDS on — deletion-vector sidecars ("dv": rows in listed files
+#: are dead and must be anti-joined out), column mapping ("colmap":
+#: physical names differ from logical), manifest-carried schema
+#: ("schema": the registered StructType is stale).  Advisory metadata
+#: (bytes, zone-map stats, blooms, txn map) is NOT a feature — a reader
+#: ignoring those still returns correct rows, just slower.  Readers
+#: refuse manifests naming features outside this set instead of
+#: silently mis-reading them; manifests with no ``features`` key are
+#: the base protocol (pre-r12 back-compat).
+SUPPORTED_FEATURES = frozenset({"dv", "colmap", "schema"})
+
+
+class UnsupportedTableFeatureError(RuntimeError):
+    """The table's manifest requires a protocol feature this build does
+    not implement — refusing is the contract (Delta's protocol-version
+    gate): a reader that ignores an unknown required feature returns
+    WRONG ROWS silently (e.g. resurrects DV-deleted rows)."""
+
+
 class IdempotentReplay(Exception):
     """Internal control flow: a commit carrying ``txn=(app, version)``
     found the table's manifest already records ``app`` at an equal or

@@ -39,6 +39,8 @@ from .warehouse_base import (  # noqa: F401
     _zone_overlaps,
     IdempotentReplay,
     ConcurrentCommitError,
+    SUPPORTED_FEATURES,
+    UnsupportedTableFeatureError,
 )
 
 

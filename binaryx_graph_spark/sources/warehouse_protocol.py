@@ -39,6 +39,8 @@ from .warehouse_base import (  # noqa: F401
     _zone_overlaps,
     IdempotentReplay,
     ConcurrentCommitError,
+    SUPPORTED_FEATURES,
+    UnsupportedTableFeatureError,
 )
 
 
@@ -425,7 +427,22 @@ class _ProtocolMixin:
                 f"warehouse table '{table}' has no manifest v{version} "
                 f"(available: {self.versions(table)})"
             )
-        return json.loads(p.read_text())
+        m = json.loads(p.read_text())
+        # protocol feature gate (r12): refuse, never mis-read.  Every
+        # manifest consumer — reads, commits (head re-read in the
+        # commit loop), maintenance — funnels through here, so an old
+        # build can neither read nor write a table whose correctness
+        # depends on a feature it lacks.  No "features" key = base
+        # protocol (pre-r12 manifests).
+        unknown = set(m.get("features", [])) - SUPPORTED_FEATURES
+        if unknown:
+            raise UnsupportedTableFeatureError(
+                f"table '{table}' v{version} requires manifest feature(s) "
+                f"{sorted(unknown)} this build does not implement "
+                f"(supported: {sorted(SUPPORTED_FEATURES)}); refusing to "
+                f"read rather than return wrong rows — upgrade the engine"
+            )
+        return m
 
     def _commit_manifest(
         self,
@@ -616,6 +633,14 @@ class _ProtocolMixin:
                 doc["blooms"] = blmap
             if dvmap:
                 doc["dvs"] = dvmap
+            # FEATURE STAMP (r12): first use of a reader-required
+            # capability marks the manifest; carried forward MONOTONE
+            # from the head (Delta protocol versions never downgrade —
+            # an old reader must refuse even after a purge empties the
+            # DV map, because intermediate versions still need it)
+            feats = set((head_man or {}).get("features", []))
+            if dvmap:
+                feats.add("dv")
             if txn is not None:
                 prev_txn = dict(prev_txn)
                 prev_txn[txn[0]] = txn[1]
@@ -628,6 +653,7 @@ class _ProtocolMixin:
             )
             if sj:
                 doc["schema"] = sj
+                feats.add("schema")
             # COLUMN MAPPING (renames): {physical: logical} carried like
             # the schema; a rename/restore commit passes its own map
             cm = (
@@ -637,6 +663,7 @@ class _ProtocolMixin:
             )
             if cm:
                 doc["colmap"] = cm
+                feats.add("colmap")
             # commit wall-clock for timestamp time travel (Delta's
             # TIMESTAMP AS OF): the PUBLISH time, re-stamped on every
             # retry so the winning manifest carries when it actually
@@ -645,6 +672,8 @@ class _ProtocolMixin:
             # adjustment): with multi-writer clock skew a later version
             # could otherwise carry an earlier stamp, making TIMESTAMP
             # AS OF resolve to a version that skips an intermediate one.
+            if feats:
+                doc["features"] = sorted(feats)
             import time as _time
 
             prev_ts = (head_man or {}).get("committed_at")
