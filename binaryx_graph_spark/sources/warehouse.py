@@ -52,6 +52,18 @@ readable through its own manifest), and :meth:`rebucket` re-layouts to
 a new bucket modulus as a commit old versions time-travel across.
 Directory snapshots under ``<root>/_versions`` from the pre-manifest
 protocol remain readable and vacuumable but are never created anymore.
+
+**Protocol feature flags** (r12, Delta's reader-version gate): a
+manifest lists under ``"features"`` every capability a correct read of
+that version DEPENDS on — ``dv`` (deletion-vector sidecars must be
+anti-joined out), ``colmap`` (physical column names differ from
+logical), ``schema`` (the manifest carries the authoritative schema).
+The stamp appears on FIRST USE of each feature and carries forward
+monotone; a build reading a manifest whose features exceed
+``SUPPORTED_FEATURES`` refuses with
+:class:`UnsupportedTableFeatureError` instead of silently mis-reading
+(e.g. resurrecting DV-deleted rows).  Manifests without the key are
+the base protocol — every pre-r12 table reads unchanged.
 """
 
 from __future__ import annotations
