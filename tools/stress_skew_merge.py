@@ -52,7 +52,11 @@ from binaryx_graph_spark.sources.warehouse import Warehouse  # noqa: E402
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 256_000
     n_buckets = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 16_000
+    # default batch sized so the hot arm FITS one bucket's key space
+    # (~n_rows/n_buckets keys per bucket): 0.9*batch <= 4000 at the
+    # defaults — both arms then merge the SAME row count and the only
+    # variable is the key->bucket distribution
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 4_000
     spark = get_spark("stress-skew-merge")
     root = os.path.join(tempfile.gettempdir(), "bxg_skew_merge")
     shutil.rmtree(root, ignore_errors=True)
