@@ -4587,8 +4587,10 @@ def warehouse_auto_maintenance_certified(
     )
     src = Warehouse(spark, os.path.join(root, "src"))
     src.merge_batch_incremental({"functions": df}, n_buckets=16)
+    # replica bootstrap = filesystem snapshot of the seed (the
+    # cdf_update_images diet pattern): one full-table write, not two
+    shutil.copytree(os.path.join(root, "src"), os.path.join(root, "dst"))
     dst = Warehouse(spark, os.path.join(root, "dst"))
-    dst.merge_batch_incremental({"functions": df}, n_buckets=16)
 
     # trickle-DML waves, each one MOR merge commit, all set-oriented;
     # wave 1 arms the cadence, wave 2's post-apply check fires (the
