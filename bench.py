@@ -163,6 +163,7 @@ MAINTENANCE = [
     "warehouse_auto_maintenance_certified",
     "sql_time_travel_certified",
     "sql_changes_certified",
+    "sql_history_certified",
 ]
 
 

@@ -233,3 +233,68 @@ def sql_changes_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY _change ORDER BY _change
         """,
     )
+
+
+@register(
+    "sql_history_certified",
+    oracle="""
+    SELECT 'manifest' AS kind, CAST(3 AS BIGINT) AS n,
+           CAST(3 AS BIGINT) AS checksum
+    """,
+    tags=("warehouse", "sql"),
+)
+def sql_history_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY as a SQL relation (`sqlapi.run_sql`):
+    ``bxg_history(table)`` binds a view over :meth:`Warehouse.history`
+    — one row per committed version, built from the manifest ledger
+    (O(versions) driver-side, file sizes from the manifest's byte map,
+    never a filesystem LIST storm).
+
+    At data scale: seed from `orders` (v1), a MOR delete (v2), a MOR
+    update (v3); the gate RAISES unless the SQL relation is
+    row-identical to the `history()` lane (version/kind/n_files) and
+    versions are contiguous (seed adopts as v0), then returns the
+    per-kind rollup — 3 manifest versions, version-sum 0+1+2=3 —
+    which replays in DuckDB as a constant (the CONTENT of history is deterministic; file BYTES are
+    encoder-dependent, so the oracle pins structure, the in-gate raise
+    pins lane equality)."""
+    from ..sqlapi import run_sql
+
+    wh, df = _scratch_wh(spark, sf_dir, "bxg_sqlhist_scratch")
+    wh.merge_into(
+        "functions",
+        df.filter(F.col("size") % 3 == 0).select("uid"),
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    wh.merge_into(
+        "functions",
+        df.filter(F.col("size") % 7 == 0).select(
+            "uid", (F.col("size") + 1_000_000).alias("new_size")
+        ),
+        when_matched_update={"size": F.col("s.new_size")},
+        when_not_matched_insert=False,
+    )
+
+    got = sorted(
+        (r["version"], r["kind"], r["n_files"])
+        for r in run_sql(
+            spark, wh,
+            "SELECT version, kind, n_files FROM bxg_history(functions)",
+        ).collect()
+    )
+    want = sorted(
+        (int(h["version"]), h["kind"], int(h["n_files"]))
+        for h in wh.history("functions")
+    )
+    if got != want:
+        raise AssertionError(f"SQL history diverges: {got} vs {want}")
+    first = got[0][0]
+    if [v for v, _, _ in got] != list(range(first, first + len(got))):
+        raise AssertionError(f"versions not contiguous: {got}")
+
+    return run_sql(
+        spark, wh,
+        "SELECT kind, count(*) AS n, sum(version) AS checksum "
+        "FROM bxg_history(functions) GROUP BY kind ORDER BY kind",
+    )

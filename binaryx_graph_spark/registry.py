@@ -59,6 +59,7 @@ _WITNESS_PRIORITY: tuple[str, ...] = (
     # (session views + @v/@ts time travel + bxg_changes relation)
     "warehouse_auto_maintenance_certified",
     "sql_time_travel_certified", "sql_changes_certified",
+    "sql_history_certified",
     # new-in-r11: merge-on-read UPDATE, MOR MERGE INTO, CDF update
     # images, the model-store gate, incremental ANN maintenance, the
     # Cypher upsert arms, the streaming MERGE INTO sink

@@ -6,14 +6,18 @@ or Catalyst extension: the warehouse's tables are registered as session
 temp views (plain DataFrame plans — Catalyst sees the same manifest-
 resolved, DV-filtered, column-mapped scan the DataFrame lane builds, so
 predicate pushdown / column pruning / partition math are inherited, not
-re-implemented), plus two pre-pass rewrites for the surface SQL cannot
-name natively:
+re-implemented), plus three pre-pass rewrites for the surface SQL
+cannot name natively:
 
 * **Time travel**: ``orders@v12`` / ``orders@ts1700000000`` in the
   query text resolve through :meth:`Warehouse.read` (``VERSION AS OF``
   / ``TIMESTAMP AS OF`` semantics — Delta spells it ``table@v12`` in
   path form too).  The token is rewritten to a generated view name
   bound to that pinned read.
+* **Version history**: ``bxg_history(functions)`` is the DESCRIBE
+  HISTORY relation — one row per committed version (version / kind /
+  n_files / bytes / n_buckets), built driver-side from the manifest
+  ledger (bounded by version count, never table rows).
 * **Change feed**: ``bxg_changes(functions, 3)``,
   ``bxg_changes(functions, 3, 7)`` and
   ``bxg_changes(functions, 3, 7, images)`` appear where a relation is
@@ -22,7 +26,7 @@ name natively:
   manifest-diff plan, with ``_change``/``_version`` columns (update
   pre/post images when ``images`` is passed).
 
-Rewrites touch ONLY these two token shapes; everything else is handed
+Rewrites touch ONLY these three token shapes; everything else is handed
 to Spark SQL verbatim (parameter markers included — ``params`` passes
 through to ``spark.sql(args=...)``).  ``snapshot=True`` resolves every
 base view through the newest CATALOG pin (one consistent multi-table
@@ -51,6 +55,10 @@ _CHANGES = re.compile(
     r"\bbxg_changes\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*(\d+)"
     r"(?:\s*,\s*(\d+))?(?:\s*,\s*(images))?\s*\)",
     re.IGNORECASE,
+)
+# bxg_history(table) — DESCRIBE HISTORY as a relation
+_HISTORY = re.compile(
+    r"\bbxg_history\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)", re.IGNORECASE
 )
 
 
@@ -98,6 +106,29 @@ def run_sql(
         return view
 
     rewritten = _CHANGES.sub(_sub_changes, rewritten)
+
+    # --- version-history relations (DESCRIBE HISTORY shape) --------------
+    def _sub_history(m: re.Match) -> str:
+        table = m.group(1)
+        view = f"bxg_history_{table}"
+        rows = wh.history(table)  # bounded by VERSION count, not rows
+        df = spark.createDataFrame(
+            [
+                (
+                    int(r["version"]),
+                    str(r["kind"]),
+                    int(r["n_files"]),
+                    int(r["bytes"]),
+                    None if r.get("n_buckets") is None else int(r["n_buckets"]),
+                )
+                for r in rows
+            ],
+            "version int, kind string, n_files int, bytes long, n_buckets int",
+        )
+        _register(spark, view, df)
+        return view
+
+    rewritten = _HISTORY.sub(_sub_history, rewritten)
 
     # --- time-travel pins ----------------------------------------------
     def _sub_version(m: re.Match) -> str:

@@ -144,3 +144,17 @@ def test_rewrite_leaves_strings_alone(spark, eng):
         "SELECT count(*) AS n FROM functions WHERE name != 'user@vendor'",
     ).collect()[0]["n"]
     assert r == 200
+
+
+def test_history_relation(spark, eng):
+    eng.delete_where("functions", [("size", "<", 50)])
+    rows = eng.sql(
+        "SELECT version, kind, n_files FROM bxg_history(functions) "
+        "ORDER BY version"
+    ).collect()
+    want = [
+        (int(h["version"]), h["kind"], int(h["n_files"]))
+        for h in eng.warehouse.history("functions")
+    ]
+    assert [(r["version"], r["kind"], r["n_files"]) for r in rows] == want
+    assert len(rows) == 3  # init + seed + DV delete
