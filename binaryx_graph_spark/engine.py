@@ -296,6 +296,12 @@ class Engine:
         O(table) purge only when a threshold fires."""
         return self.warehouse.maybe_optimize(table, **kw)
 
+    def auto_maintain(self, table: str, **kw) -> dict | None:
+        """The unattended-maintenance cadence, invokable directly (the
+        same hook `auto_maintenance=k` fires post-commit) — see
+        ``Warehouse.auto_maintain``."""
+        return self.warehouse.auto_maintain(table, **kw)
+
     def dv_stats(self, table: str) -> dict:
         """Merge-on-read debt metrics (metadata-only)."""
         return self.warehouse.dv_stats(table)
