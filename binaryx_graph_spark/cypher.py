@@ -1481,9 +1481,15 @@ class CypherCompiler:
                 .select(*sel)
                 .select(*base_cols)  # restore column order for unionByName
             )
-            ext = _cy_ckpt(ext)
-            if ext.isEmpty():
-                break
+            # cadence-2 checkpoint + emptiness probe (operators/traverse
+            # does the same): each eager checkpoint and isEmpty is one
+            # Spark job at the scheduling floor; recomputing one lazy
+            # level costs less.  An empty odd level flows one lazy
+            # no-row level into the even probe — identical output.
+            if depth % 2 == 0 or depth == hi:
+                ext = _cy_ckpt(ext)
+                if ext.isEmpty():
+                    break
             if depth >= lo:
                 levels.append(ext.withColumn(len_c, F.lit(depth)))
             frontier = ext
@@ -1557,13 +1563,17 @@ class CypherCompiler:
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-            ext = _cy_ckpt(ext)
-            if ext.isEmpty():
-                break
+            # cadence-2 checkpoint + emptiness probe (see the var-length
+            # loop above); visited stays a lazy union of level frames —
+            # each at most one level of lineage deep (addendum 31).
+            if depth % 2 == 0 or depth == hi:
+                ext = _cy_ckpt(ext)
+                if ext.isEmpty():
+                    break
             if depth >= lo:
                 levels.append(ext.withColumn(len_c, F.lit(depth)))
-            visited = _cy_ckpt(
-                visited.unionByName(ext.select(*idcols, F.col(end_c).alias("_to")))
+            visited = visited.unionByName(
+                ext.select(*idcols, F.col(end_c).alias("_to"))
             )
             frontier = ext
         if levels:
@@ -1847,7 +1857,7 @@ class CypherCompiler:
         )
         acc = cur if lo <= 1 else None
         for depth in range(2, hi + 1):
-            cur = _cy_ckpt(
+            cur = (
                 cur.join(edges, F.col("__dst") == F.col("__esrc"))
                 .filter(~F.array_contains(F.col("__eids"), F.col("__eid")))
                 .select(
@@ -1856,6 +1866,9 @@ class CypherCompiler:
                     F.array_append(F.col("__eids"), F.col("__eid")).alias("__eids"),
                 )
             )
+            # per-level checkpoint stays: cur feeds both the next level
+            # and the acc union (traverse.py's consumer-count rule)
+            cur = _cy_ckpt(cur)
             if cur.isEmpty():
                 break
             if depth >= lo:

@@ -220,8 +220,7 @@ def minhash_near_dup(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
     )
-    sh = sh.localCheckpoint(eager=True)  # reused by sigs, sizes, and verify
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = sh.localCheckpoint(eager=True)  # reused by sigs and verify
 
     sigs = sh.withColumn("_dg", F.sha2(F.col("sh"), 256)).groupBy("doc_id").agg(*_sig_aggs())
     bands = lsh_bands(sigs)
@@ -232,19 +231,36 @@ def minhash_near_dup(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify: shingle intersection counted per CANDIDATE pair only —
-    # second join keys on (doc_b, sh) so only matching shingles survive
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # verify on PER-DOC ARRAYS of xxhash64(shingle) — one row per doc —
+    # exactly the jaccard_pairs_prefix verify shape: the old exploded
+    # verify shuffled the shingle-cardinality table TWICE (once per
+    # join key); the array verify shuffles the corpus-cardinality
+    # arrays once and counts the intersection with array_intersect over
+    # int64 (~3× cheaper than strings, measured there).  A 64-bit
+    # collision between two DISTINCT shingles of one candidate pair
+    # (P < 1e-12 corpus-wide) is the only way a value could move, and
+    # the DuckDB gate computes the exact string join and would flag it.
+    # No broadcast hint: AQE picks the build side from runtime stats.
+    hashed = sh.groupBy("doc_id").agg(
+        F.collect_list(F.xxhash64("sh")).alias("_hs"),
+        F.count(F.lit(1)).alias("n_sh"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    aa = hashed.select(
+        F.col("doc_id").alias("doc_a"), F.col("_hs").alias("_ha"), F.col("n_sh").alias("n_a")
+    )
+    bb = hashed.select(
+        F.col("doc_id").alias("doc_b"), F.col("_hs").alias("_hb"), F.col("n_sh").alias("n_b")
+    )
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cand.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_ha", "_hb")).cast("long").alias("n_common"),
+            "n_a",
+            "n_b",
+        )
         .withColumn(
             "jaccard",
             (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).cast("double"),
@@ -330,19 +346,31 @@ def incremental_minhash_near_dup(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
     )
-    sh = sh_new.unionByName(sh_corpus_cand).localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    sh = sh_new.unionByName(sh_corpus_cand)
+    # per-doc hashed-array verify (see minhash_near_dup): one shuffle of
+    # the candidate members' arrays instead of two shuffles of the
+    # exploded shingle table; values identical barring a 64-bit xxhash
+    # collision within one pair (P < 1e-12, gate-checked exactly)
+    hashed = sh.groupBy("doc_id").agg(
+        F.collect_list(F.xxhash64("sh")).alias("_hs"),
+        F.count(F.lit(1)).alias("n_sh"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    aa = hashed.select(
+        F.col("doc_id").alias("doc_a"), F.col("_hs").alias("_ha"), F.col("n_sh").alias("n_a")
+    )
+    bb = hashed.select(
+        F.col("doc_id").alias("doc_b"), F.col("_hs").alias("_hb"), F.col("n_sh").alias("n_b")
+    )
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cand.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_ha", "_hb")).cast("long").alias("n_common"),
+            "n_a",
+            "n_b",
+        )
         .withColumn(
             "jaccard",
             (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).cast("double"),

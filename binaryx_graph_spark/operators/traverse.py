@@ -76,12 +76,21 @@ def reachable(
             .select(F.col("_to").alias("uid"))
             .distinct()
         )
+        # per-level checkpoint stays: nxt has MULTIPLE consumers (next
+        # level's join, every later level's anti-join via visited, and
+        # the output union) — leaving it lazy re-executes its shuffles
+        # in each consumer (measured: MORE jobs, 25 → 31, and slower)
         nxt = _ckpt(nxt.join(visited, "uid", "left_anti"))
         if nxt.isEmpty():
             break
         level = nxt.withColumn("depth", F.lit(depth))
         out = level if out is None else out.unionByName(level)
-        visited = _ckpt(visited.unionByName(nxt))
+        # visited is a union of the checkpointed level frames: lineage
+        # stays ≤ max_depth shallow scans of materialized data, so its
+        # own per-level eager re-materialization was pure job-floor cost
+        # (addendum 31's betweenness fix; measured 2.20 s → 1.88 s min,
+        # 3.17 s → 2.23 s med at sf0.1, output bit-identical)
+        visited = visited.unionByName(nxt)
         frontier = nxt
 
     if out is None:
@@ -167,6 +176,10 @@ def enumerate_paths(
                 F.lit(depth).alias("path_length"),
             )
         )
+        # per-level checkpoint stays: ext feeds BOTH the output union
+        # and the next level's join, and the path-array rows grow with
+        # depth — lazy odd levels re-execute that growing work in every
+        # consumer (measured 1.06× slower with a cadence-2 variant)
         ext = _ckpt(ext)
         if ext.isEmpty():
             break
@@ -233,6 +246,8 @@ def indirect_recursion(
             .select("origin", F.col("_to").alias("cur"))
             .distinct()
         )
+        # per-level checkpoint stays: pairs feeds the next level AND the
+        # depth-tagged hits filter (see reachable's consumer-count rule)
         pairs = _ckpt(pairs)
         if pairs.isEmpty():
             break
