@@ -223,10 +223,17 @@ def minhash_near_dup(
     sh = sh.localCheckpoint(eager=True)  # reused by sigs and verify
 
     sigs = sh.withColumn("_dg", F.sha2(F.col("sh"), 256)).groupBy("doc_id").agg(*_sig_aggs())
-    bands = lsh_bands(sigs)
+    # candidate self-join keys on xxhash64(band_id, band_hash): the
+    # exchange ships one int64 per row instead of the 64-char sha256
+    # string (guide §2.3 narrower types).  A 64-bit key collision can
+    # only ADD a candidate pair, which the exact verify culls — output
+    # provably unchanged.  lsh_bands itself keeps the sha256 band_hash:
+    # it is the persisted index artifact's key and the band-estimate
+    # query's oracle-replayed value.
+    bands = lsh_bands(sigs).select("doc_id", F.xxhash64("band_id", "band_hash").alias("_bk"))
     cand = (
         bands.alias("x")
-        .join(bands.alias("y"), ["band_id", "band_hash"])
+        .join(bands.alias("y"), "_bk")
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
@@ -668,10 +675,22 @@ def jaccard_pairs_prefix(
     Correctness is gate-verified: the DuckDB oracle computes the naive
     all-pairs join and the value hash must match.
     """
+    # r12 (guide §2.3, narrower types): shingles hash to int64 AT THE
+    # EXPLODE, so the checkpoint, the frequency groupBy, the join back,
+    # and the struct sort all move/compare 8-byte ints instead of n-gram
+    # strings.  Collision exposure is UNCHANGED from the previous shape
+    # (which already verified on xxhash64 arrays): a 64-bit collision
+    # inside one candidate pair (P < 1e-12 corpus-wide) is the only way
+    # a value could move, and the DuckDB gate computes the exact string
+    # join and would flag it.  Ordering ties now break by hash instead
+    # of by string — a different but still TOTAL order, and the prefix
+    # filter theorem holds for any fixed total order, so the candidate
+    # set stays a provable superset and the exact verify yields the
+    # same output.
     sh = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
-    )
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("_s"),
+    ).select("doc_id", F.xxhash64("_s").alias("sh"))
     sh = sh.localCheckpoint(eager=True)
 
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
@@ -690,10 +709,6 @@ def jaccard_pairs_prefix(
     )
     n_docs = doc_arrays.count()
 
-    # candidate key = xxhash64 of the prefix shingle: the equality join
-    # shuffles 8-byte ints instead of shingle strings (~3× fewer bytes);
-    # a 64-bit collision can only ADD a candidate pair, which the exact
-    # verify below culls — the output is provably unchanged
     prefix = doc_arrays.select(
         "doc_id",
         "n_sh",
@@ -703,8 +718,8 @@ def jaccard_pairs_prefix(
                 1,
                 (F.floor((1 - F.lit(threshold)) * F.col("n_sh")) + 1).cast("int"),
             )
-        ).alias("_pos", "sh"),
-    ).select("doc_id", "n_sh", "_pos", F.xxhash64("sh").alias("shh"))
+        ).alias("_pos", "shh"),
+    )
 
     # length filter rides the equality join: t·|A| ≤ |B| ≤ |A|/t
     # (double×count comparisons only — no division, no rounding hazard)
@@ -731,19 +746,12 @@ def jaccard_pairs_prefix(
         .distinct()
     )
 
-    # verify on per-doc arrays of xxhash64(shingle) (corpus-cardinality,
-    # one row per doc): array_intersect over int64 is ~3× cheaper than
-    # over strings (measured) and the count equals the exact string
-    # intersection unless two distinct shingles of one pair collide in
-    # 64 bits (P < 1e-12 corpus-wide; the DuckDB gate computes the exact
-    # string join and would flag it).  Broadcast only when the corpus
-    # side is small (test scale); at cluster scale the candidate side is
-    # the smaller relation and AQE picks the build side.
-    hashed = doc_arrays.select(
-        "doc_id",
-        F.transform("_shs", lambda s: F.xxhash64(s)).alias("_hs"),
-        "n_sh",
-    )
+    # verify on the per-doc int64 arrays (corpus-cardinality, one row
+    # per doc) — _shs is ALREADY hashed, so the verify side ships as-is.
+    # Broadcast only when the corpus side is small (test scale); at
+    # cluster scale the candidate side is the smaller relation and AQE
+    # picks the build side.
+    hashed = doc_arrays.select("doc_id", F.col("_shs").alias("_hs"), "n_sh")
     aa = hashed.select(
         F.col("doc_id").alias("doc_a"), F.col("_hs").alias("_ha"), F.col("n_sh").alias("n_a")
     )
@@ -808,10 +816,13 @@ def containment_pairs_prefix(
 
     frac = Fraction(threshold).limit_denominator(1_000_000)
     num, den = frac.numerator, frac.denominator
+    # r12: int64 shingles at the explode (see jaccard_pairs_prefix —
+    # same narrower-types rationale, same unchanged collision exposure,
+    # same any-total-order prefix-filter argument)
     sh = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
-    )
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("_s"),
+    ).select("doc_id", F.xxhash64("_s").alias("sh"))
     sh = sh.localCheckpoint(eager=True)
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     doc_arrays = (
@@ -837,13 +848,9 @@ def containment_pairs_prefix(
                 # ⌊(1−t)·n⌋ + 1 computed in exact integers: (n·(den−num)) div den
                 (F.expr(f"(n_sh * {den - num}) div {den}") + 1).cast("int"),
             )
-        ).alias("sh"),
-    ).select("doc_id", "n_sh", F.xxhash64("sh").alias("shh"))
-    full = doc_arrays.select(
-        "doc_id",
-        "n_sh",
-        F.explode(F.transform("_shs", lambda s: F.xxhash64(s))).alias("shh"),
+        ).alias("shh"),
     )
+    full = doc_arrays.select("doc_id", "n_sh", F.explode("_shs").alias("shh"))
     cand = (
         prefix.alias("x")
         .join(full.alias("y"), "shh")
@@ -857,9 +864,7 @@ def containment_pairs_prefix(
         .distinct()
     )
 
-    hashed = doc_arrays.select(
-        "doc_id", F.transform("_shs", lambda s: F.xxhash64(s)).alias("_hs"), "n_sh"
-    )
+    hashed = doc_arrays.select("doc_id", F.col("_shs").alias("_hs"), "n_sh")
     aa = hashed.select(
         F.col("doc_id").alias("doc_sub"), F.col("_hs").alias("_ha"), F.col("n_sh").alias("n_sub")
     )

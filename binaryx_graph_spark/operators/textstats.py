@@ -1256,20 +1256,40 @@ def classifier_score(
 def _design_matrix(
     docs: DataFrame, id_col: str, text_col: str, label_col: str, pos_label: str
 ) -> DataFrame:
-    """(doc_id, y, bucket, cnt): the hashed-feature design matrix shared
-    by training and evaluation — built once, checkpointed (at 100 TB
-    this persists to storage and every epoch/eval pass streams it)."""
+    """(doc_id, y, bks: array<int>) — the hashed-feature design matrix
+    ONE ROW PER DOC, as the raw per-token bucket sequence; built once,
+    checkpointed (at 100 TB this persists to storage and every
+    epoch/eval pass streams it).  The per-doc array layout (r12, guide
+    §2.4) makes the BUILD a pure projection — tokenize + one sha2 per
+    token, ZERO exchanges (the old (doc, bucket, cnt) shape paid an
+    explode + groupBy shuffle) — and lets scoring run IN-ROW against a
+    CLS_DIM-element weight literal: Σ_tokens w[bucket] ≡ Σ_buckets
+    cnt·w[bucket], exact int64 either way.  Zero-token docs are excluded
+    exactly as the explode used to."""
     y = F.when(F.col(label_col) == F.lit(pos_label), F.lit(1)).otherwise(F.lit(-1))
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),
             y.cast("long").alias("y"),
-            F.explode(tokens(F.col(text_col))).alias("tok"),
+            F.transform(tokens(F.col(text_col)), lambda t: _tok_bucket(t)).alias("bks"),
         )
-        .select("doc_id", "y", _tok_bucket(F.col("tok")).alias("bucket"))
-        .groupBy("doc_id", "y", "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.size("bks") > 0)
         .localCheckpoint(eager=True)
+    )
+
+
+def _score_expr(w: list[int]) -> Column:
+    """Per-doc score Σ_tokens w[bucket] as an IN-ROW int64 fold over the
+    bucket sequence against the weight literal — exact whatever the
+    element order, so it equals the old broadcast-join + groupBy
+    Σ cnt·w bit for bit.  ONE F.expr parse for the whole array: 256
+    individual F.lit calls cost 256 py4j round-trips per epoch (~0.6 s
+    of pure driver plan-build, measured)."""
+    w_arr = F.expr("array(" + ",".join(f"{int(v)}L" for v in w) + ")")
+    return F.aggregate(
+        "bks",
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(w_arr, b + 1),
     )
 
 
@@ -1305,35 +1325,39 @@ def classifier_train(
     Returns (bucket, w_final): CLS_DIM rows.
     """
     tb = _design_matrix(docs, id_col, text_col, label_col, pos_label)
-    return _train_epochs(docs.sparkSession, tb, epochs)
+    w = _train_epochs(tb, epochs)
+    return docs.sparkSession.createDataFrame(
+        [(b, int(v)) for b, v in enumerate(w)], "bucket int, w_final long"
+    ).orderBy("bucket")
 
 
-def _train_epochs(spark: SparkSession, tb: DataFrame, epochs: int) -> DataFrame:
+def _train_epochs(tb: DataFrame, epochs: int) -> list[int]:
     """The perceptron epoch loop over a prebuilt (checkpointed) design
     matrix — shared by :func:`classifier_train` and
     :func:`classifier_eval` so the evaluator never rebuilds the matrix
-    (one explode+groupBy pass over the corpus, the dominant cost)."""
-    w = spark.range(CLS_DIM).select(
-        F.col("id").cast("int").alias("bucket"), F.lit(0).cast("long").alias("w")
-    )
+    (one explode+groupBy pass over the corpus, the dominant cost).
+
+    r12 shape (guide §2.4): weights live as a CLS_DIM Python list — a
+    model artifact like the IVF codebook, bounded by the constant
+    CLS_DIM, never by data — so each epoch is ONE Spark job: score
+    in-row (:func:`_score_expr`), filter the misclassified docs, explode
+    their feats, one partial-aggregated per-bucket gradient shuffle,
+    collect ≤ CLS_DIM rows.  The old shape paid a broadcast build, a
+    per-doc score shuffle, a semi-join, and an eager weight checkpoint
+    per epoch (~8 jobs each); arithmetic is int64 either way, so the
+    final weights are bit-identical."""
+    w = [0] * CLS_DIM
     for _ in range(epochs):
-        scores = (
-            tb.join(F.broadcast(w), "bucket")
-            .groupBy("doc_id", "y")
-            .agg(F.sum(F.col("cnt") * F.col("w")).alias("s"))
-        )
-        miscl = scores.filter(F.col("y") * F.col("s") <= 0).select("doc_id")
         grad = (
-            tb.join(miscl, "doc_id", "left_semi")
+            tb.filter(F.col("y") * _score_expr(w) <= 0)
+            .select("y", F.explode("bks").alias("bucket"))
             .groupBy("bucket")
-            .agg(F.sum(F.col("cnt") * F.col("y")).alias("g"))
+            .agg(F.sum("y").alias("g"))  # Σ_instances y ≡ Σ_buckets cnt·y
+            .collect()  # ≤ CLS_DIM rows — the model update, not data
         )
-        w = (
-            w.join(grad, "bucket", "left")
-            .select("bucket", (F.col("w") + F.coalesce(F.col("g"), F.lit(0))).alias("w"))
-            .localCheckpoint(eager=True)  # O(1) lineage per epoch
-        )
-    return w.select("bucket", F.col("w").alias("w_final")).orderBy("bucket")
+        for r in grad:
+            w[r["bucket"]] += int(r["g"])
+    return w
 
 
 def _sql_train_ctes(
@@ -1415,14 +1439,10 @@ def classifier_eval(
     excluded on both engines.  The checkpointed design matrix is built
     ONCE and shared between the training epochs and the scoring pass."""
     tb = _design_matrix(docs, id_col, text_col, label_col, pos_label)
-    w = _train_epochs(docs.sparkSession, tb, epochs)
-    scored = (
-        tb.join(
-            F.broadcast(w.select("bucket", F.col("w_final").alias("w"))), "bucket"
-        )
-        .groupBy("doc_id", "y")
-        .agg(F.sum(F.col("cnt") * F.col("w")).alias("s"))
-    )
+    w = _train_epochs(tb, epochs)
+    # scoring is in-row over the same checkpointed matrix (one row per
+    # doc already — no join, no shuffle); y*s semantics unchanged
+    scored = tb.select("doc_id", "y", _score_expr(w).alias("s"))
     pos, s = F.col("y") == 1, F.col("s") > 0
     flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
     return scored.agg(
@@ -1744,83 +1764,92 @@ def bm25_topk(
     exact int64 sum — order-independent — and idf's ln() runs on the
     driver with libm (bit-identical to DuckDB's ln).
 
-    Scale design: per-doc length dl = size(tokens(text)) is a pure
-    PROJECTION (no shuffle) carried through the explode; tf rows are
-    fenced to query terms by a broadcast semi-join BEFORE the (doc,
-    term) aggregate, so the only corpus-sized shuffle is over documents
-    actually containing a query term; df/N/avgdl are three scalar-ish
-    aggregates (df ≤ |query| rows collected).  Top-k via
-    TakeOrderedAndProject on (score DESC, doc_id).
+    Scale design (r12, guide §2.3/§2.4): the query has a FIXED handful
+    of terms, so per-doc term frequencies are a pure PROJECTION — one
+    ``size(filter(toks, = term))`` per query term — never an explode.
+    ONE tokenize pass builds the checkpointed (doc_id, dl, tfs) frame
+    (the old shape tokenized the corpus three times: the N/avgdl
+    aggregate, the tf shuffle, and the un-checkpointed tf re-derived in
+    the scoring job); N/avgdl/df then come from one aggregate over it
+    (df ≤ |query| values collected), and scoring is shuffle-FREE: the
+    per-doc int64 total is an in-row ``zip_with``+``aggregate`` against
+    the |query|-element idf literal, topped by TakeOrderedAndProject on
+    (score DESC, doc_id).  Zero exchanges end to end.
     """
     import math
 
     scale = float(SURPRISAL_SCALE)
     spark = docs.sparkSession
     qterms = sorted(set(query_terms))
-    qdf = spark.createDataFrame([(t,) for t in qterms], "tok string")
 
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
-    )
-    n_total = base.agg(
+    def _count_of(term: str):
+        # closure (not a default arg: pyspark reads lambda ARITY to pick
+        # the (element) vs (element, index) calling convention)
+        return lambda x: x == F.lit(term)
+
+    toks = tokens(F.col(text_col))
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        F.array(
+            *[F.size(F.filter(toks, _count_of(t))) for t in qterms]
+        ).alias("tfs"),
+    ).localCheckpoint(eager=True)  # the ONE corpus tokenize pass
+
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.size("_toks")), F.lit(0)).alias("tot"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("tot"),
+        *[
+            F.sum(F.when(F.col("tfs")[i] > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(qterms))
+        ],
     ).collect()[0]
-    n_docs, tot_tokens = int(n_total["n"]), int(n_total["tot"])
+    n_docs, tot_tokens = int(stats["n"]), int(stats["tot"])
     if n_docs == 0:
         # empty corpus: mirror the twin's empty CTE chain, never a
         # ZeroDivisionError on avgdl
         return spark.createDataFrame([], "doc_id long, score_fp long, score double")
     avgdl = tot_tokens / n_docs  # same IEEE division as the twin
 
-    tf = (
-        base.select("doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("tok"))
-        .join(F.broadcast(qdf), "tok")
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-    )
-    df_counts = {
-        r["tok"]: r["_df"]
-        for r in tf.groupBy("tok").agg(F.count(F.lit(1)).alias("_df")).collect()
-    }
-    idf_rows = [
-        (
-            t,
-            int(
-                math.floor(
-                    math.log(((n_docs - df) + 0.5) / (df + 0.5) + 1.0) * scale + 0.5
-                )
-            ),
-        )
-        for t, df in sorted(df_counts.items())
-    ]
-    if not idf_rows:
+    dfs = [int(stats[f"df_{i}"]) for i in range(len(qterms))]
+    if not any(dfs):
+        # no query term occurs anywhere — the old idf frame was empty
         return spark.createDataFrame([], "doc_id long, score_fp long, score double")
-    idf = spark.createDataFrame(idf_rows, "tok string, idf_fp long")
+    # idf in the driver with libm, exactly as before; a df=0 term keeps
+    # idf_fp=0 — its tf is 0 in every doc, so its contribution row
+    # floor(0·x + 0.5) = 0 matches the old inner join dropping it
+    idf_fp = [
+        int(math.floor(math.log(((n_docs - df) + 0.5) / (df + 0.5) + 1.0) * scale + 0.5))
+        if df > 0
+        else 0
+        for df in dfs
+    ]
+    idf_arr = F.array(*[F.lit(v).cast("long") for v in idf_fp])
 
-    contrib = (
-        tf.join(F.broadcast(idf), "tok")
-        .select(
-            "doc_id",
-            F.floor(
-                F.col("idf_fp")
-                * (
-                    (F.col("tf") * F.lit(k1 + 1.0))
-                    / (
-                        F.col("tf")
-                        + F.lit(k1)
-                        * (F.lit(1.0 - b) + (F.lit(b) * F.col("dl")) / F.lit(avgdl))
-                    )
-                )
-                + F.lit(0.5)
+    # per-(doc, term) contribution: the IDENTICAL float expression the
+    # (doc, term)-row shape used — same operand order, same 2^-12 grid —
+    # evaluated in-row over the tf vector; tf=0 terms contribute
+    # floor(idf·0 + 0.5) = 0, so the int64 per-doc total is unchanged
+    c_fp = F.zip_with(
+        "tfs",
+        idf_arr,
+        lambda tf, idf: F.floor(
+            idf
+            * (
+                (tf * F.lit(k1 + 1.0))
+                / (tf + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * F.col("dl")) / F.lit(avgdl)))
             )
-            .cast("long")
-            .alias("c_fp"),
-        )
+            + F.lit(0.5)
+        ).cast("long"),
     )
     return (
-        contrib.groupBy("doc_id")
-        .agg(F.sum("c_fp").cast("long").alias("score_fp"))
+        per_doc.filter(F.exists("tfs", lambda x: x > 0))  # = old inner tf join
+        .select(
+            "doc_id",
+            F.aggregate(c_fp, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+                "score_fp"
+            ),
+        )
         .select(
             "doc_id",
             "score_fp",

@@ -142,6 +142,15 @@ def enumerate_paths(
     e = e.withColumn("_eid", F.concat_ws("→", "_from", "_to"))
     if members is not None:
         e = e.join(members.select(F.col("uid").alias("_to")), "_to", "left_semi")
+    # r12 (guide §2.4): carry the DESTINATION node's display columns on
+    # the edge row — the per-level loop then joins the frontier against
+    # this one materialized frame only.  The old shape joined `fn`
+    # inside every level, re-deriving the (un-checkpointed) functions
+    # frame once per depth; same inner-join semantics, one join and
+    # zero re-derivations per level.
+    e = e.join(fn, F.col("_to") == fn._fuid).select(
+        "_from", "_to", "_off", "_eid", "_fname", "_faddr"
+    )
     e = _ckpt(e)  # one materialization; levels re-join this, not the lineage
 
     seed_nodes = seeds.select("uid").distinct().join(fn, F.col("uid") == fn._fuid).select(
@@ -165,7 +174,6 @@ def enumerate_paths(
         ext = (
             frontier.join(e, frontier.end_uid == e._from)
             .filter(~F.array_contains("_eids", F.col("_eid")))
-            .join(fn, F.col("_to") == fn._fuid)
             .select(
                 "start_uid",
                 F.col("_to").alias("end_uid"),
