@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 from ..sources.model_store import ModelStore
 from ..sources.warehouse import Warehouse
-from .similarity import _py_cosine, _py_sqrt_norm, dot, ivf_assign, norm_sq
+from .similarity import _lit_vec, _py_cosine, _py_sqrt_norm, dot, ivf_assign, norm_sq
 
 INDEX_TABLE = "_ivf_assignments"
 
@@ -185,7 +185,7 @@ def cosine_topk_ivf_index(
     qn = _py_sqrt_norm(qv)
     scored = sorted(((-_py_cosine(qv, qn, c), cid) for cid, c in codebook.items()))
     probe_ids = [cid for _negcos, cid in scored[:n_probe]]
-    lit_q = F.array(*[F.lit(x) for x in qv])
+    lit_q = _lit_vec(qv)  # one parse, not dim py4j round-trips
     lists = wh.scan(
         INDEX_TABLE,
         [("corpus", "=", corpus), ("centroid_id", "in", probe_ids)],

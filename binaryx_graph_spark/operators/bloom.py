@@ -75,7 +75,10 @@ def bloom_bitmap(keys: DataFrame, key_col: str, *, k: int = K_HASHES) -> list[in
 def in_bloom(key_col: str, bitmap: list[int], *, k: int = K_HASHES) -> Column:
     """Membership predicate against a literal bitmap — a pure projection
     (no join, no shuffle); stays inside whole-stage codegen."""
-    words = F.array(*[F.lit(int(w)) for w in bitmap])
+    # ONE parsed expression for the 256-word bitmap literal: individual
+    # F.lit() calls are one py4j round-trip each of driver plan-build
+    # (the r12 classifier/IVF lesson)
+    words = F.expr("array(" + ",".join(f"{int(w)}L" for w in bitmap) + ")")
     cond = F.lit(True)
     for j in range(k):
         pos = F.expr(_pos_sql(key_col, j))

@@ -1423,41 +1423,46 @@ def cdc_chunks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     identical RFC 1321 hex (the portable-hash constraint; xxhash64 has
     no DuckDB twin).
 
-    Scale design: ONE doc_id shuffle — the boundary-prefix-count window
-    (rows-frame running sum) and the per-chunk reassembly groupBy share
-    the same (doc_id) hash partitioning; chunk sizes are geometric
-    (mean 16 tokens), so per-group state is tiny and skew-free."""
-    from pyspark.sql.window import Window
-
+    Scale design (r12, guide §2.4): chunking is PER-DOCUMENT, so it is
+    a pure PROJECTION — boundary positions from one indexed array scan,
+    chunks as in-row slices of the token array, one posexplode.  ZERO
+    exchanges (the previous shape shuffled the exploded token table
+    twice: a doc_id window sort for the running boundary count, then a
+    (doc_id, chunk_id) groupBy to reassemble).  chunk_id = number of
+    boundary tokens strictly before the chunk — identical to the old
+    running sum; chunk sizes are geometric (mean 16 tokens), so the
+    slice work per doc is O(tokens)."""
     from .textstats import tokens
 
-    pos = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk")
     )
-    flag = (F.substring(F.md5("tok"), 32, 1) == CDC_BOUNDARY_NIBBLE).cast("long")
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # 0-based indices of boundary tokens (a boundary token ENDS a chunk)
+    bidx = F.filter(
+        F.transform(
+            F.col("_tk"),
+            lambda t, i: F.when(
+                F.substring(F.md5(t), 32, 1) == CDC_BOUNDARY_NIBBLE, i
+            ).otherwise(F.lit(-1)),
+        ),
+        lambda v: v >= 0,
     )
-    chunked = pos.select(
-        "doc_id",
-        "pos",
-        "tok",
-        F.coalesce(F.sum(flag).over(w), F.lit(0)).alias("chunk_id"),
+    starts = F.concat(F.array(F.lit(0)), F.transform(bidx, lambda b: b + 1))
+    ends = F.concat(F.transform(bidx, lambda b: b + 1), F.array(F.size("_tk")))
+    spans = F.filter(
+        F.zip_with(starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))),
+        lambda c: c["e"] > c["s"],  # drop the empty trailing span
+    )
+    chunk_toks = F.transform(
+        spans, lambda c: F.slice(F.col("_tk"), c["s"] + 1, c["e"] - c["s"])
     )
     return (
-        chunked.groupBy("doc_id", "chunk_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s.getField("tok"),
-                ),
-                " ",
-            ).alias("chunk_text"),
+        base.select("doc_id", F.posexplode(chunk_toks).alias("chunk_id", "_ct"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size("_ct").cast("long").alias("n_tokens"),
+            F.array_join("_ct", " ").alias("chunk_text"),
         )
         .withColumn("chunk_md5", F.md5("chunk_text"))
         .select("doc_id", "chunk_id", "n_tokens", "chunk_md5", "chunk_text")

@@ -31,6 +31,16 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _lit_vec(vals) -> Column:
+    """Literal double-array column from ONE parsed expression.  N
+    individual F.lit() calls cost N py4j round-trips of pure driver
+    plan-build — at dim 64 × 8 centroids that was ~1 s per IVF query,
+    measured (r12).  repr() is Python's shortest round-trip decimal and
+    Spark's D-suffixed literal parses via Double.parseDouble, so every
+    parsed element is bit-equal to the Python float (verified)."""
+    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")")
+
+
 def dot(a: Column, b: Column) -> Column:
     """In-order fold dot product (deterministic summation order)."""
     return F.aggregate(
@@ -328,7 +338,7 @@ def _argmax_centroid(vec_col: Column, codebook: dict[int, list[float]]) -> Colum
     n_v = F.sqrt(norm_sq(vec_col))
     entries = []
     for cid, c in sorted(codebook.items()):
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        lit_c = _lit_vec(c)
         cos_k = (dot(vec_col, lit_c) / (n_v * F.lit(_py_sqrt_norm(c)))).cast("double")
         entries.append(
             F.struct(
@@ -575,7 +585,7 @@ def cosine_topk_ivf(
         ((-_py_cosine(qv, qn, c), cid) for cid, c in codebook.items())
     )  # cos DESC, centroid_id ASC — the oracle's row_number ordering
     probe_ids = [cid for _negcos, cid in scored[:n_probe]]
-    lit_q = F.array(*[F.lit(x) for x in qv])
+    lit_q = _lit_vec(qv)
     cand = embeddings if where is None else embeddings.filter(where)
     assigned = ivf_assign(cand, codebook, id_col=id_col, vec_col=vec_col)
     return (
@@ -840,7 +850,7 @@ def cosine_topk_ivf_lists(
     qn = _py_sqrt_norm(qv)
     scored = sorted(((-_py_cosine(qv, qn, c), cid) for cid, c in codebook.items()))
     probe_ids = [cid for _negcos, cid in scored[:n_probe]]
-    lit_q = F.array(*[F.lit(x) for x in qv])
+    lit_q = _lit_vec(qv)
     lists = spark.read.parquet(lists_path).filter(F.col("centroid_id").isin(probe_ids))
     if exclude_id is not None:
         lists = lists.filter(F.col(id_col) != exclude_id)
@@ -1172,7 +1182,7 @@ def cosine_topk_pq(
         n_v = F.sqrt(norm_sq(sv))
         entries = []
         for cid, c in sorted(book.items()):
-            lit_c = F.array(*[F.lit(float(x)) for x in c])
+            lit_c = _lit_vec(c)
             cos_k = (dot(sv, lit_c) / (n_v * F.lit(_py_sqrt_norm(c)))).cast("double")
             entries.append(
                 F.struct(
