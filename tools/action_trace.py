@@ -53,13 +53,14 @@ def _wrap(cls, meth):
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    runs = 1
-    if "--runs" in sys.argv:
-        runs = int(sys.argv[sys.argv.index("--runs") + 1])
-        args = [a for a in args if a != str(runs)]
-    qname = args[0]
-    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("query")
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument("--runs", type=int, default=1)
+    ns = ap.parse_args()
+    qname, sf_dir, runs = ns.query, ns.sf_dir, ns.runs
 
     for m in ("localCheckpoint", "count", "collect", "toPandas", "first", "take"):
         _wrap(DataFrame, m)
