@@ -17,7 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from binaryx_graph_spark.registry import load_all
-from binaryx_graph_spark.session import get_spark
+from binaryx_graph_spark.session import default_parallelism, get_spark
 
 # Headline set: scan+agg, multi-join, window, search, traversal, and the
 # north-star pipeline ops — one per operator family.
@@ -321,6 +321,15 @@ def main() -> None:
                 # maintenance surface: tracked in MAINTBENCH_r{N}.json,
                 # summarized here so one line still tells the story
                 "maintenance_total": maint["value"],
+                # effective parallelism: $SPARK_GRAFT_CPUS drives both
+                # local[N] and shuffle.partitions (session.py); emitted
+                # so the scaling probe can verify the env contract was
+                # honored instead of inferring it from ratios (the r12
+                # false flag: sf0.1 is job-floor-bound, so 8-core and
+                # 32-core totals tie and the probe suspected the env
+                # var was ignored)
+                "cpus": default_parallelism(),
+                "master": spark.sparkContext.master,
                 # host-speed + per-job-floor probes (_calibrate /
                 # _floor_probe): decompose deltas before calling
                 # anything a regression
