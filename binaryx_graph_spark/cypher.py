@@ -1481,12 +1481,19 @@ class CypherCompiler:
                 .select(*sel)
                 .select(*base_cols)  # restore column order for unionByName
             )
-            # cadence-2 checkpoint + emptiness probe (operators/traverse
-            # does the same): each eager checkpoint and isEmpty is one
-            # Spark job at the scheduling floor; recomputing one lazy
-            # level costs less.  An empty odd level flows one lazy
-            # no-row level into the even probe — identical output.
-            if depth % 2 == 0 or depth == hi:
+            # Per-level checkpoint + emptiness probe EXCEPT at the final
+            # depth (r13, settles VERDICT r12 #3): a non-final ext has
+            # TWO consumers (levels output + next frontier), so leaving
+            # it lazy re-executes its join per consumer — the r12
+            # cadence-2 variant did exactly that for odd levels and the
+            # driver's cold run measured cypher_varlen_rel_pred 1.14×
+            # slower (traverse.enumerate_paths measured the same shape
+            # 1.06× slower and never adopted cadence-2).  The FINAL
+            # level has ONE consumer (the output union), and the loop
+            # ends regardless of its emptiness — its eager checkpoint
+            # and isEmpty were 2 jobs plus a full materialization pass
+            # of the deepest (largest) path frame, for nothing.
+            if depth < hi:
                 ext = _cy_ckpt(ext)
                 if ext.isEmpty():
                     break
@@ -1524,8 +1531,10 @@ class CypherCompiler:
     ) -> DataFrame:
         """shortestPath BFS: min-depth frontier with per-(row, node)
         visited pruning, ONE deterministic path per endpoint pair (ties
-        broken on the lexicographically smallest uid sequence — Neo4j
-        picks an arbitrary shortest path; we pick a stable one)."""
+        broken on the lexicographically smallest uid sequence, then the
+        smallest edge-offsets array — a TOTAL order, so the surviving
+        path is fully determined; Neo4j picks an arbitrary shortest
+        path, we pick a stable one)."""
         from pyspark.sql.window import Window
 
         nodes_c, offs_c, eids_c, end_c = acc
@@ -1557,19 +1566,26 @@ class CypherCompiler:
                 .select(*base_cols)
             )
             key = F.array_join(F.transform(F.col(nodes_c), lambda x: x["uid"]), "→")
-            w = Window.partitionBy(*idcols, end_c).orderBy(key.asc())
+            # TOTAL order (r13, ADVICE): multi-edges (same src/dst,
+            # different offset) tie on the uid sequence; the offsets
+            # array breaks the tie so the one surviving row is fully
+            # determined, not a shuffle-fetch-order accident.
+            w = Window.partitionBy(*idcols, end_c).orderBy(key.asc(), F.col(offs_c).asc())
             ext = (
                 ext.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-            # cadence-2 checkpoint + emptiness probe (see the var-length
-            # loop above); visited stays a lazy union of level frames —
-            # each at most one level of lineage deep (addendum 31).
-            if depth % 2 == 0 or depth == hi:
-                ext = _cy_ckpt(ext)
-                if ext.isEmpty():
-                    break
+            # EVERY level checkpoints here (r13, ADVICE — unlike the
+            # var-length loop's cadence-2): ext has THREE consumers
+            # (levels output, visited union, next frontier), and the
+            # consumer-count rule the other loops cite says a lazy
+            # frame re-executed per consumer must be materialized —
+            # here it also guarantees all three see the SAME window
+            # tie winners.
+            ext = _cy_ckpt(ext)
+            if ext.isEmpty():
+                break
             if depth >= lo:
                 levels.append(ext.withColumn(len_c, F.lit(depth)))
             visited = visited.unionByName(

@@ -112,7 +112,12 @@ def pagerank_fixed(
         # checkpoint is an extra materialization job, and two rounds of
         # lineage is still cheap to recompute — measured 3.0s -> 2.0s
         # warm at sf0.1 with bit-identical ranks (integer math is
-        # checkpoint-cadence independent)
+        # checkpoint-cadence independent).  r13: skipping the LAST
+        # checkpoint (single consumer) was tried and REVERTED — min
+        # wall regressed 1.10-1.15× in two interleaved A/Bs (medians
+        # improved 0.95-1.02, i.e. ambiguous), and the driver grades
+        # min-of-3; the other frontier loops show clear wins from the
+        # same change, this one does not.
         if (i + 1) % 2 == 0 or i == iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
@@ -513,7 +518,11 @@ def label_propagation(edges: DataFrame, *, rounds: int = 4) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("v", "lbl")
         )
-        if (i + 1) % 2 == 0 or i == rounds - 1:
+        # cadence-2 checkpoint EXCEPT the last round (r13): the final
+        # labels frame has one consumer (the output select) — its eager
+        # checkpoint was an extra materialization pass + job; the final
+        # action computes the ≤2 trailing lazy rounds once.
+        if (i + 1) % 2 == 0 and i != rounds - 1:
             labels = labels.localCheckpoint(eager=True)
     return labels.select(F.col("v").alias("node"), F.col("lbl").alias("community"))
 
@@ -565,7 +574,11 @@ def community_modularity(edges: DataFrame, *, rounds: int = 4) -> DataFrame:
     rollup.  ``m`` is one scalar ``count()`` (driver-side by design,
     like PageRank's ``n``).
     """
-    labels = label_propagation(edges, rounds=rounds)
+    # labels is consumed THREE times below (la, lb, per_c) — materialize
+    # it here now that label_propagation leaves its final round lazy
+    # (r13; the checkpoint moved from inside LPA to this multi-consumer
+    # call site, per the consumer-count rule)
+    labels = label_propagation(edges, rounds=rounds).localCheckpoint(eager=True)
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     und = (
         e.filter(F.col("src") != F.col("dst"))
@@ -1048,10 +1061,17 @@ def scc_bounded(
             .select("u", F.col("dst").alias("w"))
             .distinct()
             .join(reach, ["u", "w"], "left_anti")
-            .localCheckpoint(eager=True)
         )
-        if frontier.isEmpty():
-            break
+        # the FINAL round's frontier has ONE consumer (the reach union
+        # below; no later round reads it) and the loop ends regardless
+        # of its emptiness — skip its eager checkpoint + isEmpty
+        # (2 jobs + one materialization pass of the largest frontier,
+        # r13).  Non-final rounds keep both: the frontier feeds the
+        # next round's join AND the reach union.
+        if _d < max_depth - 1:
+            frontier = frontier.localCheckpoint(eager=True)
+            if frontier.isEmpty():
+                break
         # reach stays materialized per round: it is re-read by EVERY
         # later round's anti-join and twice by the final mutual
         # semi-join — a lazy-union variant re-scanned the union per

@@ -37,8 +37,23 @@ def _lit_vec(vals) -> Column:
     plan-build — at dim 64 × 8 centroids that was ~1 s per IVF query,
     measured (r12).  repr() is Python's shortest round-trip decimal and
     Spark's D-suffixed literal parses via Double.parseDouble, so every
-    parsed element is bit-equal to the Python float (verified)."""
-    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")")
+    parsed element is bit-equal to the Python float (verified).
+
+    Non-finite guard (r13, ADVICE): repr(nan/inf) renders 'nanD'/'infD',
+    which Spark would parse as an unresolved column reference — emit the
+    SQL double('NaN')/double('Infinity') forms for those elements."""
+
+    def _elt(x) -> str:
+        x = float(x)
+        if x != x:
+            return "double('NaN')"
+        if x == float("inf"):
+            return "double('Infinity')"
+        if x == float("-inf"):
+            return "double('-Infinity')"
+        return f"{x!r}D"
+
+    return F.expr("array(" + ",".join(_elt(x) for x in vals) + ")")
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -76,13 +76,20 @@ def reachable(
             .select(F.col("_to").alias("uid"))
             .distinct()
         )
-        # per-level checkpoint stays: nxt has MULTIPLE consumers (next
-        # level's join, every later level's anti-join via visited, and
-        # the output union) — leaving it lazy re-executes its shuffles
-        # in each consumer (measured: MORE jobs, 25 → 31, and slower)
-        nxt = _ckpt(nxt.join(visited, "uid", "left_anti"))
-        if nxt.isEmpty():
-            break
+        # per-level checkpoint stays for NON-final levels: nxt has
+        # MULTIPLE consumers (next level's join, every later level's
+        # anti-join via visited, and the output union) — leaving it
+        # lazy re-executes its shuffles in each consumer (measured:
+        # MORE jobs, 25 → 31, and slower).  The FINAL level's nxt has
+        # ONE consumer (the output union; visited/frontier are never
+        # read again) and the loop ends regardless of its emptiness —
+        # skip its eager checkpoint + isEmpty (2 jobs + one
+        # materialization pass, r13).
+        nxt = nxt.join(visited, "uid", "left_anti")
+        if depth < max_depth:
+            nxt = _ckpt(nxt)
+            if nxt.isEmpty():
+                break
         level = nxt.withColumn("depth", F.lit(depth))
         out = level if out is None else out.unionByName(level)
         # visited is a union of the checkpointed level frames: lineage
@@ -184,13 +191,18 @@ def enumerate_paths(
                 F.lit(depth).alias("path_length"),
             )
         )
-        # per-level checkpoint stays: ext feeds BOTH the output union
-        # and the next level's join, and the path-array rows grow with
-        # depth — lazy odd levels re-execute that growing work in every
-        # consumer (measured 1.06× slower with a cadence-2 variant)
-        ext = _ckpt(ext)
-        if ext.isEmpty():
-            break
+        # per-level checkpoint stays for NON-final levels: ext feeds
+        # BOTH the output union and the next level's join, and the
+        # path-array rows grow with depth — lazy odd levels re-execute
+        # that growing work in every consumer (measured 1.06× slower
+        # with a cadence-2 variant).  The FINAL level has one consumer
+        # (the output union) and the loop ends regardless — its eager
+        # checkpoint + isEmpty were 2 jobs plus a materialization pass
+        # of the deepest (largest) path frame for nothing (r13).
+        if depth < max_depth:
+            ext = _ckpt(ext)
+            if ext.isEmpty():
+                break
         levels.append(ext)
         frontier = ext
 

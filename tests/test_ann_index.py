@@ -158,3 +158,22 @@ def test_clustered_index_scan_prunes(spark, wh):
     assert diag["files_read"] < diag["files_total"], (
         f"cluster-by-centroid should let the probe prune files: {diag}"
     )
+
+
+def test_lit_vec_bit_exact_and_nonfinite(spark):
+    """_lit_vec round-trips finite doubles bit-exactly and survives
+    non-finite elements (r13 ADVICE: repr(nan) parsed as a column ref)."""
+    import math
+    import struct
+
+    from binaryx_graph_spark.operators.similarity import _lit_vec
+
+    vals = [0.1, -2.5e-308, 3.141592653589793, 1e308, -0.0]
+    got = spark.range(1).select(_lit_vec(vals).alias("v")).collect()[0]["v"]
+    assert [struct.pack(">d", g) for g in got] == [
+        struct.pack(">d", v) for v in vals
+    ]
+    nf = [float("nan"), float("inf"), float("-inf"), 1.5]
+    got = spark.range(1).select(_lit_vec(nf).alias("v")).collect()[0]["v"]
+    assert math.isnan(got[0])
+    assert got[1] == float("inf") and got[2] == float("-inf") and got[3] == 1.5

@@ -493,3 +493,31 @@ def test_optional_chained_on_optional_null_anchor(spark, t):
     # both binaries import CreateFileA which belongs to kernel32
     assert ("CreateFileA", "kernel32") in by_bin["mal_a.exe"]
     assert ("CreateFileA", "kernel32") in by_bin["mal_b.elf"]
+
+
+def test_shortest_path_multiedge_total_tiebreak(spark):
+    """Multi-edges (same src/dst, different offset) tie on the uid
+    sequence; the offsets array breaks the tie (r13 ADVICE) — the ONE
+    surviving path must carry the smallest offsets array, every run."""
+    fns = spark.createDataFrame(
+        [("u1", "main", "0x1"), ("u2", "x", "0x2")],
+        "uid string, name string, address string",
+    )
+    calls = spark.createDataFrame(
+        [("u1", "u2", "7"), ("u1", "u2", "3"), ("u1", "u2", "5")],
+        "src_uid string, dst_uid string, offset string",
+    )
+    for _ in range(3):  # rerun: the pick must be stable
+        r = cypher(
+            {"functions": fns, "calls": calls},
+            """
+            MATCH p = shortestPath((a:Function)-[:CALLS*1..2]->(b:Function))
+            WHERE a.name = 'main'
+            RETURN [n in nodes(p) | n.name] AS names,
+                   [r in relationships(p) | r.offset] AS offs,
+                   length(p) AS len
+            """,
+        ).collect()
+        assert [(tuple(x.names), tuple(x.offs), x.len) for x in r] == [
+            (("main", "x"), ("3",), 1)
+        ]
