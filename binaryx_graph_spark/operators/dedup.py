@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import SQL_TOKENS, shingles, sql_shingles, tokens
+from .textstats import SQL_TOKENS, shingles, spark_sql_shingles, sql_shingles, tokens
 
 # ------------------------------------------------------------------- exact
 
@@ -687,10 +687,18 @@ def jaccard_pairs_prefix(
     # filter theorem holds for any fixed total order, so the candidate
     # set stays a provable superset and the exact verify yields the
     # same output.
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("_s"),
-    ).select("doc_id", F.xxhash64("_s").alias("sh"))
+    # r13 (guide §1/§4, driver boundary): the whole stage chain is built
+    # from COMPOSED SQL STRINGS parsed once per selectExpr/where — the
+    # Column-builder formulation cost ~700 py4j round-trips (~0.7 s) of
+    # pure driver plan-build per query, action-traced.  Every expression
+    # below is structurally identical to the former Column tree (same
+    # literals via repr, same int/double promotions), so the physical
+    # plan — and the output — is unchanged.
+    t = repr(float(threshold))
+    sh = df.selectExpr(
+        f"`{id_col}` AS doc_id",
+        f"explode(array_distinct({spark_sql_shingles(text_col, n)})) AS _s",
+    ).selectExpr("doc_id", "xxhash64(_s) AS sh")
     sh = sh.localCheckpoint(eager=True)
 
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
@@ -699,50 +707,35 @@ def jaccard_pairs_prefix(
     doc_arrays = (
         sh.join(dfreq, "sh")
         .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("_df", "sh"))), lambda s: s["sh"]
-            ).alias("_shs")
-        )
-        .withColumn("n_sh", F.size("_shs").cast("long"))
+        .agg(F.expr("transform(sort_array(collect_list(struct(_df, sh))), s -> s.sh)").alias("_shs"))
+        .selectExpr("doc_id", "_shs", "CAST(size(_shs) AS long) AS n_sh")
         .localCheckpoint(eager=True)
     )
     n_docs = doc_arrays.count()
 
-    prefix = doc_arrays.select(
+    prefix = doc_arrays.selectExpr(
         "doc_id",
         "n_sh",
-        F.posexplode(
-            F.slice(
-                "_shs",
-                1,
-                (F.floor((1 - F.lit(threshold)) * F.col("n_sh")) + 1).cast("int"),
-            )
-        ).alias("_pos", "shh"),
+        f"posexplode(slice(_shs, 1, CAST(floor((1 - {t}D) * n_sh) + 1 AS int))) AS (_pos, shh)",
     )
 
     # length filter rides the equality join: t·|A| ≤ |B| ≤ |A|/t
-    # (double×count comparisons only — no division, no rounding hazard)
-    len_ok = (F.col("y.n_sh") >= F.lit(threshold) * F.col("x.n_sh")) & (
-        F.col("x.n_sh") >= F.lit(threshold) * F.col("y.n_sh")
-    )
+    # (double×count comparisons only — no division, no rounding hazard).
     # positional filter (the second "P" in PPJoin): a shared prefix token
     # at 1-based positions (i, j) bounds the overlap by
     # min(|A|-i, |B|-j) + 1; a true pair's FIRST common prefix token
     # always satisfies overlap ≥ t/(1+t)·(|A|+|B|), so keeping pairs
     # where ANY token row passes is a lossless superset.
-    pos_ok = (
-        F.least(
-            F.col("x.n_sh") - (F.col("x._pos") + 1),
-            F.col("y.n_sh") - (F.col("y._pos") + 1),
-        )
-        + 1
-    ) >= (F.lit(threshold) / (1 + F.lit(threshold))) * (F.col("x.n_sh") + F.col("y.n_sh"))
     cand = (
         prefix.alias("x")
         .join(prefix.alias("y"), "shh")
-        .filter((F.col("x.doc_id") < F.col("y.doc_id")) & len_ok & pos_ok)
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .where(
+            f"x.doc_id < y.doc_id"
+            f" AND y.n_sh >= {t}D * x.n_sh AND x.n_sh >= {t}D * y.n_sh"
+            f" AND least(x.n_sh - (x._pos + 1), y.n_sh - (y._pos + 1)) + 1"
+            f"     >= ({t}D / (1 + {t}D)) * (x.n_sh + y.n_sh)"
+        )
+        .selectExpr("x.doc_id AS doc_a", "y.doc_id AS doc_b")
         .distinct()
     )
 
@@ -751,37 +744,30 @@ def jaccard_pairs_prefix(
     # Broadcast only when the corpus side is small (test scale); at
     # cluster scale the candidate side is the smaller relation and AQE
     # picks the build side.
-    hashed = doc_arrays.select("doc_id", F.col("_shs").alias("_hs"), "n_sh")
-    aa = hashed.select(
-        F.col("doc_id").alias("doc_a"), F.col("_hs").alias("_ha"), F.col("n_sh").alias("n_a")
-    )
-    bb = hashed.select(
-        F.col("doc_id").alias("doc_b"), F.col("_hs").alias("_hb"), F.col("n_sh").alias("n_b")
-    )
+    hashed = doc_arrays.selectExpr("doc_id", "_shs AS _hs", "n_sh")
+    aa = hashed.selectExpr("doc_id AS doc_a", "_hs AS _ha", "n_sh AS n_a")
+    bb = hashed.selectExpr("doc_id AS doc_b", "_hs AS _hb", "n_sh AS n_b")
     if n_docs <= 100_000:
         aa, bb = F.broadcast(aa), F.broadcast(bb)
     return (
         cand.join(aa, "doc_a")
         .join(bb, "doc_b")
-        .select(
+        .selectExpr(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("_ha", "_hb")).cast("long").alias("n_common"),
+            "CAST(size(array_intersect(_ha, _hb)) AS long) AS n_common",
             "n_a",
             "n_b",
         )
         # integer threshold test first (t=n_c/(n_a+n_b-n_c) ≥ t, cross-
         # multiplied) so the division below runs on survivors only
-        .filter(
-            F.col("n_common") * (1 + F.lit(threshold))
-            >= F.lit(threshold) * (F.col("n_a") + F.col("n_b"))
+        .where(f"n_common * (1 + {t}D) >= {t}D * (n_a + n_b)")
+        .selectExpr(
+            "doc_a", "doc_b", "n_common", "n_a", "n_b",
+            "CAST(n_common / (n_a + n_b - n_common) AS double) AS jaccard",
         )
-        .withColumn(
-            "jaccard",
-            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+        .where(f"jaccard >= {t}D")
+        .selectExpr("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
     )
 
 
@@ -819,75 +805,63 @@ def containment_pairs_prefix(
     # r12: int64 shingles at the explode (see jaccard_pairs_prefix —
     # same narrower-types rationale, same unchanged collision exposure,
     # same any-total-order prefix-filter argument)
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("_s"),
-    ).select("doc_id", F.xxhash64("_s").alias("sh"))
+    # r13 (guide §1/§4): composed SQL strings, one parse per
+    # selectExpr/where — see jaccard_pairs_prefix; expressions are
+    # structurally identical to the former Column trees.
+    sh = df.selectExpr(
+        f"`{id_col}` AS doc_id",
+        f"explode(array_distinct({spark_sql_shingles(text_col, n)})) AS _s",
+    ).selectExpr("doc_id", "xxhash64(_s) AS sh")
     sh = sh.localCheckpoint(eager=True)
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     doc_arrays = (
         sh.join(dfreq, "sh")
         .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("_df", "sh"))), lambda s: s["sh"]
-            ).alias("_shs")
-        )
-        .withColumn("n_sh", F.size("_shs").cast("long"))
+        .agg(F.expr("transform(sort_array(collect_list(struct(_df, sh))), s -> s.sh)").alias("_shs"))
+        .selectExpr("doc_id", "_shs", "CAST(size(_shs) AS long) AS n_sh")
         .localCheckpoint(eager=True)
     )
     n_docs = doc_arrays.count()
 
-    prefix = doc_arrays.select(
+    prefix = doc_arrays.selectExpr(
         "doc_id",
         "n_sh",
-        F.explode(
-            F.slice(
-                "_shs",
-                1,
-                # ⌊(1−t)·n⌋ + 1 computed in exact integers: (n·(den−num)) div den
-                (F.expr(f"(n_sh * {den - num}) div {den}") + 1).cast("int"),
-            )
-        ).alias("shh"),
+        # ⌊(1−t)·n⌋ + 1 computed in exact integers: (n·(den−num)) div den
+        f"explode(slice(_shs, 1, CAST((n_sh * {den - num}) div {den} + 1 AS int))) AS shh",
     )
-    full = doc_arrays.select("doc_id", "n_sh", F.explode("_shs").alias("shh"))
+    full = doc_arrays.selectExpr("doc_id", "n_sh", "explode(_shs) AS shh")
     cand = (
         prefix.alias("x")
         .join(full.alias("y"), "shh")
-        .filter(
-            # |B|·den ≥ |A|·num — integer cross-multiply, provably a
-            # superset of the verified set (no float tie-rounding)
-            (F.col("x.doc_id") != F.col("y.doc_id"))
-            & (F.col("y.n_sh") * den >= F.col("x.n_sh") * num)
-        )
-        .select(F.col("x.doc_id").alias("doc_sub"), F.col("y.doc_id").alias("doc_sup"))
+        # |B|·den ≥ |A|·num — integer cross-multiply, provably a
+        # superset of the verified set (no float tie-rounding)
+        .where(f"x.doc_id != y.doc_id AND y.n_sh * {den} >= x.n_sh * {num}")
+        .selectExpr("x.doc_id AS doc_sub", "y.doc_id AS doc_sup")
         .distinct()
     )
 
-    hashed = doc_arrays.select("doc_id", F.col("_shs").alias("_hs"), "n_sh")
-    aa = hashed.select(
-        F.col("doc_id").alias("doc_sub"), F.col("_hs").alias("_ha"), F.col("n_sh").alias("n_sub")
-    )
-    bb = hashed.select(
-        F.col("doc_id").alias("doc_sup"), F.col("_hs").alias("_hb"), F.col("n_sh").alias("n_sup")
-    )
+    hashed = doc_arrays.selectExpr("doc_id", "_shs AS _hs", "n_sh")
+    aa = hashed.selectExpr("doc_id AS doc_sub", "_hs AS _ha", "n_sh AS n_sub")
+    bb = hashed.selectExpr("doc_id AS doc_sup", "_hs AS _hb", "n_sh AS n_sup")
     if n_docs <= 100_000:
         aa, bb = F.broadcast(aa), F.broadcast(bb)
     return (
         cand.join(aa, "doc_sub")
         .join(bb, "doc_sup")
-        .select(
+        .selectExpr(
             "doc_sub",
             "doc_sup",
-            F.size(F.array_intersect("_ha", "_hb")).cast("long").alias("n_common"),
+            "CAST(size(array_intersect(_ha, _hb)) AS long) AS n_common",
             "n_sub",
             "n_sup",
         )
         # |A∩B|·den ≥ |A|·num — the SAME exact rational the candidate
         # stage used, so non-default thresholds verify consistently
-        .filter(F.col("n_common") * den >= F.col("n_sub") * num)
-        .withColumn("containment", (F.col("n_common") / F.col("n_sub")).cast("double"))
-        .select("doc_sub", "doc_sup", "n_common", "n_sub", "n_sup", "containment")
+        .where(f"n_common * {den} >= n_sub * {num}")
+        .selectExpr(
+            "doc_sub", "doc_sup", "n_common", "n_sub", "n_sup",
+            "CAST(n_common / n_sub AS double) AS containment",
+        )
     )
 
 

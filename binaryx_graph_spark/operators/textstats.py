@@ -22,7 +22,19 @@ SQL_TOKENS = "list_filter(regexp_split_to_array(lower({col}), '\\s+'), t -> t <>
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
 
 
-def tokens(col: Column) -> Column:
+def spark_sql_tokens(col: str) -> str:
+    """Spark-SQL string twin of :func:`tokens` for a NAMED column —
+    composing expression strings in Python and parsing ONCE via
+    ``F.expr``/``selectExpr`` replaces dozens of py4j round-trips of
+    driver plan-build per expression tree (~1 ms each, measured r12/r13;
+    the `_lit_vec` lesson generalized).  Same Catalyst expression as the
+    Column builder — pinned by tests/test_property.py parity test."""
+    return f"filter(split(lower(`{col}`), '\\\\s+'), t -> t != '')"
+
+
+def tokens(col: Column | str) -> Column:
+    if isinstance(col, str):  # named column: ONE parsed expression
+        return F.expr(spark_sql_tokens(col))
     return F.filter(F.split(F.lower(col), _TOKEN_SPLIT), lambda t: t != "")
 
 
@@ -106,7 +118,24 @@ def sql_language_id(col: str) -> str:
     )
 
 
-def shingles(col: Column, n: int = 3) -> Column:
+def spark_sql_shingles(col: str, n: int = 3) -> str:
+    """Spark-SQL string twin of :func:`shingles` for a NAMED column —
+    one ``F.expr`` parse instead of ~30 py4j round-trips (see
+    :func:`spark_sql_tokens`).  Identical expression tree: the repeated
+    inline token expression mirrors the Column builder, which also
+    duplicates the subtree per use (codegen CSE collapses both)."""
+    toks = spark_sql_tokens(col)
+    cnt = f"(size({toks}) - {n - 1})"
+    z = f"slice({toks}, 1, {cnt})"
+    for j in range(1, n):
+        z = f"zip_with({z}, slice({toks}, {j + 1}, {cnt}), (a, b) -> concat_ws(' ', a, b))"
+    return (
+        f"(CASE WHEN size({toks}) >= {n} THEN {z} "
+        f"ELSE CAST(array() AS array<string>) END)"
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (space-joined). Empty when fewer than n tokens.
 
     Built as a zip of n shifted slices rather than per-index
@@ -114,6 +143,8 @@ def shingles(col: Column, n: int = 3) -> Column:
     captured expressions per element (no CSE across the lambda
     boundary), so the element_at formulation re-tokenizes the document
     O(tokens·n) times — measured 10× slower at sf0.1."""
+    if isinstance(col, str):  # named column: ONE parsed expression
+        return F.expr(spark_sql_shingles(col, n))
     toks = tokens(col)
     cnt = F.size(toks) - (n - 1)
     z = F.slice(toks, 1, cnt)

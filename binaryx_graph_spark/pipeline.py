@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from .model import load_table
 from .operators.dedup import connected_components, jaccard_pairs_prefix
-from .operators.textstats import quality_metrics, tokens
+from .operators.textstats import spark_sql_tokens
 
 #: curation thresholds (documented knobs). JACCARD_T = 0.8 is the
 #: standard near-dup bar in corpus-dedup practice (0.7-0.9); it also
@@ -45,14 +45,21 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # dedup join, shingles) reads the materialized rows instead of
     # re-running the tokenize/hash expressions (HOF exprs get no CSE;
     # the separate per-stage count jobs were the pipeline's cost center,
-    # not the joins — measured at sf0.1).
-    m = quality_metrics(F.col("text"))
-    key = F.sha2(F.concat_ws(" ", tokens(F.col("text"))), 256)
+    # not the joins — measured at sf0.1).  r13: the expressions are
+    # composed SQL strings parsed once (guide §1/§4 driver boundary,
+    # same trees as the former quality_metrics Columns — n_tokens =
+    # CAST(size(tokens) AS long), ttr = n_unique/n_tokens as double).
+    toks = spark_sql_tokens("text")
     keyed = (
-        docs.select("doc_id", "text", m["n_tokens"].alias("n_tokens"),
-                    m["type_token_ratio"].alias("ttr"))
-        .filter((F.col("n_tokens") >= MIN_TOKENS) & (F.col("ttr") >= MIN_TTR))
-        .select("doc_id", "text", key.alias("_k"))
+        docs.selectExpr(
+            "doc_id",
+            "text",
+            f"CAST(size({toks}) AS long) AS n_tokens",
+            f"CAST(CAST(size(array_distinct({toks})) AS long)"
+            f" / CAST(size({toks}) AS long) AS double) AS ttr",
+        )
+        .where(f"n_tokens >= {MIN_TOKENS} AND ttr >= {MIN_TTR!r}D")
+        .selectExpr("doc_id", "text", f"sha2(concat_ws(' ', {toks}), 256) AS _k")
         .localCheckpoint(eager=True)
     )
     quality = keyed.select("doc_id", "text")
