@@ -89,6 +89,7 @@ from .warehouse_base import (  # noqa: F401
     MERGE_KEYS,
     _STATS_MAX_STRLEN,
     _assignable_type,
+    in_list_expr,
     _parquet_minmax,
     _BLOOM_FPP,
     _BLOOM_MAX_BITS,
@@ -229,7 +230,8 @@ class Warehouse(_ProtocolMixin, _DmlMixin, _CdfMixin, _MaintenanceMixin):
             elif op == "between":
                 df = df.filter((c >= val[0]) & (c <= val[1]))
             elif op == "in":
-                df = df.filter(c.isin(list(val)))
+                # one parsed IN expression, not len(val) py4j round-trips
+                df = df.filter(in_list_expr(col, val))
             else:
                 raise ValueError(f"unknown scan predicate op {op!r}")
         return df

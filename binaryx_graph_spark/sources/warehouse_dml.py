@@ -27,6 +27,7 @@ from .warehouse_base import (  # noqa: F401
     MERGE_KEYS,
     _STATS_MAX_STRLEN,
     _assignable_type,
+    in_list_expr,
     _parquet_minmax,
     _BLOOM_FPP,
     _BLOOM_MAX_BITS,
@@ -721,7 +722,9 @@ class _DmlMixin:
             elif op == "between":
                 e = (c >= val[0]) & (c <= val[1])
             elif op == "in":
-                e = c.isin(list(val))
+                # one parsed IN expression, not len(val) py4j literal
+                # round-trips (r13; see warehouse_base.in_list_expr)
+                e = in_list_expr(col, val)
             else:
                 raise ValueError(f"unknown scan predicate op {op!r}")
             expr = e if expr is None else (expr & e)

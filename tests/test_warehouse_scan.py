@@ -241,3 +241,23 @@ def test_cross_type_predicates_never_prune_wrong(spark, tmp_path):
     # string probe against the long column: zone maps must not compare
     got2 = wh.scan("functions", [("size", "=", "777")])
     assert [r["uid"] for r in got2.collect()] == ["777"]
+
+
+def test_in_list_expr_matches_isin(spark):
+    """in_list_expr (one parsed IN) must agree with Column.isin on
+    values, escaping, and three-valued NULL semantics (r13)."""
+    from pyspark.sql import functions as F
+
+    from binaryx_graph_spark.sources.warehouse_base import in_list_expr
+
+    df = spark.createDataFrame(
+        [("a",), ("it's",), ("b\\c",), (None,), ("d",)], "k string"
+    )
+    vals = ["a", "it's", "b\\c", "missing"]
+    got = df.select(in_list_expr("k", vals).alias("x"), F.col("k").isin(vals).alias("y"))
+    assert [(r.x, r.y) for r in got.collect()] == [
+        (True, True), (True, True), (True, True), (None, None), (False, False)
+    ]
+    ints = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    got = ints.select(in_list_expr("k", [1, 5]).alias("x"), F.col("k").isin([1, 5]).alias("y"))
+    assert [(r.x, r.y) for r in got.collect()] == [(True, True), (False, False), (None, None)]

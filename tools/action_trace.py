@@ -62,8 +62,26 @@ def main() -> int:
     ns = ap.parse_args()
     qname, sf_dir, runs = ns.query, ns.sf_dir, ns.runs
 
-    for m in ("localCheckpoint", "count", "collect", "toPandas", "first", "take"):
+    for m in ("localCheckpoint", "count", "collect", "toPandas", "first", "take", "isEmpty"):
         _wrap(DataFrame, m)
+    # writes are actions too (the warehouse DML paths are write-heavy);
+    # r13: 65 s of warehouse_replication_certified was invisible to the
+    # wrapper until DataFrameWriter was included
+    try:
+        from pyspark.sql.classic.dataframe import DataFrameWriter  # Spark 4
+    except ImportError:
+        from pyspark.sql import DataFrameWriter
+    for m in ("parquet", "save", "saveAsTable", "csv", "json"):
+        if hasattr(DataFrameWriter, m):
+            _wrap(DataFrameWriter, m)
+    # reads list files + read footers EAGERLY at .parquet() time — a
+    # driver-side cost worth attributing on manifest-heavy paths
+    try:
+        from pyspark.sql.classic.readwriter import DataFrameReader  # Spark 4
+    except ImportError:
+        from pyspark.sql import DataFrameReader
+    if hasattr(DataFrameReader, "parquet"):
+        _wrap(DataFrameReader, "parquet")
 
     reg = load_all()
     spark = get_spark("trace")
